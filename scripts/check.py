@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only, not part of the
+library): reads Verify output parquet + oracle_sql.json, runs each oracle in DuckDB
+with the sf tables registered as views, compares sorted-column sorted-row values."""
+import json, math, sys
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+    except Exception as e:
+        print(f"[MISSING-RESULT] {name}: {e}"); fail += 1; continue
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"[ORACLE-ERROR] {name}: {e}"); fail += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"[SCHEMA-MISMATCH] {name}: got {list(got.columns)} vs exp {list(exp.columns)}"); fail += 1; continue
+    if len(got) != len(exp):
+        print(f"[ROWCOUNT] {name}: got {len(got)} vs exp {len(exp)}"); fail += 1; continue
+    gs = got.sort_values(by=list(got.columns), ignore_index=True)
+    es = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    bad = 0
+    for c in gs.columns:
+        a, b = gs[c], es[c]
+        for i in range(len(a)):
+            x, y = a.iloc[i], b.iloc[i]
+            if x is None and y is None: continue
+            try:
+                if isinstance(x, float) or isinstance(y, float):
+                    fx, fy = float(x), float(y)
+                    if math.isnan(fx) and math.isnan(fy): continue
+                    if fx != fy:
+                        bad += 1
+                        if bad <= 3: print(f"  [{name}] col={c} row={i}: {x!r} != {y!r} (diff={fx-fy:g})")
+                elif str(x) != str(y):
+                    bad += 1
+                    if bad <= 3: print(f"  [{name}] col={c} row={i}: {x!r} != {y!r}")
+            except Exception:
+                if str(x) != str(y):
+                    bad += 1
+                    if bad <= 3: print(f"  [{name}] col={c} row={i}: {x!r} != {y!r}")
+    if bad:
+        print(f"[VALUE-MISMATCH] {name}: {bad} cells differ"); fail += 1
+    else:
+        print(f"[OK] {name} rows={len(got)}"); ok += 1
+print(f"== {ok} ok, {fail} fail ==")
+sys.exit(1 if fail else 0)

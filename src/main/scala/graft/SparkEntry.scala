@@ -1,13 +1,100 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Each entry in `queries` is one operator of the engine (SURVEY.md §2 inventory);
+ * `oracleSql` holds an independent DuckDB derivation over the same parquet inputs.
+ * Fixture-based queries read /root/repo/fixtures/<tag>/ (generated deterministically
+ * on first use by graft.gen.Fixtures); the driver's verify scale is sf0.01, and the
+ * oracle SQL hardcodes that fixture path.
+ */
 object SparkEntry {
+
+  /** sf0.01 fixture dir as seen by the DuckDB oracle. */
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ops.Split.aoiDocTilesQuery(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => Tpch.q1(s, dir)),
+    "q_join_pipeline" -> ((s, dir) => Tpch.joinPipeline(s, dir)),
+    "q_topsar_split" -> ((s, dir) => ops.Split.topsarSplitQuery(s, dir)),
+    "q_span_cells" -> ((s, dir) => ops.Spans.spanCellsQuery(s, dir)),
+    "q_aoi_doc_tiles" -> ((s, dir) => ops.Split.aoiDocTilesQuery(s, dir)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_pipeline" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |       count(DISTINCT o.o_orderkey) AS n_orders,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Exact rect x sheared-parallelogram intersection, derived independently of the
+    // engine's SAT: y-overlap interval + the (linear-in-y) x-interval overlap test.
+    "q_topsar_split" ->
+      s"""SELECT a.aoi_id, b.scene_id, b.subswath,
+         |       min(b.burst_idx) AS first_burst, max(b.burst_idx) AS last_burst,
+         |       count(*) AS n_hit
+         |FROM ${fx("aoi")} a, ${fx("bursts")} b
+         |WHERE greatest(a.lat_min, b.lat1) <= least(a.lat_max, b.lat4)
+         |  AND b.lon2 + (b.lon4 - b.lon1) / (b.lat4 - b.lat1) * (least(a.lat_max, b.lat4) - b.lat1) >= a.lon_min
+         |  AND b.lon1 + (b.lon4 - b.lon1) / (b.lat4 - b.lat1) * (greatest(a.lat_min, b.lat1) - b.lat1) <= a.lon_max
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_span_cells" ->
+      s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+         |e AS (SELECT doc_id, s."offset" AS "offset", s.kind AS kind, s.media_ref AS media_ref,
+         |             string_split(s.media_ref, '/') AS p FROM sp),
+         |m AS (SELECT e.doc_id, e."offset", e.kind, e.media_ref,
+         |             b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+         |                    + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+         |             b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+         |      FROM e JOIN ${fx("bursts")} b
+         |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)
+         |      WHERE e.kind = 'media')
+         |SELECT doc_id, "offset", kind, media_ref,
+         |       3170534137668829184 + CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) * 536870912
+         |                           + CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS cell,
+         |       round(lon, 6) AS lon_r, round(lat, 6) AS lat_r
+         |FROM m
+         |UNION ALL
+         |SELECT doc_id, s."offset", s.kind, s.media_ref,
+         |       NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+         |FROM sp WHERE s.kind = 'text'
+         |ORDER BY doc_id, "offset"""".stripMargin,
+    "q_aoi_doc_tiles" ->
+      s"""WITH sel AS (
+         |  SELECT a.aoi_id, b.scene_id, b.subswath,
+         |         min(b.burst_idx) AS first_burst, max(b.burst_idx) AS last_burst
+         |  FROM ${fx("aoi")} a, ${fx("bursts")} b
+         |  WHERE greatest(a.lat_min, b.lat1) <= least(a.lat_max, b.lat4)
+         |    AND b.lon2 + (b.lon4 - b.lon1) / (b.lat4 - b.lat1) * (least(a.lat_max, b.lat4) - b.lat1) >= a.lon_min
+         |    AND b.lon1 + (b.lon4 - b.lon1) / (b.lat4 - b.lat1) * (greatest(a.lat_min, b.lat1) - b.lat1) <= a.lon_max
+         |  GROUP BY 1, 2, 3),
+         |sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+         |m AS (SELECT doc_id, string_split(s.media_ref, '/') AS p FROM sp WHERE s.kind = 'media')
+         |SELECT sel.aoi_id, sel.scene_id, sel.subswath,
+         |       count(DISTINCT m.doc_id) AS n_docs,
+         |       count(*) AS n_spans,
+         |       count(DISTINCT p[6] || '_' || p[7] || '_' || p[8]) AS n_tiles
+         |FROM m JOIN sel
+         |  ON p[3] = sel.scene_id AND p[4] = sel.subswath
+         | AND CAST(p[6] AS INT) BETWEEN sel.first_burst AND sel.last_burst
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+  )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Harness smoke queries over the driver-provided TPC-H-ish tables (TESTDATA.md §9):
+ * exercise scan + pushdown + hash agg + broadcast joins independent of SAR fixtures. */
+object Tpch {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star join: big fact table against broadcast dimensions (the 100-TB shape: only
+   * lineitem/orders shuffle; customer/nation/region broadcast). */
+  def joinPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("region", "nation")
+  }
+}

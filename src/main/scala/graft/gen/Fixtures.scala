@@ -1,0 +1,290 @@
+package graft.gen
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/**
+ * Deterministic synthetic fixture generator (FIXTURES.md). No randomness state: every
+ * value is a pure function of its logical key via xxhash64 / closed-form fields, so the
+ * generated tables are identical at any parallelism or partition count (the determinism
+ * requirement motivated by the reference's tile-size-dependence bug,
+ * reference docs/bugs-to-fix.md:371-376).
+ *
+ * Mirrors the reference test style of synthesized products + derivable golden numbers
+ * (reference TestCalibrationOp.java:126-140: a 10x10 product built from pure metadata).
+ *
+ * Layout per scale tag (e.g. "sf0.01"): /root/repo/fixtures/<tag>/<table>.parquet
+ *  - docs         : the north-rule input table (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,offset>>)
+ *  - scenes, bursts, aoi, cal_vectors, noise_vectors, orbit, gcps, dem : dimension tables
+ *  - tiles, tiles_sec : complex raster tiles (reference + planted-shift secondary)
+ */
+object Fixtures {
+
+  val Root = "/root/repo/fixtures"
+
+  final case class Scale(tag: String, nScenes: Int, nDocs: Int, nAois: Int)
+
+  def scale(sfDir: String): Scale = {
+    val t = new File(sfDir).getName
+    t match {
+      case "sf0.001" => Scale(t, 2, 1000, 8)
+      case "sf0.01"  => Scale(t, 4, 10000, 8)
+      case "sf0.1"   => Scale(t, 12, 100000, 8)
+      case other     => Scale(other, 2, 1000, 8)
+    }
+  }
+
+  def dir(sfDir: String): String = s"$Root/${scale(sfDir).tag}"
+
+  /** Generate all fixture tables for this scale if not already present; returns fixture dir. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val sc = scale(sfDir)
+    val d = dir(sfDir)
+    val marker = Paths.get(d, "_COMPLETE")
+    if (!Files.exists(marker)) {
+      generate(spark, sc, d)
+      Files.createDirectories(Paths.get(d))
+      Files.writeString(marker, sc.toString)
+    }
+    d
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, sfDir)}/$name.parquet")
+
+  // ---------------------------------------------------------------- geometry helpers
+
+  /** Scene origin on a lon/lat lattice. */
+  def sceneLon0(s: Int): Double = -30.0 + (s % 6) * 2.5
+  def sceneLat0(s: Int): Double = 10.0 + (s / 6) * 2.5
+  def sceneT0(s: Int): Double = 5000.0 + s * 100.0
+  val Shear = 0.15 // parallelogram shear: dLon per dLat
+  val SwWidth = 0.78 // deg of lon per subswath
+  val SwStride = 0.8
+  val BurstHeight = 0.22 // deg of lat per burst footprint
+  val BurstStride = 0.2 // consecutive bursts overlap by 0.02 deg
+
+  /** Burst footprint parallelogram corners, ring order BL,BR,TR,TL. */
+  def burstCorners(s: Int, sw: Int, b: Int): Array[(Double, Double)] = {
+    val lonL = sceneLon0(s) + sw * SwStride
+    val latB = sceneLat0(s) + (b - 1) * BurstStride
+    val latT = latB + BurstHeight
+    val dy = latT - latB
+    Array(
+      (lonL, latB),
+      (lonL + SwWidth, latB),
+      (lonL + SwWidth + Shear * dy, latT),
+      (lonL + Shear * dy, latT))
+  }
+
+  def cornersToWkt(c: Array[(Double, Double)]): String =
+    "POLYGON ((" + (c :+ c.head).map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+
+  def burstFirstLineTime(s: Int, b: Int): Double =
+    sceneT0(s) + (b - 1) * (Layout.LinesPerBurst - Layout.BurstOverlapLines) * Layout.AzimuthTimeInterval
+  def burstLastLineTime(s: Int, b: Int): Double =
+    burstFirstLineTime(s, b) + (Layout.LinesPerBurst - 1) * Layout.AzimuthTimeInterval
+
+  // ---------------------------------------------------------------- generation
+
+  private def generate(spark: SparkSession, sc: Scale, d: String): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(d))
+
+    val scenes = (0 until sc.nScenes).map { s =>
+      Scene(f"scene_$s%04d", "SENTINEL-1", "IW", sceneT0(s), Layout.AzimuthTimeInterval,
+        3, cornersToWkt(Array(
+          (sceneLon0(s), sceneLat0(s)),
+          (sceneLon0(s) + 3 * SwStride + SwWidth, sceneLat0(s)),
+          (sceneLon0(s) + 3 * SwStride + SwWidth, sceneLat0(s) + Layout.BurstsPerSubswath * BurstStride + BurstHeight),
+          (sceneLon0(s), sceneLat0(s) + Layout.BurstsPerSubswath * BurstStride + BurstHeight))))
+    }
+    scenes.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/scenes.parquet")
+
+    val bursts = for {
+      s <- 0 until sc.nScenes
+      sw <- 0 until 3
+      b <- 1 to Layout.BurstsPerSubswath
+    } yield {
+      val c = burstCorners(s, sw, b)
+      Burst(f"scene_$s%04d", s"IW${sw + 1}", b, Layout.LinesPerBurst, Layout.SamplesPerBurst,
+        burstFirstLineTime(s, b), burstLastLineTime(s, b),
+        c(0)._1, c(0)._2, c(1)._1, c(1)._2, c(2)._1, c(2)._2, c(3)._1, c(3)._2,
+        cornersToWkt(c))
+    }
+    bursts.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/bursts.parquet")
+
+    // AOIs: axis-aligned rectangles laid out to intersect a deterministic subset of bursts.
+    // Fractional offsets avoid exact boundary-touch degeneracies.
+    val aois = (0 until sc.nAois).map { a =>
+      val s = a % sc.nScenes
+      val lonMin = sceneLon0(s) + 0.213 + (a % 3) * 0.61
+      val latMin = sceneLat0(s) + 0.137 + (a % 4) * 0.33
+      val lonMax = lonMin + 0.53 + (a % 2) * 0.77
+      val latMax = latMin + 0.41 + (a % 3) * 0.29
+      Aoi(f"aoi_$a%02d", lonMin, latMin, lonMax, latMax,
+        cornersToWkt(Array((lonMin, latMin), (lonMax, latMin), (lonMax, latMax), (lonMin, latMax))))
+    }
+    aois.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/aoi.parquet")
+
+    // Calibration/noise LUT vectors: values linear in (line, pixel) so bilinear
+    // interpolation (Sentinel1Calibrator.java:412-417) has a closed-form oracle.
+    val knots = Seq(0, 32, 64, 96, 127)
+    val calVecs = for {
+      s <- 0 until sc.nScenes
+      sw <- Layout.Subswaths
+      pol <- Layout.Pols
+      vi <- 0 to Layout.BurstsPerSubswath // vector lines 0, 64, ..., 576
+    } yield {
+      val line = vi * Layout.LinesPerBurst
+      CalVector(f"scene_$s%04d", sw, pol, line, sceneT0(s) + line * Layout.AzimuthTimeInterval,
+        knots,
+        knots.map(p => 500.0 + 0.1 * line + 0.05 * p),
+        knots.map(p => 480.0 + 0.08 * line + 0.04 * p),
+        knots.map(p => 520.0 + 0.12 * line + 0.06 * p),
+        knots.map(p => 400.0 + 0.05 * line + 0.03 * p))
+    }
+    calVecs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/cal_vectors.parquet")
+
+    val noiseVecs = for {
+      s <- 0 until sc.nScenes
+      sw <- Layout.Subswaths
+      pol <- Layout.Pols
+      vi <- 0 to Layout.BurstsPerSubswath
+    } yield {
+      val line = vi * Layout.LinesPerBurst
+      NoiseVector(f"scene_$s%04d", sw, pol, line, sceneT0(s) + line * Layout.AzimuthTimeInterval,
+        knots, knots.map(p => 2.0 + 0.01 * line + 0.004 * p))
+    }
+    noiseVecs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/noise_vectors.parquet")
+
+    // Orbit: straight-line constant-velocity ephemeris in a local tangent frame
+    // (meters); zero-Doppler solves then have analytic expected values
+    // (reference SARGeocoding.java:64-107).
+    val orbit = for {
+      s <- 0 until sc.nScenes
+      k <- 0 to 40
+    } yield {
+      val t0 = sceneT0(s)
+      val t = t0 - 1.0 + k * 0.1
+      OrbitSV(f"scene_$s%04d", t, -400000.0, 7500.0 * (t - t0), 700000.0, 0.0, 7500.0, 0.0)
+    }
+    orbit.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/orbit.parquet")
+
+    // Planted-shift GCPs: the engine must recover (true_dx, true_dy) from pixel data
+    // alone (reference CrossCorrelationOp.java:935-990). Shift is per-scene.
+    val gcps = for {
+      s <- 0 until sc.nScenes
+      g <- 0 until 8
+    } yield {
+      val dx = (hash64(s"shift_x|$s") % 4).toInt - 1 // in [-1, 2]
+      val dy = (hash64(s"shift_y|$s") % 4).toInt - 1
+      val sw = s"IW${(g % 3) + 1}"
+      val b = 2 + (g * 2) % 7
+      Gcp(f"scene_$s%04d_g$g%02d", f"scene_$s%04d", sw, "VV", b,
+        24 + (g % 3) * 32, 16 + (g % 2) * 24, dx, dy)
+    }
+    gcps.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/gcps.parquet")
+
+    // DEM: analytic smooth surface sampled on a 0.05-deg grid over each scene bbox.
+    val demRows = for {
+      s <- 0 until sc.nScenes
+      li <- 0 until 50
+      lo <- 0 until 70
+    } yield {
+      val lat = sceneLat0(s) + li * 0.05
+      val lon = sceneLon0(s) + lo * 0.05
+      (f"scene_$s%04d", li, lo, lat, lon, 100.0 + 50.0 * math.sin(lon * 3.0) + 40.0 * math.cos(lat * 2.0))
+    }
+    demRows.toDF("scene_id", "lat_idx", "lon_idx", "lat", "lon", "height")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/dem.parquet")
+
+    // ---- docs: the north-rule input table, generated distributed + purely hash-keyed.
+    val nS = sc.nScenes
+    val docs = spark.range(0, sc.nDocs.toLong, 1, 8)
+      .withColumn("scene_idx", (col("id") % nS).cast("int"))
+      .withColumn("scene_id", format_string("scene_%04d", col("scene_idx")))
+      .withColumn("doc_id", format_string("scene_%04d_doc_%06d", col("scene_idx"), col("id")))
+      .withColumn("n_spans", lit(8) + pmod(xxhash64(concat_ws("|", lit("nsp"), col("id"))), lit(8)).cast("int"))
+      .withColumn("spans", expr(
+        s"""transform(sequence(0, n_spans - 1), j ->
+           |  named_struct(
+           |    'kind', if(j % 2 = 0, 'text', 'media'),
+           |    'text', if(j % 2 = 0,
+           |       concat('w', pmod(xxhash64(concat_ws('|','tw',id,j,0)), 50),
+           |              ' w', pmod(xxhash64(concat_ws('|','tw',id,j,1)), 50),
+           |              ' w', pmod(xxhash64(concat_ws('|','tw',id,j,2)), 50)),
+           |       ''),
+           |    'media_ref', if(j % 2 = 1,
+           |       concat('s1://', scene_id,
+           |              '/IW', 1 + pmod(xxhash64(concat_ws('|','msw',id,j)), 3),
+           |              '/', if(pmod(xxhash64(concat_ws('|','mp',id,j)), 2) = 0, 'VV', 'VH'),
+           |              '/', 1 + pmod(xxhash64(concat_ws('|','mb',id,j)), ${Layout.BurstsPerSubswath}),
+           |              '/', pmod(xxhash64(concat_ws('|','mty',id,j)), ${Layout.TilesY}),
+           |              '/', pmod(xxhash64(concat_ws('|','mtx',id,j)), ${Layout.TilesX})),
+           |       ''),
+           |    'offset', cast(j as int)))""".stripMargin))
+      .select("doc_id", "spans")
+    docs.repartition(8).write.mode("overwrite").parquet(s"$d/docs.parquet")
+
+    // ---- tiles: complex raster tiles; value is a pure function of GLOBAL pixel
+    // coordinates so a planted shift is exactly recoverable (see tileValueSql).
+    writeTiles(spark, sc, s"$d/tiles.parquet", dxCol = "0", dyCol = "0")
+    // secondary tiles: same field sampled at (x - dx, y - dy) => xcorr ground truth.
+    writeTiles(spark, sc, s"$d/tiles_sec.parquet",
+      dxCol = s"(pmod(xxhash64(concat_ws('|', 'shift_x', scene_idx_str)), 4) - 1)",
+      dyCol = s"(pmod(xxhash64(concat_ws('|', 'shift_y', scene_idx_str)), 4) - 1)")
+  }
+
+  /** Scala mirror of Spark's xxhash64 over a single string with seed 42 — used for the
+   * small driver-side tables so planted constants agree with column-generated data. */
+  def hash64(s: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+    math.floorMod(h, 1000000L) // keep positive, like pmod
+  }
+
+  /** Backscatter field + multiplicative speckle as pure SQL of global (x,y):
+   *  f(x,y)   = 100 + 50*sin(x/40) + 30*cos(y/25)
+   *  u(k...)  = pmod(xxhash64('px'|scene|sw|pol|x|y), 1e6)/1e6
+   *  v        = f*(0.5+u), with u<0.002 -> no-data sentinel -9999
+   *  i        = sqrt(v)*cos(2*pi*u2),  q = sqrt(v)*sin(2*pi*u2)   (so i^2+q^2 = v)
+   */
+  private def tileValueSql(dx: String, dy: String): (String, String) = {
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW} - ($dx))"
+    val gy = s"((burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + cast(k / ${Layout.TileW} as int) - ($dy))"
+    val u = s"(pmod(xxhash64(concat_ws('|', 'px', scene_id, subswath, pol, $gx, $gy)), 1000000) / 1e6)"
+    val u2 = s"(pmod(xxhash64(concat_ws('|', 'ph', scene_id, subswath, pol, $gx, $gy)), 1000000) / 1e6)"
+    val f = s"(100.0 + 50.0 * sin($gx / 40.0) + 30.0 * cos($gy / 25.0))"
+    val v = s"(if($u < 0.002, ${Layout.NoData}d, $f * (0.5 + $u)))"
+    val i = s"(if($u < 0.002, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * cos(2 * pi() * $u2)))"
+    val q = s"(if($u < 0.002, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * sin(2 * pi() * $u2)))"
+    (i, q)
+  }
+
+  private def writeTiles(spark: SparkSession, sc: Scale, path: String, dxCol: String, dyCol: String): Unit = {
+    val nKeys = sc.nScenes * 3 * 2 * Layout.BurstsPerSubswath * Layout.TilesX * Layout.TilesY
+    val (iSql, qSql) = tileValueSql(dxCol, dyCol)
+    val df = spark.range(0, nKeys.toLong, 1, 16)
+      .withColumn("tile_x", (col("id") % Layout.TilesX).cast("int"))
+      .withColumn("tile_y", ((col("id") / Layout.TilesX) % Layout.TilesY).cast("int"))
+      .withColumn("burst_idx", (lit(1) + (col("id") / (Layout.TilesX * Layout.TilesY)) % Layout.BurstsPerSubswath).cast("int"))
+      .withColumn("pol", when((col("id") / (Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath)) % 2 === 0, "VV").otherwise("VH"))
+      .withColumn("sw_idx", ((col("id") / (Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath * 2)) % 3).cast("int"))
+      .withColumn("subswath", concat(lit("IW"), col("sw_idx") + 1))
+      .withColumn("scene_idx", (col("id") / (Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath * 2 * 3)).cast("int"))
+      .withColumn("scene_idx_str", col("scene_idx").cast("string"))
+      .withColumn("scene_id", format_string("scene_%04d", col("scene_idx")))
+      .withColumn("w", lit(Layout.TileW)).withColumn("h", lit(Layout.TileH))
+      .withColumn("i", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $iSql)"))
+      .withColumn("q", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $qSql)"))
+      .withColumn("no_data", lit(Layout.NoData))
+      .select("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "w", "h", "i", "q", "no_data")
+    df.write.mode("overwrite").parquet(path)
+  }
+}
