@@ -26,6 +26,14 @@ object SparkEntry {
     "q_topsar_split" -> ((s, dir) => ops.Split.topsarSplitQuery(s, dir)),
     "q_span_cells" -> ((s, dir) => ops.Spans.spanCellsQuery(s, dir)),
     "q_aoi_doc_tiles" -> ((s, dir) => ops.Split.aoiDocTilesQuery(s, dir)),
+    "q_calibration_sigma0" -> ((s, dir) => ops.Calibration.sigma0Query(s, dir)),
+    "q_thermal_noise" -> ((s, dir) => ops.Calibration.thermalNoiseQuery(s, dir)),
+    "q_multilook" -> ((s, dir) => ops.Multilook.query(s, dir)),
+    "q_speckle_boxcar" -> ((s, dir) => ops.Speckle.boxcar(s, dir)),
+    "q_speckle_median" -> ((s, dir) => ops.Speckle.median(s, dir)),
+    "q_speckle_lee" -> ((s, dir) => ops.Speckle.lee(s, dir)),
+    "q_speckle_gammamap" -> ((s, dir) => ops.Speckle.gammaMap(s, dir)),
+    "q_deburst" -> ((s, dir) => ops.Deburst.query(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,5 +104,13 @@ object SparkEntry {
          |  ON p[3] = sel.scene_id AND p[4] = sel.subswath
          | AND CAST(p[6] AS INT) BETWEEN sel.first_burst AND sel.last_burst
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_calibration_sigma0" -> SarOracles.calibrationSigma0,
+    "q_thermal_noise" -> SarOracles.thermalNoise,
+    "q_multilook" -> SarOracles.multilook,
+    "q_speckle_boxcar" -> SarOracles.speckleBoxcar,
+    "q_speckle_median" -> SarOracles.speckleMedian,
+    "q_speckle_lee" -> SarOracles.speckleLee,
+    "q_speckle_gammamap" -> SarOracles.speckleGammaMap,
+    "q_deburst" -> SarOracles.deburst,
   )
 }

@@ -270,14 +270,15 @@ object Fixtures {
   private def writeTiles(spark: SparkSession, sc: Scale, path: String, dxCol: String, dyCol: String): Unit = {
     val nKeys = sc.nScenes * 3 * 2 * Layout.BurstsPerSubswath * Layout.TilesX * Layout.TilesY
     val (iSql, qSql) = tileValueSql(dxCol, dyCol)
+    val perBurst = Layout.TilesX * Layout.TilesY
     val df = spark.range(0, nKeys.toLong, 1, 16)
-      .withColumn("tile_x", (col("id") % Layout.TilesX).cast("int"))
-      .withColumn("tile_y", ((col("id") / Layout.TilesX) % Layout.TilesY).cast("int"))
-      .withColumn("burst_idx", (lit(1) + (col("id") / (Layout.TilesX * Layout.TilesY)) % Layout.BurstsPerSubswath).cast("int"))
-      .withColumn("pol", when((col("id") / (Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath)) % 2 === 0, "VV").otherwise("VH"))
-      .withColumn("sw_idx", ((col("id") / (Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath * 2)) % 3).cast("int"))
+      .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
+      .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
+      .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))
+      .withColumn("pol", expr(s"if((id div ${perBurst * Layout.BurstsPerSubswath}) % 2 = 0, 'VV', 'VH')"))
+      .withColumn("sw_idx", expr(s"CAST((id div ${perBurst * Layout.BurstsPerSubswath * 2}) % 3 AS INT)"))
       .withColumn("subswath", concat(lit("IW"), col("sw_idx") + 1))
-      .withColumn("scene_idx", (col("id") / (Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath * 2 * 3)).cast("int"))
+      .withColumn("scene_idx", expr(s"CAST(id div ${perBurst * Layout.BurstsPerSubswath * 2 * 3} AS INT)"))
       .withColumn("scene_idx_str", col("scene_idx").cast("string"))
       .withColumn("scene_id", format_string("scene_%04d", col("scene_idx")))
       .withColumn("w", lit(Layout.TileW)).withColumn("h", lit(Layout.TileH))

