@@ -1,0 +1,189 @@
+package graft
+
+import graft.text.TextAnalysis
+
+/**
+ * Independent DuckDB derivations of the training-data pipeline operators.
+ * Hash primitives are md5-based on both sides (h60 = first 15 hex chars as BIGINT),
+ * so minhash/simhash/jaccard comparisons are integer-exact; cosine and event sums
+ * are rounded past float-association noise.
+ */
+object PipelineOracles {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** The same deterministic corpus augmentation as Dedup.augmented. */
+  private val augCte: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, array_to_string(ws[1:len(ws)-1], ' ')
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |    WHERE doc_id % 5 = 0 AND len(ws) >= 4)""".stripMargin
+
+  val dedupExact: String =
+    s"""WITH $augCte
+       |SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+       |FROM aug GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** doc -> distinct 3-word shingles CTEs over a given corpus CTE name. */
+  private def shingleCtes(src: String): String =
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src),
+       |sidx AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g FROM sidx)""".stripMargin
+
+  private def sigCtes: String =
+    s"""hk AS (SELECT doc_id, k, min(${h60("CAST(k AS VARCHAR) || '|' || g")}) AS mh
+       |       FROM sh, (SELECT unnest(range(16)) AS k) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until 16).map(k => s"max(CASE WHEN k = $k THEN mh END) AS mh_$k").mkString(",\n  ")}
+       |  FROM hk GROUP BY 1)""".stripMargin
+
+  private def bandExpr(b: Int) =
+    s"md5(concat_ws('_', mh_${b * 4}, mh_${b * 4 + 1}, mh_${b * 4 + 2}, mh_${b * 4 + 3}))"
+
+  val minhashSignatures: String =
+    s"""WITH ${shingleCtes("documents")},
+       |$sigCtes
+       |SELECT doc_id, ${(0 until 16).map(k => s"mh_$k").mkString(", ")},
+       |  ${(0 until 4).map(b => s"${bandExpr(b)} AS band_$b").mkString(",\n  ")}
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  val minhashPairs: String =
+    s"""WITH $augCte,
+       |${shingleCtes("aug")},
+       |$sigCtes,
+       |bk AS (SELECT doc_id, b, CASE ${(0 until 4).map(b => s"WHEN b = $b THEN ${bandExpr(b)}").mkString(" ")} END AS bucket
+       |       FROM sig, (SELECT unnest(range(4)) AS b)),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bk a JOIN bk b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |sets AS (SELECT doc_id, list(g) AS sg FROM sh GROUP BY 1)
+       |SELECT c.doc_a, c.doc_b,
+       |  len(list_intersect(x.sg, y.sg)) AS n_inter,
+       |  len(list_distinct(list_concat(x.sg, y.sg))) AS n_union,
+       |  round(len(list_intersect(x.sg, y.sg)) / len(list_distinct(list_concat(x.sg, y.sg))), 6) AS jaccard
+       |FROM cand c JOIN sets x ON x.doc_id = c.doc_a JOIN sets y ON y.doc_id = c.doc_b
+       |ORDER BY 1, 2""".stripMargin
+
+  val simhash: String =
+    s"""WITH wd AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+       |            FROM documents),
+       |h AS (SELECT doc_id, ${h60("w")} AS hv FROM wd),
+       |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |         FROM h, (SELECT unnest(range(60)) AS j) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val ngramPairs: String =
+    s"""WITH ${shingleCtes("documents")},
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sets AS (SELECT doc_id, list(g) AS sg FROM sh GROUP BY 1)
+       |SELECT p.doc_a, p.doc_b, p.n_shared,
+       |  len(list_intersect(x.sg, y.sg)) AS n_inter,
+       |  len(list_distinct(list_concat(x.sg, y.sg))) AS n_union,
+       |  round(len(list_intersect(x.sg, y.sg)) / len(list_distinct(list_concat(x.sg, y.sg))), 6) AS jaccard
+       |FROM pairs p JOIN sets x ON x.doc_id = p.doc_a JOIN sets y ON y.doc_id = p.doc_b
+       |ORDER BY 1, 2""".stripMargin
+
+  private def stopList(l: String) =
+    TextAnalysis.Stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val textQuality: String =
+    s"""SELECT doc_id, lang, source, length(text) AS n_chars,
+       |  len(ws) AS n_words,
+       |  CASE WHEN len(ws) = 0 THEN NULL
+       |       ELSE list_sum(list_transform(ws, w -> length(w))) / CAST(len(ws) AS DOUBLE) END AS mean_word_len,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       |  len(list_filter(ws, w -> list_contains(${stopList("en")}, w))) AS n_stopwords,
+       |  CASE WHEN len(ws) = 0 THEN NULL
+       |       ELSE len(list_filter(ws, w -> list_contains(${stopList("en")}, w))) / CAST(len(ws) AS DOUBLE) END AS stopword_ratio
+       |FROM (SELECT *, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val tokenCount: String =
+    s"""SELECT doc_id, len(ws) AS n_tokens_ws,
+       |  CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces_bpe,
+       |  length(text) AS n_chars
+       |FROM (SELECT *, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val langId: String = {
+    val langs = TextAnalysis.Stopwords.keys.toSeq.sorted
+    val unions = langs.map(l =>
+      s"SELECT doc_id, lang, '$l' AS plang, len(list_filter(ws, w -> list_contains(${stopList(l)}, w))) AS hits FROM base")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |              FROM documents),
+       |sc AS (
+       |  $unions),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rn FROM sc)
+       |SELECT doc_id, lang AS labeled_lang, plang AS predicted_lang, hits
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  val fingerprint: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> ${h60("w")})),
+       |              (acc, h) -> (acc * 131 + h) % 1000000000000000) AS fingerprint,
+       |  len(ws) AS n_words
+       |FROM (SELECT *, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** cosine in array order, double. */
+  private def cosSql(a: String, b: String) =
+    s"""(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       |    * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
+
+  val annTopK: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS va FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS vb FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, ${cosSql("va", "vb")} AS cos
+       |      FROM q JOIN c ON query_id != neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val cosinePairs: String =
+    s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va, label AS label_a FROM embeddings),
+       |b AS (SELECT vec_id AS vec_b, embedding AS vb, label AS label_b FROM embeddings),
+       |s AS (SELECT vec_a, vec_b, label_a, label_b, ${cosSql("va", "vb")} AS cos
+       |      FROM a JOIN b ON vec_a < vec_b)
+       |SELECT vec_a, vec_b, label_a, label_b, round(cos, 6) AS cos_r
+       |FROM s WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  val annLsh: String = {
+    val w = s"CASE WHEN ${h60("'lsh|' || b || '|' || i")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |bk AS (SELECT vec_id, embedding,
+       |  CAST(list_sum(list_transform(range(${ann.Ann.LshBits}), b ->
+       |    CASE WHEN list_sum(list_transform(range(len(embedding)), i ->
+       |           embedding[i+1]::DOUBLE * ($w))) >= 0
+       |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM e),
+       |j AS (SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
+       |             ${cosSql("a.embedding", "b.embedding")} AS cos
+       |      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM j)
+       |SELECT query_id, bucket, rank, neighbor_id, round(cos, 6) AS cos_r
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  val mediaMeta: String =
+    s"""SELECT media_ref, kind,
+       |  CAST(octet_length(content) AS INT) AS n_bytes,
+       |  CAST(regexp_extract(content::VARCHAR, 'W=([0-9]+)', 1) AS INT) AS width,
+       |  CAST(regexp_extract(content::VARCHAR, 'H=([0-9]+)', 1) AS INT) AS height,
+       |  md5(content::VARCHAR) AS content_md5
+       |FROM read_parquet('$FIX/media.parquet/*.parquet') ORDER BY media_ref""".stripMargin
+
+  val eventsWindow: String =
+    s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, event_type,
+       |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       |  round(sum(value), 4) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

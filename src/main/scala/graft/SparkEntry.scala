@@ -34,6 +34,20 @@ object SparkEntry {
     "q_speckle_lee" -> ((s, dir) => ops.Speckle.lee(s, dir)),
     "q_speckle_gammamap" -> ((s, dir) => ops.Speckle.gammaMap(s, dir)),
     "q_deburst" -> ((s, dir) => ops.Deburst.query(s, dir)),
+    "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exactQuery(s, dir)),
+    "q_dedup_minhash_sig" -> ((s, dir) => dedup.Dedup.minhashSignaturesQuery(s, dir)),
+    "q_dedup_minhash_pairs" -> ((s, dir) => dedup.Dedup.minhashPairsQuery(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) => dedup.Dedup.simhashQuery(s, dir)),
+    "q_dedup_ngram_pairs" -> ((s, dir) => dedup.Dedup.ngramJaccardQuery(s, dir)),
+    "q_text_quality" -> ((s, dir) => text.TextAnalysis.qualityQuery(s, dir)),
+    "q_token_count" -> ((s, dir) => text.TextAnalysis.tokenCountQuery(s, dir)),
+    "q_lang_id" -> ((s, dir) => text.TextAnalysis.langIdQuery(s, dir)),
+    "q_doc_fingerprint" -> ((s, dir) => text.TextAnalysis.fingerprintQuery(s, dir)),
+    "q_ann_topk" -> ((s, dir) => ann.Ann.topKQuery(s, dir)),
+    "q_cosine_pairs" -> ((s, dir) => ann.Ann.cosinePairsQuery(s, dir)),
+    "q_ann_lsh" -> ((s, dir) => ann.Ann.lshTopKQuery(s, dir)),
+    "q_media_meta" -> ((s, dir) => media.Multimodal.mediaMetaQuery(s, dir)),
+    "q_events_window" -> ((s, dir) => streaming.Events.batchQuery(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,5 +126,19 @@ object SparkEntry {
     "q_speckle_lee" -> SarOracles.speckleLee,
     "q_speckle_gammamap" -> SarOracles.speckleGammaMap,
     "q_deburst" -> SarOracles.deburst,
+    "q_dedup_exact" -> PipelineOracles.dedupExact,
+    "q_dedup_minhash_sig" -> PipelineOracles.minhashSignatures,
+    "q_dedup_minhash_pairs" -> PipelineOracles.minhashPairs,
+    "q_dedup_simhash" -> PipelineOracles.simhash,
+    "q_dedup_ngram_pairs" -> PipelineOracles.ngramPairs,
+    "q_text_quality" -> PipelineOracles.textQuality,
+    "q_token_count" -> PipelineOracles.tokenCount,
+    "q_lang_id" -> PipelineOracles.langId,
+    "q_doc_fingerprint" -> PipelineOracles.fingerprint,
+    "q_ann_topk" -> PipelineOracles.annTopK,
+    "q_cosine_pairs" -> PipelineOracles.cosinePairs,
+    "q_ann_lsh" -> PipelineOracles.annLsh,
+    "q_media_meta" -> PipelineOracles.mediaMeta,
+    "q_events_window" -> PipelineOracles.eventsWindow,
   )
 }

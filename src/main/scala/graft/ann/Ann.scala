@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (FLOAT[64] vectors).
+ *
+ * - Brute-force cosine top-k: the correctness baseline — query set x corpus join with
+ *   the dot product as a zip_with/aggregate expression (codegen'd, no UDF).
+ * - Random-hyperplane LSH buckets: the scale path — each vector gets a B-bit signature
+ *   (sign of md5-derived +-1 projections); neighbor search joins only within a bucket.
+ *   At 10^12 rows the bucket id is the shuffle/partition key and the brute-force join
+ *   becomes a per-bucket local problem; here B=6 so buckets are well-populated at
+ *   fixture scale.
+ *
+ * Cosine is computed in array order on both engine and oracle and rounded to 6 dp —
+ * ranking gaps in the data are far above float noise.
+ */
+object Ann {
+
+  val LshBits = 6
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** cosine(a, b) over two ARRAY<FLOAT> columns, computed in double. */
+  val cosSql: String =
+    """aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)
+      | / (sqrt(aggregate(va, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |    * sqrt(aggregate(vb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  /** Exact top-k cosine neighbors for query vectors (vec_id < nQueries). */
+  def topKQuery(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(cosSql))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All pairs with cosine above a threshold (exact; the oracle-checkable dedup path). */
+  def cosinePairsQuery(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("label").as("label_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("label").as("label_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(cosSql))
+      .where(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** LSH bucket signature: bit b = sign of sum_i w(b,i) * e_i, w = +-1 from md5 parity. */
+  def withBucket(e: DataFrame): DataFrame =
+    e.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, b) ->
+         |  acc + if(
+         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) ->
+         |      CAST(x AS DOUBLE) * if((CAST(conv(substring(md5(concat('lsh|', CAST(b AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2) = 0, 1D, -1D)),
+         |      0D, (a, x) -> a + x) >= 0D,
+         |    shiftleft(1L, b), 0L))""".stripMargin))
+
+  /** Bucketed ANN: top-3 cosine neighbors *within the same LSH bucket*. */
+  def lshTopKQuery(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withBucket(emb(spark, dir))
+    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(cosSql))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("query_id", "rank")
+  }
+}

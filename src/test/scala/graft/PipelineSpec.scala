@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.media.Multimodal
+
+/** Training-data pipeline ops: planted-duplicate recall, streaming/batch agreement,
+ * multimodal decode paths, hash-primitive cross-checks. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+
+  test("h60 via conv(md5) matches jvm md5 parsing (the DuckDB-shared primitive)") {
+    val got = Seq("abc", "", "hello world").toDF("s")
+      .withColumn("h", expr(Dedup.h60("s"))).select("h").as[Long].collect()
+    val exp = Seq("abc", "", "hello world").map { s =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("exact dedup finds every planted exact copy") {
+    val dups = Dedup.exactQuery(spark, sf).where(col("n_docs") >= 2)
+    val base = Dedup.docs(spark, sf)
+      .where(col("doc_id") % 7 === 0 && col("text").isNotNull).count()
+    // every 7th doc was copied verbatim -> at least that many duplicate slots
+    // (near-copies may also collide with other texts, adding a few more)
+    assert(dups.agg(sum(col("n_docs") - 1)).as[Long].head() >= base)
+    // and specifically: every planted exact copy's text hash is in a dup group
+    val plantedHashes = Dedup.docs(spark, sf).where(col("doc_id") % 7 === 0)
+      .select(md5(col("text")).as("text_md5")).distinct()
+    assert(plantedHashes.join(dups, Seq("text_md5"), "left_anti").count() == 0)
+  }
+
+  test("minhash LSH recalls planted near-duplicates (drop-last-word copies)") {
+    val pairs = Dedup.minhashPairsQuery(spark, sf)
+      .where(col("doc_b") >= 2000000 && col("doc_b") - 2000000 === col("doc_a"))
+    val planted = Dedup.augmented(spark, sf).where(col("doc_id") >= 2000000).count()
+    val found = pairs.count()
+    // near-copies have jaccard ~ (n-3)/n; with 16 hashes x 4-row bands recall is high
+    assert(found >= (planted * 0.7).toLong, s"found $found of $planted planted near-dups")
+    // and the found pairs really are near-identical
+    assert(pairs.where(col("jaccard") < 0.4).count() == 0)
+  }
+
+  test("streaming windowed agg equals the batch transform (memory sink)") {
+    val batch = streaming.Events.windowed(spark.read.parquet(s"$sf/events.parquet"))
+      .select("window_start", "event_type", "n_events", "sum_value")
+    val stage = java.nio.file.Files.createTempDirectory("events_stream").toString
+    spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(stage)
+    val q = streaming.Events.streamingWindowed(spark, stage)
+      .writeStream.outputMode("complete").format("memory").queryName("ev_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ev_out")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("multimodal: typed mapPartitions decode equals the expression pipeline") {
+    val exprPath = Multimodal.mediaMetaQuery(spark, sf)
+    val typed = graft.gen.Fixtures.table(spark, sf, "media").as[Multimodal.MediaRow]
+    val mapped = Multimodal.decodeBatch(typed).toDF()
+      .orderBy("media_ref")
+    assert(mapped.exceptAll(exprPath).count() == 0)
+    assert(exprPath.exceptAll(mapped).count() == 0)
+    assert(exprPath.where(col("width") < 16 || col("width") > 255).count() == 0)
+  }
+
+  test("ann topk: rank-1 neighbor has the max cosine (spot check vs collected brute force)") {
+    val top = ann.Ann.topKQuery(spark, sf, nQueries = 3, k = 1)
+      .select("query_id", "neighbor_id", "cos_r").as[(Long, Long, Double)].collect()
+    val emb = ann.Ann.emb(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    for ((q, n, c) <- top) {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val best = emb.filter(_._1 != q).map { case (id, v) => id -> cos(emb(q), v) }.maxBy(_._2)
+      assert(best._1 == n, s"query $q")
+      assert(math.abs(best._2 - c) < 1e-5)
+    }
+  }
+}
