@@ -48,6 +48,21 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => ann.Ann.lshTopKQuery(s, dir)),
     "q_media_meta" -> ((s, dir) => media.Multimodal.mediaMetaQuery(s, dir)),
     "q_events_window" -> ((s, dir) => streaming.Events.batchQuery(s, dir)),
+    "q_terrain_correction" -> ((s, dir) => ops.TerrainCorrection.query(s, dir)),
+    "q_xcorr_offsets" -> ((s, dir) => ops.Coregistration.xcorrOffsetsQuery(s, dir)),
+    "q_warp_fit" -> ((s, dir) => ops.Coregistration.warpFitQuery(s, dir)),
+    "q_coreg_stack" -> ((s, dir) => ops.Coregistration.coregStackQuery(s, dir)),
+    "q_interferogram" -> ((s, dir) => ops.InSAR.interferogramQuery(s, dir)),
+    "q_coherence" -> ((s, dir) => ops.InSAR.coherenceQuery(s, dir)),
+    "q_deramp" -> ((s, dir) => ops.InSAR.derampQuery(s, dir)),
+    "q_change_detection" -> ((s, dir) => ops.Detection.changeDetectionQuery(s, dir)),
+    "q_stack_average" -> ((s, dir) => ops.Detection.stackAverageQuery(s, dir)),
+    "q_cfar" -> ((s, dir) => ops.Detection.cfarQuery(s, dir)),
+    "q_mosaic" -> ((s, dir) => ops.Geocode.mosaicQuery(s, dir)),
+    "q_srgr" -> ((s, dir) => ops.Geocode.srgrQuery(s, dir)),
+    "q_baseline" -> ((s, dir) => ops.Geocode.baselineQuery(s, dir)),
+    "q_rvi" -> ((s, dir) => ops.Geocode.rviQuery(s, dir)),
+    "q_dualpol_entropy" -> ((s, dir) => ops.Geocode.dualPolEntropyQuery(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -140,5 +155,20 @@ object SparkEntry {
     "q_ann_lsh" -> PipelineOracles.annLsh,
     "q_media_meta" -> PipelineOracles.mediaMeta,
     "q_events_window" -> PipelineOracles.eventsWindow,
+    "q_terrain_correction" -> SarOracles2.terrainCorrection,
+    "q_xcorr_offsets" -> SarOracles2.xcorrOffsets,
+    "q_warp_fit" -> SarOracles2.warpFit,
+    "q_coreg_stack" -> SarOracles2.coregStack,
+    "q_interferogram" -> SarOracles2.interferogram,
+    "q_coherence" -> SarOracles2.coherence,
+    "q_deramp" -> SarOracles2.deramp,
+    "q_change_detection" -> SarOracles2.changeDetection,
+    "q_stack_average" -> SarOracles2.stackAverage,
+    "q_cfar" -> SarOracles2.cfar,
+    "q_mosaic" -> SarOracles2.mosaic,
+    "q_srgr" -> SarOracles2.srgr,
+    "q_baseline" -> SarOracles2.baseline,
+    "q_rvi" -> SarOracles2.rvi,
+    "q_dualpol_entropy" -> SarOracles2.dualPolEntropy,
   )
 }

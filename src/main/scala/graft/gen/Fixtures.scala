@@ -101,7 +101,8 @@ object Fixtures {
           (sceneLon0(s), sceneLat0(s)),
           (sceneLon0(s) + 3 * SwStride + SwWidth, sceneLat0(s)),
           (sceneLon0(s) + 3 * SwStride + SwWidth, sceneLat0(s) + Layout.BurstsPerSubswath * BurstStride + BurstHeight),
-          (sceneLon0(s), sceneLat0(s) + Layout.BurstsPerSubswath * BurstStride + BurstHeight))))
+          (sceneLon0(s), sceneLat0(s) + Layout.BurstsPerSubswath * BurstStride + BurstHeight))),
+        sceneLon0(s), sceneLat0(s))
     }
     scenes.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/scenes.parquet")
 
@@ -114,7 +115,10 @@ object Fixtures {
       Burst(f"scene_$s%04d", s"IW${sw + 1}", b, Layout.LinesPerBurst, Layout.SamplesPerBurst,
         burstFirstLineTime(s, b), burstLastLineTime(s, b),
         c(0)._1, c(0)._2, c(1)._1, c(1)._2, c(2)._1, c(2)._2, c(3)._1, c(3)._2,
-        cornersToWkt(c))
+        cornersToWkt(c),
+        2100.0 + 35.0 * b + 7.0 * sw, // analytic doppler rate
+        30.0 + 3.0 * b + 0.5 * sw, // analytic doppler centroid
+        burstFirstLineTime(s, b) + 0.032) // mid-burst reference time
     }
     bursts.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/bursts.parquet")
 

@@ -31,7 +31,10 @@ final case class Burst(
     lon2: Double, lat2: Double,
     lon3: Double, lat3: Double,
     lon4: Double, lat4: Double,
-    footprint_wkt: String)
+    footprint_wkt: String,
+    doppler_rate: Double, // kt, Hz/s (Sentinel1Utils.java:557-601 precompute)
+    doppler_centroid: Double, // fdc, Hz
+    reference_time: Double) // tref, seconds (deramp reference)
 
 final case class Scene(
     scene_id: String,
@@ -40,7 +43,8 @@ final case class Scene(
     first_line_time: Double,
     azimuth_time_interval: Double,
     num_subswaths: Int,
-    footprint_wkt: String)
+    footprint_wkt: String,
+    lon0: Double, lat0: Double)
 
 /** Calibration LUT vector (Sentinel1Utils.java:1432-1460 / Sentinel1Calibrator.CalibrationInfo). */
 final case class CalVector(

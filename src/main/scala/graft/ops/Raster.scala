@@ -39,10 +39,20 @@ object Raster {
    * explode), then a single hash aggregation per target key pivots the 9 roles into
    * columns. One shuffle total, independent of window size.
    */
-  def withHalo(tiles: DataFrame): DataFrame = {
+  def withHalo(tiles: DataFrame): DataFrame =
+    withHaloMulti(tiles, Seq("v"), 1).withColumnRenamed("halo_v", "halo")
+
+  /**
+   * Generalized halo exchange over several per-pixel value arrays at once: one
+   * contribution explode + one pivot aggregation produce, for each value column c,
+   * a (W+2m)x(H+2m) array column `halo_c`. Valid for margin m <= tile size (only the
+   * 8-neighbor ring is exchanged).
+   */
+  def withHaloMulti(tiles: DataFrame, cols: Seq[String], margin: Int): DataFrame = {
+    require(margin >= 1 && margin <= W && margin <= H)
     val contributions = tiles
-      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
-        col("tile_x"), col("tile_y"), col("v"))
+      .select((Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y") ++ cols)
+        .map(col): _*)
       .withColumn("d", explode(expr(
         "transform(sequence(0, 8), r -> struct(r % 3 - 1 AS dx, CAST(r / 3 AS INT) - 1 AS dy))")))
       .withColumn("ttx", col("tile_x") + col("d.dx"))
@@ -50,27 +60,30 @@ object Raster {
       .where(col("ttx").between(0, Layout.TilesX - 1) && col("tty").between(0, Layout.TilesY - 1))
       // role index of this source array seen from the target: 0..8 row-major (dy+1)*3+(dx+1)
       .withColumn("role", (lit(1) - col("d.dy")) * 3 + (lit(1) - col("d.dx")))
-    val aggs = (0 to 8).map(r => max(when(col("role") === r, col("v"))).as(s"n_$r"))
+    val aggs = for (c <- cols; r <- 0 to 8)
+      yield max(when(col("role") === r, col(c))).as(s"${c}_n_$r")
     val pivoted = contributions
       .groupBy(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("ttx").as("tile_x"), col("tty").as("tile_y"))
       .agg(aggs.head, aggs.tail: _*)
-    pivoted.withColumn("halo", expr(haloSql)).drop((0 to 8).map(r => s"n_$r"): _*)
+    cols.foldLeft(pivoted) { (df, c) =>
+      df.withColumn(s"halo_$c", expr(haloSql(c, margin)))
+    }.drop((for (c <- cols; r <- 0 to 8) yield s"${c}_n_$r"): _*)
   }
 
-  /** SQL building the (W+2)x(H+2) halo array from the 9 neighbor arrays n_0..n_8
-   * (n_4 = the tile itself). Missing neighbor (raster edge) -> no-data. */
-  private def haloSql: String = {
-    val sy = s"(idx div $HW - 1)"
-    val sx = s"(idx % $HW - 1)"
+  /** SQL building the (W+2m)x(H+2m) halo array from the 9 neighbor arrays c_n_0..c_n_8
+   * (c_n_4 = the tile itself). Missing neighbor (raster edge) -> no-data. */
+  private def haloSql(c: String, m: Int): String = {
+    val hw = W + 2 * m
+    val sy = s"(idx div $hw - $m)"
+    val sx = s"(idx % $hw - $m)"
     def pick(r: Int) =
-      s"if(n_$r is null, $ND, element_at(n_$r, CAST((($sy + $H) % $H) * $W + (($sx + $W) % $W) + 1 AS INT)))"
-    // region: dy = -1/0/1 by sy, dx likewise; role = (dy+1)*3+(dx+1)
+      s"if(${c}_n_$r is null, $ND, element_at(${c}_n_$r, CAST((($sy + $H) % $H) * $W + (($sx + $W) % $W) + 1 AS INT)))"
     def rowCase(dyRole: Int) =
       s"""case when $sx < 0 then ${pick(dyRole * 3)}
          |     when $sx > ${W - 1} then ${pick(dyRole * 3 + 2)}
          |     else ${pick(dyRole * 3 + 1)} end""".stripMargin
-    s"""transform(sequence(0, ${HW * HW - 1}), idx ->
+    s"""transform(sequence(0, ${hw * hw - 1}), idx ->
        |  case when $sy < 0 then ${rowCase(0)}
        |       when $sy > ${H - 1} then ${rowCase(2)}
        |       else ${rowCase(1)} end)""".stripMargin
