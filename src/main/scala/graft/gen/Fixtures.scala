@@ -233,7 +233,7 @@ object Fixtures {
            |       ''),
            |    'offset', cast(j as int)))""".stripMargin))
       .select("doc_id", "spans")
-    docs.repartition(8).write.mode("overwrite").parquet(s"$d/docs.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$d/docs.parquet")
 
     // ---- media: opaque binary payloads per tile ref (deterministic fake "IMG1" blobs;
     // decode is stubbed engine-side — no codecs in this environment, Multimodal.scala).
@@ -295,7 +295,7 @@ object Fixtures {
     val nKeys = sc.nScenes * 3 * 2 * Layout.BurstsPerSubswath * Layout.TilesX * Layout.TilesY
     val (iSql, qSql) = tileValueSql(dxCol, dyCol)
     val perBurst = Layout.TilesX * Layout.TilesY
-    val df = spark.range(0, nKeys.toLong, 1, 16)
+    val df = spark.range(0, nKeys.toLong, 1, 32)
       .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
       .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
       .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))

@@ -52,7 +52,8 @@ object InSAR {
       .withColumn("out", expr(
         s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a)))")))
 
-  /** Coherence: one 4-column halo exchange, 3x3 window sums, per-tile rollup. */
+  /** Coherence: one 4-column halo exchange, single-pass 3x3 moment struct
+   * (each window sum computed exactly once), per-tile rollup. */
   def coherenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val haloed = Raster.withHaloMulti(crossTiles(spark, sfDir),
       Seq("cre", "cim", "p1", "p2"), margin = 1)
@@ -63,11 +64,16 @@ object InSAR {
       s"if(${el("p1", dy, dx)} = $ND, 0D, ${el(c, dy, dx)})").mkString(" + ")
     val winN = (for (dy <- -1 to 1; dx <- -1 to 1) yield
       s"if(${el("p1", dy, dx)} = $ND, 0, 1)").mkString(" + ")
-    Raster.rollup(haloed.withColumn("out", expr(
-      s"""transform(sequence(0, ${W * Raster.H - 1}), k ->
-         |  if(($winN) = 0, $ND,
-         |    sqrt((${winSum("cre")}) * (${winSum("cre")}) + (${winSum("cim")}) * (${winSum("cim")}))
-         |      / sqrt((${winSum("p1")}) * (${winSum("p2")}))))""".stripMargin)))
+    Raster.rollup(haloed
+      .withColumn("st", expr(
+        s"""transform(sequence(0, ${W * Raster.H - 1}), k -> struct(
+           |  ($winN) AS n, (${winSum("cre")}) AS sre, (${winSum("cim")}) AS sim,
+           |  (${winSum("p1")}) AS sp1, (${winSum("p2")}) AS sp2))""".stripMargin))
+      .withColumn("out", expr(
+        s"""transform(st, s ->
+           |  if(s.n = 0, $ND,
+           |    sqrt(s.sre * s.sre + s.sim * s.sim) / sqrt(s.sp1 * s.sp2)))""".stripMargin))
+      .drop("st"))
   }
 
   /** Deramp/demod phase per pixel, wrapped; per-tile rollup. */

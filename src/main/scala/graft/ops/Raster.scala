@@ -89,26 +89,33 @@ object Raster {
        |       else ${rowCase(1)} end)""".stripMargin
   }
 
-  /** SQL: per-pixel window stats over the halo — struct(n, s1, s2, cp) per output pixel,
-   * where n = valid count, s1/s2 = sum / sum-of-squares of valid neighbors, cp = raw
-   * center value (the reference uses the *raw* center, Lee.java:185). */
+  /** element_at into the margin-1 halo at window offset (dy, dx) of pixel k. */
+  def haloEl(dy: Int, dx: Int): String =
+    s"element_at(halo, CAST((k div $W + 1 + $dy) * $HW + (k % $W + 1 + $dx) + 1 AS INT))"
+
+  /**
+   * SQL: per-pixel window moments over the margin-1 halo — struct(n, s1, s2, cp),
+   * n = valid count, s1/s2 = sum / sum-of-squares of valid neighbors in (dy, dx)
+   * row-major order, cp = raw center (the reference uses the *raw* center,
+   * Lee.java:185). One neighbor-array build per pixel, then aggregate folds —
+   * minimal expression-node count for the interpreted HOF path.
+   */
   def windowStatsSql: String = {
-    val els = (for (dy <- -1 to 1; dx <- -1 to 1) yield
-      s"element_at(halo, CAST((k div $W + 1 + $dy) * $HW + (k % $W + 1 + $dx) + 1 AS INT))").mkString(", ")
+    val els = (for (dy <- -1 to 1; dx <- -1 to 1) yield haloEl(dy, dx)).mkString(", ")
     s"""transform(sequence(0, ${W * H - 1}), k ->
-       |  struct(
-       |    filter(array($els), nv -> not(isnan(nv) or nv = $ND)) AS valid,
-       |    element_at(halo, CAST((k div $W + 1) * $HW + (k % $W + 1) + 1 AS INT)) AS cp))""".stripMargin
+       |  aggregate(array($els),
+       |    struct(0 AS n, 0D AS s1, 0D AS s2, CAST(${haloEl(0, 0)} AS DOUBLE) AS cp),
+       |    (a, x) -> if(isnan(x) or x = $ND, a,
+       |      struct(a.n + 1 AS n, a.s1 + x AS s1, a.s2 + x * x AS s2, a.cp AS cp))))""".stripMargin
   }
 
-  /** Reduce the per-pixel valid arrays into (n, s1, s2, cp, sorted). */
-  val statsReduceSql: String =
-    s"""transform(win, s -> struct(
-       |  size(s.valid) AS n,
-       |  aggregate(s.valid, 0D, (a, x) -> a + x) AS s1,
-       |  aggregate(s.valid, 0D, (a, x) -> a + x * x) AS s2,
-       |  s.cp AS cp,
-       |  array_sort(s.valid) AS sorted))""".stripMargin
+  /** SQL: per-pixel sorted valid-neighbor arrays (median only — pays for its sort
+   * and array allocation here, not in the shared stats pass). */
+  def windowSortedSql: String = {
+    val els = (for (dy <- -1 to 1; dx <- -1 to 1) yield haloEl(dy, dx)).mkString(", ")
+    s"""transform(sequence(0, ${W * H - 1}), k ->
+       |  array_sort(filter(array($els), nv -> not(isnan(nv) or nv = $ND))))""".stripMargin
+  }
 
   /** Per-tile rollup of a filtered array named `out` (no-data excluded):
    * count, mean (round 4), min/max (round 6) — rounding absorbs float-association
