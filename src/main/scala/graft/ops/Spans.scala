@@ -55,7 +55,9 @@ object Spans {
     media.join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
       .withColumn("lon", col("lon1") + u * (col("lon2") - col("lon1")) + v * (col("lon4") - col("lon1")))
       .withColumn("lat", col("lat1") + v * (col("lat4") - col("lat1")))
-      .withColumn("cell", CellIndex.cellCol(col("lon"), col("lat")))
+      // native codegen'd expression (graft.exprs.CellId); property-tested equal to
+      // the Column-composed CellIndex.cellCol
+      .withColumn("cell", graft.exprs.CellId.cellId(col("lon"), col("lat")))
   }
 
   /** Query: per-span parse + cell encode, preserving span sequence (the invariant). */
