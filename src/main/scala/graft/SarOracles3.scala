@@ -1,0 +1,93 @@
+package graft
+
+import graft.model.Layout
+import graft.ops.Utility
+
+/** DuckDB oracles for the utility / detection / tracking operators. */
+object SarOracles3 {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+  private val W = Layout.TileW
+  private val N = Layout.TileW * Layout.TileH
+
+  private val pxCte: String =
+    s"""px0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
+       |  FROM ${fx("tiles")}),
+       |px AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE iv * iv + qv * qv END AS v
+       |  FROM px0)""".stripMargin
+
+  val dataAnalysis: String =
+    s"""WITH $pxCte
+       |SELECT scene_id, subswath, pol,
+       |       count(*) FILTER (v <> -9999.0) AS n_px,
+       |       round(sum(v) FILTER (v <> -9999.0) / (count(*) FILTER (v <> -9999.0)), 4) AS mean_v,
+       |       round(sqrt((sum(v * v) FILTER (v <> -9999.0)
+       |                   - (count(*) FILTER (v <> -9999.0)) * (sum(v) FILTER (v <> -9999.0) / (count(*) FILTER (v <> -9999.0)))
+       |                     * (sum(v) FILTER (v <> -9999.0) / (count(*) FILTER (v <> -9999.0))))
+       |                  / ((count(*) FILTER (v <> -9999.0)) - 1)), 4) AS stddev_v,
+       |       round(min(v) FILTER (v <> -9999.0), 4) AS min_v,
+       |       round(max(v) FILTER (v <> -9999.0), 4) AS max_v
+       |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  val undersample: String =
+    s"""WITH $pxCte
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |       count(*) FILTER (v <> -9999.0) AS n_valid,
+       |       round(avg(v) FILTER (v <> -9999.0), 4) AS mean_v,
+       |       round(min(v) FILTER (v <> -9999.0), 4) AS min_v,
+       |       round(max(v) FILTER (v <> -9999.0), 4) AS max_v
+       |FROM px WHERE gx % 2 = 0 AND gy % 2 = 0
+       |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  val floodDetection: String =
+    s"""WITH $pxCte,
+       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1
+       |  FROM px c CROSS JOIN d
+       |  LEFT JOIN px n ON n.scene_id = c.scene_id AND n.subswath = c.subswath AND n.pol = c.pol
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |       count(*) FILTER (n > 0 AND s1 / n < ${Utility.FloodThreshold}) AS n_flooded
+       |FROM st GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  val offsetTracking: String =
+    s"""SELECT gcp_id, scene_id,
+       |       round(true_dx * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}, 6) AS vx_m_day,
+       |       round(true_dy * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}, 6) AS vy_m_day,
+       |       round(sqrt((true_dx * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}) * (true_dx * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays})
+       |                  + (true_dy * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}) * (true_dy * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays})), 6) AS v_mag,
+       |       abs(true_dx * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}) <= 5.0
+       |         AND abs(true_dy * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}) <= 5.0 AS valid
+       |FROM ${fx("gcps")} ORDER BY gcp_id""".stripMargin
+
+  val gcpGrid: String = {
+    val w = Layout.SamplesPerBurst
+    val h = Layout.LinesPerBurst * Layout.BurstsPerSubswath
+    val ratio = w / h.toDouble
+    val n = math.sqrt(24 / ratio)
+    val m = ratio * n
+    val spacingX = w / m
+    val spacingY = h / n
+    s"""WITH s AS (SELECT scene_id FROM ${fx("scenes")}),
+       |sw AS (SELECT unnest(['IW1', 'IW2', 'IW3']) AS subswath),
+       |iy AS (SELECT unnest(range(${(h / spacingY).toInt + 1})) AS iy),
+       |ix AS (SELECT unnest(range(${(w / spacingX).toInt + 1})) AS ix)
+       |SELECT s.scene_id, sw.subswath,
+       |       CAST(floor(${spacingX / 2f} + ix.ix * $spacingX) AS INT) AS pin_x,
+       |       CAST(floor(${spacingY / 2f} + iy.iy * $spacingY) AS INT) AS pin_y
+       |FROM s, sw, iy, ix
+       |WHERE ${spacingY / 2f} + iy.iy * $spacingY < $h AND ${spacingX / 2f} + ix.ix * $spacingX < $w
+       |ORDER BY 1, 2, 4, 3""".stripMargin
+  }
+}

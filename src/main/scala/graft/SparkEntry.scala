@@ -63,6 +63,11 @@ object SparkEntry {
     "q_baseline" -> ((s, dir) => ops.Geocode.baselineQuery(s, dir)),
     "q_rvi" -> ((s, dir) => ops.Geocode.rviQuery(s, dir)),
     "q_dualpol_entropy" -> ((s, dir) => ops.Geocode.dualPolEntropyQuery(s, dir)),
+    "q_data_analysis" -> ((s, dir) => ops.Utility.dataAnalysisQuery(s, dir)),
+    "q_undersample" -> ((s, dir) => ops.Utility.undersampleQuery(s, dir)),
+    "q_flood_detection" -> ((s, dir) => ops.Utility.floodDetectionQuery(s, dir)),
+    "q_offset_tracking" -> ((s, dir) => ops.Utility.offsetTrackingQuery(s, dir)),
+    "q_gcp_grid" -> ((s, dir) => ops.Utility.gcpGridQuery(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,5 +175,10 @@ object SparkEntry {
     "q_baseline" -> SarOracles2.baseline,
     "q_rvi" -> SarOracles2.rvi,
     "q_dualpol_entropy" -> SarOracles2.dualPolEntropy,
+    "q_data_analysis" -> SarOracles3.dataAnalysis,
+    "q_undersample" -> SarOracles3.undersample,
+    "q_flood_detection" -> SarOracles3.floodDetection,
+    "q_offset_tracking" -> SarOracles3.offsetTracking,
+    "q_gcp_grid" -> SarOracles3.gcpGrid,
   )
 }
