@@ -78,8 +78,10 @@ object PipelineOracles {
 
   val ngramPairs: String =
     s"""WITH ${shingleCtes("documents")},
+       |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= ${graft.dedup.Dedup.DfCap}),
+       |shr AS (SELECT sh.* FROM sh JOIN rare USING (g)),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-       |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          FROM shr a JOIN shr b ON a.g = b.g AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2 HAVING count(*) >= 2),
        |sets AS (SELECT doc_id, list(g) AS sg FROM sh GROUP BY 1)
        |SELECT p.doc_a, p.doc_b, p.n_shared,
@@ -171,6 +173,29 @@ object PipelineOracles {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM j)
        |SELECT query_id, bucket, rank, neighbor_id, round(cos, 6) AS cos_r
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  val annLshPairs: String = {
+    def bkCte(t: Int) = {
+      val w = s"CASE WHEN ${h60(s"'lsht|' || $t || '|' || b || '|' || i")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      s"""bk$t AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(${ann.Ann.PairBits}), b ->
+         |    CASE WHEN list_sum(list_transform(range(len(embedding)), i ->
+         |           embedding[i+1]::DOUBLE * ($w))) >= 0
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM e)""".stripMargin
+    }
+    val unions = (0 until ann.Ann.PairTables).map(t =>
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM bk$t a JOIN bk$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)
+      .mkString("\n UNION \n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |${(0 until ann.Ann.PairTables).map(bkCte).mkString(",\n")},
+       |cand AS ($unions),
+       |j AS (SELECT c.vec_a, c.vec_b,
+       |             ${cosSql("x.embedding", "y.embedding")} AS cos
+       |      FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos_r FROM j WHERE cos > 0.4""".stripMargin
   }
 
   val mediaMeta: String =

@@ -29,17 +29,20 @@ object SarOracles {
        |         tile_x * $W + k % $W AS gx,
        |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
        |         (burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gline,
-       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE iv * iv + qv * qv END AS v
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
        |  FROM px)""".stripMargin
 
-  /** Tile rollup over per-pixel column `out` in CTE `o`, same shape as Raster.rollup. */
-  private def rollupSql(scale: Double): String =
+  /** Tile rollup over per-pixel column `out` in CTE `o`, the integer-exact twin of
+   * Raster.rollup: per-pixel quantization to BIGINT before the (exact) integer sum. */
+  def rollupSql(scale: Double): String = {
+    val q = graft.ops.Raster.quantum(scale)
     s"""SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |       count(*) FILTER (out <> -9999.0) AS n_valid,
-       |       round($scale * avg(out) FILTER (out <> -9999.0), 4) AS mean_v,
-       |       round($scale * min(out) FILTER (out <> -9999.0), 4) AS min_v,
-       |       round($scale * max(out) FILTER (out <> -9999.0), 4) AS max_v
+       |       CAST(coalesce(sum(CAST(floor(0.031415926535897934 + out * $q) AS BIGINT)) FILTER (out <> -9999.0), 0) AS BIGINT) AS sum_q,
+       |       min(CAST(floor(0.031415926535897934 + out * $q) AS BIGINT)) FILTER (out <> -9999.0) AS min_q,
+       |       max(CAST(floor(0.031415926535897934 + out * $q) AS BIGINT)) FILTER (out <> -9999.0) AS max_q
        |FROM o GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
 
   /** 3x3 window stats by pixel self-join; m/vr/ci columns for the filter kernels. */
   private val statsCtes: String =
@@ -103,7 +106,7 @@ object SarOracles {
        |             CASE WHEN v = -9999.0 THEN -9999.0
        |                  ELSE v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) END AS out
        |      FROM p2)
-       |${rollupSql(1e6)}""".stripMargin
+       |${rollupSql(1e1)}""".stripMargin
 
   val thermalNoise: String =
     s"""WITH $pxCte,

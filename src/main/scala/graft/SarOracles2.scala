@@ -17,27 +17,27 @@ object SarOracles2 {
   private val W = Layout.TileW
   private val N = Layout.TileW * Layout.TileH
 
-  /** pixels of a tile table with per-burst raster coords, i/q kept. */
-  private def pxCte(table: String, name: String): String =
+  /** pixels of a tile table with per-burst raster coords, i/q kept. i/q are snapped
+   * to the dyadic 2^-12 grid (Raster.Dyadic) so all downstream sums are exact in
+   * double — the sentinel -9999 is itself dyadic and passes through unchanged. */
+  private[graft] def pxCte(table: String, name: String): String =
     s"""${name}0 AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
        |  FROM ${fx(table)}),
+       |${name}1 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, k,
+       |         floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv
+       |  FROM ${name}0),
        |$name AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |         tile_x * $W + k % $W AS gx,
        |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
        |         iv, qv,
-       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE iv * iv + qv * qv END AS v
-       |  FROM ${name}0)""".stripMargin
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor((iv * iv + qv * qv) * 16384) / 16384 END AS v
+       |  FROM ${name}1)""".stripMargin
 
-  private def rollupSql(scale: Double): String =
-    s"""SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |       count(*) FILTER (out <> -9999.0) AS n_valid,
-       |       round($scale * avg(out) FILTER (out <> -9999.0), 4) AS mean_v,
-       |       round($scale * min(out) FILTER (out <> -9999.0), 4) AS min_v,
-       |       round($scale * max(out) FILTER (out <> -9999.0), 4) AS max_v
-       |FROM o GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+  private def rollupSql(scale: Double): String = SarOracles.rollupSql(scale)
 
   val terrainCorrection: String = {
     val dr = TerrainCorrection.DR
@@ -118,7 +118,7 @@ object SarOracles2 {
        |FROM keys k JOIN sh USING (scene_id) ORDER BY 1, 2, 3, 4""".stripMargin
 
   /** cross-product CTEs shared by interferogram/coherence: per-pixel cre/cim/p1/p2. */
-  private val crossCte: String =
+  private[graft] val crossCte: String =
     s"""${pxCte("tiles", "pa")},
        |${pxCte("tiles_sec", "pb")},
        |cx AS (
@@ -243,7 +243,8 @@ object SarOracles2 {
        |  JOIN ${fx("bursts")} b ON b.scene_id = p.scene_id AND b.subswath = p.subswath AND b.burst_idx = p.burst_idx
        |  JOIN ${fx("scenes")} s ON s.scene_id = p.scene_id
        |  WHERE p.pol = 'VV' AND p.v <> -9999.0)
-       |SELECT scene_id, cell_x, cell_y, count(*) AS n_px, round(avg(v), 4) AS mean_v
+       |SELECT scene_id, cell_x, cell_y, count(*) AS n_px,
+       |       CAST(sum(CAST(floor(0.031415926535897934 + v * 1.0E6) AS BIGINT)) AS BIGINT) AS sum_q
        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val srgr: String =

@@ -20,31 +20,24 @@ object SarOracles3 {
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |         tile_x * $W + k % $W AS gx,
        |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
-       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE iv * iv + qv * qv END AS v
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
        |  FROM px0)""".stripMargin
 
   val dataAnalysis: String =
     s"""WITH $pxCte
        |SELECT scene_id, subswath, pol,
        |       count(*) FILTER (v <> -9999.0) AS n_px,
-       |       round(sum(v) FILTER (v <> -9999.0) / (count(*) FILTER (v <> -9999.0)), 4) AS mean_v,
-       |       round(sqrt((sum(v * v) FILTER (v <> -9999.0)
-       |                   - (count(*) FILTER (v <> -9999.0)) * (sum(v) FILTER (v <> -9999.0) / (count(*) FILTER (v <> -9999.0)))
-       |                     * (sum(v) FILTER (v <> -9999.0) / (count(*) FILTER (v <> -9999.0))))
-       |                  / ((count(*) FILTER (v <> -9999.0)) - 1)), 4) AS stddev_v,
-       |       round(min(v) FILTER (v <> -9999.0), 4) AS min_v,
-       |       round(max(v) FILTER (v <> -9999.0), 4) AS max_v
+       |       CAST(coalesce(sum(CAST(floor(0.031415926535897934 + v * 1.0E6) AS BIGINT)) FILTER (v <> -9999.0), 0) AS BIGINT) AS sum_q,
+       |       CAST(coalesce(sum(CAST(floor(0.031415926535897934 + v * v * 1.0E6) AS BIGINT)) FILTER (v <> -9999.0), 0) AS BIGINT) AS sumsq_q,
+       |       min(CAST(floor(0.031415926535897934 + v * 1.0E6) AS BIGINT)) FILTER (v <> -9999.0) AS min_q,
+       |       max(CAST(floor(0.031415926535897934 + v * 1.0E6) AS BIGINT)) FILTER (v <> -9999.0) AS max_q
        |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val undersample: String =
-    s"""WITH $pxCte
-       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |       count(*) FILTER (v <> -9999.0) AS n_valid,
-       |       round(avg(v) FILTER (v <> -9999.0), 4) AS mean_v,
-       |       round(min(v) FILTER (v <> -9999.0), 4) AS min_v,
-       |       round(max(v) FILTER (v <> -9999.0), 4) AS max_v
-       |FROM px WHERE gx % 2 = 0 AND gy % 2 = 0
-       |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+    s"""WITH $pxCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, v AS out
+       |      FROM px WHERE gx % 2 = 0 AND gy % 2 = 0)
+       |${SarOracles.rollupSql(1.0)}""".stripMargin
 
   val floodDetection: String =
     s"""WITH $pxCte,

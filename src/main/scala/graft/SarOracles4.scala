@@ -1,0 +1,338 @@
+package graft
+
+import graft.model.Layout
+import graft.ops.{InSAR, Speckle}
+
+/**
+ * DuckDB oracles for the round-2 speckle family (Frost, Lee Sigma, Refined Lee, IDAN,
+ * ENL-estimated Lee, multi-temporal) and the upgraded InSAR products (flat-earth
+ * interferogram, bias-corrected coherence). Window neighborhoods come from pixel
+ * self-joins (not the engine's halo exchange); kernel formulas are restated in SQL
+ * from the reference semantics, so a bug in either derivation shows as a mismatch.
+ */
+object SarOracles4 {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+  private val N = Layout.TileW * Layout.TileH
+  private val W = Layout.TileW
+
+  private val rollup = SarOracles.rollupSql(1.0)
+
+  private val cu = 1.0 / math.sqrt(Speckle.Enl)
+  private val cu2 = cu * cu
+
+  /** pixel CTE (px) over `tiles` with intensity v. */
+  private val pxCte: String =
+    s"""px0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
+       |  FROM ${fx("tiles")}),
+       |px AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
+       |  FROM px0)""".stripMargin
+
+  /** (dx, dy) offsets CTE named `d` for window radius m. */
+  private def dCte(m: Int): String =
+    s"""d AS (SELECT dx.dx, dy.dy
+       |      FROM (SELECT unnest(range(-$m, ${m + 1})) AS dx) dx,
+       |           (SELECT unnest(range(-$m, ${m + 1})) AS dy) dy)""".stripMargin
+
+  /** window stats CTE `st` (n, s1, s2, cp per center pixel) via neighbor self-join. */
+  private val keysEq: String =
+    """n.scene_id = c.scene_id AND n.subswath = c.subswath AND n.pol = c.pol
+      |    AND n.burst_idx = c.burst_idx""".stripMargin
+
+  private def stCte: String =
+    s"""st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    c.v AS cp,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1,
+       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0), 0) AS s2
+       |  FROM px c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |st2 AS (
+       |  SELECT *, CASE WHEN n > 0 THEN s1 / n END AS m,
+       |         CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) ELSE 0 END AS vr
+       |  FROM st)""".stripMargin
+
+  // ------------------------------------------------------------------------- Frost
+
+  val frost: String =
+    s"""WITH $pxCte,
+       |${dCte(1)},
+       |$stCte,
+       |fr AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.cp, c.n, c.m, c.vr,
+       |    coalesce(sum(CASE WHEN c.m > 0 AND c.vr > 0
+       |                      THEN n.v * exp(-(${Speckle.FrostDamping} * (c.vr / (c.m * c.m))) * (abs(d.dx) + abs(d.dy)))
+       |                      ELSE 0 END) FILTER (n.v <> -9999.0), 0) AS num,
+       |    coalesce(sum(CASE WHEN c.m > 0 AND c.vr > 0
+       |                      THEN exp(-(${Speckle.FrostDamping} * (c.vr / (c.m * c.m))) * (abs(d.dx) + abs(d.dy)))
+       |                      ELSE 0 END) FILTER (n.v <> -9999.0), 0) AS den
+       |  FROM st2 c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN n <= 0 THEN -9999.0
+       |         WHEN cp = -9999.0 THEN -9999.0
+       |         WHEN m <= 0 OR vr <= 0 THEN m
+       |         WHEN den = 0 THEN m
+       |         ELSE num / den END AS out
+       |  FROM fr)
+       |$rollup""".stripMargin
+
+  // --------------------------------------------------------------------- Lee Sigma
+
+  val leeSigma: String = {
+    val cuR = 0.577 * cu
+    val cu2R = cuR * cuR
+    s"""WITH $pxCte,
+       |${dCte(2)},
+       |$stCte,
+       |pr AS (
+       |  SELECT *,
+       |    CASE WHEN n <= 0 THEN NULL
+       |         WHEN m <= 0 OR vr <= 0 THEN m
+       |         WHEN sqrt(vr) / m < $cu THEN m
+       |         ELSE cp * (1 - $cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m)))
+       |              + m * ($cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m))) END AS prior
+       |  FROM st2),
+       |rs AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.cp, c.n, c.prior,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0
+       |                     AND n.v >= 0.286 * c.prior AND n.v <= 2.026 * c.prior) AS rn,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0
+       |                     AND n.v >= 0.286 * c.prior AND n.v <= 2.026 * c.prior), 0) AS rs1,
+       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0
+       |                     AND n.v >= 0.286 * c.prior AND n.v <= 2.026 * c.prior), 0) AS rs2
+       |  FROM pr c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+       |r2 AS (
+       |  SELECT *, CASE WHEN rn > 0 THEN rs1 / rn END AS rm,
+       |         CASE WHEN rn > 1 THEN (rs2 - rn * (rs1 / rn) * (rs1 / rn)) / (rn - 1) ELSE 0 END AS rvr
+       |  FROM rs),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN cp = -9999.0 THEN -9999.0
+       |         WHEN n <= 0 THEN -9999.0
+       |         WHEN rn <= 0 THEN prior
+       |         WHEN rm <= 0 OR rvr <= 0 THEN rm
+       |         WHEN sqrt(rvr) / rm < $cuR THEN rm
+       |         ELSE cp * (1 - $cu2R / ((sqrt(rvr) / rm) * (sqrt(rvr) / rm)))
+       |              + rm * ($cu2R / ((sqrt(rvr) / rm) * (sqrt(rvr) / rm))) END AS out
+       |  FROM r2)
+       |$rollup""".stripMargin
+  }
+
+  // ------------------------------------------------------------------- Refined Lee
+
+  val refinedLee: String = {
+    val m = 3
+    val step = (2 * m + 1) / 3.0
+    def subSel(i: Int) = {
+      val sy = i / 3; val sx = i % 3
+      s"""coalesce(sum(nv) FILTER (nv <> -9999.0 AND sy = $sy AND sx = $sx), 0)
+         |  / greatest(1, count(*) FILTER (nv IS NOT NULL AND nv <> -9999.0
+         |      AND sy = $sy AND sx = $sx)) AS sub$i""".stripMargin
+    }
+    val subs = (0 until 9).map(subSel).mkString(",\n")
+    // VV / bursts<=2 subset (same kernel every code path; full-set oracle is too slow)
+    val pxSub = pxCte.replace(s"FROM ${fx("tiles")})",
+      s"FROM ${fx("tiles")} WHERE pol = 'VV' AND burst_idx <= 2)")
+    s"""WITH $pxSub,
+       |${dCte(m)},
+       |jn AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    c.v AS cp, n.v AS nv,
+       |    least(2, CAST(floor((d.dy + $m) / $step) AS INT)) AS sy,
+       |    least(2, CAST(floor((d.dx + $m) / $step) AS INT)) AS sx
+       |  FROM px c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy),
+       |sub AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |    max(cp) AS cp,
+       |$subs
+       |  FROM jn
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |g AS (
+       |  SELECT *, abs(sub3 - sub5) AS g0, abs(sub1 - sub7) AS g1,
+       |         abs(sub0 - sub8) AS g2, abs(sub2 - sub6) AS g3
+       |  FROM sub),
+       |g2 AS (
+       |  SELECT *, CASE WHEN g0 = greatest(g0, g1, g2, g3) THEN 0
+       |                 WHEN g1 = greatest(g0, g1, g2, g3) THEN 1
+       |                 WHEN g2 = greatest(g0, g1, g2, g3) THEN 2 ELSE 3 END AS best
+       |  FROM g),
+       |g3 AS (
+       |  SELECT *, CASE best WHEN 0 THEN abs(sub3 - sub4) <= abs(sub5 - sub4)
+       |                      WHEN 1 THEN abs(sub1 - sub4) <= abs(sub7 - sub4)
+       |                      WHEN 2 THEN abs(sub0 - sub4) <= abs(sub8 - sub4)
+       |                      ELSE abs(sub2 - sub4) <= abs(sub6 - sub4) END AS keepa
+       |  FROM g2),
+       |hst AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.cp,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1,
+       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0), 0) AS s2
+       |  FROM g3 c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |    AND (CASE c.best
+       |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
+       |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
+       |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
+       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |h2 AS (
+       |  SELECT *, CASE WHEN n > 0 THEN s1 / n END AS m,
+       |         CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) ELSE 0 END AS vr
+       |  FROM hst),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN cp = -9999.0 THEN -9999.0
+       |         WHEN n <= 0 THEN -9999.0
+       |         WHEN m <= 0 OR vr <= 0 THEN m
+       |         WHEN sqrt(vr) / m < $cu THEN m
+       |         ELSE cp * (1 - $cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m)))
+       |              + m * ($cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m))) END AS out
+       |  FROM h2)
+       |$rollup""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------- IDAN
+
+  val idan: String = {
+    val t = 2.0 / math.sqrt(Speckle.Enl)
+    s"""WITH $pxCte,
+       |${dCte(3)},
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.v AS cp,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0
+       |                     AND abs(n.v - c.v) <= $t * c.v) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0 AND abs(n.v - c.v) <= $t * c.v), 0) AS s1
+       |  FROM px c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN cp = -9999.0 THEN -9999.0
+       |         WHEN n <= 0 THEN -9999.0 ELSE s1 / n END AS out
+       |  FROM st)
+       |$rollup""".stripMargin
+  }
+
+  // ------------------------------------------------------------- ENL-estimated Lee
+
+  val leeEnlEstimated: String =
+    s"""WITH $pxCte,
+       |te AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CAST(count(*) FILTER (v <> -9999.0) AS DOUBLE) AS tn,
+       |    coalesce(sum(v) FILTER (v <> -9999.0), 0) AS ts1,
+       |    CAST(coalesce(sum(CAST(floor(0.031415926535897934 + v * v * 1.0E6) AS BIGINT)) FILTER (v <> -9999.0), 0) AS DOUBLE) / 1.0E6 AS ts2
+       |  FROM px GROUP BY 1, 2, 3, 4, 5, 6),
+       |te2 AS (
+       |  SELECT *, ts1 / tn AS tm, ts2 / tn - (ts1 / tn) * (ts1 / tn) AS tvar FROM te),
+       |enl AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN tn < 2 THEN 1.0
+       |         WHEN tvar <= 0 THEN 100.0
+       |         ELSE greatest(1.0, least(100.0, tm * tm / tvar)) END AS enl_est
+       |  FROM te2),
+       |${dCte(1)},
+       |$stCte,
+       |j AS (
+       |  SELECT c.*, e.enl_est, 1.0 / sqrt(e.enl_est) AS cuv
+       |  FROM st2 c JOIN enl e ON e.scene_id = c.scene_id AND e.subswath = c.subswath
+       |    AND e.pol = c.pol AND e.burst_idx = c.burst_idx
+       |    AND e.tile_y = c.tile_y AND e.tile_x = c.tile_x),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN n <= 0 THEN -9999.0
+       |         WHEN m <= 0 OR vr <= 0 THEN m
+       |         WHEN sqrt(vr) / m < cuv THEN m
+       |         ELSE cp * (1 - (cuv * cuv) / ((sqrt(vr) / m) * (sqrt(vr) / m)))
+       |              + m * ((cuv * cuv) / ((sqrt(vr) / m) * (sqrt(vr) / m))) END AS out
+       |  FROM j)
+       |$rollup""".stripMargin
+
+  // ---------------------------------------------------------------- Multi-temporal
+
+  val multiTemporal: String =
+    s"""WITH ${SarOracles2.pxCte("tiles", "pa")},
+       |${SarOracles2.pxCte("tiles_sec", "pb")},
+       |j AS (
+       |  SELECT a.scene_id, a.subswath, a.pol, a.burst_idx, a.tile_y, a.tile_x, a.gx, a.gy,
+       |    a.v AS v1,
+       |    CASE WHEN a.v = -9999.0 OR b.v = -9999.0 THEN -9999.0 ELSE a.v + b.v END AS vs
+       |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
+       |    AND a.pol = b.pol AND a.burst_idx = b.burst_idx AND a.gx = b.gx AND a.gy = b.gy),
+       |${dCte(1)},
+       |ms AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.v1,
+       |    count(*) FILTER (n.vs IS NOT NULL AND n.vs <> -9999.0) AS ns,
+       |    coalesce(sum(n.vs) FILTER (n.vs <> -9999.0), 0) AS ss,
+       |    count(*) FILTER (n.v1 IS NOT NULL AND n.v1 <> -9999.0) AS n1,
+       |    coalesce(sum(n.v1) FILTER (n.v1 <> -9999.0), 0) AS s1
+       |  FROM j c CROSS JOIN d
+       |  LEFT JOIN j n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.pol = c.pol AND n.burst_idx = c.burst_idx
+       |    AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |r AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, v1,
+       |    CASE WHEN ns > 0 THEN ss / ns ELSE -9999.0 END AS msum,
+       |    CASE WHEN n1 > 0 THEN s1 / n1 ELSE -9999.0 END AS m1
+       |  FROM ms),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN msum = -9999.0 OR m1 = -9999.0 OR m1 = 0 OR v1 = -9999.0 THEN -9999.0
+       |         ELSE (msum / m1 / 2) * v1 END AS out
+       |  FROM r)
+       |$rollup""".stripMargin
+
+  // ----------------------------------------------------- InSAR upgraded products
+
+  val interferogramFlatEarth: String =
+    s"""WITH ${SarOracles2.crossCte},
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN cim = -9999.0 OR cre = -9999.0 THEN -9999.0
+       |         ELSE atan2(sin(atan2(cim, cre) - (${InSAR.FlatC1} * gx + ${InSAR.FlatC3} * gx * gx)),
+       |                    cos(atan2(cim, cre) - (${InSAR.FlatC1} * gx + ${InSAR.FlatC3} * gx * gx))) END AS out
+       |  FROM cx)
+       |$rollup""".stripMargin
+
+  val coherenceBias: String =
+    s"""WITH ${SarOracles2.crossCte},
+       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.p1 IS NOT NULL AND n.p1 <> -9999.0) AS n,
+       |    coalesce(sum(n.cre) FILTER (n.p1 <> -9999.0), 0) AS sre,
+       |    coalesce(sum(n.cim) FILTER (n.p1 <> -9999.0), 0) AS sim,
+       |    coalesce(sum(n.p1) FILTER (n.p1 <> -9999.0), 0) AS sp1,
+       |    coalesce(sum(n.p2) FILTER (n.p1 <> -9999.0), 0) AS sp2
+       |  FROM cx c CROSS JOIN d
+       |  LEFT JOIN cx n ON n.scene_id = c.scene_id AND n.subswath = c.subswath AND n.pol = c.pol
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN n = 0 THEN -9999.0
+       |         ELSE greatest(0, (sqrt(sre * sre + sim * sim) / sqrt(sp1 * sp2) - ${InSAR.CohBiasC}) / ${InSAR.CohBiasDen}) END AS out
+       |  FROM st)
+       |$rollup""".stripMargin
+}

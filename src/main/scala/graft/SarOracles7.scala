@@ -1,0 +1,267 @@
+package graft
+
+import graft.model.Layout
+import graft.ops.TerrainCorrection
+
+/**
+ * DuckDB oracles for the calibration variants (beta0/gamma0/dB/complex), orbit
+ * interpolation, the zero-Doppler solve (closed form vs the engine's bisection),
+ * and the dual/compact-pol polarimetric family. Calibration LUTs use the fixtures'
+ * closed-form linear surfaces; polarimetric products run on the same dyadic i/q grid.
+ */
+object SarOracles7 {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+  private val W = Layout.TileW
+  private val N = Layout.TileW * Layout.TileH
+
+  private val rollup = SarOracles.rollupSql(1.0)
+  private val rollup1 = SarOracles.rollupSql(1e1)
+
+  /** tiles pixels with quantized iv/qv/v and global line for the LUT surfaces. */
+  private val pxCte: String =
+    s"""px0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")}),
+       |px1 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, k,
+       |         floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv
+       |  FROM px0),
+       |px AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         (burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gline,
+       |         iv, qv,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0
+       |              ELSE floor((iv * iv + qv * qv) * 16384) / 16384 END AS v
+       |  FROM px1)""".stripMargin
+
+  private def calSql(surface: String, scale: String): String =
+    s"""WITH $pxCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN v = -9999.0 THEN -9999.0
+       |                  ELSE v / (($surface) * ($surface)) END AS out
+       |      FROM px)
+       |$scale""".stripMargin
+
+  val beta0: String = calSql("480.0 + 0.08 * gline + 0.04 * gx", rollup1)
+  val gamma0: String = calSql("520.0 + 0.12 * gline + 0.06 * gx", rollup1)
+
+  val sigma0Db: String =
+    s"""WITH $pxCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN v = -9999.0 OR v <= 0 THEN -9999.0
+       |                  ELSE 10 * log10(v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx))) END AS out
+       |      FROM px)
+       |$rollup""".stripMargin
+
+  val complexCal: String =
+    s"""WITH $pxCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN iv = -9999.0 THEN -9999.0
+       |                  ELSE iv / (500.0 + 0.1 * gline + 0.05 * gx) END AS out
+       |      FROM px)
+       |$rollup""".stripMargin
+
+  // -------------------------------------------------------------- orbit geometry
+
+  val orbitInterp: String =
+    s"""WITH ob AS (
+       |  SELECT *, row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS rn
+       |  FROM ${fx("orbit")}),
+       |bt AS (
+       |  SELECT scene_id, subswath, burst_idx,
+       |         (burst_first_line_time + burst_last_line_time) / 2 AS tm
+       |  FROM ${fx("bursts")}),
+       |nsv AS (SELECT scene_id, count(*) AS n FROM ob GROUP BY 1),
+       |kk AS (
+       |  SELECT bt.scene_id, bt.subswath, bt.burst_idx, bt.tm,
+       |         greatest(2, least(nsv.n - 2,
+       |           (SELECT count(*) FROM ob o WHERE o.scene_id = bt.scene_id AND o.t_sec <= bt.tm))) AS k
+       |  FROM bt JOIN nsv USING (scene_id)),
+       |kn AS (
+       |  SELECT kk.*, o.rn - kk.k + 2 AS j, o.t_sec, o.x, o.y, o.z, o.vy
+       |  FROM kk JOIN ob o ON o.scene_id = kk.scene_id AND o.rn BETWEEN kk.k - 1 AND kk.k + 2),
+       |pv AS (
+       |  SELECT scene_id, subswath, burst_idx, tm,
+       |    max(CASE WHEN j = 1 THEN t_sec END) AS t1, max(CASE WHEN j = 2 THEN t_sec END) AS t2,
+       |    max(CASE WHEN j = 3 THEN t_sec END) AS t3, max(CASE WHEN j = 4 THEN t_sec END) AS t4,
+       |    max(CASE WHEN j = 1 THEN x END) AS x1, max(CASE WHEN j = 2 THEN x END) AS x2,
+       |    max(CASE WHEN j = 3 THEN x END) AS x3, max(CASE WHEN j = 4 THEN x END) AS x4,
+       |    max(CASE WHEN j = 1 THEN y END) AS y1, max(CASE WHEN j = 2 THEN y END) AS y2,
+       |    max(CASE WHEN j = 3 THEN y END) AS y3, max(CASE WHEN j = 4 THEN y END) AS y4,
+       |    max(CASE WHEN j = 1 THEN z END) AS z1, max(CASE WHEN j = 2 THEN z END) AS z2,
+       |    max(CASE WHEN j = 3 THEN z END) AS z3, max(CASE WHEN j = 4 THEN z END) AS z4,
+       |    max(CASE WHEN j = 1 THEN vy END) AS v1, max(CASE WHEN j = 2 THEN vy END) AS v2,
+       |    max(CASE WHEN j = 3 THEN vy END) AS v3, max(CASE WHEN j = 4 THEN vy END) AS v4
+       |  FROM kn GROUP BY 1, 2, 3, 4),
+       |wts AS (
+       |  SELECT *,
+       |    ((tm - t2) * (tm - t3) * (tm - t4)) / ((t1 - t2) * (t1 - t3) * (t1 - t4)) AS w1,
+       |    ((tm - t1) * (tm - t3) * (tm - t4)) / ((t2 - t1) * (t2 - t3) * (t2 - t4)) AS w2,
+       |    ((tm - t1) * (tm - t2) * (tm - t4)) / ((t3 - t1) * (t3 - t2) * (t3 - t4)) AS w3,
+       |    ((tm - t1) * (tm - t2) * (tm - t3)) / ((t4 - t1) * (t4 - t2) * (t4 - t3)) AS w4
+       |  FROM pv)
+       |SELECT scene_id, subswath, burst_idx,
+       |       CAST(floor(0.031415926535897934 + (w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4) * 1.0E6) AS BIGINT) AS x_q,
+       |       CAST(floor(0.031415926535897934 + (w1 * y1 + w2 * y2 + w3 * y3 + w4 * y4) * 1.0E6) AS BIGINT) AS y_q,
+       |       CAST(floor(0.031415926535897934 + (w1 * z1 + w2 * z2 + w3 * z3 + w4 * z4) * 1.0E6) AS BIGINT) AS z_q,
+       |       CAST(floor(0.031415926535897934 + (w1 * v1 + w2 * v2 + w3 * v3 + w4 * v4) * 1.0E6) AS BIGINT) AS vy_q
+       |FROM wts""".stripMargin
+
+  val zeroDoppler: String = {
+    val tc = TerrainCorrection
+    s"""WITH orb AS (
+       |  SELECT scene_id, t_sec AS orb_t, x AS orb_x, y AS orb_y, z AS orb_z, vy AS orb_vy
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS rn FROM ${fx("orbit")})
+       |  WHERE rn = 1),
+       |grid AS (
+       |  SELECT s.scene_id, s.lon0, s.lat0, ci.ci, cj.cj,
+       |         s.lon0 + (ci.ci + 0.5) * ${tc.CellDeg} AS lon,
+       |         s.lat0 + (cj.cj + 0.5) * ${tc.CellDeg} AS lat
+       |  FROM ${fx("scenes")} s,
+       |       (SELECT unnest(range(${tc.GridNx})) AS ci) ci,
+       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj),
+       |g2 AS (
+       |  SELECT g.*, d.height, o.orb_t, o.orb_x, o.orb_y, o.orb_z, o.orb_vy
+       |  FROM grid g
+       |  JOIN ${fx("dem")} d ON d.scene_id = g.scene_id
+       |    AND d.lat_idx = CAST(round((g.lat - g.lat0) / ${tc.DemStep}, 0) AS INT)
+       |    AND d.lon_idx = CAST(round((g.lon - g.lon0) / ${tc.DemStep}, 0) AS INT)
+       |  JOIN orb o ON o.scene_id = g.scene_id),
+       |g3 AS (
+       |  SELECT *,
+       |    (lon - lon0) * ${tc.XMetersPerDeg} AS tx_m,
+       |    (lat - lat0) * ${tc.YMetersPerDeg} AS ty_m
+       |  FROM g2)
+       |SELECT scene_id, ci, cj,
+       |       CAST(floor(0.031415926535897934 + (orb_t + (ty_m - orb_y) / orb_vy) * 1.0E4) AS BIGINT) AS tzd_q,
+       |       CAST(floor(0.031415926535897934 + sqrt((orb_x - tx_m) * (orb_x - tx_m) + (orb_z - height) * (orb_z - height)) * 1.0E2) AS BIGINT) AS slant_q
+       |FROM g3""".stripMargin
+  }
+
+  // ------------------------------------------------------------ polarimetric family
+
+  /** dual-pol C2 pixel CTE: quantized products of the VV/VH pair. */
+  private val c2Cte: String =
+    s"""pa0 AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")} WHERE pol = 'VV'),
+       |pb0 AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")} WHERE pol = 'VH'),
+       |pa AS (SELECT scene_id, subswath, burst_idx, tile_y, tile_x, k,
+       |              floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv FROM pa0),
+       |pb AS (SELECT scene_id, subswath, burst_idx, tile_y, tile_x, k,
+       |              floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv FROM pb0),
+       |c2 AS (
+       |  SELECT a.scene_id, a.subswath, 'DP' AS pol, a.burst_idx, a.tile_y, a.tile_x,
+       |    a.tile_x * $W + a.k % $W AS gx,
+       |    a.tile_y * ${Layout.TileH} + CAST(a.k // $W AS INT) AS gy,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.iv * a.iv + a.qv * a.qv END AS c11,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE b.iv * b.iv + b.qv * b.qv END AS c22,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.iv * b.iv + a.qv * b.qv END AS c12r,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.qv * b.iv - a.iv * b.qv END AS c12i
+       |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
+       |    AND a.burst_idx = b.burst_idx AND a.tile_y = b.tile_y AND a.tile_x = b.tile_x
+       |    AND a.k = b.k)""".stripMargin
+
+  private val dCte: String =
+    "d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy))"
+
+  private val winCte: String =
+    s"""st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.c11 IS NOT NULL AND n.c11 <> -9999.0) AS n,
+       |    coalesce(sum(n.c11) FILTER (n.c11 <> -9999.0), 0) AS m11,
+       |    coalesce(sum(n.c22) FILTER (n.c11 <> -9999.0), 0) AS m22,
+       |    coalesce(sum(n.c12r) FILTER (n.c11 <> -9999.0), 0) AS mr,
+       |    coalesce(sum(n.c12i) FILTER (n.c11 <> -9999.0), 0) AS mi
+       |  FROM c2 c CROSS JOIN d
+       |  LEFT JOIN c2 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)""".stripMargin
+
+  val c2Matrix: String =
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN n <= 0 THEN -9999.0 ELSE m11 / n END AS out
+       |      FROM st)
+       |$rollup""".stripMargin
+
+  val polSpeckle: String =
+    s"""WITH $c2Cte,
+       |$dCte,
+       |sp AS (SELECT *, CASE WHEN c11 = -9999.0 THEN -9999.0 ELSE c11 + c22 END AS span FROM c2),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.span IS NOT NULL AND n.span <> -9999.0) AS n,
+       |    coalesce(sum(n.span) FILTER (n.span <> -9999.0), 0) AS s1
+       |  FROM sp c CROSS JOIN d
+       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN n <= 0 THEN -9999.0 ELSE s1 / n END AS out
+       |      FROM st)
+       |$rollup""".stripMargin
+
+  val stokes: String =
+    s"""WITH $c2Cte
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  count(*) FILTER (c11 <> -9999.0) AS n_valid,
+       |  CAST(coalesce(sum(CAST(floor(0.031415926535897934 + (c11 + c22) * 1.0E6) AS BIGINT)) FILTER (c11 <> -9999.0), 0) AS BIGINT) AS g0_q,
+       |  CAST(coalesce(sum(CAST(floor(0.031415926535897934 + (c11 - c22) * 1.0E6) AS BIGINT)) FILTER (c11 <> -9999.0), 0) AS BIGINT) AS g1_q,
+       |  CAST(coalesce(sum(CAST(floor(0.031415926535897934 + 2 * c12r * 1.0E6) AS BIGINT)) FILTER (c11 <> -9999.0), 0) AS BIGINT) AS g2_q,
+       |  CAST(coalesce(sum(CAST(floor(0.031415926535897934 + -2 * c12i * 1.0E6) AS BIGINT)) FILTER (c11 <> -9999.0), 0) AS BIGINT) AS g3_q
+       |FROM c2 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  private val mExpr: String =
+    """CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
+      |     ELSE sqrt((m11 - m22) * (m11 - m22) + (2 * mr) * (2 * mr) + (-2 * mi) * (-2 * mi)) / (m11 + m22) END""".stripMargin
+
+  val mDelta: String =
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, $mExpr AS out FROM st)
+       |$rollup""".stripMargin
+
+  val dprvi: String =
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN ($mExpr) = -9999.0 THEN -9999.0 ELSE 1 - ($mExpr) END AS out
+       |      FROM st)
+       |$rollup""".stripMargin
+
+  val anisotropy: String =
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
+       |       WHEN (m11 + m22) * (m11 + m22) - 4 * (m11 * m22 - mr * mr - mi * mi) < 0 THEN 0.0
+       |       ELSE sqrt((m11 + m22) * (m11 + m22) - 4 * (m11 * m22 - mr * mr - mi * mi)) / (m11 + m22) END AS out
+       |  FROM st)
+       |$rollup""".stripMargin
+
+  val polRatio: String =
+    s"""WITH $c2Cte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN c11 = -9999.0 OR c22 = -9999.0 OR c11 <= 0 THEN -9999.0
+       |                  ELSE c22 / c11 END AS out
+       |      FROM c2)
+       |$rollup""".stripMargin
+}

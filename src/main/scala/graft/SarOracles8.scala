@@ -1,0 +1,226 @@
+package graft
+
+import graft.model.Layout
+import graft.ops.{Detection2, InSAR}
+
+/**
+ * DuckDB oracles for the feature-extraction / classification operators and the
+ * InSAR phase products (topo removal, phase-to-elevation/-displacement,
+ * demodulation, three-pass DInSAR).
+ */
+object SarOracles8 {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+  private val W = Layout.TileW
+  private val N = Layout.TileW * Layout.TileH
+
+  private val rollup = SarOracles.rollupSql(1.0)
+
+  /** quantized-v pixel CTE over tiles (all pols). */
+  private val pxCte: String =
+    s"""px0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")}),
+       |px AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |         CASE WHEN iv0 = -9999.0 OR qv0 = -9999.0 THEN -9999.0
+       |              ELSE floor(((floor(iv0 * 4096) / 4096) * (floor(iv0 * 4096) / 4096)
+       |                          + (floor(qv0 * 4096) / 4096) * (floor(qv0 * 4096) / 4096)) * 16384) / 16384 END AS v
+       |  FROM px0)""".stripMargin
+
+  private val keysEq: String =
+    """n.scene_id = c.scene_id AND n.subswath = c.subswath AND n.pol = c.pol
+      |    AND n.burst_idx = c.burst_idx""".stripMargin
+
+  val oilSpill: String =
+    s"""WITH $pxCte,
+       |d AS (SELECT dx.dx, dy.dy
+       |      FROM (SELECT unnest(range(-2, 3)) AS dx) dx,
+       |           (SELECT unnest(range(-2, 3)) AS dy) dy),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.v AS cp,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1
+       |  FROM px c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9)
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |       CAST(coalesce(sum(CASE WHEN cp <> -9999.0 AND n > 0
+       |                               AND cp < ${Detection2.OilK} * (s1 / n) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dark
+       |FROM st GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  val speckleDivergence: String =
+    s"""WITH $pxCte,
+       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy,
+       |    CAST(count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS DOUBLE) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1,
+       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0), 0) AS s2
+       |  FROM px c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN n < 2 THEN -9999.0
+       |         WHEN s1 <= 0 THEN -9999.0
+       |         ELSE ((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) / ((s1 / n) * (s1 / n)) END AS out
+       |  FROM st)
+       |$rollup""".stripMargin
+
+  val windField: String =
+    s"""WITH $pxCte,
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN v = -9999.0 THEN -9999.0
+       |         ELSE pow(v / (150 * sin(radians(20 + 20 * gx / ${Layout.SamplesPerBurst}))), 0.6) END AS out
+       |  FROM px WHERE pol = 'VV')
+       |$rollup""".stripMargin
+
+  private val pairCte: String =
+    s"""pa AS (SELECT * FROM px WHERE pol = 'VV'),
+       |pb AS (SELECT * FROM px WHERE pol = 'VH'),
+       |pr AS (
+       |  SELECT a.scene_id, a.subswath, a.burst_idx, a.tile_y, a.tile_x, a.gx, a.gy,
+       |         a.v AS va, b.v AS vb
+       |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
+       |    AND a.burst_idx = b.burst_idx AND a.gx = b.gx AND a.gy = b.gy)""".stripMargin
+
+  val forestArea: String =
+    s"""WITH $pxCte,
+       |$pairCte
+       |SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |  CAST(coalesce(sum(CASE WHEN va <> -9999.0 AND vb <> -9999.0 AND va > 30
+       |                          AND vb / va >= 0.3 AND vb / va <= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_forest
+       |FROM pr GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  val pca: String =
+    s"""WITH $pxCte,
+       |$pairCte,
+       |mo AS (
+       |  SELECT scene_id, subswath,
+       |    count(*) FILTER (va <> -9999.0 AND vb <> -9999.0) AS n,
+       |    CAST(coalesce(sum(CAST(floor(0.031415926535897934 + va * 1.0E4) AS BIGINT)) FILTER (va <> -9999.0 AND vb <> -9999.0), 0) AS BIGINT) AS sa_q,
+       |    CAST(coalesce(sum(CAST(floor(0.031415926535897934 + vb * 1.0E4) AS BIGINT)) FILTER (va <> -9999.0 AND vb <> -9999.0), 0) AS BIGINT) AS sb_q,
+       |    CAST(coalesce(sum(CAST(floor(0.031415926535897934 + va * va * 1.0E4) AS BIGINT)) FILTER (va <> -9999.0 AND vb <> -9999.0), 0) AS BIGINT) AS saa_q,
+       |    CAST(coalesce(sum(CAST(floor(0.031415926535897934 + vb * vb * 1.0E4) AS BIGINT)) FILTER (va <> -9999.0 AND vb <> -9999.0), 0) AS BIGINT) AS sbb_q,
+       |    CAST(coalesce(sum(CAST(floor(0.031415926535897934 + va * vb * 1.0E4) AS BIGINT)) FILTER (va <> -9999.0 AND vb <> -9999.0), 0) AS BIGINT) AS sab_q
+       |  FROM pr GROUP BY 1, 2),
+       |cv AS (
+       |  SELECT scene_id, subswath, n,
+       |    sa_q / 1.0E4 / n AS ma, sb_q / 1.0E4 / n AS mb,
+       |    saa_q / 1.0E4 / n AS raa, sbb_q / 1.0E4 / n AS rbb, sab_q / 1.0E4 / n AS rab
+       |  FROM mo),
+       |cv2 AS (
+       |  SELECT scene_id, subswath, n,
+       |    raa - ma * ma AS caa, rbb - mb * mb AS cbb, rab - ma * mb AS cab
+       |  FROM cv),
+       |cv3 AS (
+       |  SELECT *, sqrt((caa - cbb) * (caa - cbb) + 4 * cab * cab) AS disc FROM cv2)
+       |SELECT scene_id, subswath, n,
+       |       CAST(floor(0.031415926535897934 + (caa + cbb + disc) / 2 * 1.0E3) AS BIGINT) AS lambda1_q,
+       |       CAST(floor(0.031415926535897934 + (caa + cbb - disc) / 2 * 1.0E3) AS BIGINT) AS lambda2_q
+       |FROM cv3""".stripMargin
+
+  val objectDiscrimination: String =
+    s"""SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, n_detect,
+       |       CASE WHEN n_detect BETWEEN 2 AND 50 THEN 'target'
+       |            WHEN n_detect < 2 THEN 'speck' ELSE 'clutter' END AS class
+       |FROM (${SarOracles2.cfar}) c WHERE n_detect > 0""".stripMargin
+
+  val decisionTree: String =
+    s"""WITH $pxCte,
+       |$pairCte,
+       |cl AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |    CASE WHEN va = -9999.0 OR vb = -9999.0 THEN -1
+       |         WHEN va < 60 THEN 0
+       |         WHEN vb / va > 0.55 THEN 1 ELSE 2 END AS cls
+       |  FROM pr)
+       |SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |  CAST(coalesce(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_water,
+       |  CAST(coalesce(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_vegetation,
+       |  CAST(coalesce(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_urban
+       |FROM cl GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  // ----------------------------------------------------------- InSAR phase products
+
+  private def hSql(gx: String, gy: String): String =
+    s"(100.0 + 50.0 * sin(($gx) / 40.0) + 40.0 * cos(($gy) / 25.0))"
+
+  val topoPhaseRemoval: String = {
+    val f = s"(${InSAR.Ktopo} * ${hSql("gx", "gy")})"
+    s"""WITH ${SarOracles2.crossCte},
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN cim = -9999.0 OR cre = -9999.0 THEN -9999.0
+       |                  ELSE atan2(sin(atan2(cim, cre) - $f), cos(atan2(cim, cre) - $f)) END AS out
+       |      FROM cx)
+       |$rollup""".stripMargin
+  }
+
+  val phaseToElevation: String =
+    s"""WITH ${SarOracles2.crossCte},
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN cim = -9999.0 OR cre = -9999.0 THEN -9999.0
+       |                  ELSE atan2(cim, cre) / ${InSAR.Ktopo} END AS out
+       |      FROM cx)
+       |$rollup""".stripMargin
+
+  val phaseToDisplacement: String =
+    s"""WITH ${SarOracles2.crossCte},
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN cim = -9999.0 OR cre = -9999.0 THEN -9999.0
+       |                  ELSE -${InSAR.Wavelength} / (4 * pi()) * atan2(cim, cre) END AS out
+       |      FROM cx)
+       |${SarOracles.rollupSql(1e3)}""".stripMargin
+
+  val demodulate: String = {
+    val ta = "(b.burst_first_line_time + p.gy * s.azimuth_time_interval)"
+    val phi = s"(-pi() * b.doppler_rate * ($ta - b.reference_time) * ($ta - b.reference_time) - 2 * pi() * b.doppler_centroid * $ta)"
+    s"""WITH ${SarOracles2.pxCte("tiles", "p0")},
+       |p AS (SELECT * FROM p0 WHERE pol = 'VV'),
+       |j AS (
+       |  SELECT p.scene_id, p.subswath, p.pol, p.burst_idx, p.tile_y, p.tile_x,
+       |    CASE WHEN p.iv = -9999.0 OR p.qv = -9999.0 THEN -9999.0
+       |         ELSE atan2(sin(atan2(p.qv, p.iv) - $phi), cos(atan2(p.qv, p.iv) - $phi)) END AS out
+       |  FROM p
+       |  JOIN ${fx("bursts")} b ON b.scene_id = p.scene_id AND b.subswath = p.subswath AND b.burst_idx = p.burst_idx
+       |  JOIN ${fx("scenes")} s ON s.scene_id = p.scene_id),
+       |o AS (SELECT * FROM j)
+       |$rollup""".stripMargin
+  }
+
+  val dinsar: String = {
+    def ep(e: Int, n: String) =
+      s"""${n}0 AS (
+         |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+         |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+         |  FROM ${fx("tiles_stack")} WHERE epoch = $e),
+         |$n AS (
+         |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, k,
+         |         floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv
+         |  FROM ${n}0)""".stripMargin
+    val d01 = "atan2(sin(atan2(e1.qv, e1.iv) - atan2(e0.qv, e0.iv)), cos(atan2(e1.qv, e1.iv) - atan2(e0.qv, e0.iv)))"
+    val d02 = "atan2(sin(atan2(e2.qv, e2.iv) - atan2(e0.qv, e0.iv)), cos(atan2(e2.qv, e2.iv) - atan2(e0.qv, e0.iv)))"
+    s"""WITH ${ep(0, "e0c")},
+       |${ep(1, "e1c")},
+       |${ep(2, "e2c")},
+       |j AS (
+       |  SELECT e0.scene_id, e0.subswath, e0.pol, e0.burst_idx, e0.tile_y, e0.tile_x,
+       |    CASE WHEN e0.iv = -9999.0 OR e1.iv = -9999.0 OR e2.iv = -9999.0 THEN -9999.0
+       |         ELSE atan2(sin($d01 - 0.5 * $d02), cos($d01 - 0.5 * $d02)) END AS out
+       |  FROM e0c e0
+       |  JOIN e1c e1 ON e1.scene_id = e0.scene_id AND e1.subswath = e0.subswath
+       |    AND e1.burst_idx = e0.burst_idx AND e1.tile_y = e0.tile_y AND e1.tile_x = e0.tile_x AND e1.k = e0.k
+       |  JOIN e2c e2 ON e2.scene_id = e0.scene_id AND e2.subswath = e0.subswath
+       |    AND e2.burst_idx = e0.burst_idx AND e2.tile_y = e0.tile_y AND e2.tile_x = e0.tile_x AND e2.k = e0.k),
+       |o AS (SELECT * FROM j)
+       |$rollup""".stripMargin
+  }
+}

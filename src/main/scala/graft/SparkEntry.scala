@@ -33,6 +33,14 @@ object SparkEntry {
     "q_speckle_median" -> ((s, dir) => ops.Speckle.median(s, dir)),
     "q_speckle_lee" -> ((s, dir) => ops.Speckle.lee(s, dir)),
     "q_speckle_gammamap" -> ((s, dir) => ops.Speckle.gammaMap(s, dir)),
+    "q_speckle_frost" -> ((s, dir) => ops.Speckle.frost(s, dir)),
+    "q_speckle_leesigma" -> ((s, dir) => ops.Speckle.leeSigma(s, dir)),
+    "q_speckle_refinedlee" -> ((s, dir) => ops.Speckle.refinedLee(s, dir)),
+    "q_speckle_idan" -> ((s, dir) => ops.Speckle.idan(s, dir)),
+    "q_speckle_lee_enl" -> ((s, dir) => ops.Speckle.leeEnlEstimated(s, dir)),
+    "q_speckle_multitemporal" -> ((s, dir) => ops.Speckle.multiTemporal(s, dir)),
+    "q_interferogram_flatearth" -> ((s, dir) => ops.InSAR.interferogramFlatEarthQuery(s, dir)),
+    "q_coherence_bias" -> ((s, dir) => ops.InSAR.coherenceBiasCorrectedQuery(s, dir)),
     "q_deburst" -> ((s, dir) => ops.Deburst.query(s, dir)),
     "q_dedup_exact" -> ((s, dir) => dedup.Dedup.exactQuery(s, dir)),
     "q_dedup_minhash_sig" -> ((s, dir) => dedup.Dedup.minhashSignaturesQuery(s, dir)),
@@ -46,6 +54,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => ann.Ann.topKQuery(s, dir)),
     "q_cosine_pairs" -> ((s, dir) => ann.Ann.cosinePairsQuery(s, dir)),
     "q_ann_lsh" -> ((s, dir) => ann.Ann.lshTopKQuery(s, dir)),
+    "q_ann_lsh_pairs" -> ((s, dir) => ann.Ann.lshCosinePairsQuery(s, dir)),
     "q_media_meta" -> ((s, dir) => media.Multimodal.mediaMetaQuery(s, dir)),
     "q_events_window" -> ((s, dir) => streaming.Events.batchQuery(s, dir)),
     "q_terrain_correction" -> ((s, dir) => ops.TerrainCorrection.query(s, dir)),
@@ -68,6 +77,46 @@ object SparkEntry {
     "q_flood_detection" -> ((s, dir) => ops.Utility.floodDetectionQuery(s, dir)),
     "q_offset_tracking" -> ((s, dir) => ops.Utility.offsetTrackingQuery(s, dir)),
     "q_gcp_grid" -> ((s, dir) => ops.Utility.gcpGridQuery(s, dir)),
+    "q_create_stack" -> ((s, dir) => ops.Stack.createStackQuery(s, dir)),
+    "q_stack_composite" -> ((s, dir) => ops.Stack.compositeQuery(s, dir)),
+    "q_sbas_velocity" -> ((s, dir) => ops.Stack.sbasVelocityQuery(s, dir)),
+    "q_reactiv" -> ((s, dir) => ops.Stack.reactivQuery(s, dir)),
+    "q_slice_assembly" -> ((s, dir) => ops.Stack.sliceAssemblyQuery(s, dir)),
+    "q_topsar_merge" -> ((s, dir) => ops.Stack.topsarMergeQuery(s, dir)),
+    "q_esd_shift" -> ((s, dir) => ops.Stack.esdShiftQuery(s, dir)),
+    "q_terrain_flattening" -> ((s, dir) => ops.TerrainCorrection.terrainFlatteningQuery(s, dir)),
+    "q_xcorr_frac" -> ((s, dir) => ops.Coregistration.xcorrFracQuery(s, dir)),
+    "q_warp_poly" -> ((s, dir) => ops.Coregistration.warpPolyQuery(s, dir)),
+    "q_sar_simulation" -> ((s, dir) => ops.TerrainCorrection.sarSimulationQuery(s, dir)),
+    "q_oversample" -> ((s, dir) => ops.Spectral.oversampleQuery(s, dir)),
+    "q_bandpass_range" -> ((s, dir) => ops.Spectral.bandpassRangeQuery(s, dir)),
+    "q_bandpass_azimuth" -> ((s, dir) => ops.Spectral.bandpassAzimuthQuery(s, dir)),
+    "q_goldstein" -> ((s, dir) => ops.Spectral.goldsteinQuery(s, dir)),
+    "q_calibration_beta0" -> ((s, dir) => ops.Calibration.beta0Query(s, dir)),
+    "q_calibration_gamma0" -> ((s, dir) => ops.Calibration.gamma0Query(s, dir)),
+    "q_calibration_db" -> ((s, dir) => ops.Calibration.sigma0DbQuery(s, dir)),
+    "q_calibration_complex" -> ((s, dir) => ops.Calibration.complexCalQuery(s, dir)),
+    "q_orbit_interp" -> ((s, dir) => ops.TerrainCorrection.orbitInterpQuery(s, dir)),
+    "q_zero_doppler" -> ((s, dir) => ops.TerrainCorrection.zeroDopplerQuery(s, dir)),
+    "q_pol_c2" -> ((s, dir) => ops.Polarimetry.c2MatrixQuery(s, dir)),
+    "q_pol_speckle" -> ((s, dir) => ops.Polarimetry.polSpeckleQuery(s, dir)),
+    "q_cp_stokes" -> ((s, dir) => ops.Polarimetry.stokesQuery(s, dir)),
+    "q_cp_mdelta" -> ((s, dir) => ops.Polarimetry.mDeltaQuery(s, dir)),
+    "q_dprvi" -> ((s, dir) => ops.Polarimetry.dprviQuery(s, dir)),
+    "q_dualpol_anisotropy" -> ((s, dir) => ops.Polarimetry.anisotropyQuery(s, dir)),
+    "q_pol_ratio" -> ((s, dir) => ops.Polarimetry.polRatioQuery(s, dir)),
+    "q_oil_spill" -> ((s, dir) => ops.Detection2.oilSpillQuery(s, dir)),
+    "q_speckle_divergence" -> ((s, dir) => ops.Detection2.speckleDivergenceQuery(s, dir)),
+    "q_wind_field" -> ((s, dir) => ops.Detection2.windFieldQuery(s, dir)),
+    "q_forest_area" -> ((s, dir) => ops.Detection2.forestAreaQuery(s, dir)),
+    "q_pca" -> ((s, dir) => ops.Detection2.pcaQuery(s, dir)),
+    "q_object_discrimination" -> ((s, dir) => ops.Detection2.objectDiscriminationQuery(s, dir)),
+    "q_decision_tree" -> ((s, dir) => ops.Detection2.decisionTreeQuery(s, dir)),
+    "q_topo_phase_removal" -> ((s, dir) => ops.InSAR.topoPhaseRemovalQuery(s, dir)),
+    "q_phase_to_elevation" -> ((s, dir) => ops.InSAR.phaseToElevationQuery(s, dir)),
+    "q_phase_to_displacement" -> ((s, dir) => ops.InSAR.phaseToDisplacementQuery(s, dir)),
+    "q_demodulate" -> ((s, dir) => ops.InSAR.demodulateQuery(s, dir)),
+    "q_dinsar" -> ((s, dir) => ops.InSAR.dinsarQuery(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,6 +194,14 @@ object SparkEntry {
     "q_speckle_median" -> SarOracles.speckleMedian,
     "q_speckle_lee" -> SarOracles.speckleLee,
     "q_speckle_gammamap" -> SarOracles.speckleGammaMap,
+    "q_speckle_frost" -> SarOracles4.frost,
+    "q_speckle_leesigma" -> SarOracles4.leeSigma,
+    "q_speckle_refinedlee" -> SarOracles4.refinedLee,
+    "q_speckle_idan" -> SarOracles4.idan,
+    "q_speckle_lee_enl" -> SarOracles4.leeEnlEstimated,
+    "q_speckle_multitemporal" -> SarOracles4.multiTemporal,
+    "q_interferogram_flatearth" -> SarOracles4.interferogramFlatEarth,
+    "q_coherence_bias" -> SarOracles4.coherenceBias,
     "q_deburst" -> SarOracles.deburst,
     "q_dedup_exact" -> PipelineOracles.dedupExact,
     "q_dedup_minhash_sig" -> PipelineOracles.minhashSignatures,
@@ -158,6 +215,7 @@ object SparkEntry {
     "q_ann_topk" -> PipelineOracles.annTopK,
     "q_cosine_pairs" -> PipelineOracles.cosinePairs,
     "q_ann_lsh" -> PipelineOracles.annLsh,
+    "q_ann_lsh_pairs" -> PipelineOracles.annLshPairs,
     "q_media_meta" -> PipelineOracles.mediaMeta,
     "q_events_window" -> PipelineOracles.eventsWindow,
     "q_terrain_correction" -> SarOracles2.terrainCorrection,
@@ -180,5 +238,45 @@ object SparkEntry {
     "q_flood_detection" -> SarOracles3.floodDetection,
     "q_offset_tracking" -> SarOracles3.offsetTracking,
     "q_gcp_grid" -> SarOracles3.gcpGrid,
+    "q_create_stack" -> SarOracles5.createStack,
+    "q_stack_composite" -> SarOracles5.composite,
+    "q_sbas_velocity" -> SarOracles5.sbasVelocity,
+    "q_reactiv" -> SarOracles5.reactiv,
+    "q_slice_assembly" -> SarOracles5.sliceAssembly,
+    "q_topsar_merge" -> SarOracles5.topsarMerge,
+    "q_esd_shift" -> SarOracles5.esdShift,
+    "q_terrain_flattening" -> SarOracles5.terrainFlattening,
+    "q_xcorr_frac" -> SarOracles5.xcorrFrac,
+    "q_warp_poly" -> SarOracles5.warpPoly,
+    "q_sar_simulation" -> SarOracles5.sarSimulation,
+    "q_oversample" -> SarOracles6.oversample,
+    "q_bandpass_range" -> SarOracles6.bandpassRange,
+    "q_bandpass_azimuth" -> SarOracles6.bandpassAzimuth,
+    "q_goldstein" -> SarOracles6.goldstein,
+    "q_calibration_beta0" -> SarOracles7.beta0,
+    "q_calibration_gamma0" -> SarOracles7.gamma0,
+    "q_calibration_db" -> SarOracles7.sigma0Db,
+    "q_calibration_complex" -> SarOracles7.complexCal,
+    "q_orbit_interp" -> SarOracles7.orbitInterp,
+    "q_zero_doppler" -> SarOracles7.zeroDoppler,
+    "q_pol_c2" -> SarOracles7.c2Matrix,
+    "q_pol_speckle" -> SarOracles7.polSpeckle,
+    "q_cp_stokes" -> SarOracles7.stokes,
+    "q_cp_mdelta" -> SarOracles7.mDelta,
+    "q_dprvi" -> SarOracles7.dprvi,
+    "q_dualpol_anisotropy" -> SarOracles7.anisotropy,
+    "q_pol_ratio" -> SarOracles7.polRatio,
+    "q_oil_spill" -> SarOracles8.oilSpill,
+    "q_speckle_divergence" -> SarOracles8.speckleDivergence,
+    "q_wind_field" -> SarOracles8.windField,
+    "q_forest_area" -> SarOracles8.forestArea,
+    "q_pca" -> SarOracles8.pca,
+    "q_object_discrimination" -> SarOracles8.objectDiscrimination,
+    "q_decision_tree" -> SarOracles8.decisionTree,
+    "q_topo_phase_removal" -> SarOracles8.topoPhaseRemoval,
+    "q_phase_to_elevation" -> SarOracles8.phaseToElevation,
+    "q_phase_to_displacement" -> SarOracles8.phaseToDisplacement,
+    "q_demodulate" -> SarOracles8.demodulate,
+    "q_dinsar" -> SarOracles8.dinsar,
   )
 }

@@ -17,7 +17,6 @@ object Tpch {
         sum("l_quantity").as("sum_qty"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** Star join: big fact table against broadcast dimensions (the 100-TB shape: only
    * lineitem/orders shuffle; customer/nation/region broadcast). */
@@ -35,6 +34,5 @@ object Tpch {
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
-      .orderBy("region", "nation")
   }
 }

@@ -16,8 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // ordering is a gate-layer concern (deterministic dump), not a library-operator
+      // one: sort by all columns here so no operator plan carries a global sort.
+      try {
+        val df = fn(spark, sfDir)
+        df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -44,7 +44,6 @@ object Ann {
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_r"))
-      .orderBy("query_id", "rank")
   }
 
   /** All pairs with cosine above a threshold (exact; the oracle-checkable dedup path). */
@@ -57,7 +56,42 @@ object Ann {
       .where(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
         round(col("cos"), 6).as("cos_r"))
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Banded multi-table LSH pair mining — the SCALE path for thresholded pair
+   * search (cosinePairsQuery above is the exact small-N baseline; its cartesian
+   * join is quadratic and must not run at 10^12 rows). Candidates = pairs sharing
+   * a bucket in ANY of `PairTables` independent `PairBits`-bit tables (union +
+   * distinct on pair keys — bucket ids are the shuffle keys), then ONE exact
+   * cosine pass over candidates only. Recall comes from table multiplicity,
+   * per-bucket cost is bounded by bits. */
+  val PairTables = 3
+  val PairBits = 8
+
+  def withBucketT(e: DataFrame, t: Int, bits: Int): DataFrame =
+    e.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
+         |  acc + if(
+         |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) ->
+         |      CAST(x AS DOUBLE) * if((CAST(conv(substring(md5(concat('lsht|', CAST($t AS STRING), '|', CAST(b AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2) = 0, 1D, -1D)),
+         |      0D, (a, x) -> a + x) >= 0D,
+         |    shiftleft(1L, b), 0L))""".stripMargin))
+
+  def lshCosinePairsQuery(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = emb(spark, dir)
+    val cands = (0 until PairTables).map { t =>
+      val bt = withBucketT(e.select(col("vec_id"), col("embedding")), t, PairBits)
+      val a = bt.select(col("vec_id").as("vec_a"), col("bucket"))
+      val b = bt.select(col("vec_id").as("vec_b"), col("bucket"))
+      a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
+      .withColumn("cos", expr(cosSql))
+      .where(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
   }
 
   /** LSH bucket signature: bit b = sign of sum_i w(b,i) * e_i, w = +-1 from md5 parity. */
@@ -82,6 +116,5 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos_r"))
-      .orderBy("query_id", "rank")
   }
 }

@@ -49,7 +49,6 @@ object Dedup {
     augmented(spark, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
-      .orderBy("text_md5")
 
   /** words / distinct 3-word shingles columns. */
   def withShingles(d: DataFrame): DataFrame =
@@ -73,7 +72,7 @@ object Dedup {
   }
 
   def minhashSignaturesQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(docs(spark, dir)).orderBy("doc_id")
+    minhashSignatures(docs(spark, dir))
 
   /** LSH candidate pairs (any band equal) + exact jaccard on shingle sets. */
   def minhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -93,7 +92,6 @@ object Dedup {
         expr("size(array_intersect(sa, sb))").as("n_inter"),
         expr("size(array_union(sa, sb))").as("n_union"),
         expr("round(size(array_intersect(sa, sb)) / size(array_union(sa, sb)), 6)").as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** 60-bit SimHash signature per doc (token-level, +-1 votes per bit). Integer-exact. */
@@ -107,14 +105,22 @@ object Dedup {
           |  acc + if(aggregate(hs, 0L, (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1L, -1L)) >= 0L,
           |           shiftleft(1L, j), 0L))""".stripMargin))
       .select("doc_id", "simhash")
-      .orderBy("doc_id")
+
+  /** Shingles with document frequency above this are "stop-shingles": dropped from
+   * candidate generation (NOT from the exact jaccard), bounding the worst-case pair
+   * blowup of one hot shingle to DfCap^2 — the skew guard that makes the inverted-
+   * index join safe at scale. */
+  val DfCap = 50
 
   /** n-gram Jaccard pairs from the shingle inverted index (pairs sharing >= minShared
    * shingles), exact jaccard. The inverted-index join IS the scalable plan: shingle
-   * hash is the shuffle key; stop-shingle removal (df > cap) bounds skew. */
+   * hash is the shuffle key; stop-shingle removal (df > DfCap) bounds skew. */
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val inv0 = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = inv0.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") <= DfCap)
+      .select("g")
+    val inv = inv0.join(rare, Seq("g"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -127,6 +133,5 @@ object Dedup {
         expr("size(array_intersect(sa, sb))").as("n_inter"),
         expr("size(array_union(sa, sb))").as("n_union"),
         expr("round(size(array_intersect(sa, sb)) / size(array_union(sa, sb)), 6)").as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 }

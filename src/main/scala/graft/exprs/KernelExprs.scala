@@ -1,0 +1,282 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftColumn
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the hot tile kernels (SURVEY.md §7.3). Each one
+ * codegens to a single static call into graft.exprs.Kernels — the expression stays
+ * inside whole-stage codegen and the per-pixel loop is JIT-compiled scalar code,
+ * replacing the round-1 interpreted higher-order-function path.
+ */
+abstract class StaticKernelExpr extends Expression {
+
+  /** Java expression computing the result from the child value java expressions. */
+  protected def javaCall(args: Seq[String]): String
+
+  /** Interpreted twin of javaCall. */
+  protected def kernelEval(args: IndexedSeq[Any]): Any
+
+  override def nullable: Boolean = children.exists(_.nullable)
+  override lazy val deterministic: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val args = children.map(_.eval(input)).toIndexedSeq
+    if (args.contains(null)) null else kernelEval(args)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val childCode = evs.map(_.code.toString).mkString("\n")
+    val isNullExpr =
+      if (children.exists(_.nullable)) evs.map(_.isNull.toString).mkString(" || ")
+      else "false"
+    val javaType = CodeGenerator.javaType(dataType)
+    val call = javaCall(evs.map(_.value.toString))
+    ev.copy(code =
+      code"""
+         |$childCode
+         |boolean ${ev.isNull} = $isNullExpr;
+         |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+         |if (!${ev.isNull}) { ${ev.value} = ($javaType) $call; }
+       """.stripMargin)
+  }
+}
+
+/** Windowed speckle filter: halo (w+2m)x(h+2m) -> filtered w*h array. enl/damping are
+ * expression children so a data-estimated per-tile ENL can drive the kernel
+ * (SpeckleFilter.java:227-321 estimateENL mode). */
+case class SpeckleFilterExpr(halo: Expression, enl: Expression, damping: Expression,
+    mode: String, w: Int, h: Int, margin: Int) extends StaticKernelExpr {
+  private val m = Kernels.modeId(mode)
+  override def children: Seq[Expression] = Seq(halo, enl, damping)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.speckle(${args(0)}, $m, $w, $h, $margin, ${args(1)}, ${args(2)})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.speckle(args(0).asInstanceOf[ArrayData], m, w, h, margin,
+      args(1).asInstanceOf[Double], args(2).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0), enl = c(1), damping = c(2))
+}
+
+/** Window moment struct-of-arrays (n, s1, s2, cp) from a halo. */
+case class WindowMomentsExpr(halo: Expression, w: Int, h: Int, haloM: Int, winR: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(halo)
+  override def dataType: DataType = WindowMomentsExpr.schema
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.windowMoments(${args.head}, $w, $h, $haloM, $winR)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.windowMoments(args(0).asInstanceOf[ArrayData], w, h, haloM, winR)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0))
+}
+object WindowMomentsExpr {
+  val schema: StructType = StructType(Seq("n", "s1", "s2", "cp").map(f =>
+    StructField(f, ArrayType(DoubleType, containsNull = false), nullable = false)))
+}
+
+/** Per-pixel bilinear LUT interpolation from bracketing calibration vectors. */
+case class LutInterpExpr(vecs: Expression, burstIdx: Expression, tileX: Expression,
+    tileY: Expression, w: Int, h: Int, linesPerBurst: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(vecs, burstIdx, tileX, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.lutInterp(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, $w, $h, $linesPerBurst)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.lutInterp(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[Int],
+      args(2).asInstanceOf[Int], args(3).asInstanceOf[Int], w, h, linesPerBurst)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(vecs = c(0), burstIdx = c(1), tileX = c(2), tileY = c(3))
+}
+
+/** Complex cross products (cre, cim, p1, p2) of two complex tiles, one pass. */
+case class ComplexCrossExpr(i1: Expression, q1: Expression, i2: Expression, q2: Expression)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(i1, q1, i2, q2)
+  override def dataType: DataType = ComplexCrossExpr.schema
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.complexCross(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.complexCross(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(i1 = c(0), q1 = c(1), i2 = c(2), q2 = c(3))
+}
+object ComplexCrossExpr {
+  val schema: StructType = StructType(Seq("cre", "cim", "p1", "p2").map(f =>
+    StructField(f, ArrayType(DoubleType, containsNull = false), nullable = false)))
+}
+
+/** Windowed coherence from 4 halo channels. */
+case class CoherenceExpr(cre: Expression, cim: Expression, p1: Expression, p2: Expression,
+    w: Int, h: Int, margin: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(cre, cim, p1, p2)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.coherence(${args.mkString(", ")}, $w, $h, $margin)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.coherence(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData], w, h, margin)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cre = c(0), cim = c(1), p1 = c(2), p2 = c(3))
+}
+
+/** Whole-tile CFAR: one static call -> struct(n_detect, max_t). */
+case class CfarExpr(halo: Expression, w: Int, h: Int, m: Int, g: Int, thr: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(halo)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_detect", LongType, nullable = false),
+    StructField("max_t", DoubleType, nullable = true)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.cfar(${args.head}, $w, $h, $m, $g, ${thr}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.cfar(args(0).asInstanceOf[ArrayData], w, h, m, g, thr)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0))
+}
+
+/** Frequency-domain range oversampling x2. */
+case class OversampleExpr(arr: Expression, w: Int, h: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(arr)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.oversampleRange(${args.head}, $w, $h)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.oversampleRange(args(0).asInstanceOf[ArrayData], w, h)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(arr = c(0))
+}
+
+/** Ideal band-pass filter along range (axis 0) or azimuth (axis 1). */
+case class BandpassExpr(arr: Expression, w: Int, h: Int, kc: Int, axis: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(arr)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.bandpass(${args.head}, $w, $h, $kc, $axis)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.bandpass(args(0).asInstanceOf[ArrayData], w, h, kc, axis)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(arr = c(0))
+}
+
+/** Goldstein phase filter over a complex interferogram tile. */
+case class GoldsteinExpr(cre: Expression, cim: Expression, w: Int, h: Int, alpha: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(cre, cim)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.goldstein(${args(0)}, ${args(1)}, $w, $h, ${alpha}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.goldstein(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData], w, h, alpha)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cre = c(0), cim = c(1))
+}
+
+/** FFT-NCC tie-point match with iterative subpixel refinement. */
+case class FftXcorrExpr(refTiles: Expression, secTiles: Expression, cx: Expression,
+    cy: Expression, half: Int, searchR: Int, tw: Int, th: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(refTiles, secTiles, cx, cy)
+  override def dataType: DataType = StructType(Seq(
+    StructField("est_dx", DoubleType), StructField("est_dy", DoubleType),
+    StructField("peak_ncc", DoubleType)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.fftXcorrMatch(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, $half, $searchR, $tw, $th)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.fftXcorrMatch(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[Int], args(3).asInstanceOf[Int], half, searchR, tw, th)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(refTiles = c(0), secTiles = c(1), cx = c(2), cy = c(3))
+}
+
+/** Integer SSD lattice match. */
+case class SsdMatchExpr(refTiles: Expression, secTiles: Expression, cx: Expression,
+    cy: Expression, half: Int, searchR: Int, tw: Int, th: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(refTiles, secTiles, cx, cy)
+  override def dataType: DataType = StructType(Seq(
+    StructField("est_dx", IntegerType), StructField("est_dy", IntegerType),
+    StructField("ssd_min", DoubleType)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.ssdMatch(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, $half, $searchR, $tw, $th)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.ssdMatch(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[Int], args(3).asInstanceOf[Int], half, searchR, tw, th)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(refTiles = c(0), secTiles = c(1), cx = c(2), cy = c(3))
+}
+
+/** Aligned-stack per-tile diff against gathered covering secondary tiles. */
+case class AlignDiffExpr(refArr: Expression, secTiles: Expression, tileX: Expression,
+    tileY: Expression, sdx: Expression, sdy: Expression, tw: Int, th: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(refArr, secTiles, tileX, tileY, sdx, sdy)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType), StructField("max_abs", DoubleType)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.alignDiff(${args.mkString(", ")}, $tw, $th)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.alignDiff(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[Int], args(3).asInstanceOf[Int],
+      args(4).asInstanceOf[Int], args(5).asInstanceOf[Int], tw, th)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(refArr = c(0), secTiles = c(1), tileX = c(2), tileY = c(3), sdx = c(4), sdy = c(5))
+}
+
+object KernelExprs {
+  import GraftColumn.{column => toCol, expression => toExpr}
+
+  def speckleFilter(halo: Column, mode: String, w: Int, h: Int, margin: Int,
+      enl: Column, damping: Column): Column =
+    toCol(SpeckleFilterExpr(toExpr(halo), toExpr(enl), toExpr(damping), mode, w, h, margin))
+
+  def windowMoments(halo: Column, w: Int, h: Int, haloM: Int, winR: Int): Column =
+    toCol(WindowMomentsExpr(toExpr(halo), w, h, haloM, winR))
+
+  def lutInterp(vecs: Column, burstIdx: Column, tileX: Column, tileY: Column,
+      w: Int, h: Int, linesPerBurst: Int): Column =
+    toCol(LutInterpExpr(toExpr(vecs), toExpr(burstIdx), toExpr(tileX), toExpr(tileY),
+      w, h, linesPerBurst))
+
+  def complexCross(i1: Column, q1: Column, i2: Column, q2: Column): Column =
+    toCol(ComplexCrossExpr(toExpr(i1), toExpr(q1), toExpr(i2), toExpr(q2)))
+
+  def coherence(cre: Column, cim: Column, p1: Column, p2: Column,
+      w: Int, h: Int, margin: Int): Column =
+    toCol(CoherenceExpr(toExpr(cre), toExpr(cim), toExpr(p1), toExpr(p2), w, h, margin))
+
+  def cfar(halo: Column, w: Int, h: Int, m: Int, g: Int, thr: Double): Column =
+    toCol(CfarExpr(toExpr(halo), w, h, m, g, thr))
+
+  def oversample(arr: Column, w: Int, h: Int): Column =
+    toCol(OversampleExpr(toExpr(arr), w, h))
+
+  def bandpass(arr: Column, w: Int, h: Int, kc: Int, axis: Int): Column =
+    toCol(BandpassExpr(toExpr(arr), w, h, kc, axis))
+
+  def goldstein(cre: Column, cim: Column, w: Int, h: Int, alpha: Double): Column =
+    toCol(GoldsteinExpr(toExpr(cre), toExpr(cim), w, h, alpha))
+
+  def fftXcorr(refTiles: Column, secTiles: Column, cx: Column, cy: Column,
+      half: Int, searchR: Int, tw: Int, th: Int): Column =
+    toCol(FftXcorrExpr(toExpr(refTiles), toExpr(secTiles), toExpr(cx), toExpr(cy),
+      half, searchR, tw, th))
+
+  def ssdMatch(refTiles: Column, secTiles: Column, cx: Column, cy: Column,
+      half: Int, searchR: Int, tw: Int, th: Int): Column =
+    toCol(SsdMatchExpr(toExpr(refTiles), toExpr(secTiles), toExpr(cx), toExpr(cy),
+      half, searchR, tw, th))
+
+  def alignDiff(refArr: Column, secTiles: Column, tileX: Column, tileY: Column,
+      sdx: Column, sdy: Column, tw: Int, th: Int): Column =
+    toCol(AlignDiffExpr(toExpr(refArr), toExpr(secTiles), toExpr(tileX), toExpr(tileY),
+      toExpr(sdx), toExpr(sdy), tw, th))
+}

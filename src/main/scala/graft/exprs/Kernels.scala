@@ -1,0 +1,1003 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+/**
+ * Compiled kernel loops for the hot per-tile operators. Each method is invoked from a
+ * native Catalyst Expression's doGenCode as ONE static call per row, so the plan stays
+ * inside whole-stage codegen and the inner loop runs as JIT-compiled scalar code over
+ * primitive arrays — replacing the interpreted higher-order-function path (the round-1
+ * GC bottleneck: boxed structs per pixel).
+ *
+ * The arithmetic ORDER inside each kernel mirrors the previous Catalyst HOF
+ * implementations exactly (window accumulation in (dy, dx) row-major order), so results
+ * are bit-identical to the reference implementations they replace — property-tested in
+ * KernelSpec.
+ *
+ * Reference semantics: SpeckleFilter.getNeighborValues/getMeanValue/getVarianceValue
+ * (reference sar-op-sar-processing/.../SpeckleFilter.java:78-211), kernel formulas
+ * Lee.java:168-187, GammaMap.java:166-199, Frost.java:45-189, LeeSigma.java,
+ * RefinedLee.java; LUT bilinear Sentinel1Calibrator.java:412-477.
+ */
+object Kernels {
+
+  val ND = -9999.0
+  @inline private def isNd(v: Double): Boolean = java.lang.Double.isNaN(v) || v == ND
+
+  // ------------------------------------------------------------------ speckle filters
+
+  val MODE_BOXCAR = 0
+  val MODE_MEDIAN = 1
+  val MODE_LEE = 2
+  val MODE_GAMMA_MAP = 3
+  val MODE_FROST = 4
+  val MODE_LEE_SIGMA = 5
+  val MODE_REFINED_LEE = 6
+  val MODE_IDAN = 7
+  val MODE_MEAN_WINDOW = 8 // windowed mean exposed for flood detection etc.
+  val MODE_SPECKLE_DIV = 9 // windowed var/mean^2 (Speckle-Divergence texture)
+
+  def modeId(name: String): Int = name match {
+    case "boxcar" => MODE_BOXCAR
+    case "median" => MODE_MEDIAN
+    case "lee" => MODE_LEE
+    case "gammamap" => MODE_GAMMA_MAP
+    case "frost" => MODE_FROST
+    case "leesigma" => MODE_LEE_SIGMA
+    case "refinedlee" => MODE_REFINED_LEE
+    case "idan" => MODE_IDAN
+    case "mean" => MODE_MEAN_WINDOW
+    case "specklediv" => MODE_SPECKLE_DIV
+    case other => throw new IllegalArgumentException(s"unknown speckle mode: $other")
+  }
+
+  /**
+   * Windowed speckle filter over a (w+2m)x(h+2m) halo array -> w*h output array.
+   * Window = (2m+1)^2 centered; out-of-halo never happens by construction.
+   * enl: equivalent number of looks (cu = 1/sqrt(enl)); dampingFactor: Frost only.
+   */
+  def speckle(halo: ArrayData, mode: Int, w: Int, h: Int, m: Int,
+      enl: Double, damping: Double): ArrayData = {
+    val hw = w + 2 * m
+    val hh = h + 2 * m
+    val a = halo.toDoubleArray()
+    require(a.length == hw * hh, s"halo length ${a.length} != ${hw * hh}")
+    val out = new Array[Double](w * h)
+    val win = new Array[Double]((2 * m + 1) * (2 * m + 1))
+    val cu = 1.0 / math.sqrt(enl)
+    val cu2 = cu * cu
+    val cmax = math.sqrt(2.0) * cu
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // gather window stats in (dy, dx) row-major order (matches the HOF reference)
+        var n = 0; var s1 = 0.0; var s2 = 0.0
+        val cp = a((y + m) * hw + (x + m))
+        var nv = 0
+        var dy = -m
+        while (dy <= m) {
+          var dx = -m
+          while (dx <= m) {
+            val v = a((y + m + dy) * hw + (x + m + dx))
+            if (!isNd(v)) {
+              n += 1; s1 += v; s2 += v * v
+              win(nv) = v; nv += 1
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w + x) = mode match {
+          case MODE_BOXCAR | MODE_MEAN_WINDOW =>
+            if (n <= 0) ND else s1 / n
+          case MODE_SPECKLE_DIV =>
+            // Speckle-Divergence (SpeckleDivergenceOp): var / mean^2
+            if (n < 2) ND
+            else if (s1 <= 0.0) ND
+            else ((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) / ((s1 / n) * (s1 / n))
+          case MODE_MEDIAN =>
+            if (n <= 0) ND
+            else { java.util.Arrays.sort(win, 0, nv); win(nv / 2) }
+          case MODE_LEE =>
+            if (n <= 0) ND
+            else {
+              val mean = s1 / n
+              val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
+              if (mean <= 0.0 || vr <= 0.0) mean
+              else {
+                val ci = math.sqrt(vr) / mean
+                if (ci < cu) mean
+                else cp * (1.0 - cu2 / (ci * ci)) + mean * (cu2 / (ci * ci))
+              }
+            }
+          case MODE_GAMMA_MAP =>
+            if (n <= 0) ND
+            else {
+              val mean = s1 / n
+              val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
+              if (mean <= 0.0 || vr <= 0.0) mean
+              else {
+                val ci = math.sqrt(vr) / mean
+                if (ci <= cu) mean
+                else if (ci < cmax) {
+                  val alpha = (1.0 + cu2) / (ci * ci - cu2)
+                  val dd = mean * mean * (alpha - enl - 1.0) * (alpha - enl - 1.0) +
+                    4.0 * alpha * enl * mean * cp
+                  if (dd < 0.0) cp
+                  else ((alpha - enl - 1.0) * mean + math.sqrt(dd)) / (2.0 * alpha)
+                } else cp
+              }
+            }
+          case MODE_FROST =>
+            // Frost.java:124-189: exponentially damped kernel weighted by local
+            // coefficient of variation: k = exp(-damping * (vr/m^2) * dist).
+            if (n <= 0) ND
+            else if (isNd(cp)) ND
+            else {
+              val mean = s1 / n
+              val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
+              if (mean <= 0.0 || vr <= 0.0) mean
+              else {
+                val b = damping * (vr / (mean * mean))
+                var num = 0.0; var den = 0.0
+                var dy = -m
+                while (dy <= m) {
+                  var dx = -m
+                  while (dx <= m) {
+                    val v = a((y + m + dy) * hw + (x + m + dx))
+                    if (!isNd(v)) {
+                      val dist = math.abs(dx) + math.abs(dy) // manhattan, Frost.java:60
+                      val k = math.exp(-b * dist)
+                      num += v * k; den += k
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                if (den == 0.0) mean else num / den
+              }
+            }
+          case MODE_LEE_SIGMA =>
+            leeSigmaPixel(a, hw, x, y, m, cp, enl, cu, cu2)
+          case MODE_REFINED_LEE =>
+            refinedLeePixel(a, hw, x, y, m, cp, enl)
+          case MODE_IDAN =>
+            idanPixel(a, hw, hh, x, y, m, cp, enl)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
+   * Lee Sigma (reference LeeSigma.java, the SpeckleFilterOp DEFAULT :61-66), simplified
+   * two-step scheme at fixed sigma=0.9: (1) 3x3 MMSE estimate of the prior mean from
+   * the full window; (2) average restricted to the two-sided sigma range
+   * [prior*I1, prior*I2] (sigma-90 bounds for 1-look intensity, LeeSigma.java table),
+   * MMSE-weighted toward the center pixel. Out-of-range windows fall back to the prior.
+   */
+  private def leeSigmaPixel(a: Array[Double], hw: Int, x: Int, y: Int, m: Int,
+      cp: Double, enl: Double, cu: Double, cu2: Double): Double = {
+    if (isNd(cp)) return ND
+    // step 1: MMSE prior from the full window (same as Lee)
+    var n = 0; var s1 = 0.0; var s2 = 0.0
+    var dy = -m
+    while (dy <= m) {
+      var dx = -m
+      while (dx <= m) {
+        val v = a((y + m + dy) * hw + (x + m + dx))
+        if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (n <= 0) return ND
+    val mean = s1 / n
+    val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
+    val prior =
+      if (mean <= 0.0 || vr <= 0.0) mean
+      else {
+        val ci = math.sqrt(vr) / mean
+        if (ci < cu) mean
+        else cp * (1.0 - cu2 / (ci * ci)) + mean * (cu2 / (ci * ci))
+      }
+    // step 2: sigma-range average (sigma = 0.9 -> I1 = 0.286*prior, I2 = 2.026*prior
+    // for 1-look; scaled ranges for multilook collapse toward 1 — we pin the 1-look
+    // table row, LeeSigma.java sigma90 bounds)
+    val i1 = 0.286 * prior
+    val i2 = 2.026 * prior
+    var rn = 0; var rs1 = 0.0; var rs2 = 0.0
+    dy = -m
+    while (dy <= m) {
+      var dx = -m
+      while (dx <= m) {
+        val v = a((y + m + dy) * hw + (x + m + dx))
+        if (!isNd(v) && v >= i1 && v <= i2) { rn += 1; rs1 += v; rs2 += v * v }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (rn <= 0) return prior
+    val rm = rs1 / rn
+    val rvr = if (rn > 1) (rs2 - rn * rm * rm) / (rn - 1) else 0.0
+    if (rm <= 0.0 || rvr <= 0.0) return rm
+    // sigma-vr compensation: cu' = 0.577 * cu (sigma=0.9 noise reduction factor)
+    val cuR = 0.577 * (1.0 / math.sqrt(enl))
+    val cu2R = cuR * cuR
+    val ciR = math.sqrt(rvr) / rm
+    if (ciR < cuR) rm
+    else cp * (1.0 - cu2R / (ciR * ciR)) + rm * (cu2R / (ciR * ciR))
+  }
+
+  /**
+   * Refined Lee (reference RefinedLee.java): gradient-based edge-aligned window. The
+   * 8 directional sub-windows of the (2m+1)^2 window are scored by the gradient of the
+   * 3x3 sub-means; the MMSE filter then runs over the best-aligned half-window.
+   */
+  private def refinedLeePixel(a: Array[Double], hw: Int, x: Int, y: Int, m: Int,
+      cp: Double, enl: Double): Double = {
+    if (isNd(cp)) return ND
+    // 3x3 grid of sub-means over the window thirds
+    val sub = new Array[Double](9)
+    val subN = new Array[Int](9)
+    val step = (2 * m + 1) / 3.0
+    var dy = -m
+    while (dy <= m) {
+      var dx = -m
+      while (dx <= m) {
+        val v = a((y + m + dy) * hw + (x + m + dx))
+        if (!isNd(v)) {
+          val sy = math.min(2, ((dy + m) / step).toInt)
+          val sx = math.min(2, ((dx + m) / step).toInt)
+          sub(sy * 3 + sx) += v; subN(sy * 3 + sx) += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    var i = 0
+    while (i < 9) { if (subN(i) > 0) sub(i) /= subN(i); i += 1 }
+    // gradient over the 4 axes through the center sub-mean; pick max |gradient|
+    // direction, then the half-plane whose outer sub-mean is closer to the center
+    val gAbs = Array(
+      math.abs(sub(3) - sub(5)), // horizontal (W - E)
+      math.abs(sub(1) - sub(7)), // vertical (N - S)
+      math.abs(sub(0) - sub(8)), // NW - SE
+      math.abs(sub(2) - sub(6))) // NE - SW
+    var best = 0
+    i = 1
+    while (i < 4) { if (gAbs(i) > gAbs(best)) best = i; i += 1 }
+    // half-plane selector: keep pixels on the side of the edge containing the center,
+    // i.e. the side whose sub-mean is closer to sub(4)
+    val (pa, pb) = best match {
+      case 0 => (3, 5)
+      case 1 => (1, 7)
+      case 2 => (0, 8)
+      case 3 => (2, 6)
+    }
+    val keepA = math.abs(sub(pa) - sub(4)) <= math.abs(sub(pb) - sub(4))
+    @inline def inHalf(dx: Int, dy: Int): Boolean = best match {
+      case 0 => if (keepA) dx <= 0 else dx >= 0
+      case 1 => if (keepA) dy <= 0 else dy >= 0
+      case 2 => if (keepA) dx + dy <= 0 else dx + dy >= 0
+      case 3 => if (keepA) dx - dy >= 0 else dx - dy <= 0
+    }
+    var n = 0; var s1 = 0.0; var s2 = 0.0
+    dy = -m
+    while (dy <= m) {
+      var dx = -m
+      while (dx <= m) {
+        if (inHalf(dx, dy)) {
+          val v = a((y + m + dy) * hw + (x + m + dx))
+          if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (n <= 0) return ND
+    val mean = s1 / n
+    val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
+    if (mean <= 0.0 || vr <= 0.0) return mean
+    val cu = 1.0 / math.sqrt(enl); val cu2 = cu * cu
+    val ci = math.sqrt(vr) / mean
+    if (ci < cu) mean
+    else cp * (1.0 - cu2 / (ci * ci)) + mean * (cu2 / (ci * ci))
+  }
+
+  /**
+   * IDAN-style (Intensity-Driven Adaptive Neighborhood, reference IDAN.java): greedy
+   * region growing from the center seed — neighbors within the window join the region
+   * when |v - seed| <= t * seed (t = 2*cu, the 1-sigma speckle band); the filtered
+   * value is the region mean (deterministic BFS in (dy,dx) row-major ring order).
+   */
+  private def idanPixel(a: Array[Double], hw: Int, hh: Int, x: Int, y: Int, m: Int,
+      cp: Double, enl: Double): Double = {
+    if (isNd(cp)) return ND
+    val t = 2.0 / math.sqrt(enl)
+    var n = 0; var s1 = 0.0
+    var ring = 0
+    while (ring <= m) {
+      var dy = -ring
+      while (dy <= ring) {
+        var dx = -ring
+        while (dx <= ring) {
+          if (math.max(math.abs(dx), math.abs(dy)) == ring) {
+            val v = a((y + m + dy) * hw + (x + m + dx))
+            if (!isNd(v) && math.abs(v - cp) <= t * cp) { n += 1; s1 += v }
+          }
+          dx += 1
+        }
+        dy += 1
+      }
+      ring += 1
+    }
+    if (n <= 0) ND else s1 / n
+  }
+
+  // ------------------------------------------------------------- window stats (shared)
+
+  /** Per-pixel window moment struct stream (n, s1, s2, cp) packed as 4 flat double
+   * arrays in one struct row — the native twin of Raster.windowStatsSql for operators
+   * that need raw moments (CFAR, flood, dual-pol). `haloM` is the halo margin the
+   * input was assembled with; `winR` (<= haloM) is the moment window radius, so ring
+   * statistics come from two calls (full minus guard) with EXACT dyadic sums. */
+  def windowMoments(halo: ArrayData, w: Int, h: Int, haloM: Int, winR: Int): InternalRow = {
+    val hw = w + 2 * haloM
+    val a = halo.toDoubleArray()
+    val nA = new Array[Double](w * h)
+    val s1A = new Array[Double](w * h)
+    val s2A = new Array[Double](w * h)
+    val cpA = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var n = 0; var s1 = 0.0; var s2 = 0.0
+        var dy = -winR
+        while (dy <= winR) {
+          var dx = -winR
+          while (dx <= winR) {
+            val v = a((y + haloM + dy) * hw + (x + haloM + dx))
+            if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
+            dx += 1
+          }
+          dy += 1
+        }
+        val k = y * w + x
+        nA(k) = n; s1A(k) = s1; s2A(k) = s2; cpA(k) = a((y + haloM) * hw + (x + haloM))
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(nA), UnsafeArrayData.fromPrimitiveArray(s1A),
+      UnsafeArrayData.fromPrimitiveArray(s2A), UnsafeArrayData.fromPrimitiveArray(cpA))
+  }
+
+  /** Two-parameter CFAR over one margin-m halo (AdaptiveThresholdingOp.java:59-148):
+   * background ring = (2m+1)^2 window minus the (2g+1)^2 guard, t = (cp - mean)/std,
+   * returns struct(n_detect:long, max_t:double|null) for the tile. All sums are exact
+   * on the dyadic grid, so full-minus-guard equals the oracle's direct ring sums. */
+  def cfar(halo: ArrayData, w: Int, h: Int, m: Int, g: Int, thr: Double): InternalRow = {
+    val hw = w + 2 * m
+    val a = halo.toDoubleArray()
+    var nDetect = 0L
+    var maxT = Double.NegativeInfinity
+    var any = false
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cp = a((y + m) * hw + (x + m))
+        if (!isNd(cp)) {
+          var n = 0.0; var s1 = 0.0; var s2 = 0.0
+          var dy = -m
+          while (dy <= m) {
+            var dx = -m
+            while (dx <= m) {
+              if (math.abs(dy) > g || math.abs(dx) > g) {
+                val v = a((y + m + dy) * hw + (x + m + dx))
+                if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (n >= 2) {
+            val vr = (s2 - n * (s1 / n) * (s1 / n)) / (n - 1)
+            if (vr > 0.0) {
+              val t = (cp - s1 / n) / math.sqrt(vr)
+              any = true
+              if (t > maxT) maxT = t
+              if (t > thr) nDetect += 1
+            }
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(nDetect, if (any) maxT else null)
+  }
+
+  // ---------------------------------------------------------------- LUT interpolation
+
+  /**
+   * Per-pixel bilinear LUT interpolation over bracketing calibration vectors
+   * (Sentinel1Calibrator.java:412-477 with cached-index binary search :464-477).
+   * vecs: array<struct<line:int, pixels:array<int>, lut:array<double>>> sorted by line.
+   * Returns the w*h interpolated LUT array for the tile at (burstIdx, tileX, tileY).
+   *
+   * Bracket semantics mirror the staged-HOF reference implementation exactly:
+   * vi = clamp(#{line <= gl}, 1, nVecs-1) (1-based upper vector), pixel knot index on
+   * v0's grid, one muX shared by both rows.
+   */
+  def lutInterp(vecs: ArrayData, burstIdx: Int, tileX: Int, tileY: Int,
+      w: Int, h: Int, linesPerBurst: Int): ArrayData = {
+    val nVec = vecs.numElements()
+    // unpack vectors once per tile row
+    val lines = new Array[Int](nVec)
+    val pixelArr = new Array[Array[Int]](nVec)
+    val lutArr = new Array[Array[Double]](nVec)
+    var vi = 0
+    while (vi < nVec) {
+      val r = vecs.getStruct(vi, 3)
+      lines(vi) = r.getInt(0)
+      pixelArr(vi) = r.getArray(1).toIntArray()
+      lutArr(vi) = r.getArray(2).toDoubleArray()
+      vi += 1
+    }
+    val out = new Array[Double](w * h)
+    val gline0 = (burstIdx - 1) * linesPerBurst + tileY * h
+    val gx0 = tileX * w
+    var yy = 0
+    while (yy < h) {
+      val gl = gline0 + yy
+      // vector bracket: count of line <= gl, clamped to [1, nVec-1] (binary search)
+      var lo = 0; var hi = nVec // upper_bound on lines
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lines(mid) <= gl) lo = mid + 1 else hi = mid
+      }
+      val vIdx = math.max(1, math.min(nVec - 1, lo)) // 1-based upper vector
+      val v0p = pixelArr(vIdx - 1); val v0l = lutArr(vIdx - 1); val v1l = lutArr(vIdx)
+      val line0 = lines(vIdx - 1); val line1 = lines(vIdx)
+      val muY = (gl.toDouble - line0) / (line1 - line0)
+      var xx = 0
+      while (xx < w) {
+        val gx = gx0 + xx
+        var plo = 0; var phi = v0p.length // upper_bound on pixels
+        while (plo < phi) {
+          val mid = (plo + phi) >>> 1
+          if (v0p(mid) <= gx) plo = mid + 1 else phi = mid
+        }
+        val pIdx = math.max(1, math.min(v0p.length - 1, plo)) // 1-based upper knot
+        val p0 = v0p(pIdx - 1); val p1 = v0p(pIdx)
+        val muX = (gx.toDouble - p0) / (p1 - p0)
+        val l00 = v0l(pIdx - 1); val l01 = v0l(pIdx)
+        val l10 = v1l(pIdx - 1); val l11 = v1l(pIdx)
+        out(yy * w + xx) =
+          (1.0 - muY) * ((1.0 - muX) * l00 + muX * l01) +
+            muY * ((1.0 - muX) * l10 + muX * l11)
+        xx += 1
+      }
+      yy += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ------------------------------------------------------------------ spectral kernels
+
+  private def fft1d(re: Array[Double], im: Array[Double], inverse: Boolean): (Array[Double], Array[Double]) = {
+    import org.apache.commons.math3.transform.{DftNormalization, FastFourierTransformer, TransformType}
+    val t = new FastFourierTransformer(DftNormalization.STANDARD)
+    val dir = if (inverse) TransformType.INVERSE else TransformType.FORWARD
+    val c = t.transform(re.zip(im).map { case (a, b) => new org.apache.commons.math3.complex.Complex(a, b) }, dir)
+    (c.map(_.getReal), c.map(_.getImaginary))
+  }
+
+  /**
+   * Range oversampling x2 via frequency-domain zero-padding (reference
+   * OversamplingOp.java:46): per image row, FFT(w) -> spectrum split with halved
+   * Nyquist bin -> IFFT(2w). Equivalent to trigonometric interpolation with the
+   * periodic-sinc kernel sin(pi u)/(w tan(pi u/w)) — the independent oracle form.
+   * Returns a (2w x h) row-major array.
+   */
+  def oversampleRange(arrD: ArrayData, w: Int, h: Int): ArrayData = {
+    val a = arrD.toDoubleArray()
+    val out = new Array[Double](2 * w * h)
+    val zero = new Array[Double](w)
+    var y = 0
+    while (y < h) {
+      val row = java.util.Arrays.copyOfRange(a, y * w, (y + 1) * w)
+      val (fr, fi) = fft1d(row, zero, inverse = false)
+      val gr = new Array[Double](2 * w); val gi = new Array[Double](2 * w)
+      var k = 0
+      while (k < w / 2) { gr(k) = fr(k); gi(k) = fi(k); k += 1 }
+      // split Nyquist
+      gr(w / 2) = fr(w / 2) / 2.0; gi(w / 2) = fi(w / 2) / 2.0
+      gr(2 * w - w / 2) = fr(w / 2) / 2.0; gi(2 * w - w / 2) = fi(w / 2) / 2.0
+      k = w / 2 + 1
+      while (k < w) { gr(w + k) = fr(k); gi(w + k) = fi(k); k += 1 }
+      val (or_, _) = fft1d(gr, gi, inverse = true)
+      var x = 0
+      while (x < 2 * w) { out(y * 2 * w + x) = 2.0 * or_(x); x += 1 }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
+   * Ideal low-pass band filter along one axis (reference BandPassFilterOp /
+   * RangeFilterOp / AzimuthFilterOp family): zero all DFT bins with |k| > kc.
+   * axis 0 = range (rows), 1 = azimuth (columns). Equivalent to circular
+   * convolution with the Dirichlet kernel (the oracle form).
+   */
+  def bandpass(arrD: ArrayData, w: Int, h: Int, kc: Int, axis: Int): ArrayData = {
+    val a = arrD.toDoubleArray()
+    val out = new Array[Double](w * h)
+    if (axis == 0) {
+      val zero = new Array[Double](w)
+      var y = 0
+      while (y < h) {
+        val row = java.util.Arrays.copyOfRange(a, y * w, (y + 1) * w)
+        val (fr, fi) = fft1d(row, zero, inverse = false)
+        var k = kc + 1
+        while (k < w - kc) { fr(k) = 0.0; fi(k) = 0.0; k += 1 }
+        val (or_, _) = fft1d(fr, fi, inverse = true)
+        var x = 0
+        while (x < w) { out(y * w + x) = or_(x); x += 1 }
+        y += 1
+      }
+    } else {
+      val zero = new Array[Double](h)
+      var x = 0
+      while (x < w) {
+        val colA = new Array[Double](h)
+        var y = 0
+        while (y < h) { colA(y) = a(y * w + x); y += 1 }
+        val (fr, fi) = fft1d(colA, zero, inverse = false)
+        var k = kc + 1
+        while (k < h - kc) { fr(k) = 0.0; fi(k) = 0.0; k += 1 }
+        val (or_, _) = fft1d(fr, fi, inverse = true)
+        y = 0
+        while (y < h) { out(y * w + x) = or_(y); y += 1 }
+        x += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
+   * Goldstein phase filter (reference GoldsteinFilterOp.java:48): Z = FFT2D of the
+   * complex interferogram tile, Z' = Z * |Z|^alpha, filtered phase = arg(IFFT2D(Z')).
+   * No-data pixels enter the FFT as 0 (and the output phase is computed everywhere).
+   */
+  def goldstein(creD: ArrayData, cimD: ArrayData, w: Int, h: Int, alpha: Double): ArrayData = {
+    require(w == h, "goldstein expects square tiles")
+    val cre = creD.toDoubleArray(); val cim = cimD.toDoubleArray()
+    val n = w
+    val re = new Array[Double](n * n); val im = new Array[Double](n * n)
+    var i = 0
+    while (i < n * n) {
+      re(i) = if (isNd(cre(i))) 0.0 else cre(i)
+      im(i) = if (isNd(cim(i))) 0.0 else cim(i)
+      i += 1
+    }
+    fft2d(re, im, n, inverse = false)
+    i = 0
+    while (i < n * n) {
+      val mag = math.sqrt(re(i) * re(i) + im(i) * im(i))
+      val wgt = math.pow(mag, alpha)
+      re(i) *= wgt; im(i) *= wgt
+      i += 1
+    }
+    fft2d(re, im, n, inverse = true)
+    val out = new Array[Double](n * n)
+    i = 0
+    while (i < n * n) { out(i) = math.atan2(im(i), re(i)); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ------------------------------------------------------------ coregistration kernels
+
+  /** Assemble a patch [y0, y0+ph) x [x0, x0+pw) in burst-local raster coords from a
+   * collected set of tile rows struct(tile_x:int, tile_y:int, arr:array<double>).
+   * Out-of-provided-tiles cells -> NaN marker (caller decides semantics). */
+  private def assemble(tiles: ArrayData, x0: Int, y0: Int, pw: Int, ph: Int,
+      tw: Int, th: Int): Array[Double] = {
+    val out = Array.fill(pw * ph)(Double.NaN)
+    val n = tiles.numElements()
+    var i = 0
+    while (i < n) {
+      val r = tiles.getStruct(i, 3)
+      val tx = r.getInt(0); val ty = r.getInt(1)
+      val arr = r.getArray(2)
+      val gx0 = tx * tw; val gy0 = ty * th
+      var yy = math.max(y0, gy0)
+      val yEnd = math.min(y0 + ph, gy0 + th)
+      while (yy < yEnd) {
+        var xx = math.max(x0, gx0)
+        val xEnd = math.min(x0 + pw, gx0 + tw)
+        while (xx < xEnd) {
+          out((yy - y0) * pw + (xx - x0)) = arr.getDouble((yy - gy0) * tw + (xx - gx0))
+          xx += 1
+        }
+        yy += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** In-place 2-D FFT (power-of-2 sides) via commons-math3 row/column passes. */
+  private def fft2d(re: Array[Double], im: Array[Double], n: Int, inverse: Boolean): Unit = {
+    import org.apache.commons.math3.transform.{DftNormalization, FastFourierTransformer, TransformType}
+    val t = new FastFourierTransformer(DftNormalization.STANDARD)
+    val dir = if (inverse) TransformType.INVERSE else TransformType.FORWARD
+    val rowR = new Array[Double](n); val rowI = new Array[Double](n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) { rowR(x) = re(y * n + x); rowI(x) = im(y * n + x); x += 1 }
+      val c = t.transform(rowR.zip(rowI).map { case (a, b) => new org.apache.commons.math3.complex.Complex(a, b) }, dir)
+      x = 0
+      while (x < n) { re(y * n + x) = c(x).getReal; im(y * n + x) = c(x).getImaginary; x += 1 }
+      y += 1
+    }
+    var x = 0
+    while (x < n) {
+      var yy = 0
+      while (yy < n) { rowR(yy) = re(yy * n + x); rowI(yy) = im(yy * n + x); yy += 1 }
+      val c = t.transform(rowR.zip(rowI).map { case (a, b) => new org.apache.commons.math3.complex.Complex(a, b) }, dir)
+      yy = 0
+      while (yy < n) { re(yy * n + x) = c(yy).getReal; im(yy * n + x) = c(yy).getImaginary; yy += 1 }
+      x += 1
+    }
+  }
+
+  /**
+   * FFT cross-correlation tie-point match with subpixel peak (the Spark-side analog
+   * of jlinda CoregistrationUtils.java:186-288 + the CrossCorrelationOp iteration
+   * loop :935-990 and coherence gate :891-907).
+   *
+   * refTiles/secTiles: collected covering tiles of the two images. (cx, cy):
+   * burst-local GCP center. half: imagette half-size. searchR: max shift searched.
+   * Returns struct(est_dx, est_dy, peak_ncc):
+   *  1. zero-mean reference imagette (2*half)^2 and secondary window (+2R margin);
+   *  2. raw cross-correlation surface via zero-padded 2-D FFTs (conj multiply);
+   *  3. per-lag normalization -> NCC on the [-R, R]^2 lattice;
+   *  4. iterative shrink loop: integer argmax, re-centered +-1 neighborhood,
+   *     3-point parabolic subpixel interpolation per axis;
+   *  5. peak NCC below threshold -> invalid (NaN estimates).
+   */
+  def fftXcorrMatch(refTiles: ArrayData, secTiles: ArrayData, cx: Int, cy: Int,
+      half: Int, searchR: Int, tw: Int, th: Int): InternalRow = {
+    val w = 2 * half
+
+    def zeroMean(a: Array[Double]): Unit = {
+      var s = 0.0; var n = 0; var i = 0
+      while (i < a.length) { if (!a(i).isNaN) { s += a(i); n += 1 }; i += 1 }
+      val m = if (n == 0) 0.0 else s / n
+      i = 0
+      while (i < a.length) { a(i) = if (a(i).isNaN) 0.0 else a(i) - m; i += 1 }
+    }
+
+    /** one FFT-NCC pass: sec window re-centered at (cx+offX, cy+offY), search +-r.
+     * Returns (intDy, intDx, subDy, subDx, peakNcc). */
+    def nccPass(offX: Int, offY: Int, r: Int): (Int, Int, Double, Double, Double) = {
+      val sw = w + 2 * r
+      val ref = assemble(refTiles, cx - half, cy - half, w, w, tw, th)
+      val sec = assemble(secTiles, cx + offX - half - r, cy + offY - half - r, sw, sw, tw, th)
+      zeroMean(ref); zeroMean(sec)
+      var fn = 1
+      while (fn < sw) fn <<= 1
+      val aRe = new Array[Double](fn * fn); val aIm = new Array[Double](fn * fn)
+      val bRe = new Array[Double](fn * fn); val bIm = new Array[Double](fn * fn)
+      var y = 0
+      while (y < w) { var x = 0; while (x < w) { aRe(y * fn + x) = ref(y * w + x); x += 1 }; y += 1 }
+      y = 0
+      while (y < sw) { var x = 0; while (x < sw) { bRe(y * fn + x) = sec(y * sw + x); x += 1 }; y += 1 }
+      fft2d(aRe, aIm, fn, inverse = false)
+      fft2d(bRe, bIm, fn, inverse = false)
+      // C = conj(A) .* B -> ifft -> corr(u, v) = sum ref(y,x) sec(y+u, x+v)
+      val cRe = new Array[Double](fn * fn); val cIm = new Array[Double](fn * fn)
+      var i = 0
+      while (i < fn * fn) {
+        cRe(i) = aRe(i) * bRe(i) + aIm(i) * bIm(i)
+        cIm(i) = aRe(i) * bIm(i) - aIm(i) * bRe(i)
+        i += 1
+      }
+      fft2d(cRe, cIm, fn, inverse = true)
+      val nl = 2 * r + 1
+      val ncc = new Array[Double](nl * nl)
+      var refNorm = 0.0
+      i = 0
+      while (i < ref.length) { refNorm += ref(i) * ref(i); i += 1 }
+      var u = 0
+      while (u < nl) {
+        var v = 0
+        while (v < nl) {
+          var secNorm = 0.0
+          var yy = 0
+          while (yy < w) {
+            var xx = 0
+            while (xx < w) { val sv = sec((yy + u) * sw + (xx + v)); secNorm += sv * sv; xx += 1 }
+            yy += 1
+          }
+          val c = cRe(u * fn + v)
+          ncc(u * nl + v) =
+            if (refNorm <= 0.0 || secNorm <= 0.0) 0.0 else c / math.sqrt(refNorm * secNorm)
+          v += 1
+        }
+        u += 1
+      }
+      var bu = 0; var bv = 0; var best = Double.NegativeInfinity
+      u = 0
+      while (u < nl) {
+        var v = 0
+        while (v < nl) { if (ncc(u * nl + v) > best) { best = ncc(u * nl + v); bu = u; bv = v }; v += 1 }
+        u += 1
+      }
+      def parab(cm: Double, c0: Double, cp: Double): Double = {
+        val den = cm + cp - 2.0 * c0
+        if (den >= 0.0) 0.0 else math.max(-0.5, math.min(0.5, (cm - cp) / (2.0 * den)))
+      }
+      val du = if (bu == 0 || bu == nl - 1) 0.0
+        else parab(ncc((bu - 1) * nl + bv), ncc(bu * nl + bv), ncc((bu + 1) * nl + bv))
+      val dv = if (bv == 0 || bv == nl - 1) 0.0
+        else parab(ncc(bu * nl + (bv - 1)), ncc(bu * nl + bv), ncc(bu * nl + (bv + 1)))
+      (bu - r, bv - r, du, dv, best)
+    }
+
+    /** periodic trigonometric resampling (the exact FFT-shift for even N, split
+     * Nyquist): out(y, x) = b(y + sy, x + sx), separable row/column passes with
+     * K(u) = sin(pi u)/(N tan(pi u / N)). */
+    def shiftPeriodic(b: Array[Double], n: Int, sx: Double, sy: Double): Array[Double] = {
+      def kern(u: Double, nn: Int): Double = {
+        val r = u - math.rint(u)
+        if (math.abs(r) < 1e-12) { if (math.floorMod(math.rint(u).toLong, nn.toLong) == 0L) 1.0 else 0.0 }
+        else math.sin(math.Pi * u) / (nn * math.tan(math.Pi * u / nn))
+      }
+      val tmp = new Array[Double](n * n)
+      var y = 0
+      while (y < n) { // rows: sample at x + sx
+        var x = 0
+        while (x < n) {
+          var s = 0.0
+          var j = 0
+          while (j < n) { s += b(y * n + j) * kern(x + sx - j, n); j += 1 }
+          tmp(y * n + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Double](n * n)
+      var x = 0
+      while (x < n) { // columns: sample at y + sy
+        var yy = 0
+        while (yy < n) {
+          var s = 0.0
+          var j = 0
+          while (j < n) { s += tmp(j * n + x) * kern(yy + sy - j, n); j += 1 }
+          out(yy * n + x) = s
+          yy += 1
+        }
+        x += 1
+      }
+      out
+    }
+
+    /** +-1 NCC + parabola of ref against a pre-shifted secondary window. */
+    def refinePass(sec: Array[Double], sw: Int): (Int, Int, Double, Double, Double) = {
+      val ref = assemble(refTiles, cx - half, cy - half, w, w, tw, th)
+      zeroMean(ref)
+      var sm = 0.0; var sn = 0
+      var i = 0
+      while (i < sec.length) { if (!sec(i).isNaN) { sm += sec(i); sn += 1 }; i += 1 }
+      val mean = if (sn == 0) 0.0 else sm / sn
+      val b = sec.map(v => if (v.isNaN) 0.0 else v - mean)
+      val off = searchR - 1 // center the 3x3 lag lattice inside the sw window
+      val ncc = new Array[Double](9)
+      var refNorm = 0.0
+      i = 0
+      while (i < ref.length) { refNorm += ref(i) * ref(i); i += 1 }
+      var u = 0
+      while (u < 3) {
+        var v = 0
+        while (v < 3) {
+          var c = 0.0; var bn = 0.0
+          var yy = 0
+          while (yy < w) {
+            var xx = 0
+            while (xx < w) {
+              val bv = b((yy + off + u) * sw + (xx + off + v))
+              c += ref(yy * w + xx) * bv
+              bn += bv * bv
+              xx += 1
+            }
+            yy += 1
+          }
+          ncc(u * 3 + v) = if (refNorm <= 0.0 || bn <= 0.0) 0.0 else c / math.sqrt(refNorm * bn)
+          v += 1
+        }
+        u += 1
+      }
+      var bu = 0; var bv = 0; var best = Double.NegativeInfinity
+      u = 0
+      while (u < 3) {
+        var v = 0
+        while (v < 3) { if (ncc(u * 3 + v) > best) { best = ncc(u * 3 + v); bu = u; bv = v }; v += 1 }
+        u += 1
+      }
+      def parab(cm: Double, c0: Double, cp: Double): Double = {
+        val den = cm + cp - 2.0 * c0
+        if (den >= 0.0) 0.0 else math.max(-0.5, math.min(0.5, (cm - cp) / (2.0 * den)))
+      }
+      val du = if (bu == 0 || bu == 2) 0.0 else parab(ncc(bv), ncc(3 + bv), ncc(6 + bv))
+      val dv = if (bv == 0 || bv == 2) 0.0 else parab(ncc(bu * 3), ncc(bu * 3 + 1), ncc(bu * 3 + 2))
+      (bu - 1, bv - 1, du, dv, best)
+    }
+
+    // pass 1: FFT NCC over the full search lattice + parabolic subpixel; then <= 5
+    // refinement rounds re-sampling the secondary window at the running FRACTIONAL
+    // estimate (periodic trig resampling == FFT shift) and re-correlating +-1 —
+    // the oversampled-peak iteration of CoregistrationUtils.java:186-288 /
+    // CrossCorrelationOp.java:935-990. Converges to ~0.03 px on the smooth fixtures.
+    val sw = w + 2 * searchR
+    val sec0 = assemble(secTiles, cx - half - searchR, cy - half - searchR, sw, sw, tw, th)
+      .map(v => if (v.isNaN) Double.NaN else v)
+    val (idy0, idx0, du0, dv0, p0) = nccPass(0, 0, searchR)
+    var estX = idx0 + dv0
+    var estY = idy0 + du0
+    var peak = p0
+    var iter = 0; var done = false
+    while (iter < 5 && !done) {
+      val shifted = shiftPeriodic(sec0.map(v => if (v.isNaN) 0.0 else v), sw, estX, estY)
+      val (idy, idx, du, dv, p) = refinePass(shifted, sw)
+      val stepX = idx + dv; val stepY = idy + du
+      estX += stepX; estY += stepY
+      peak = p
+      done = math.abs(stepX) < 2e-3 && math.abs(stepY) < 2e-3
+      iter += 1
+    }
+    val coherent = peak >= 0.3 // coherence gate (CrossCorrelationOp.java:891-907)
+    InternalRow(
+      if (coherent) estX else Double.NaN,
+      if (coherent) estY else Double.NaN,
+      peak)
+  }
+
+  /** Integer-lattice SSD match (the degenerate planted-translation case): argmin of
+   * sum((ref - shifted sec)^2) over [-R, R]^2, ties broken by (dy, dx) ascending.
+   * Returns struct(est_dx:int, est_dy:int, ssd_min:double). */
+  def ssdMatch(refTiles: ArrayData, secTiles: ArrayData, cx: Int, cy: Int,
+      half: Int, searchR: Int, tw: Int, th: Int): InternalRow = {
+    val w = 2 * half
+    val sw = w + 2 * searchR
+    val ref = assemble(refTiles, cx - half, cy - half, w, w, tw, th)
+    val sec = assemble(secTiles, cx - half - searchR, cy - half - searchR, sw, sw, tw, th)
+    var bdx = 0; var bdy = 0; var bssd = Double.PositiveInfinity
+    var dy = -searchR
+    while (dy <= searchR) {
+      var dx = -searchR
+      while (dx <= searchR) {
+        var ssd = 0.0
+        var y = 0
+        while (y < w) {
+          var x = 0
+          while (x < w) {
+            val r = ref(y * w + x)
+            val s = sec((y + searchR + dy) * sw + (x + searchR + dx))
+            if (!r.isNaN && !s.isNaN) { val d = r - s; ssd += d * d }
+            x += 1
+          }
+          y += 1
+        }
+        if (ssd < bssd) { bssd = ssd; bdx = dx; bdy = dy }
+        dx += 1
+      }
+      dy += 1
+    }
+    InternalRow(bdx, bdy, bssd)
+  }
+
+  /** Aligned-stack diff for one reference tile: gather sec pixels at (gx+sdx, gy+sdy)
+   * from the provided covering sec tiles; returns struct(n:long, max_abs:double) over
+   * pixels whose shifted partner exists (within the provided tiles = within burst). */
+  def alignDiff(refArr: ArrayData, secTiles: ArrayData, tileX: Int, tileY: Int,
+      sdx: Int, sdy: Int, tw: Int, th: Int): InternalRow = {
+    val ref = refArr.toDoubleArray()
+    val x0 = tileX * tw + sdx
+    val y0 = tileY * th + sdy
+    val sec = assemble(secTiles, x0, y0, tw, th, tw, th)
+    var n = 0L; var mx = 0.0
+    var i = 0
+    while (i < ref.length) {
+      val s = sec(i)
+      if (!s.isNaN) {
+        n += 1
+        val d = math.abs(ref(i) - s)
+        if (d > mx) mx = d
+      }
+      i += 1
+    }
+    InternalRow(n, mx)
+  }
+
+  // -------------------------------------------------------------- complex cross kernels
+
+  /** Complex cross products of two complex tiles: returns struct of 4 arrays
+   * (cre, cim, p1, p2) with no-data propagation — the native twin of
+   * InSAR.crossTiles' four HOF passes in ONE pass. */
+  def complexCross(i1d: ArrayData, q1d: ArrayData, i2d: ArrayData, q2d: ArrayData): InternalRow = {
+    @inline def qz(a: Array[Double]): Array[Double] = {
+      var j = 0
+      while (j < a.length) { a(j) = math.floor(a(j) * 4096.0) / 4096.0; j += 1 }
+      a
+    }
+    // snap i/q to the dyadic 2^-12 grid (Raster.Dyadic): downstream window sums stay
+    // exact in double, bit-identical to the oracle's arbitrary-order SQL sums.
+    val i1 = qz(i1d.toDoubleArray()); val q1 = qz(q1d.toDoubleArray())
+    val i2 = qz(i2d.toDoubleArray()); val q2 = qz(q2d.toDoubleArray())
+    val n = i1.length
+    val cre = new Array[Double](n); val cim = new Array[Double](n)
+    val p1 = new Array[Double](n); val p2 = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      if (isNd(i1(k)) || isNd(q1(k)) || isNd(i2(k)) || isNd(q2(k))) {
+        cre(k) = ND; cim(k) = ND; p1(k) = ND; p2(k) = ND
+      } else {
+        cre(k) = i1(k) * i2(k) + q1(k) * q2(k)
+        cim(k) = q1(k) * i2(k) - i1(k) * q2(k)
+        p1(k) = i1(k) * i1(k) + q1(k) * q1(k)
+        p2(k) = i2(k) * i2(k) + q2(k) * q2(k)
+      }
+      k += 1
+    }
+    InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(cre), UnsafeArrayData.fromPrimitiveArray(cim),
+      UnsafeArrayData.fromPrimitiveArray(p1), UnsafeArrayData.fromPrimitiveArray(p2))
+  }
+
+  /** Windowed coherence over 4 halo channels (cre, cim, p1, p2):
+   * |sum c| / sqrt(sum p1 * sum p2), window sums in (dy, dx) row-major order
+   * (CoherenceOp.java:722, 752-755). */
+  def coherence(creH: ArrayData, cimH: ArrayData, p1H: ArrayData, p2H: ArrayData,
+      w: Int, h: Int, m: Int): ArrayData = {
+    val hw = w + 2 * m
+    val cre = creH.toDoubleArray(); val cim = cimH.toDoubleArray()
+    val p1 = p1H.toDoubleArray(); val p2 = p2H.toDoubleArray()
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var n = 0; var sre = 0.0; var sim = 0.0; var sp1 = 0.0; var sp2 = 0.0
+        var dy = -m
+        while (dy <= m) {
+          var dx = -m
+          while (dx <= m) {
+            val idx = (y + m + dy) * hw + (x + m + dx)
+            if (!isNd(p1(idx))) {
+              n += 1; sre += cre(idx); sim += cim(idx); sp1 += p1(idx); sp2 += p2(idx)
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w + x) =
+          if (n == 0) ND else math.sqrt(sre * sre + sim * sim) / math.sqrt(sp1 * sp2)
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

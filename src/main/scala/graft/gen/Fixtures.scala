@@ -44,7 +44,9 @@ object Fixtures {
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val sc = scale(sfDir)
     val d = dir(sfDir)
-    val marker = Paths.get(d, "_COMPLETE")
+    // version-suffixed marker: bump when generate() gains tables so stale fixture
+    // dirs regenerate (deterministic -> existing tables rewrite identically)
+    val marker = Paths.get(d, "_COMPLETE_v4")
     if (!Files.exists(marker)) {
       generate(spark, sc, d)
       Files.createDirectories(Paths.get(d))
@@ -262,6 +264,122 @@ object Fixtures {
     writeTiles(spark, sc, s"$d/tiles_sec.parquet",
       dxCol = s"(pmod(xxhash64(concat_ws('|', 'shift_x', scene_idx_str)), 4) - 1)",
       dyCol = s"(pmod(xxhash64(concat_ws('|', 'shift_y', scene_idx_str)), 4) - 1)")
+
+    // ---- smooth-field pair for SUBPIXEL matching: a band-limited analytic field
+    // (white per-pixel speckle has no subpixel correlation, so fractional shifts are
+    // only recoverable on a smooth field). The secondary is sampled at
+    // (x - dx(x,y), y - dy(x,y)) with a planted degree-1 polynomial warp per scene —
+    // engine xcorr + warp fit must recover it from pixels alone.
+    writeSmoothTiles(spark, sc, s"$d/tiles_smooth.parquet", warped = false)
+    writeSmoothTiles(spark, sc, s"$d/tiles_smooth_sec.parquet", warped = true)
+    val gcpsFrac = for {
+      s <- 0 until sc.nScenes
+      b <- Seq(2, 4, 6, 8)
+      (cx, cy) <- Seq((32, 24), (64, 40), (96, 24))
+    } yield {
+      val gy = (b - 1) * Layout.LinesPerBurst + cy
+      (f"scene_$s%04d_f${b}_${cx}_$cy", f"scene_$s%04d", "IW1", "VV", b, cx, cy,
+        warpDx(s, cx, gy), warpDy(s, cx, gy))
+    }
+    gcpsFrac.toDF("gcp_id", "scene_id", "subswath", "pol", "burst_idx", "cx", "cy",
+        "true_fdx", "true_fdy")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/gcps_frac.parquet")
+    val warpTruth = (0 until sc.nScenes).map { s =>
+      val cs = warpCoeffs(s)
+      (f"scene_$s%04d", cs(0), cs(1), cs(2), cs(3), cs(4), cs(5))
+    }
+    warpTruth.toDF("scene_id", "a0x", "a1x", "a2x", "a0y", "a1y", "a2y")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/warp_truth.parquet")
+
+    // ---- tiles_stack: a K-epoch coregistered stack (IW1/VV only) with planted
+    // per-pixel linear phase deformation rate (SBAS ground truth = closed form) and
+    // varying per-epoch coverage (epoch e covers bursts 1+e..9 -> CreateStack extent
+    // rules differ). phase_e = phi0 + e*rate stays within (-1.5, 1.5) rad: no wraps.
+    writeTilesStack(spark, sc, s"$d/tiles_stack.parquet")
+  }
+
+  val StackEpochs = 5
+
+  // ------------------------------------------------- smooth-field warp fixtures
+
+  /** Planted degree-1 warp coefficients per scene: (a0x, a1x, a2x, a0y, a1y, a2y);
+   * dx(x,y) = a0x + a1x*x + a2x*y over burst-train coords x in [0,128), y in [0,576). */
+  def warpCoeffs(s: Int): Array[Double] = Array(
+    (hash64(s"wa0x|$s") % 300 - 150) / 100.0, // [-1.5, 1.5)
+    (hash64(s"wa1x|$s") % 100 - 50) / 100000.0, // [-5e-4, 5e-4)
+    (hash64(s"wa2x|$s") % 100 - 50) / 100000.0,
+    (hash64(s"wa0y|$s") % 300 - 150) / 100.0,
+    (hash64(s"wa1y|$s") % 100 - 50) / 100000.0,
+    (hash64(s"wa2y|$s") % 100 - 50) / 100000.0)
+
+  def warpDx(s: Int, x: Double, y: Double): Double = {
+    val c = warpCoeffs(s); c(0) + c(1) * x + c(2) * y
+  }
+  def warpDy(s: Int, x: Double, y: Double): Double = {
+    val c = warpCoeffs(s); c(3) + c(4) * x + c(5) * y
+  }
+
+  /** Band-limited analytic field (periods 10-18 px: sharp but smooth xcorr peak). */
+  def smoothField(x: Double, y: Double): Double =
+    120.0 + 40.0 * math.sin(x / 2.9) + 30.0 * math.cos(y / 2.3) +
+      25.0 * math.sin((2.0 * x + 3.0 * y) / 7.1) + 20.0 * math.cos((x - 2.0 * y) / 5.3)
+
+  /** IW1/VV-only smooth tiles; warped = secondary sampled at (x-dx, y-dy). */
+  private def writeSmoothTiles(spark: SparkSession, sc: Scale, path: String, warped: Boolean): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until sc.nScenes
+      b <- 1 to Layout.BurstsPerSubswath
+      ty <- 0 until Layout.TilesY
+      tx <- 0 until Layout.TilesX
+    } yield {
+      val n = Layout.TileW * Layout.TileH
+      val i = new Array[Double](n)
+      var k = 0
+      while (k < n) {
+        val gx = tx * Layout.TileW + k % Layout.TileW
+        val gy = (b - 1) * Layout.LinesPerBurst + ty * Layout.TileH + k / Layout.TileW
+        val (sx, sy) =
+          if (warped) (gx - warpDx(s, gx, gy), gy - warpDy(s, gx, gy))
+          else (gx.toDouble, gy.toDouble)
+        i(k) = smoothField(sx, sy)
+        k += 1
+      }
+      (f"scene_$s%04d", "IW1", "VV", b, tx, ty, i, Array.fill(n)(0.0))
+    }
+    rows.toDF("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "i", "q")
+      .repartition(8).write.mode("overwrite").parquet(path)
+  }
+
+  private def writeTilesStack(spark: SparkSession, sc: Scale, path: String): Unit = {
+    val perBurst = Layout.TilesX * Layout.TilesY
+    val nKeys = sc.nScenes * StackEpochs * Layout.BurstsPerSubswath * perBurst
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    val gy = s"((burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + cast(k / ${Layout.TileW} as int))"
+    val u1 = s"(pmod(xxhash64(concat_ws('|', 'sa', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val u2 = s"(pmod(xxhash64(concat_ws('|', 'sp', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val u3 = s"(pmod(xxhash64(concat_ws('|', 'sr', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val u4 = s"(pmod(xxhash64(concat_ws('|', 'sv', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    // per-epoch amplitude modulation: the temporal CV (REACTIV) is then a real
+    // signal, not cancellation noise on a constant-amplitude series
+    val amp = s"((50.0 + 20.0 * $u1) * (1.0 + 0.08 * epoch * $u4))"
+    val phase = s"((2.0 * ($u2 - 0.5)) + epoch * (0.2 * ($u3 - 0.5)))"
+    val iSql = s"if($u1 < 0.002, ${Layout.NoData}d, $amp * cos($phase))"
+    val qSql = s"if($u1 < 0.002, ${Layout.NoData}d, $amp * sin($phase))"
+    spark.range(0, nKeys.toLong, 1, 16)
+      .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
+      .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
+      .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))
+      .withColumn("epoch", expr(s"CAST((id div ${perBurst * Layout.BurstsPerSubswath}) % $StackEpochs AS INT)"))
+      .withColumn("scene_id", format_string("scene_%04d",
+        expr(s"CAST(id div ${perBurst * Layout.BurstsPerSubswath * StackEpochs} AS INT)")))
+      .where(col("burst_idx") >= col("epoch") + 1) // varying extent per epoch
+      .withColumn("subswath", lit("IW1"))
+      .withColumn("pol", lit("VV"))
+      .withColumn("i", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $iSql)"))
+      .withColumn("q", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $qSql)"))
+      .select("scene_id", "subswath", "pol", "epoch", "burst_idx", "tile_x", "tile_y", "i", "q")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Scala mirror of Spark's xxhash64 over a single string with seed 42 — used for the

@@ -27,7 +27,6 @@ object Multimodal {
         regexp_extract(col("header"), "W=([0-9]+)", 1).cast("int").as("width"),
         regexp_extract(col("header"), "H=([0-9]+)", 1).cast("int").as("height"),
         md5(col("header")).as("content_md5")) // md5 over the utf-8 text form (DuckDB md5 is VARCHAR-only)
-      .orderBy("media_ref")
 
   /**
    * Batch decode via typed mapPartitions — the shape a real codec would use (one

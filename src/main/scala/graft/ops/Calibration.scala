@@ -28,47 +28,59 @@ object Calibration {
       .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col(lutCol).as("lut"))))
         .as("vecs"))
 
-  /** Tile df + broadcast LUT -> per-pixel interpolated LUT array column "lut_a". */
-  def withLutA(tiles: DataFrame, lut: DataFrame): DataFrame = {
-    val gline = s"((burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+  /** Tile df + broadcast LUT -> per-pixel interpolated LUT array column "lut_a".
+   * Native codegen'd kernel (graft.exprs.LutInterpExpr -> Kernels.lutInterp): cached
+   * binary-search bracketing + bilinear, one static call per tile — the reference's
+   * getCalibrationVectorIndex/getPixelIndex interval lookups
+   * (Sentinel1Calibrator.java:464-477, 586-593) as a compiled loop. */
+  def withLutA(tiles: DataFrame, lut: DataFrame): DataFrame =
     tiles.join(broadcast(lut), Seq("scene_id", "subswath", "pol"))
-      // stage 1: pixel coords + bracketing vector index (linear scan over <=10 vectors,
-      // the reference's interval lookup)
-      .withColumn("c1", expr(
-        s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> struct(
-           |  $gline AS gl, $gx AS gx,
-           |  greatest(1, least(size(vecs) - 1, size(filter(vecs, e -> e.line <= $gline)))) AS vi))""".stripMargin))
-      // stage 2: the two bracketing vectors + pixel-knot index on v0's grid
-      .withColumn("c2", expr(
-        """transform(c1, t -> struct(
-          |  t.gl, t.gx,
-          |  element_at(vecs, t.vi) AS v0, element_at(vecs, t.vi + 1) AS v1,
-          |  greatest(1, least(size(element_at(vecs, t.vi).pixels) - 1,
-          |    size(filter(element_at(vecs, t.vi).pixels, p -> p <= t.gx)))) AS pi))""".stripMargin))
-      // stage 3: interpolation weights + the four LUT corners
-      .withColumn("c3", expr(
-        """transform(c2, t -> struct(
-          |  (CAST(t.gl AS DOUBLE) - t.v0.line) / (t.v1.line - t.v0.line) AS muY,
-          |  (CAST(t.gx AS DOUBLE) - element_at(t.v0.pixels, t.pi))
-          |    / (element_at(t.v0.pixels, t.pi + 1) - element_at(t.v0.pixels, t.pi)) AS muX,
-          |  element_at(t.v0.lut, t.pi) AS l00, element_at(t.v0.lut, t.pi + 1) AS l01,
-          |  element_at(t.v1.lut, t.pi) AS l10, element_at(t.v1.lut, t.pi + 1) AS l11))""".stripMargin))
-      // stage 4: bilinear (Sentinel1Calibrator.java:416-417)
-      .withColumn("lut_a", expr(
-        """transform(c3, t ->
-          |  (1D - t.muY) * ((1D - t.muX) * t.l00 + t.muX * t.l01)
-          |  + t.muY * ((1D - t.muX) * t.l10 + t.muX * t.l11))""".stripMargin))
-      .drop("c1", "c2", "c3", "vecs")
-  }
+      .withColumn("lut_a", graft.exprs.KernelExprs.lutInterp(
+        col("vecs"), col("burst_idx"), col("tile_x"), col("tile_y"),
+        Layout.TileW, Layout.TileH, Layout.LinesPerBurst))
+      .drop("vecs")
 
-  /** sigma0 = dn^2 / A^2 per pixel; per-tile rollup scaled by 1e6 for stable rounding. */
+  /** sigma0 = dn^2 / A^2 per pixel; per-tile rollup scaled by 1e1 (quantum 1e-7: the DuckDB oracle's expression engine contracts multiply-adds, so cross-engine doubles agree only to ~1e-13 relative). */
   def sigma0Query(spark: SparkSession, sfDir: String): DataFrame = {
     val tiles = Raster.intensityTiles(spark, sfDir)
     val lut = lutTable(spark, sfDir, "sigma_nought")
     val out = withLutA(tiles, lut)
       .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
-    Raster.rollup(out, scale = 1e6)
+    Raster.rollup(out, scale = 1e1)
+  }
+
+  /** beta0 = dn^2 / A_beta^2 — the LUT-selection branch of CalibrationOp
+   * (Sentinel1Calibrator.java:479-505: sigma/beta/gamma/dn select the LUT column). */
+  def beta0Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = withLutA(Raster.intensityTiles(spark, sfDir), lutTable(spark, sfDir, "beta_nought"))
+      .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
+    Raster.rollup(out, scale = 1e1)
+  }
+
+  /** gamma0 = dn^2 / A_gamma^2. */
+  def gamma0Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = withLutA(Raster.intensityTiles(spark, sfDir), lutTable(spark, sfDir, "gamma"))
+      .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
+    Raster.rollup(out, scale = 1e1)
+  }
+
+  /** sigma0 in dB (outputImageScaleInDb, Sentinel1Calibrator.java:358-364). */
+  def sigma0DbQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = withLutA(Raster.intensityTiles(spark, sfDir), lutTable(spark, sfDir, "sigma_nought"))
+      .withColumn("out", expr(
+        s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND or dn2 <= 0D, $ND, 10D * log10(dn2 / (a * a))))"))
+    Raster.rollup(out)
+  }
+
+  /** Complex-output calibration (Sentinel1Calibrator.java:450-452): i' = i / A —
+   * the phase-preserving branch; the gate rolls up the calibrated real part. */
+  def complexCalQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiles = Fixtures.table(spark, sfDir, "tiles")
+      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+    val out = withLutA(tiles, lutTable(spark, sfDir, "sigma_nought"))
+      .withColumn("out", expr(
+        s"zip_with(iq, lut_a, (x, a) -> if(x = $ND, $ND, x / a))"))
+    Raster.rollup(out)
   }
 
   /** Thermal-noise removal (reference Sentinel1RemoveThermalNoiseOp.java:54): subtract the

@@ -1,80 +1,73 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.exprs.KernelExprs
 import graft.gen.Fixtures
 import graft.model.Layout
 
 /**
  * Cross-Correlation tie-point matching + Warp fit (reference CrossCorrelationOp.java:
- * 74-1520, WarpOp.java:83-866): per GCP, extract a reference imagette and search the
- * secondary image over a shift window for the best alignment; then fit a global warp
- * from the per-GCP offsets. The fixtures plant a per-scene integer shift in tiles_sec
- * (ground truth in the gcps table, which the engine does NOT read for estimation);
- * the matching criterion is SSD (sum of squared differences) — argmin, ties broken by
- * (dy, dx) — which for a planted pure translation recovers the shift exactly with
- * SSD = 0, the degenerate case of the reference's normalized cross-correlation peak.
+ * 74-1520, jlinda CoregistrationUtils.java:186-288, WarpOp.java:83-866).
  *
- * Spark shape (the north rule's kNN tie-point matching): imagette pixels resolve to
- * tile keys; candidate shifts explode per GCP; both gathers are equi-joins on
- * (scene, subswath, pol, burst, gx, gy) pixel keys; argmin = Window top-1 per GCP.
+ * Scale-safe Spark shape (NO pixel explode anywhere): each GCP joins to its <= 9
+ * covering TILES on tile keys (a partition-prunable equi-join against the tile
+ * table), the imagette is sliced from the gathered arrays, and the whole match runs
+ * as ONE native kernel call per GCP (graft.exprs.Kernels.fftXcorrMatch / ssdMatch).
+ * At 100 TB the shuffled volume is (#GCPs x 9 tiles), not (pixels x probes).
+ *
+ * Two matchers:
+ *  - ssdMatch: integer-lattice SSD argmin (the degenerate planted-translation case,
+ *    on the speckled tiles/tiles_sec pair).
+ *  - fftXcorrMatch: zero-mean zero-padded FFT cross-correlation, per-lag NCC,
+ *    iterative re-centering (<= 10 rounds) + 3-point parabolic subpixel peak and a
+ *    coherence threshold — on the band-limited smooth pair with a planted
+ *    FRACTIONAL degree-1 warp the engine must recover to +-0.1 px.
+ *
+ * Warp: degree-1 polynomial least squares per scene with iterative RMS outlier
+ * elimination (WarpOp.java:100-105, 708-709), fitted driver-side on the collected
+ * GCP offsets (<= 2000 rows — the reference's own driver-side shape).
  */
 object Coregistration {
 
-  val Half = 8 // imagette 16x16
-  val SearchR = 3 // shift window [-3, 3]^2
+  val Half = 8 // legacy SSD imagette 16x16
+  val SearchR = 3 // legacy shift window [-3, 3]^2
+  val FracHalf = 16 // FFT imagette 32x32
+  val FracSearchR = 4
 
-  /** pixel-level view of a tile table: (scene, subswath, pol, burst, gx, gy, v). */
-  def pixels(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    Raster.intensityTiles(spark, sfDir, table)
-      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
-        col("tile_x"), col("tile_y"), posexplode(col("v")).as(Seq("k", "val")))
-      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
-        expr(s"tile_x * ${Layout.TileW} + k % ${Layout.TileW}").as("gx"),
-        expr(s"tile_y * ${Layout.TileH} + k div ${Layout.TileW}").as("gy"),
-        col("val"))
+  /** Join GCPs to their covering tiles (reach px around (cx, cy)) and collect the
+   * tile arrays per GCP. `valueCol` is the per-tile array column to gather. */
+  private def gatherPatches(gcps: DataFrame, tiles: DataFrame, reach: Int,
+      valueCol: String, outCol: String): DataFrame = {
+    val keyed = gcps
+      .withColumn("tx", explode(expr(
+        s"""sequence(greatest(0, CAST(floor((cx - $reach) / ${Layout.TileW}.0) AS INT)),
+           |         least(${Layout.TilesX - 1}, CAST(floor((cx + $reach - 1) / ${Layout.TileW}.0) AS INT)))""".stripMargin)))
+      .withColumn("ty", explode(expr(
+        s"""sequence(greatest(0, CAST(floor((cy - $reach) / ${Layout.TileH}.0) AS INT)),
+           |         least(${Layout.TilesY - 1}, CAST(floor((cy + $reach - 1) / ${Layout.TileH}.0) AS INT)))""".stripMargin)))
+    keyed.join(
+        tiles.select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+          col("tile_x").as("tx"), col("tile_y").as("ty"), col(valueCol).as("arr")),
+        Seq("scene_id", "subswath", "pol", "burst_idx", "tx", "ty"))
+      .groupBy("gcp_id", "scene_id", "subswath", "pol", "burst_idx", "cx", "cy")
+      .agg(collect_list(struct(col("tx").as("tile_x"), col("ty").as("tile_y"), col("arr")))
+        .as(outCol))
+  }
 
-  // warp fit and the coregistered stack reuse the offset estimates — cache per session
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  /** Per-GCP offset estimate: argmin over shifts of SSD(ref imagette, shifted sec). */
-  def xcorrOffsetsQuery(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate(s"${spark.hashCode}|$sfDir",
-      xcorrOffsetsUncached(spark, sfDir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  def xcorrOffsetsUncached(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-GCP integer offset estimate (SSD argmin) on the speckled pair. */
+  def xcorrOffsetsQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val gcps = Fixtures.table(spark, sfDir, "gcps")
       .select("gcp_id", "scene_id", "subswath", "pol", "burst_idx", "cx", "cy")
-    // one row per (gcp, shift, imagette offset)
-    val probes = gcps
-      .withColumn("sh", explode(expr(
-        s"""flatten(transform(sequence(-$SearchR, $SearchR), dy ->
-           |  transform(sequence(-$SearchR, $SearchR), dx -> struct(dx AS dx, dy AS dy))))""".stripMargin)))
-      .withColumn("o", explode(expr(
-        s"""flatten(transform(sequence(-$Half, ${Half - 1}), oy ->
-           |  transform(sequence(-$Half, ${Half - 1}), ox -> struct(ox AS ox, oy AS oy))))""".stripMargin)))
-      .select(col("gcp_id"), col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
-        col("sh.dx").as("dx"), col("sh.dy").as("dy"),
-        (col("cx") + col("o.ox")).as("rx"), (col("cy") + col("o.oy")).as("ry"))
-    val ref = pixels(spark, sfDir, "tiles")
-      .withColumnRenamed("gx", "rx").withColumnRenamed("gy", "ry")
-      .withColumnRenamed("val", "ref_v")
-    val sec = pixels(spark, sfDir, "tiles_sec")
-      .withColumnRenamed("val", "sec_v")
-    probes
-      .join(ref, Seq("scene_id", "subswath", "pol", "burst_idx", "rx", "ry"))
-      .withColumn("gx", col("rx") + col("dx"))
-      .withColumn("gy", col("ry") + col("dy"))
-      .join(sec, Seq("scene_id", "subswath", "pol", "burst_idx", "gx", "gy"))
-      .groupBy("gcp_id", "scene_id", "dx", "dy")
-      .agg(sum(expr("(ref_v - sec_v) * (ref_v - sec_v)")).as("ssd"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("gcp_id").orderBy(asc("ssd"), asc("dy"), asc("dx"))))
-      .where(col("rank") === 1)
+    val ref = gatherPatches(gcps, Raster.intensityTiles(spark, sfDir), Half, "v", "ref_tiles")
+    val sec = gatherPatches(gcps, Raster.intensityTiles(spark, sfDir, "tiles_sec"),
+      Half + SearchR, "v", "sec_tiles")
+    ref.join(sec, Seq("gcp_id", "scene_id", "subswath", "pol", "burst_idx", "cx", "cy"))
+      .withColumn("m", KernelExprs.ssdMatch(col("ref_tiles"), col("sec_tiles"),
+        col("cx"), col("cy"), Half, SearchR, Layout.TileW, Layout.TileH))
       .select(col("gcp_id"), col("scene_id"),
-        col("dx").as("est_dx"), col("dy").as("est_dy"), round(col("ssd"), 6).as("ssd_min"))
-      .orderBy("gcp_id")
+        col("m.est_dx").as("est_dx"), col("m.est_dy").as("est_dy"),
+        round(col("m.ssd_min"), 6).as("ssd_min"))
   }
 
   /** Warp fit (constant-offset model per scene, the degree-0 case of WarpOp's
@@ -88,28 +81,135 @@ object Coregistration {
         round(avg("est_dy"), 6).as("warp_dy"),
         round(sqrt(greatest(lit(0.0),
           avg(expr("CAST(est_dx AS DOUBLE) * est_dx")) - pow(avg("est_dx"), 2))), 6).as("rms_dx_dev"))
-      .orderBy("scene_id")
 
-  /** Back-geocoding style coregistered stack: apply the *estimated* shift to gather
-   * secondary pixels onto the reference grid, then verify per-tile agreement
-   * (reference BackGeocodingOp.java:1383-1476 shape: compute alignment, resample,
-   * stack). Output per tile: count + max |ref - sec_aligned|. */
+  /** Back-geocoding style coregistered stack: apply the *estimated* shift via a
+   * tile-key gather (each ref tile joins its <= 4 shifted covering sec tiles), then
+   * verify per-burst agreement. No pixel explode (BackGeocodingOp.java:1383-1476
+   * shape: compute alignment, resample, stack). */
   def coregStackQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val shifts = xcorrOffsetsQuery(spark, sfDir)
       .groupBy("scene_id")
       .agg(expr("CAST(round(avg(est_dx), 0) AS INT)").as("sdx"),
         expr("CAST(round(avg(est_dy), 0) AS INT)").as("sdy"))
-    val ref = pixels(spark, sfDir, "tiles").withColumnRenamed("val", "ref_v")
-    val sec = pixels(spark, sfDir, "tiles_sec").withColumnRenamed("val", "sec_v")
-      .withColumnRenamed("gx", "sgx").withColumnRenamed("gy", "sgy")
+    val ref = Raster.intensityTiles(spark, sfDir)
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v"))
+    val sec = Raster.intensityTiles(spark, sfDir, "tiles_sec")
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x").as("stx"), col("tile_y").as("sty"), col("v").as("sec_arr"))
     ref.join(broadcast(shifts), Seq("scene_id"))
-      .withColumn("sgx", col("gx") + col("sdx"))
-      .withColumn("sgy", col("gy") + col("sdy"))
-      .join(sec, Seq("scene_id", "subswath", "pol", "burst_idx", "sgx", "sgy"))
-      .groupBy(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"))
-      .agg(
-        count(lit(1)).as("n_px"),
-        round(max(abs(col("ref_v") - col("sec_v"))), 6).as("max_abs_diff"))
-      .orderBy("scene_id", "subswath", "pol", "burst_idx")
+      .withColumn("stx", explode(expr(
+        s"""sequence(greatest(0, CAST(floor((tile_x * ${Layout.TileW} + sdx) / ${Layout.TileW}.0) AS INT)),
+           |         least(${Layout.TilesX - 1}, CAST(floor((tile_x * ${Layout.TileW} + ${Layout.TileW - 1} + sdx) / ${Layout.TileW}.0) AS INT)))""".stripMargin)))
+      .withColumn("sty", explode(expr(
+        s"""sequence(greatest(0, CAST(floor((tile_y * ${Layout.TileH} + sdy) / ${Layout.TileH}.0) AS INT)),
+           |         least(${Layout.TilesY - 1}, CAST(floor((tile_y * ${Layout.TileH} + ${Layout.TileH - 1} + sdy) / ${Layout.TileH}.0) AS INT)))""".stripMargin)))
+      .join(sec, Seq("scene_id", "subswath", "pol", "burst_idx", "stx", "sty"))
+      .groupBy("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "sdx", "sdy")
+      .agg(first("v").as("v"),
+        collect_list(struct(col("stx").as("tile_x"), col("sty").as("tile_y"),
+          col("sec_arr").as("arr"))).as("sec_tiles"))
+      .withColumn("d", KernelExprs.alignDiff(col("v"), col("sec_tiles"),
+        col("tile_x"), col("tile_y"), col("sdx"), col("sdy"), Layout.TileW, Layout.TileH))
+      .groupBy("scene_id", "subswath", "pol", "burst_idx")
+      .agg(sum(col("d.n")).as("n_px"), round(max(col("d.max_abs")), 6).as("max_abs_diff"))
+  }
+
+  /** Per-GCP FRACTIONAL offset via FFT-NCC subpixel matching on the smooth pair;
+   * the gate checks recovery of the planted warp to +-0.1 px (truth columns are
+   * read only for the comparison, never for estimation). */
+  def xcorrFracEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    val gcps = Fixtures.table(spark, sfDir, "gcps_frac")
+    val keys = gcps.select("gcp_id", "scene_id", "subswath", "pol", "burst_idx", "cx", "cy")
+    val ref = gatherPatches(keys, Fixtures.table(spark, sfDir, "tiles_smooth"),
+      FracHalf, "i", "ref_tiles")
+    val sec = gatherPatches(keys, Fixtures.table(spark, sfDir, "tiles_smooth_sec"),
+      FracHalf + FracSearchR, "i", "sec_tiles")
+    ref.join(sec, Seq("gcp_id", "scene_id", "subswath", "pol", "burst_idx", "cx", "cy"))
+      .withColumn("m", KernelExprs.fftXcorr(col("ref_tiles"), col("sec_tiles"),
+        col("cx"), col("cy"), FracHalf, FracSearchR, Layout.TileW, Layout.TileH))
+      .select(col("gcp_id"), col("scene_id"), col("cx"), col("cy"), col("burst_idx"),
+        col("m.est_dx").as("est_dx"), col("m.est_dy").as("est_dy"),
+        col("m.peak_ncc").as("peak_ncc"))
+  }
+
+  def xcorrFracQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = Fixtures.table(spark, sfDir, "gcps_frac")
+      .select("gcp_id", "true_fdx", "true_fdy")
+    xcorrFracEstimates(spark, sfDir)
+      .join(truth, Seq("gcp_id"))
+      .select(col("gcp_id"), col("scene_id"),
+        (abs(col("est_dx") - col("true_fdx")) <= 0.1).as("ok_dx"),
+        (abs(col("est_dy") - col("true_fdy")) <= 0.1).as("ok_dy"))
+  }
+
+  /** Degree-1 polynomial warp per scene with iterative RMS outlier elimination
+   * (WarpOp.java:708-709): fit dx(x,y), dy(x,y) = a0 + a1*x + a2*y on the collected
+   * GCP estimates (driver-side, <= 2000 rows), drop residuals > 1.5*rms, refit
+   * (<= 3 rounds). Gate: fitted coefficients within tolerance of the planted truth. */
+  def warpPolyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ests = xcorrFracEstimates(spark, sfDir)
+      .where(!isnan(col("est_dx")))
+      .select(col("scene_id"), col("cx").cast("double"),
+        (expr(s"(burst_idx - 1) * ${Layout.LinesPerBurst}") + col("cy")).cast("double").as("gy"),
+        col("est_dx"), col("est_dy"))
+      .as[(String, Double, Double, Double, Double)].collect()
+
+    def fit(pts: Array[(Double, Double, Double)]): Array[Double] = {
+      // LS on basis [1, x, y] via 3x3 normal equations (Cramer)
+      var s00 = 0.0; var s01 = 0.0; var s02 = 0.0; var s11 = 0.0; var s12 = 0.0; var s22 = 0.0
+      var b0 = 0.0; var b1 = 0.0; var b2 = 0.0
+      for ((x, y, d) <- pts) {
+        s00 += 1; s01 += x; s02 += y; s11 += x * x; s12 += x * y; s22 += y * y
+        b0 += d; b1 += x * d; b2 += y * d
+      }
+      val det = s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
+        s02 * (s01 * s12 - s11 * s02)
+      if (math.abs(det) < 1e-12) return Array(if (pts.nonEmpty) b0 / s00 else 0.0, 0.0, 0.0)
+      val a0 = (b0 * (s11 * s22 - s12 * s12) - s01 * (b1 * s22 - s12 * b2) +
+        s02 * (b1 * s12 - s11 * b2)) / det
+      val a1 = (s00 * (b1 * s22 - b2 * s12) - b0 * (s01 * s22 - s12 * s02) +
+        s02 * (s01 * b2 - b1 * s02)) / det
+      val a2 = (s00 * (s11 * b2 - b1 * s12) - s01 * (s01 * b2 - b1 * s02) +
+        b0 * (s01 * s12 - s11 * s02)) / det
+      Array(a0, a1, a2)
+    }
+
+    def robustFit(pts0: Array[(Double, Double, Double)]): Array[Double] = {
+      var pts = pts0
+      var c = fit(pts)
+      var round = 0
+      var stable = false
+      while (round < 3 && pts.length > 4 && !stable) {
+        val res = pts.map { case (x, y, d) => d - (c(0) + c(1) * x + c(2) * y) }
+        val rms = math.sqrt(res.map(r => r * r).sum / res.length)
+        val keep = pts.zip(res).collect { case (p, r) if math.abs(r) <= math.max(1.5 * rms, 1e-9) => p }
+        if (keep.length == pts.length) stable = true
+        else { pts = keep; c = fit(pts) }
+        round += 1
+      }
+      c
+    }
+
+    val truth = Fixtures.table(spark, sfDir, "warp_truth")
+    val fits = ests.groupBy(_._1).toSeq.map { case (scene, rows) =>
+      val cx = robustFit(rows.map(r => (r._2, r._3, r._4)))
+      val cy = robustFit(rows.map(r => (r._2, r._3, r._5)))
+      (scene, rows.length.toLong, cx(0), cx(1), cx(2), cy(0), cy(1), cy(2))
+    }
+    val fitted = fits.toDF("scene_id", "n_gcps", "fa0x", "fa1x", "fa2x", "fa0y", "fa1y", "fa2y")
+    // gate on PREDICTION error at GCP-hull probe points (the operational warp
+    // accuracy; raw coefficients trade off on the 3-column pin lattice): the fitted
+    // polynomial must match the planted one to <= 0.1 px everywhere on the hull
+    val probes = Seq((32.0, 88.0), (32.0, 488.0), (96.0, 88.0), (96.0, 488.0), (64.0, 288.0))
+    def maxPredErr(f0: String, f1: String, f2: String, t0: String, t1: String, t2: String) =
+      probes.map { case (px, py) =>
+        abs((col(f0) + col(f1) * px + col(f2) * py) - (col(t0) + col(t1) * px + col(t2) * py))
+      }.reduce(greatest(_, _))
+    fitted.join(truth, Seq("scene_id"))
+      .select(col("scene_id"), col("n_gcps"),
+        (maxPredErr("fa0x", "fa1x", "fa2x", "a0x", "a1x", "a2x") <= 0.1).as("ok_x"),
+        (maxPredErr("fa0y", "fa1y", "fa2y", "a0y", "a1y", "a2y") <= 0.1).as("ok_y"))
   }
 }

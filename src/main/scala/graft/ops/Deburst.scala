@@ -42,6 +42,5 @@ object Deburst {
         col("t") <= col("burst_last_line_time") + col("azimuth_time_interval") / 2)
       .select(col("scene_id"), col("subswath"), col("line"), col("burst_idx"),
         expr("CAST(round((t - burst_first_line_time) / azimuth_time_interval, 0) AS INT)").as("local_line"))
-      .orderBy("scene_id", "subswath", "line")
   }
 }

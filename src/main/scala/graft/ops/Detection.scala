@@ -44,36 +44,22 @@ object Detection {
            |  if(a = $ND and b = $ND, $ND,
            |    if(a = $ND, b, if(b = $ND, a, (a + b) / 2D))))""".stripMargin)))
 
-  /** CFAR: per-tile detection count + max test statistic. */
+  /** CFAR: per-tile detection count + max test statistic. The background ring
+   * (9x9 minus the 3x3 guard) comes from TWO native windowMoments passes over one
+   * margin-4 halo — full minus guard, with EXACT dyadic sums (the previous 320-term
+   * HOF expression blew past the codegen size limit once CollapseProject inlined it,
+   * falling back to hours of interpreted eval). */
   def cfarQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val m = 4
     val haloed = Raster.withHaloMulti(
       Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV"), Seq("v"), m)
-    val W = Raster.W; val hw = W + 2 * m
-    def el(dy: Int, dx: Int) =
-      s"element_at(halo_v, CAST((k div $W + $m + $dy) * $hw + (k % $W + $m + $dx) + 1 AS INT))"
-    val ring = for (dy <- -m to m; dx <- -m to m
-      if !(math.abs(dy) <= 1 && math.abs(dx) <= 1)) yield (dy, dx)
-    val n = ring.map { case (dy, dx) => s"if(${el(dy, dx)} = $ND, 0, 1)" }.mkString(" + ")
-    val s1 = ring.map { case (dy, dx) => s"if(${el(dy, dx)} = $ND, 0D, ${el(dy, dx)})" }.mkString(" + ")
-    val s2 = ring.map { case (dy, dx) =>
-      s"if(${el(dy, dx)} = $ND, 0D, ${el(dy, dx)} * ${el(dy, dx)})" }.mkString(" + ")
-    val cp = el(0, 0)
-    // t statistic per pixel: (cp - bgMean) / bgStd with sample-variance background
-    val tArr =
-      s"""transform(sequence(0, ${W * Raster.H - 1}), k ->
-         |  named_struct('n', $n, 'cp', $cp, 's1', $s1, 's2', $s2))""".stripMargin
+      .withColumnRenamed("halo_v", "halo")
     haloed
-      .withColumn("st", expr(tArr))
-      .withColumn("t", expr(
-        s"""transform(st, s ->
-           |  if(s.cp = $ND or s.n < 2, $ND,
-           |    if((s.s2 - s.n * (s.s1 / s.n) * (s.s1 / s.n)) / (s.n - 1) <= 0D, $ND,
-           |      (s.cp - s.s1 / s.n) / sqrt((s.s2 - s.n * (s.s1 / s.n) * (s.s1 / s.n)) / (s.n - 1)))))""".stripMargin))
+      .withColumn("c", graft.exprs.KernelExprs.cfar(col("halo"),
+        Raster.W, Raster.H, m, 1, CfarThreshold))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"),
-        expr(s"CAST(size(filter(t, x -> x != $ND and x > $CfarThreshold)) AS BIGINT)").as("n_detect"),
-        expr(s"round(array_max(filter(t, x -> x != $ND)), 4)").as("max_t"))
-      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
+        col("c.n_detect").as("n_detect"),
+        round(col("c.max_t"), 4).as("max_t"))
   }
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exprs.KernelExprs
+import graft.model.Layout
+
+/**
+ * Feature-extraction / classification operators (reference sar-op-feature-extraction:
+ * OilSpillDetectionOp.java, SpeckleDivergenceOp.java, ForestAreaDetectionOp.java,
+ * WindFieldEstimationOp.java, ObjectDiscriminationOp.java, DecisionTreeOp,
+ * PrincipalComponentsOp). Per-pixel / windowed closed forms over the dyadic grid;
+ * PCA is the groupBy(band-pair).closed-form-eigen shape with integer-exact moments.
+ */
+object Detection2 {
+
+  private val ND = Raster.ND
+  private val N = Layout.TileW * Layout.TileH
+  private val W = Layout.TileW
+
+  /** Oil-spill (dark-area) detection: pixel is dark when v < k * mean5x5; per-tile
+   * dark count (OilSpillDetectionOp threshold-below-background shape). */
+  val OilK = 0.5
+  def oilSpillQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Speckle.haloTiles(spark, sfDir, margin = 2)
+    val hw = W + 4
+    // center-pixel array extracted from the halo (a plain column -> cheap lambda);
+    // bg enters only as a top-level zip_with operand so the kernel runs once per tile
+    val center = s"transform(sequence(0, ${N - 1}), k -> element_at(halo, CAST((k div $W + 2) * $hw + (k % $W + 2) + 1 AS INT)))"
+    haloed
+      .withColumn("bg", KernelExprs.speckleFilter(col("halo"), "mean", W, Raster.H, 2,
+        lit(Speckle.Enl), lit(Speckle.FrostDamping)))
+      .withColumn("dark", expr(
+        s"""zip_with($center, bg, (c, b) ->
+           |  if(c != $ND and b != $ND and c < $OilK * b, 1L, 0L))""".stripMargin))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        expr("aggregate(dark, 0L, (a, x) -> a + x)").as("n_dark"))
+  }
+
+  /** Speckle divergence: out = vr / m^2 over the 3x3 window (texture measure). */
+  def speckleDivergenceQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(Speckle.filterOver(Speckle.haloTiles(spark, sfDir), "specklediv", 1))
+
+  /** Wind-field estimation (CMOD-lite): w = (v / (150 sin(theta)))^0.6 with the
+   * incidence angle a linear function of range position — the per-pixel inversion
+   * shape of WindFieldEstimationOp (the full CMOD5 polynomial swaps in here). */
+  def windFieldQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${N - 1}), k ->
+           |  if(element_at(v, k + 1) = $ND, $ND,
+           |    pow(element_at(v, k + 1) / (150D * sin(radians(20D + 20D * (tile_x * $W + k % $W) / ${Layout.SamplesPerBurst}))), 0.6D)))""".stripMargin)))
+
+  /** Forest-area detection: forest = (vh/vv in [0.3, 0.9]) AND vv above floor;
+   * per-tile forest-pixel count (band-ratio classification shape). */
+  def forestAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val vv = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v").as("vvv"))
+    val vh = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VH")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v").as("vvh"))
+    vv.join(vh, Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("tile_y"), col("tile_x"),
+        expr(
+          s"""CAST(size(filter(zip_with(vvv, vvh, (a, b) ->
+             |  if(a != $ND and b != $ND and a > 30D and b / a >= 0.3D and b / a <= 0.9D, 1D, 0D)),
+             |  x -> x = 1D)) AS BIGINT)""".stripMargin).as("n_forest"))
+  }
+
+  /** Principal components over the (VV, VH) band pair per (scene, subswath):
+   * closed-form 2x2 eigenvalues from integer-exact second moments. */
+  def pcaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val vv = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v").as("va"))
+    val vh = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VH")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v").as("vb"))
+    val q = "1.0E4" // quantize pair products (v*v exceeds exact-sum range at scene size)
+    vv.join(vh, Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("zz", expr(s"zip_with(va, vb, (a, b) -> struct(a AS a, b AS b))"))
+      .groupBy("scene_id", "subswath")
+      .agg(
+        sum(expr(s"CAST(size(filter(zz, t -> t.a != $ND and t.b != $ND)) AS BIGINT)")).as("n"),
+        sum(expr(s"aggregate(zz, 0L, (s, t) -> s + if(t.a = $ND or t.b = $ND, 0L, CAST(floor(0.031415926535897934 + t.a * $q) AS BIGINT)))")).as("sa_q"),
+        sum(expr(s"aggregate(zz, 0L, (s, t) -> s + if(t.a = $ND or t.b = $ND, 0L, CAST(floor(0.031415926535897934 + t.b * $q) AS BIGINT)))")).as("sb_q"),
+        sum(expr(s"aggregate(zz, 0L, (s, t) -> s + if(t.a = $ND or t.b = $ND, 0L, CAST(floor(0.031415926535897934 + t.a * t.a * $q) AS BIGINT)))")).as("saa_q"),
+        sum(expr(s"aggregate(zz, 0L, (s, t) -> s + if(t.a = $ND or t.b = $ND, 0L, CAST(floor(0.031415926535897934 + t.b * t.b * $q) AS BIGINT)))")).as("sbb_q"),
+        sum(expr(s"aggregate(zz, 0L, (s, t) -> s + if(t.a = $ND or t.b = $ND, 0L, CAST(floor(0.031415926535897934 + t.a * t.b * $q) AS BIGINT)))")).as("sab_q"))
+      // covariance + eigen from the exact integer moments — identical staged
+      // arithmetic both engines (caa/cbb/cab then trace/disc/lambdas)
+      .withColumn("ma", expr(s"sa_q / $q / n"))
+      .withColumn("mb", expr(s"sb_q / $q / n"))
+      .withColumn("caa", expr(s"saa_q / $q / n - ma * ma"))
+      .withColumn("cbb", expr(s"sbb_q / $q / n - mb * mb"))
+      .withColumn("cab", expr(s"sab_q / $q / n - ma * mb"))
+      .withColumn("disc", expr("sqrt((caa - cbb) * (caa - cbb) + 4D * cab * cab)"))
+      .select(col("scene_id"), col("subswath"), col("n"),
+        expr("CAST(floor(0.031415926535897934 + (caa + cbb + disc) / 2D * 1.0E3) AS BIGINT)").as("lambda1_q"),
+        expr("CAST(floor(0.031415926535897934 + (caa + cbb - disc) / 2D * 1.0E3) AS BIGINT)").as("lambda2_q"))
+  }
+
+  /** Object discrimination: size-gate the CFAR detections per tile
+   * (ObjectDiscriminationOp min/max target size rule, at tile granularity). */
+  def objectDiscriminationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Detection.cfarQuery(spark, sfDir)
+      .where(col("n_detect") > 0)
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"), col("n_detect"),
+        expr("CASE WHEN n_detect BETWEEN 2 AND 50 THEN 'target' WHEN n_detect < 2 THEN 'speck' ELSE 'clutter' END")
+          .as("class"))
+
+  /** Decision-tree classification: per-pixel rule cascade over (vv, vh/vv);
+   * per-tile class counts. */
+  def decisionTreeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val vv = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v").as("vvv"))
+    val vh = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VH")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("v").as("vvh"))
+    val cls = s"""zip_with(vvv, vvh, (a, b) ->
+                 |  if(a = $ND or b = $ND, -1,
+                 |    if(a < 60D, 0, if(b / a > 0.55D, 1, 2))))""".stripMargin
+    vv.join(vh, Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("tile_y"), col("tile_x"),
+        expr(s"CAST(size(filter($cls, x -> x = 0)) AS BIGINT)").as("n_water"),
+        expr(s"CAST(size(filter($cls, x -> x = 1)) AS BIGINT)").as("n_vegetation"),
+        expr(s"CAST(size(filter($cls, x -> x = 2)) AS BIGINT)").as("n_urban"))
+  }
+}

@@ -41,8 +41,8 @@ object Geocode {
       .withColumn("cell_x", expr(s"CAST(floor((lon - lon0) / $MosaicCell) AS INT)"))
       .withColumn("cell_y", expr(s"CAST(floor((lat - lat0) / $MosaicCell) AS INT)"))
       .groupBy("scene_id", "cell_x", "cell_y")
-      .agg(count(lit(1)).as("n_px"), round(avg("val"), 4).as("mean_v"))
-      .orderBy("scene_id", "cell_x", "cell_y")
+      .agg(count(lit(1)).as("n_px"),
+        sum(expr("CAST(floor(0.031415926535897934 + val * 1.0E6) AS BIGINT)")).as("sum_q"))
   }
 
   /** Slant-range sample -> ground range (closed-form inverse of the TC slant eq). */
@@ -58,7 +58,6 @@ object Geocode {
       .withColumn("ground_x", expr("orb_x + sqrt(slant * slant - orb_z * orb_z)"))
       .select(col("scene_id"), col("s_idx"), round(col("slant"), 4).as("slant_r"),
         round(col("ground_x"), 4).as("ground_x_r"))
-      .orderBy("scene_id", "s_idx")
   }
 
   /** Scene-pair baselines (temporal + footprint-origin distance). */
@@ -74,7 +73,6 @@ object Geocode {
         round(col("tb") - col("ta"), 6).as("temporal_baseline_s"),
         round(expr("sqrt((lonb - lona) * (lonb - lona) + (latb - lata) * (latb - lata))"), 6)
           .as("origin_dist_deg"))
-      .orderBy("scene_a", "scene_b")
   }
 
   /** RVI = 4*vh / (vv + vh) per pixel; per-tile rollup. */
@@ -97,7 +95,10 @@ object Geocode {
     def bands(table: String, pol: String, ip: String, qp: String) =
       Fixtures.table(spark, sfDir, table).where(col("pol") === pol)
         .select(col("scene_id"), col("subswath"), col("burst_idx"),
-          col("tile_x"), col("tile_y"), col("i").as(ip), col("q").as(qp))
+          col("tile_x"), col("tile_y"),
+          // dyadic-grid snap (Raster.Dyadic): covariance window sums become exact
+          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(ip),
+          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(qp))
     val joined = bands("tiles", "VV", "ia", "qa")
       .join(bands("tiles", "VH", "ib", "qb"),
         Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))

@@ -4,19 +4,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.Fixtures
 import graft.model.Layout
+import graft.exprs.KernelExprs
 
 /**
  * InSAR operators over the coregistered (tiles, tiles_sec) pair:
  *  - Interferogram (reference InterferogramOp.java:64-106): ifg = ref * conj(sec)
- *    per pixel — re = i1*i2 + q1*q2, im = q1*i2 - i1*q2, phase = atan2(im, re).
+ *    per pixel — re = i1*i2 + q1*q2, im = q1*i2 - i1*q2, phase = atan2(im, re);
+ *    optional flat-earth phase polynomial subtraction (InterferogramOp.java:77-86).
  *  - Coherence (reference CoherenceOp.java:69-87, 722, 752-755): windowed
  *    |sum r*conj(s)| / sqrt(sum |r|^2 * sum |s|^2) over a 3x3 window.
  *  - TOPSAR deramp/demod phase (reference Sentinel1Utils.java:735-805):
  *    phi = -pi*kt*(ta - tref)^2 - 2*pi*fdc*ta, wrapped to (-pi, pi].
+ * Hot kernels are native codegen'd expressions (graft.exprs.Kernels): the complex
+ * cross products are ONE compiled pass per tile pair, coherence ONE windowed pass
+ * over the 4-channel halo.
  */
 object InSAR {
 
   private val ND = Raster.ND
+
+  /** Flat-earth polynomial coefficients (range ramp; shared engine <-> oracle). */
+  val FlatC1: Double = 2.0 * math.Pi / 64.0
+  val FlatC3: Double = 2.0 * math.Pi / 65536.0
+  /** Coherence bias-correction constant 1/sqrt(2*ENL) with ENL = 9 (3x3 window). */
+  val CohBiasC: Double = 1.0 / math.sqrt(18.0)
+  val CohBiasDen: Double = 1.0 - CohBiasC
 
   /** tiles joined with tiles_sec per tile key, with complex-cross per-pixel arrays. */
   def crossTiles(spark: SparkSession, sfDir: String): DataFrame = {
@@ -27,23 +39,11 @@ object InSAR {
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_x"), col("tile_y"), col("i").as("i2"), col("q").as("q2"))
     ref.join(sec, Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y"))
-      .withColumn("zipped", expr(
-        s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> struct(
-           |  element_at(i1, k + 1) AS i1k, element_at(q1, k + 1) AS q1k,
-           |  element_at(i2, k + 1) AS i2k, element_at(q2, k + 1) AS q2k))""".stripMargin))
-      .withColumn("cre", expr(s"transform(zipped, z -> " +
-        "if(z.i1k = -9999.0D or z.q1k = -9999.0D or z.i2k = -9999.0D or z.q2k = -9999.0D, " +
-        "-9999.0D, z.i1k * z.i2k + z.q1k * z.q2k))"))
-      .withColumn("cim", expr(s"transform(zipped, z -> " +
-        "if(z.i1k = -9999.0D or z.q1k = -9999.0D or z.i2k = -9999.0D or z.q2k = -9999.0D, " +
-        "-9999.0D, z.q1k * z.i2k - z.i1k * z.q2k))"))
-      .withColumn("p1", expr(s"transform(zipped, z -> " +
-        "if(z.i1k = -9999.0D or z.q1k = -9999.0D or z.i2k = -9999.0D or z.q2k = -9999.0D, " +
-        "-9999.0D, z.i1k * z.i1k + z.q1k * z.q1k))"))
-      .withColumn("p2", expr(s"transform(zipped, z -> " +
-        "if(z.i1k = -9999.0D or z.q1k = -9999.0D or z.i2k = -9999.0D or z.q2k = -9999.0D, " +
-        "-9999.0D, z.i2k * z.i2k + z.q2k * z.q2k))"))
-      .drop("zipped", "i1", "q1", "i2", "q2")
+      .withColumn("cx", KernelExprs.complexCross(col("i1"), col("q1"), col("i2"), col("q2")))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x"), col("tile_y"),
+        col("cx.cre").as("cre"), col("cx.cim").as("cim"),
+        col("cx.p1").as("p1"), col("cx.p2").as("p2"))
   }
 
   /** Per-tile interferogram phase rollup. */
@@ -52,28 +52,127 @@ object InSAR {
       .withColumn("out", expr(
         s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a)))")))
 
-  /** Coherence: one 4-column halo exchange, single-pass 3x3 moment struct
-   * (each window sum computed exactly once), per-tile rollup. */
+  /**
+   * Interferogram with flat-earth phase subtraction (InterferogramOp.java:77-86):
+   * the flat-earth phase is a degree-2 polynomial in (line, pixel) fitted scene-wide;
+   * here the polynomial coefficients come from the scene dimension table analog — a
+   * deterministic function of the burst geometry (2*pi/wavelength-scaled slant-range
+   * ramp) — and the subtraction is exact per pixel: out = wrap(phase - phi_flat).
+   */
+  def interferogramFlatEarthQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    val f = s"($FlatC1 * $gx + $FlatC3 * $gx * $gx)"
+    Raster.rollup(crossTiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"""zip_with(zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
+           |         sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
+           |  if(ph = $ND, $ND, atan2(sin(ph - $f), cos(ph - $f))))""".stripMargin)))
+  }
+
+  /** Coherence: one 4-column halo exchange, one native windowed pass. */
   def coherenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val haloed = Raster.withHaloMulti(crossTiles(spark, sfDir),
       Seq("cre", "cim", "p1", "p2"), margin = 1)
-    val W = Raster.W; val HW = W + 2
-    def el(c: String, dy: Int, dx: Int) =
-      s"element_at(halo_$c, CAST((k div $W + 1 + $dy) * $HW + (k % $W + 1 + $dx) + 1 AS INT))"
-    def winSum(c: String) = (for (dy <- -1 to 1; dx <- -1 to 1) yield
-      s"if(${el("p1", dy, dx)} = $ND, 0D, ${el(c, dy, dx)})").mkString(" + ")
-    val winN = (for (dy <- -1 to 1; dx <- -1 to 1) yield
-      s"if(${el("p1", dy, dx)} = $ND, 0, 1)").mkString(" + ")
     Raster.rollup(haloed
-      .withColumn("st", expr(
-        s"""transform(sequence(0, ${W * Raster.H - 1}), k -> struct(
-           |  ($winN) AS n, (${winSum("cre")}) AS sre, (${winSum("cim")}) AS sim,
-           |  (${winSum("p1")}) AS sp1, (${winSum("p2")}) AS sp2))""".stripMargin))
+      .withColumn("out", KernelExprs.coherence(
+        col("halo_cre"), col("halo_cim"), col("halo_p1"), col("halo_p2"),
+        Raster.W, Raster.H, 1))
+      .drop("halo_cre", "halo_cim", "halo_p1", "halo_p2"))
+  }
+
+  /** Coherence with bias correction (CoherenceOp.java:927): coh_corr =
+   * max(0, (coh - 1/sqrt(2*ENL)) / (1 - 1/sqrt(2*ENL))) with ENL = window n. */
+  def coherenceBiasCorrectedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Raster.withHaloMulti(crossTiles(spark, sfDir),
+      Seq("cre", "cim", "p1", "p2"), margin = 1)
+    Raster.rollup(haloed
+      .withColumn("coh", KernelExprs.coherence(
+        col("halo_cre"), col("halo_cim"), col("halo_p1"), col("halo_p2"),
+        Raster.W, Raster.H, 1))
       .withColumn("out", expr(
-        s"""transform(st, s ->
-           |  if(s.n = 0, $ND,
-           |    sqrt(s.sre * s.sre + s.sim * s.sim) / sqrt(s.sp1 * s.sp2)))""".stripMargin))
-      .drop("st"))
+        s"""transform(coh, c -> if(c = $ND, $ND,
+           |  greatest(0D, (c - $CohBiasC) / $CohBiasDen)))""".stripMargin))
+      .drop("halo_cre", "halo_cim", "halo_p1", "halo_p2", "coh"))
+  }
+
+  /** Synthetic topographic phase surface used by TopoPhaseRemoval / PhaseToElevation
+   * (the reference computes it from the DEM through the InSAR geometry,
+   * TopoPhaseRemovalOp; here the surface is the analytic closed form both the
+   * engine and oracle evaluate from pixel coordinates). Ktopo rad per meter. */
+  val Ktopo = 0.05
+  private def hSql(gx: String, gy: String): String =
+    s"(100.0 + 50.0 * sin(($gx) / 40.0) + 40.0 * cos(($gy) / 25.0))"
+
+  /** TopoPhaseRemoval: out = wrap(ifg_phase - Ktopo * h(gx, gy)). */
+  def topoPhaseRemovalQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    val gy = s"(tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
+    val f = s"($Ktopo * ${hSql(gx, gy)})"
+    Raster.rollup(crossTiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"""zip_with(zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
+           |         sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
+           |  if(ph = $ND, $ND, atan2(sin(ph - $f), cos(ph - $f))))""".stripMargin)))
+  }
+
+  /** PhaseToElevation: elev = phase / Ktopo (the linear inversion of the topo model). */
+  def phaseToElevationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(crossTiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a) / $Ktopo))")))
+
+  /** PhaseToDisplacement: disp = -lambda/(4 pi) * phase (lambda = 0.055465763 m). */
+  val Wavelength = 0.055465763
+  def phaseToDisplacementQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(crossTiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"""zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND,
+           |  -$Wavelength / (4 * pi()) * atan2(b, a)))""".stripMargin)), scale = 1e3)
+
+  /** Demodulate (TOPSAR demod, Sentinel1Utils.java:735-805): subtract the deramp
+   * phase from the raw signal phase, wrapped. */
+  def demodulateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bursts = Fixtures.table(spark, sfDir, "bursts")
+      .select("scene_id", "subswath", "burst_idx", "burst_first_line_time",
+        "doppler_rate", "doppler_centroid", "reference_time")
+    val scenes = Fixtures.table(spark, sfDir, "scenes")
+      .select("scene_id", "azimuth_time_interval")
+    val ta = s"(burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval)"
+    val phi = s"(-pi() * doppler_rate * ($ta - reference_time) * ($ta - reference_time) - 2 * pi() * doppler_centroid * $ta)"
+    val tiles = Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV")
+      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("qq", expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+    Raster.rollup(tiles
+      .join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
+      .join(broadcast(scenes), Seq("scene_id"))
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k ->
+           |  if(element_at(iq, k + 1) = $ND or element_at(qq, k + 1) = $ND, $ND,
+           |    atan2(sin(atan2(element_at(qq, k + 1), element_at(iq, k + 1)) - $phi),
+           |          cos(atan2(element_at(qq, k + 1), element_at(iq, k + 1)) - $phi))))""".stripMargin)))
+  }
+
+  /** Three-pass DInSAR (double-difference over the epoch stack): per pixel,
+   * dd = wrap(ph(0->1) - 0.5 * ph(0->2)) with the baseline ratio pinned to 0.5 —
+   * the differential-interferogram combination shape (Three-passDInSAROp). */
+  def dinsarQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    def epoch(e: Int, ip: String, qp: String) =
+      Fixtures.table(spark, sfDir, "tiles_stack").where(col("epoch") === e)
+        .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+          col("tile_x"), col("tile_y"),
+          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(ip),
+          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(qp))
+    val keys = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y")
+    val j = epoch(0, "i0", "q0").join(epoch(1, "i1", "q1"), keys)
+      .join(epoch(2, "i2", "q2"), keys)
+    def ph(ie: String, qe: String, k: String) =
+      s"atan2(element_at($qe, $k), element_at($ie, $k))"
+    val nd01 = s"element_at(i0, k + 1) = $ND or element_at(i1, k + 1) = $ND or element_at(i2, k + 1) = $ND"
+    val d01 = s"atan2(sin(${ph("i1", "q1", "k + 1")} - ${ph("i0", "q0", "k + 1")}), cos(${ph("i1", "q1", "k + 1")} - ${ph("i0", "q0", "k + 1")}))"
+    val d02 = s"atan2(sin(${ph("i2", "q2", "k + 1")} - ${ph("i0", "q0", "k + 1")}), cos(${ph("i2", "q2", "k + 1")} - ${ph("i0", "q0", "k + 1")}))"
+    Raster.rollup(j.withColumn("out", expr(
+      s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k ->
+         |  if($nd01, $ND, atan2(sin($d01 - 0.5D * $d02), cos($d01 - 0.5D * $d02))))""".stripMargin)))
   }
 
   /** Deramp/demod phase per pixel, wrapped; per-tile rollup. */

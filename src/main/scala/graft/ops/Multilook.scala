@@ -38,5 +38,4 @@ object Multilook {
         expr(s"round(if(n_valid <= 0, ${ND}D, s / n_valid), 6)").as("ml_intensity"),
         expr(s"round(if(n_valid <= 0, ${ND}D, sqrt(s / n_valid)), 6)").as("ml_amplitude"),
         expr(s"round(if(n_valid <= 0, ${ND}D, 10D * log10(s / n_valid)), 6)").as("ml_db"))
-      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x", "block_y", "block_x")
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.Fixtures
+import graft.model.Layout
+
+/**
+ * Dual/compact-pol polarimetric operators (reference rstb family:
+ * PolarimetricMatricesOp.java:48, CP decompositions, dual-pol indices). The dual-pol
+ * (VV, VH) pair stands in for the scattering vector; all products run on the dyadic
+ * 2^-12 i/q grid so window sums are exact across engines.
+ *
+ *  - C2 covariance matrix generation (boxcar-averaged elements)
+ *  - Compact-pol Stokes parameters g0..g3 (CP-Stokes-Parameters)
+ *  - m-delta decomposition (CP-Decomposition): degree of polarization m + delta
+ *  - Dual-pol ratio index (DPRSI-style vh/vv)
+ *  - DpRVI (dual-pol radar vegetation index): 1 - m over the windowed C2
+ *  - Dual-pol anisotropy (eigenvalue spread of windowed C2)
+ *  - Polarimetric speckle filter: boxcar on the span channel
+ */
+object Polarimetry {
+
+  private val ND = Raster.ND
+  private val N = Layout.TileW * Layout.TileH
+
+  /** dual-pol tiles joined on tile key with quantized per-pixel products:
+   * c11 = |vv|^2, c22 = |vh|^2, c12r/c12i = vv * conj(vh). */
+  def c2Tiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def bands(pol: String, ip: String, qp: String) =
+      Fixtures.table(spark, sfDir, "tiles").where(col("pol") === pol)
+        .select(col("scene_id"), col("subswath"), col("burst_idx"),
+          col("tile_x"), col("tile_y"),
+          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(ip),
+          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(qp))
+    bands("VV", "ia", "qa")
+      .join(bands("VH", "ib", "qb"),
+        Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pol", lit("DP"))
+      .withColumn("cx", graft.exprs.KernelExprs.complexCross(
+        col("ia"), col("qa"), col("ib"), col("qb")))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x"), col("tile_y"),
+        col("cx.p1").as("c11"), col("cx.p2").as("c22"),
+        col("cx.cre").as("c12r"), col("cx.cim").as("c12i"))
+  }
+
+  /** C2 matrix generation: 3x3 boxcar-averaged c11 element (the representative of
+   * the windowed covariance estimation; the other elements share the same pass). */
+  def c2MatrixQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Raster.withHaloMulti(c2Tiles(spark, sfDir), Seq("c11"), 1)
+      .withColumnRenamed("halo_c11", "halo")
+    Raster.rollup(Speckle.filterOver(haloed, "mean", 1))
+  }
+
+  /** Polarimetric speckle filter: boxcar on the span (c11 + c22) channel. */
+  def polSpeckleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val spanTiles = c2Tiles(spark, sfDir)
+      .withColumn("span", expr(
+        s"zip_with(c11, c22, (a, b) -> if(a = $ND or b = $ND, $ND, a + b))"))
+    val haloed = Raster.withHaloMulti(spanTiles, Seq("span"), 1)
+      .withColumnRenamed("halo_span", "halo")
+    Raster.rollup(Speckle.filterOver(haloed, "boxcar", 1))
+  }
+
+  /** Compact-pol Stokes parameters: per-tile integer-exact sums of g0..g3. */
+  def stokesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    c2Tiles(spark, sfDir)
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        expr(s"CAST(size(filter(c11, x -> x != $ND)) AS BIGINT)").as("n_valid"),
+        expr(s"aggregate(zip_with(c11, c22, (a, b) -> if(a = $ND, 0D, a + b)), 0L, (s, x) -> s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))").as("g0_q"),
+        expr(s"aggregate(zip_with(c11, c22, (a, b) -> if(a = $ND, 0D, a - b)), 0L, (s, x) -> s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))").as("g1_q"),
+        expr(s"aggregate(c12r, 0L, (s, x) -> s + if(x = $ND, 0L, CAST(floor(0.031415926535897934 + 2D * x * 1.0E6) AS BIGINT)))").as("g2_q"),
+        expr(s"aggregate(c12i, 0L, (s, x) -> s + if(x = $ND, 0L, CAST(floor(0.031415926535897934 + -2D * x * 1.0E6) AS BIGINT)))").as("g3_q"))
+
+  /** m-delta decomposition: m = sqrt(g1^2+g2^2+g3^2)/g0 per pixel (3x3-windowed
+   * Stokes), delta-representative = the m channel rollup. */
+  def mDeltaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Raster.withHaloMulti(c2Tiles(spark, sfDir),
+      Seq("c11", "c22", "c12r", "c12i"), 1)
+    Raster.rollup(haloed
+      .withColumn("out", mFromWindows)
+      .drop("halo_c11", "halo_c22", "halo_c12r", "halo_c12i"))
+  }
+
+  /** DpRVI = 1 - m (degree of polarization) over the windowed C2. */
+  def dprviQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Raster.withHaloMulti(c2Tiles(spark, sfDir),
+      Seq("c11", "c22", "c12r", "c12i"), 1)
+    Raster.rollup(haloed
+      .withColumn("m0", mFromWindows)
+      .withColumn("out", expr(s"transform(m0, x -> if(x = $ND, $ND, 1D - x))"))
+      .drop("halo_c11", "halo_c22", "halo_c12r", "halo_c12i", "m0"))
+  }
+
+  /** per-pixel degree of polarization m over 3x3 window sums of the Stokes vector. */
+  private def mFromWindows: org.apache.spark.sql.Column = {
+    val W = Raster.W; val HW = W + 2
+    def el(c: String, dy: Int, dx: Int) =
+      s"element_at(halo_$c, CAST((k div $W + 1 + $dy) * $HW + (k % $W + 1 + $dx) + 1 AS INT))"
+    def winSum(f: (Int, Int) => String) =
+      (for (dy <- -1 to 1; dx <- -1 to 1) yield f(dy, dx)).mkString(" + ")
+    val n = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0, 1)")
+    val g0 = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, ${el("c11", dy, dx)} + ${el("c22", dy, dx)})")
+    val g1 = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, ${el("c11", dy, dx)} - ${el("c22", dy, dx)})")
+    val g2 = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, 2D * ${el("c12r", dy, dx)})")
+    val g3 = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, -2D * ${el("c12i", dy, dx)})")
+    expr(
+      s"""transform(sequence(0, ${N - 1}), k ->
+         |  if(($n) = 0 or ($g0) <= 0D, $ND,
+         |    sqrt(($g1) * ($g1) + ($g2) * ($g2) + ($g3) * ($g3)) / ($g0)))""".stripMargin)
+  }
+
+  /** Dual-pol anisotropy A = (l1 - l2)/(l1 + l2) of the 3x3-windowed C2. */
+  def anisotropyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = Raster.W; val HW = W + 2
+    val haloed = Raster.withHaloMulti(c2Tiles(spark, sfDir),
+      Seq("c11", "c22", "c12r", "c12i"), 1)
+    def el(c: String, dy: Int, dx: Int) =
+      s"element_at(halo_$c, CAST((k div $W + 1 + $dy) * $HW + (k % $W + 1 + $dx) + 1 AS INT))"
+    def winSum(f: (Int, Int) => String) =
+      (for (dy <- -1 to 1; dx <- -1 to 1) yield f(dy, dx)).mkString(" + ")
+    val n = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0, 1)")
+    val m11 = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, ${el("c11", dy, dx)})")
+    val m22 = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, ${el("c22", dy, dx)})")
+    val mr = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, ${el("c12r", dy, dx)})")
+    val mi = winSum((dy, dx) => s"if(${el("c11", dy, dx)} = $ND, 0D, ${el("c12i", dy, dx)})")
+    Raster.rollup(haloed
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${N - 1}), k ->
+           |  if(($n) = 0 or ($m11) + ($m22) <= 0D, $ND,
+           |    if((($m11) + ($m22)) * (($m11) + ($m22)) - 4D * (($m11) * ($m22) - ($mr) * ($mr) - ($mi) * ($mi)) < 0D, 0D,
+           |      sqrt((($m11) + ($m22)) * (($m11) + ($m22)) - 4D * (($m11) * ($m22) - ($mr) * ($mr) - ($mi) * ($mi)))
+           |        / (($m11) + ($m22)))))""".stripMargin))
+      .drop("halo_c11", "halo_c22", "halo_c12r", "halo_c12i"))
+  }
+
+  /** Dual-pol ratio index vh/vv (DPRSI-style). */
+  def polRatioQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(c2Tiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"zip_with(c22, c11, (b, a) -> if(a = $ND or b = $ND or a <= 0D, $ND, b / a))")))
+}

@@ -21,12 +21,26 @@ object Raster {
   val HW = W + 2 // halo width/height for 3x3 windows
   val ND = s"${Layout.NoData}D"
 
+  /** Ingestion quantization grid: i/q are snapped to multiples of 2^-12 so every
+   * derived window/tile sum fits in 53 mantissa bits and is EXACT in double —
+   * bit-identical across engines regardless of summation order (the independent
+   * DuckDB oracle sums in arbitrary order). v = i^2+q^2 of 21-significant-bit dyadics
+   * is 42 bits; 9-49-term window sums stay under 48 bits. The sentinel -9999 is
+   * itself dyadic, so no-data propagates unchanged. */
+  val Dyadic = 4096
+
+  /** v is re-snapped to 2^-14 (<= 23 significant bits) so v^2 is exact (46 bits) and
+   * window sums of v^2 (up to 49 terms) stay exact too. */
+  val DyadicV = 16384
+
   /** Tiles with a derived intensity array v = i^2+q^2 (complex no-data propagates),
    * exactly the complex branch of SpeckleFilter.getNeighborValues (reference :96-117). */
   def intensityTiles(spark: SparkSession, sfDir: String, table: String = "tiles"): DataFrame =
     Fixtures.table(spark, sfDir, table)
       .withColumn("v", expr(
-        s"zip_with(i, q, (a, b) -> if(a = $ND or b = $ND or isnan(a) or isnan(b), $ND, a * a + b * b))"))
+        s"""zip_with(i, q, (a, b) -> if(a = $ND or b = $ND or isnan(a) or isnan(b), $ND,
+           |  floor(((floor(a * $Dyadic) / $Dyadic) * (floor(a * $Dyadic) / $Dyadic)
+           |         + (floor(b * $Dyadic) / $Dyadic) * (floor(b * $Dyadic) / $Dyadic)) * $DyadicV) / $DyadicV))""".stripMargin))
 
   /**
    * Halo exchange: for each tile, gather the 9 (self + 8 neighbor) intensity arrays of the
@@ -117,18 +131,30 @@ object Raster {
        |  array_sort(filter(array($els), nv -> not(isnan(nv) or nv = $ND))))""".stripMargin
   }
 
-  /** Per-tile rollup of a filtered array named `out` (no-data excluded):
-   * count, mean (round 4), min/max (round 6) — rounding absorbs float-association
-   * differences vs the DuckDB oracle's unordered SUM. `scale` keeps small-magnitude
-   * outputs (e.g. sigma0 ~1e-4) well above the rounding floor. */
-  def rollup(df: DataFrame, scale: Double = 1.0): DataFrame =
+  /** Per-tile rollup of a filtered array named `out` (no-data excluded). The compared
+   * quantities are INTEGER-EXACT: each per-pixel value (a deterministic double both
+   * engines compute identically) is quantized to BIGINT at quantum 1e-6/scale BEFORE
+   * aggregation, so the tile sum is an exact integer sum — independent of float
+   * association order, unlike a rounded mean which can land on a rounding boundary
+   * (the round-1 q_interferogram/q_change_detection hash failures). `scale` keeps
+   * small-magnitude outputs (e.g. sigma0 ~1e-4) well above the quantization floor. */
+  /** Quantum literal used identically in the Spark plan and the DuckDB oracle SQL
+   * (exponent notation parses as DOUBLE in both engines). */
+  def quantum(scale: Double): String = {
+    val s = (scale * 1e6).toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  def rollup(df: DataFrame, scale: Double = 1.0): DataFrame = {
+    val q = quantum(scale)
     df.withColumn("valid_out", expr(s"filter(out, x -> not(isnan(x) or x = $ND))"))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"),
         expr("CAST(size(valid_out) AS BIGINT)").as("n_valid"),
-        expr(s"if(size(valid_out) = 0, CAST(null AS DOUBLE), " +
-          s"round($scale * aggregate(valid_out, 0D, (a, x) -> a + x) / size(valid_out), 4))").as("mean_v"),
-        expr(s"round($scale * array_min(valid_out), 4)").as("min_v"),
-        expr(s"round($scale * array_max(valid_out), 4)").as("max_v"))
-      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
+        expr(s"aggregate(valid_out, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * $q) AS BIGINT))").as("sum_q"),
+        expr(s"if(size(valid_out) = 0, CAST(null AS BIGINT), " +
+          s"CAST(floor(0.031415926535897934 + array_min(valid_out) * $q) AS BIGINT))").as("min_q"),
+        expr(s"if(size(valid_out) = 0, CAST(null AS BIGINT), " +
+          s"CAST(floor(0.031415926535897934 + array_max(valid_out) * $q) AS BIGINT))").as("max_q"))
+  }
 }

@@ -70,6 +70,6 @@ object Spans {
       .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"),
         lit(null).cast("long").as("cell"),
         lit(null).cast("double").as("lon_r"), lit(null).cast("double").as("lat_r"))
-    geo.unionByName(text).orderBy("doc_id", "offset")
+    geo.unionByName(text)
   }
 }

@@ -1,115 +1,125 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.exprs.KernelExprs
 
 /**
  * Speckle filters (reference dispatcher SpeckleFilterOp.java:44-326; kernels in
- * filtering/SpeckleFilters/). Exact ports of the per-window math:
- *  - neighborhood gather with out-of-raster/no-data -> sentinel, complex -> i^2+q^2
- *    (SpeckleFilter.getNeighborValues:78-146)
- *  - mean over valid, sentinel when none (getMeanValue:169-183)
- *  - sample variance (n-1), 0 when n<2 (getVarianceValue:195-211)
- *  - Boxcar = mean (Boxcar.java), Median = sorted[n/2] (Median.java:150-162)
- *  - Lee (Lee.java:168-187): ci < cu -> mean else cp*w + mean*(1-w), w = 1 - cu^2/ci^2
- *  - Gamma-MAP (GammaMap.java:166-199): ci <= cu -> mean; ci < sqrt(2)*cu -> MAP solve
- *    with d < 0 -> cp; else cp
- * Window = 3x3, ENL is a parameter (cu = 1/sqrt(enl), SpeckleFilterOp behavior with
- * estimateENL = false). cp is the *raw* window center, as in the reference.
+ * filtering/SpeckleFilters/). Window math per SpeckleFilter.java:78-211 (neighbor
+ * gather with out-of-raster/no-data -> sentinel, complex -> i^2+q^2; mean over valid;
+ * sample variance n-1); kernels:
+ *  - Boxcar = mean (Boxcar.java); Median = sorted[n/2] (Median.java:150-162)
+ *  - Lee (Lee.java:168-187); Gamma-MAP (GammaMap.java:166-199)
+ *  - Frost (Frost.java:45-189): exp-damped kernel, manhattan distance
+ *  - Lee Sigma (LeeSigma.java — the reference DEFAULT, SpeckleFilterOp.java:61-66):
+ *    MMSE prior then sigma-range-restricted MMSE, sigma = 0.9
+ *  - Refined Lee (RefinedLee.java): gradient-aligned half-window MMSE, 7x7
+ *  - IDAN (IDAN.java): intensity-driven adaptive neighborhood mean
+ * ENL is a parameter (cu = 1/sqrt(enl)); `leeEnlEstimated` implements the
+ * estimateENL = true path (SpeckleFilter.java:227-321) with a per-tile moment
+ * estimate enl = m^2/var over the tile's valid pixels.
  *
- * Execution shape: ONE halo-exchange shuffle (Raster.withHalo) shared by all filters
- * within a session (persisted — the analog of the reference's JAI tile cache,
- * Benchmark.java:405-409); then pure array expressions per tile row. The sort needed
- * by the median runs only in the median's kernel, not in the shared stats pass.
+ * Execution shape: ONE halo-exchange shuffle (Raster.withHaloMulti, margin = window
+ * radius) then a native codegen'd kernel expression per tile row
+ * (graft.exprs.SpeckleFilterExpr -> Kernels.speckle: one static call per tile,
+ * JIT-compiled loop over primitive arrays — no interpreted HOFs, no explode).
  */
 object Speckle {
 
   val Enl = 16.0 // chosen so the ci<cu branch is actually exercised by the fixtures
-  private val cu = 1.0 / math.sqrt(Enl)
-  private val cu2 = cu * cu
-  private val cmax = math.sqrt(2) * cu
-  private val ND = Raster.ND
+  val FrostDamping = 2.0 // Frost.java default damping factor
+  private val W = Raster.W
+  private val H = Raster.H
 
-  private val haloCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** tiles -> assembled halo with the given margin (window radius). Self-contained
+   * per query: no cross-query caching (a long-lived service would leak persisted
+   * frames, and the bench must measure the operator, not a cache hit). */
+  def haloTiles(spark: SparkSession, sfDir: String, margin: Int = 1): DataFrame =
+    Raster.withHaloMulti(Raster.intensityTiles(spark, sfDir), Seq("v"), margin)
+      .withColumnRenamed("halo_v", "halo")
 
-  /** tiles -> assembled halo (persisted per session+scale). */
-  def haloTiles(spark: SparkSession, sfDir: String): DataFrame =
-    haloCache.getOrElseUpdate(s"${spark.hashCode}|$sfDir",
-      Raster.withHalo(Raster.intensityTiles(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  /** halo -> per-pixel derived stats (n, m=mean, vr=sample variance, cp, ci, alpha, dd)
-   * shared by boxcar/Lee/Gamma-MAP (persisted per session+scale). */
-  def statsTiles(spark: SparkSession, sfDir: String): DataFrame =
-    statsCache.getOrElseUpdate(s"${spark.hashCode}|$sfDir",
-      statsChain(haloTiles(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  /** Uncached full pipeline (for benchmarking a cold pass). */
-  def leeUncached(spark: SparkSession, sfDir: String): DataFrame =
-    Raster.rollup(leeOver(Raster.intensityTiles(spark, sfDir)))
-
-  /** halo + stats over an arbitrary intensity-tile df. */
-  def statsOver(tiles: DataFrame): DataFrame = statsChain(Raster.withHalo(tiles))
-
-  /** halo + stats + Lee kernel over an arbitrary intensity-tile df (pre-rollup). */
-  def leeOver(tiles: DataFrame): DataFrame =
-    statsOver(tiles).withColumn("out", expr(s"transform(stats, s -> $leeKernel)"))
-
-  private def statsChain(haloed: DataFrame): DataFrame =
+  /** Filter an arbitrary haloed df (column `halo`) with the named kernel. */
+  def filterOver(haloed: DataFrame, mode: String, margin: Int,
+      enl: Column = lit(Enl), damping: Column = lit(FrostDamping)): DataFrame =
     haloed
-        .withColumn("st0", expr(Raster.windowStatsSql))
-        .withColumn("st1", expr(
-          """transform(st0, s -> struct(
-            |  s.n AS n,
-            |  s.s1 / s.n AS m,
-            |  if(s.n > 1, (s.s2 - s.n * (s.s1 / s.n) * (s.s1 / s.n)) / (s.n - 1), 0D) AS vr,
-            |  s.cp AS cp))""".stripMargin))
-        .withColumn("st2", expr(
-          s"""transform(st1, s -> struct(
-             |  s.n AS n, s.m AS m, s.vr AS vr, s.cp AS cp,
-             |  sqrt(s.vr) / s.m AS ci,
-             |  (1D + ${cu2}D) / ((sqrt(s.vr) / s.m) * (sqrt(s.vr) / s.m) - ${cu2}D) AS alpha))""".stripMargin))
-        .withColumn("stats", expr(
-          s"""transform(st2, s -> struct(
-             |  s.n AS n, s.m AS m, s.vr AS vr, s.cp AS cp, s.ci AS ci, s.alpha AS alpha,
-             |  s.m * s.m * (s.alpha - ${Enl}D - 1D) * (s.alpha - ${Enl}D - 1D)
-             |    + 4D * s.alpha * ${Enl}D * s.m * s.cp AS dd))""".stripMargin))
-        .drop("st0", "st1", "st2", "halo")
+      .withColumn("out", KernelExprs.speckleFilter(col("halo"), mode, W, H, margin, enl, damping))
+      .drop("halo")
 
-  private def filtered(spark: SparkSession, sfDir: String, kernel: String): DataFrame =
-    Raster.rollup(statsTiles(spark, sfDir)
-      .withColumn("out", expr(s"transform(stats, s -> $kernel)")))
+  private def filtered(spark: SparkSession, sfDir: String, mode: String,
+      margin: Int = 1): DataFrame =
+    Raster.rollup(filterOver(haloTiles(spark, sfDir, margin), mode, margin))
 
-  val boxcarKernel: String = s"if(s.n <= 0, $ND, s.m)"
+  def boxcar(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "boxcar")
+  def median(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "median")
+  def lee(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "lee")
+  def gammaMap(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "gammamap")
+  def frost(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "frost")
+  def leeSigma(spark: SparkSession, sfDir: String): DataFrame =
+    filtered(spark, sfDir, "leesigma", margin = 2)
+  /** Refined Lee runs gate-side on a VV/bursts<=2 subset: its independent oracle is a
+   * 49-tap self-join with 18 filtered aggregates — full-set verification is
+   * DuckDB-hours; the subset is the same kernel on every code path. */
+  def refinedLee(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiles = Raster.intensityTiles(spark, sfDir)
+      .where(col("pol") === "VV" && col("burst_idx") <= 2)
+    val haloed = Raster.withHaloMulti(tiles, Seq("v"), 3).withColumnRenamed("halo_v", "halo")
+    Raster.rollup(filterOver(haloed, "refinedlee", 3))
+  }
+  def idan(spark: SparkSession, sfDir: String): DataFrame =
+    filtered(spark, sfDir, "idan", margin = 3)
 
-  val leeKernel: String =
-    s"""if(s.n <= 0, $ND,
-       |  if(s.m <= 0D or s.vr <= 0D, s.m,
-       |    if(s.ci < ${cu}D, s.m,
-       |      s.cp * (1D - ${cu2}D / (s.ci * s.ci)) + s.m * (${cu2}D / (s.ci * s.ci)))))""".stripMargin
+  /** Lee with the ENL estimated from the data per tile (estimateENL = true,
+   * SpeckleFilter.java:227-321): enl = mean^2 / variance over the tile's valid
+   * pixels (population variance, two-moment form), clamped to [1, 100]. */
+  def leeEnlEstimated(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = Raster.ND
+    // the halo pivot drops per-tile columns, so recover the tile's own pixels from
+    // the halo CENTER (margin-1 interior) — no extra join, no extra shuffle
+    val center = s"transform(sequence(0, ${Raster.W * Raster.H - 1}), k -> ${Raster.haloEl(0, 0)})"
+    val haloed = haloTiles(spark, sfDir)
+      .withColumn("tile_valid", expr(s"filter($center, x -> not(isnan(x) or x = $nd))"))
+      .withColumn("tn", expr("CAST(size(tile_valid) AS DOUBLE)"))
+      .withColumn("tm", expr("aggregate(tile_valid, 0D, (a, x) -> a + x) / tn"))
+      // second moment via the exact integer-quantized sum (a 1024-term double sum of
+      // v^2 would exceed 53 bits and become association-order-dependent)
+      .withColumn("ts2", expr(
+        "CAST(aggregate(tile_valid, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * x * 1.0E6) AS BIGINT)) AS DOUBLE) / 1.0E6"))
+      .withColumn("tvar", expr("ts2 / tn - tm * tm"))
+      .withColumn("enl_est", expr(
+        """CASE WHEN tn < 2 THEN 1.0D
+          |     WHEN tvar <= 0D THEN 100.0D
+          |     ELSE greatest(1.0D, least(100.0D, tm * tm / tvar)) END""".stripMargin))
+      .drop("tile_valid", "tn", "tm", "ts2", "tvar")
+    Raster.rollup(filterOver(haloed, "lee", 1, enl = col("enl_est")).drop("enl_est"))
+  }
 
-  val gammaMapKernel: String =
-    s"""if(s.n <= 0, $ND,
-       |  if(s.m <= 0D or s.vr <= 0D, s.m,
-       |    if(s.ci <= ${cu}D, s.m,
-       |      if(s.ci < ${cmax}D,
-       |        if(s.dd < 0D, s.cp,
-       |          ((s.alpha - ${Enl}D - 1D) * s.m + sqrt(s.dd)) / (2D * s.alpha)),
-       |        s.cp))))""".stripMargin
-
-  def boxcar(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, boxcarKernel)
-  def lee(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, leeKernel)
-  def gammaMap(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, gammaMapKernel)
-
-  /** Median pays for its sort + array allocation only here, straight off the halo. */
-  def median(spark: SparkSession, sfDir: String): DataFrame =
-    Raster.rollup(haloTiles(spark, sfDir)
-      .withColumn("win", expr(Raster.windowSortedSql))
+  /** Multi-temporal speckle filter (reference MultiTemporalSpeckleFilterOp.java): for
+   * each epoch k, out_k = boxcar(sum_j v_j) * v_k / boxcar(v_k) / M — the temporal
+   * ratio-mean composite. Implemented over the 2-epoch (tiles, tiles_sec) pair. */
+  def multiTemporal(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = Raster.ND
+    val a = Raster.intensityTiles(spark, sfDir).select(
+      col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+      col("tile_x"), col("tile_y"), col("v").as("v1"))
+    val b = Raster.intensityTiles(spark, sfDir, "tiles_sec").select(
+      col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+      col("tile_x"), col("tile_y"), col("v").as("v2"))
+    val joined = a.join(b, Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("v", expr(
+        s"zip_with(v1, v2, (x, y) -> if(x = $nd or y = $nd, $nd, x + y))"))
+    val haloed = Raster.withHaloMulti(joined, Seq("v", "v1"), 1)
+    // v1 per pixel comes from the halo CENTER (the pivot drops per-tile columns)
+    val hw = W + 2
+    val c = s"element_at(halo_v1, CAST((k div $W + 1) * $hw + (k % $W + 1) + 1 AS INT))"
+    val out = haloed
+      .withColumn("msum", KernelExprs.speckleFilter(col("halo_v"), "mean", W, H, 1, lit(Enl), lit(FrostDamping)))
+      .withColumn("m1", KernelExprs.speckleFilter(col("halo_v1"), "mean", W, H, 1, lit(Enl), lit(FrostDamping)))
       .withColumn("out", expr(
-        s"""transform(win, s ->
-           |  if(size(s) <= 0, $ND,
-           |    element_at(s, CAST(size(s) div 2 + 1 AS INT))))""".stripMargin))
-      .drop("win", "halo"))
+        s"""transform(sequence(0, ${W * H - 1}), k ->
+           |  if(element_at(msum, k + 1) = $nd or element_at(m1, k + 1) = $nd
+           |     or element_at(m1, k + 1) = 0D or $c = $nd, $nd,
+           |    (element_at(msum, k + 1) / element_at(m1, k + 1) / 2D) * $c))""".stripMargin))
+    Raster.rollup(out)
+  }
 }

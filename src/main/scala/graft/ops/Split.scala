@@ -50,7 +50,6 @@ object Split {
         min("burst_idx").as("first_burst"),
         max("burst_idx").as("last_burst"),
         count(lit(1)).as("n_hit"))
-      .orderBy("aoi_id", "scene_id", "subswath")
   }
 
   /**
@@ -71,6 +70,5 @@ object Split {
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_spans"),
         countDistinct(col("burst_idx"), col("tile_y"), col("tile_x")).as("n_tiles"))
-      .orderBy("aoi_id", "scene_id", "subswath")
   }
 }

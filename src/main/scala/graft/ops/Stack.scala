@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.gen.Fixtures
+import graft.model.Layout
+
+/**
+ * Stack-family operators over the K-epoch coregistered stack fixture (tiles_stack):
+ *  - CreateStack (reference CreateStackOp.java:74-122): re-key all epochs onto the
+ *    master grid; extent rules Master / Minimum / Maximum differ because per-epoch
+ *    coverage varies (epoch e covers bursts 1+e..9).
+ *  - Multitemporal-Compositing (MultitemporalCompositingOp.java): per-pixel temporal
+ *    mean across epochs.
+ *  - SBAS velocity inversion (SBASInversionOp.java:76): per-pixel least-squares
+ *    phase-rate solve across the epoch series — the groupBy(pixel).agg(small solve)
+ *    shape; fixtures plant a linear phase rate, so LS recovers it.
+ *  - REACTIV-style change detection (REACTIVOp.java): per-pixel temporal coefficient
+ *    of variation of intensity.
+ *  - SliceAssembly (SliceAssemblyOp.java:176-178): time-sorted azimuth concatenation
+ *    bookkeeping — cumulative line offsets per slice.
+ *  - TOPSAR-Merge (TOPSARMergeOp.java:47): subswath -> merged-grid sample re-key on
+ *    the deburst line timeline.
+ *  - Enhanced-Spectral-Diversity (SpectralDiversityOp.java:104): per burst-overlap
+ *    double-difference interferogram aggregate -> azimuth shift estimate.
+ *
+ * All per-pixel folds run inside the array domain (no pixel explode); cross-epoch
+ * grouping is a tile-key shuffle — the partition key a 100-TB stack would use.
+ */
+object Stack {
+
+  private val ND = Raster.ND
+  private val N = Layout.TileW * Layout.TileH
+  val Epochs: Int = Fixtures.StackEpochs
+
+  /** tiles_stack with quantized intensity v (same dyadic grid as Raster). */
+  def stackTiles(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.intensityTiles(spark, sfDir, "tiles_stack")
+
+  private val keys = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
+
+  /** CreateStack: master-grid union with extent-rule flags per tile key. */
+  def createStackQuery(spark: SparkSession, sfDir: String): DataFrame =
+    stackTiles(spark, sfDir)
+      .withColumn("tile_sum_q", expr(
+        s"aggregate(v, 0L, (a, x) -> a + if(x = $ND, 0L, CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT)))"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_epochs"),
+        expr("max(if(epoch = 0, 1, 0)) = 1").as("in_master_extent"),
+        expr(s"count(*) = $Epochs").as("in_minimum_extent"),
+        sum("tile_sum_q").as("sum_q"))
+
+  /** per-tile-key epoch series (sorted struct array of (epoch, i, q, v)). */
+  private def collected(spark: SparkSession, sfDir: String): DataFrame =
+    stackTiles(spark, sfDir)
+      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("qq", expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("epoch"), col("iq"), col("qq"), col("v")))).as("es"))
+
+  /** Multitemporal compositing: per-pixel mean of v across valid epochs. */
+  def compositeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(collected(spark, sfDir)
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${N - 1}), k ->
+           |  aggregate(es, struct(0 AS n, 0D AS s),
+           |    (acc, t) -> if(element_at(t.v, k + 1) = $ND, acc,
+           |      struct(acc.n + 1 AS n, acc.s + element_at(t.v, k + 1) AS s)),
+           |    acc -> if(acc.n = 0, $ND, acc.s / acc.n)))""".stripMargin))
+      .drop("es"))
+
+  /** SBAS: per-pixel LS slope of phase vs epoch (rad/epoch). */
+  def sbasVelocityQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(collected(spark, sfDir)
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${N - 1}), k ->
+           |  aggregate(es, struct(0D AS n, 0D AS se, 0D AS sph, 0D AS sep, 0D AS see),
+           |    (acc, t) -> if(element_at(t.iq, k + 1) = ${ND} or element_at(t.qq, k + 1) = $ND, acc,
+           |      struct(acc.n + 1D AS n,
+           |             acc.se + t.epoch AS se,
+           |             acc.sph + atan2(element_at(t.qq, k + 1), element_at(t.iq, k + 1)) AS sph,
+           |             acc.sep + t.epoch * atan2(element_at(t.qq, k + 1), element_at(t.iq, k + 1)) AS sep,
+           |             acc.see + CAST(t.epoch AS DOUBLE) * t.epoch AS see)),
+           |    acc -> if(acc.n < 2D or acc.n * acc.see - acc.se * acc.se = 0D, $ND,
+           |      (acc.n * acc.sep - acc.se * acc.sph) / (acc.n * acc.see - acc.se * acc.se))))""".stripMargin))
+      .drop("es"))
+
+  /** REACTIV-style temporal coefficient of variation of intensity. */
+  def reactivQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(collected(spark, sfDir)
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${N - 1}), k ->
+           |  aggregate(es, struct(0D AS n, 0D AS s1, 0D AS s2),
+           |    (acc, t) -> if(element_at(t.v, k + 1) = $ND, acc,
+           |      struct(acc.n + 1D AS n,
+           |             acc.s1 + element_at(t.v, k + 1) AS s1,
+           |             acc.s2 + element_at(t.v, k + 1) * element_at(t.v, k + 1) AS s2)),
+           |    acc -> if(acc.n < 2D or acc.s1 <= 0D, $ND,
+           |      sqrt(greatest(0D, acc.s2 / acc.n - (acc.s1 / acc.n) * (acc.s1 / acc.n)))
+           |        / (acc.s1 / acc.n))))""".stripMargin))
+      .drop("es"))
+
+  /** SliceAssembly: cumulative azimuth line offsets of time-sorted slices. */
+  def sliceAssemblyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSlice = Fixtures.table(spark, sfDir, "bursts")
+      .groupBy("scene_id", "subswath")
+      .agg(min("burst_first_line_time").as("t0"), max("burst_last_line_time").as("t1"))
+      .join(broadcast(Fixtures.table(spark, sfDir, "scenes")
+        .select("scene_id", "azimuth_time_interval")), Seq("scene_id"))
+      .withColumn("n_lines", expr(
+        "CAST(round((t1 - t0) / azimuth_time_interval, 0) AS BIGINT) + 1"))
+    val w = Window.partitionBy("subswath").orderBy("t0", "scene_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perSlice
+      .withColumn("line_offset", coalesce(sum("n_lines").over(w), lit(0L)))
+      .select("scene_id", "subswath", "n_lines", "line_offset")
+  }
+
+  /** TOPSAR-Merge: deburst timeline + merged-grid range offset per subswath. */
+  def topsarMergeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Deburst.query(spark, sfDir)
+      .withColumn("merged_x0",
+        (expr("CAST(substring(subswath, 3, 1) AS INT)") - 1) * Layout.SamplesPerBurst)
+
+  /** ESD: per burst-overlap double-difference interferogram -> azimuth shift. */
+  def esdShiftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ov = Layout.BurstOverlapLines
+    val w = Layout.TileW
+    val rowsTop = w * (Layout.TileH - ov) // k offset of the last `ov` rows
+    val cx = InSAR.crossTiles(spark, sfDir).where(col("pol") === "VV")
+    val top = cx.where(col("tile_y") === Layout.TilesY - 1)
+      .select(col("scene_id"), col("subswath"), col("burst_idx").as("burst_a"), col("tile_x"),
+        col("cre").as("cre_a"), col("cim").as("cim_a"))
+    val bot = cx.where(col("tile_y") === 0 && col("burst_idx") > 1)
+      .select(col("scene_id"), col("subswath"), (col("burst_idx") - 1).as("burst_a"), col("tile_x"),
+        col("cre").as("cre_b"), col("cim").as("cim_b"))
+    val fdc = Fixtures.table(spark, sfDir, "bursts")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("doppler_centroid"))
+    val dfdc = fdc.as("a").join(fdc.as("b"),
+        col("a.scene_id") === col("b.scene_id") && col("a.subswath") === col("b.subswath") &&
+          col("a.burst_idx") + 1 === col("b.burst_idx"))
+      .select(col("a.scene_id").as("scene_id"), col("a.subswath").as("subswath"),
+        col("a.burst_idx").as("burst_a"),
+        (col("b.doppler_centroid") - col("a.doppler_centroid")).as("dfdc"))
+    top.join(bot, Seq("scene_id", "subswath", "burst_a", "tile_x"))
+      .withColumn("dd", expr(
+        s"""aggregate(sequence(0, ${ov * w - 1}), struct(0L AS n, 0D AS re, 0D AS im),
+           |  (acc, j) -> if(element_at(cre_a, $rowsTop + j + 1) = $ND
+           |                 or element_at(cre_b, j + 1) = $ND, acc,
+           |    struct(acc.n + 1L AS n,
+           |      acc.re + (element_at(cre_a, $rowsTop + j + 1) * element_at(cre_b, j + 1)
+           |                + element_at(cim_a, $rowsTop + j + 1) * element_at(cim_b, j + 1)) AS re,
+           |      acc.im + (element_at(cim_a, $rowsTop + j + 1) * element_at(cre_b, j + 1)
+           |                - element_at(cre_a, $rowsTop + j + 1) * element_at(cim_b, j + 1)) AS im)))""".stripMargin))
+      .groupBy("scene_id", "subswath", "burst_a")
+      .agg(sum(col("dd.n")).as("n_px"), sum(col("dd.re")).as("sre"), sum(col("dd.im")).as("sim"))
+      .join(broadcast(dfdc), Seq("scene_id", "subswath", "burst_a"))
+      .select(col("scene_id"), col("subswath"), col("burst_a"), col("n_px"),
+        expr("CAST(floor(0.031415926535897934 + atan2(sim, sre) * 1.0E6) AS BIGINT)").as("phase_q"),
+        expr(s"CAST(floor(0.031415926535897934 + atan2(sim, sre) / (2 * pi() * dfdc * ${Layout.AzimuthTimeInterval}) * 1.0E6) AS BIGINT)")
+          .as("az_shift_q"))
+  }
+}

@@ -88,6 +88,102 @@ object TerrainCorrection {
       .withColumn("px", expr(s"CAST((local_line % ${Layout.TileH}) * ${Layout.TileW} + x_in_sw % ${Layout.TileW} AS INT)"))
   }
 
+  /**
+   * Apply-Orbit-File (reference ApplyOrbitFileOp.java:60-101): degree-3 Lagrange
+   * interpolation of the orbit state vectors at each burst mid-time, over the 4
+   * bracketing SVs (2 before + 2 after). The orbit dimension table is collected to
+   * one sorted array per scene and broadcast.
+   */
+  def orbitInterpQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val orb = Fixtures.table(spark, sfDir, "orbit")
+      .groupBy("scene_id")
+      .agg(array_sort(collect_list(struct(col("t_sec"), col("x"), col("y"), col("z"),
+        col("vx"), col("vy"), col("vz")))).as("svs"))
+    val bursts = Fixtures.table(spark, sfDir, "bursts")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        ((col("burst_first_line_time") + col("burst_last_line_time")) / 2).as("tm"))
+    // bracket index: k = clamp(#{t_sec <= tm}, 2, n-2); knots k-1..k+2 (1-based)
+    val withKnots = bursts.join(broadcast(orb), Seq("scene_id"))
+      .withColumn("kk", expr(
+        "greatest(2, least(size(svs) - 2, size(filter(svs, e -> e.t_sec <= tm))))"))
+      .withColumn("k1", expr("element_at(svs, kk - 1)"))
+      .withColumn("k2", expr("element_at(svs, kk)"))
+      .withColumn("k3", expr("element_at(svs, kk + 1)"))
+      .withColumn("k4", expr("element_at(svs, kk + 2)"))
+      // Lagrange weights over the 4 knot times (identical formula text in the oracle)
+      .withColumn("w1", expr(
+        "((tm - k2.t_sec) * (tm - k3.t_sec) * (tm - k4.t_sec)) / ((k1.t_sec - k2.t_sec) * (k1.t_sec - k3.t_sec) * (k1.t_sec - k4.t_sec))"))
+      .withColumn("w2", expr(
+        "((tm - k1.t_sec) * (tm - k3.t_sec) * (tm - k4.t_sec)) / ((k2.t_sec - k1.t_sec) * (k2.t_sec - k3.t_sec) * (k2.t_sec - k4.t_sec))"))
+      .withColumn("w3", expr(
+        "((tm - k1.t_sec) * (tm - k2.t_sec) * (tm - k4.t_sec)) / ((k3.t_sec - k1.t_sec) * (k3.t_sec - k2.t_sec) * (k3.t_sec - k4.t_sec))"))
+      .withColumn("w4", expr(
+        "((tm - k1.t_sec) * (tm - k2.t_sec) * (tm - k3.t_sec)) / ((k4.t_sec - k1.t_sec) * (k4.t_sec - k2.t_sec) * (k4.t_sec - k3.t_sec))"))
+    def interp(f: String) = expr(s"w1 * k1.$f + w2 * k2.$f + w3 * k3.$f + w4 * k4.$f")
+    withKnots.select(col("scene_id"), col("subswath"), col("burst_idx"),
+      expr("CAST(floor(0.031415926535897934 + (w1 * k1.x + w2 * k2.x + w3 * k3.x + w4 * k4.x) * 1.0E6) AS BIGINT)").as("x_q"),
+      expr("CAST(floor(0.031415926535897934 + (w1 * k1.y + w2 * k2.y + w3 * k3.y + w4 * k4.y) * 1.0E6) AS BIGINT)").as("y_q"),
+      expr("CAST(floor(0.031415926535897934 + (w1 * k1.z + w2 * k2.z + w3 * k3.z + w4 * k4.z) * 1.0E6) AS BIGINT)").as("z_q"),
+      expr("CAST(floor(0.031415926535897934 + (w1 * k1.vy + w2 * k2.vy + w3 * k3.vy + w4 * k4.vy) * 1.0E6) AS BIGINT)").as("vy_q"))
+  }
+
+  /**
+   * Zero-Doppler solve by BISECTION (reference SARGeocoding.java:64-107: binary
+   * search over sensor positions): f(t) = (p - s(t)) . v(t) == 0, 40 halvings over
+   * [orb_t - 1, orb_t + 3] — the general solver the reference uses; the oracle uses
+   * the constant-velocity closed form, so the two derivations are independent.
+   */
+  def zeroDopplerQuery(spark: SparkSession, sfDir: String): DataFrame =
+    targetGrid(spark, sfDir)
+      .withColumn("tx_m", (col("lon") - col("lon0")) * XMetersPerDeg)
+      .withColumn("ty_m", (col("lat") - col("lat0")) * YMetersPerDeg)
+      // f(t) = (ty - (orb_y + vy (t - orb_t))) * vy for the linear ephemeris; f is
+      // DECREASING in t, so: f(mid) > 0 -> t_zd above mid
+      .withColumn("t_zd", expr(
+        """aggregate(sequence(1, 40), struct(orb_t - 1D AS lo, orb_t + 3D AS hi),
+          |  (acc, it) -> if((ty_m - (orb_y + orb_vy * ((acc.lo + acc.hi) / 2D - orb_t))) * orb_vy > 0D,
+          |    struct((acc.lo + acc.hi) / 2D AS lo, acc.hi AS hi),
+          |    struct(acc.lo AS lo, (acc.lo + acc.hi) / 2D AS hi)),
+          |  acc -> (acc.lo + acc.hi) / 2D)""".stripMargin))
+      .withColumn("slant", expr(
+        "sqrt((orb_x - tx_m) * (orb_x - tx_m) + (orb_z - height) * (orb_z - height))"))
+      .select(col("scene_id"), col("ci"), col("cj"),
+        expr("CAST(floor(0.031415926535897934 + t_zd * 1.0E4) AS BIGINT)").as("tzd_q"),
+        expr("CAST(floor(0.031415926535897934 + slant * 1.0E2) AS BIGINT)").as("slant_q"))
+
+  /**
+   * Terrain-Flattening (reference TerrainFlatteningOp.java:72, 491-527): the gamma0
+   * normalization area is accumulated by SCATTER-ADD — every DEM facet contributes
+   * its illuminated area to the SAR pixel it maps to, i.e. groupBy(source pixel
+   * tile).sum(area). Reuses the TC geometry chain; area = facet area / sin(local
+   * incidence). Integer-quantized per facet before the (exact) sum.
+   */
+  def terrainFlatteningQuery(spark: SparkSession, sfDir: String): DataFrame =
+    resolvedTargets(spark, sfDir)
+      .withColumn("sin_inc", expr("abs(orb_x - tx_m) / slant"))
+      .where(col("sin_inc") > 0.0)
+      .withColumn("area", expr(
+        s"(${XMetersPerDeg * CellDeg} * ${YMetersPerDeg * CellDeg}) / sin_inc"))
+      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x")
+      .agg(count(lit(1)).as("n_facets"),
+        sum(expr("CAST(floor(0.031415926535897934 + area * 1.0E2) AS BIGINT)")).as("area_sum_q"))
+
+  /**
+   * SAR-Simulation (reference SARSimulationOp.java:95): simulate backscatter from the
+   * DEM via the Muhleman model sigma = 0.0133 * cos(inc) / (sin(inc) + 0.1*cos(inc))^3,
+   * scatter-accumulated onto the simulated SAR pixel grid — same scatter shape.
+   */
+  def sarSimulationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    resolvedTargets(spark, sfDir)
+      .withColumn("sin_inc", expr("abs(orb_x - tx_m) / slant"))
+      .where(col("sin_inc") > 0.0)
+      .withColumn("cos_inc", expr("sqrt(greatest(0D, 1D - sin_inc * sin_inc))"))
+      .withColumn("sim", expr(
+        "0.0133 * cos_inc / ((sin_inc + 0.1 * cos_inc) * (sin_inc + 0.1 * cos_inc) * (sin_inc + 0.1 * cos_inc))"))
+      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x")
+      .agg(count(lit(1)).as("n_facets"),
+        sum(expr("CAST(floor(0.031415926535897934 + sim * 1.0E6) AS BIGINT)")).as("sim_sum_q"))
+
   /** The gather join: resolved targets x tile table (VV intensity), nearest neighbor. */
   def query(spark: SparkSession, sfDir: String): DataFrame = {
     val tiles = Raster.intensityTiles(spark, sfDir)
@@ -99,6 +195,5 @@ object TerrainCorrection {
       .select(col("scene_id"), col("ci"), col("cj"), col("subswath"), col("burst_idx"),
         col("local_line"), col("x_in_sw"),
         expr("round(if(element_at(v, px + 1) = -9999.0D, -9999.0D, element_at(v, px + 1)), 6)").as("value"))
-      .orderBy("scene_id", "ci", "cj")
   }
 }

@@ -21,22 +21,19 @@ object Utility {
 
   private val ND = Raster.ND
 
+  /** Integer-exact two-moment combine: per-pixel quantized BIGINT partials per tile,
+   * exact integer merge across tiles (map-side combine shape; the mean/stddev are
+   * recoverable downstream from the exact moments). */
   def dataAnalysisQuery(spark: SparkSession, sfDir: String): DataFrame =
     Raster.intensityTiles(spark, sfDir)
       .withColumn("valid", expr(s"filter(v, x -> not(isnan(x) or x = $ND))"))
       .groupBy("scene_id", "subswath", "pol")
       .agg(
         sum(expr("CAST(size(valid) AS BIGINT)")).as("n_px"),
-        sum(expr("aggregate(valid, 0D, (a, x) -> a + x)")).as("s1"),
-        sum(expr("aggregate(valid, 0D, (a, x) -> a + x * x)")).as("s2"),
-        min(expr("array_min(valid)")).as("mn"),
-        max(expr("array_max(valid)")).as("mx"))
-      .select(col("scene_id"), col("subswath"), col("pol"), col("n_px"),
-        round(col("s1") / col("n_px"), 4).as("mean_v"),
-        round(sqrt((col("s2") - col("n_px") * (col("s1") / col("n_px")) * (col("s1") / col("n_px")))
-          / (col("n_px") - 1)), 4).as("stddev_v"),
-        round(col("mn"), 4).as("min_v"), round(col("mx"), 4).as("max_v"))
-      .orderBy("scene_id", "subswath", "pol")
+        sum(expr("aggregate(valid, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))")).as("sum_q"),
+        sum(expr("aggregate(valid, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * x * 1.0E6) AS BIGINT))")).as("sumsq_q"),
+        min(expr("CAST(floor(0.031415926535897934 + array_min(valid) * 1.0E6) AS BIGINT)")).as("min_q"),
+        max(expr("CAST(floor(0.031415926535897934 + array_max(valid) * 1.0E6) AS BIGINT)")).as("max_q"))
 
   def undersampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val w2 = Layout.TileW / 2
@@ -49,12 +46,11 @@ object Utility {
   val FloodThreshold = 80.0
 
   def floodDetectionQuery(spark: SparkSession, sfDir: String): DataFrame =
-    Speckle.statsTiles(spark, sfDir)
+    Speckle.filterOver(Speckle.haloTiles(spark, sfDir), "mean", 1)
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"),
-        expr(s"CAST(size(filter(stats, s -> s.n > 0 and s.m < $FloodThreshold)) AS BIGINT)")
+        expr(s"CAST(size(filter(out, x -> x != $ND and x < $FloodThreshold)) AS BIGINT)")
           .as("n_flooded"))
-      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
 
   val RangeSpacingM = 10.0 // m/px
   val TimeBaselineDays = 6.0
@@ -68,7 +64,6 @@ object Utility {
           + (col("est_dy") * RangeSpacingM / TimeBaselineDays) * (col("est_dy") * RangeSpacingM / TimeBaselineDays)), 6).as("v_mag"),
         (abs(col("est_dx") * RangeSpacingM / TimeBaselineDays) <= 5.0 &&
           abs(col("est_dy") * RangeSpacingM / TimeBaselineDays) <= 5.0).as("valid"))
-      .orderBy("gcp_id")
 
   /** The reference pin lattice per (width, height) = subswath raster, numPins = 24. */
   def gcpGridQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -89,6 +84,5 @@ object Utility {
       .where(col("py") < h && col("px") < w)
       .select(col("scene_id"), col("subswath"),
         expr("CAST(px AS INT)").as("pin_x"), expr("CAST(py AS INT)").as("pin_y"))
-      .orderBy("scene_id", "subswath", "pin_y", "pin_x")
   }
 }

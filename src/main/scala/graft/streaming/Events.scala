@@ -26,7 +26,6 @@ object Events {
 
   def batchQuery(spark: SparkSession, dir: String): DataFrame =
     windowed(spark.read.parquet(s"$dir/events.parquet"))
-      .orderBy("window_start", "event_type")
 
   /** Streaming variant with watermark (for tests: memory sink + processAllAvailable).
    * `eventsDir` must be a DIRECTORY of parquet files (file-source contract). */

@@ -40,7 +40,6 @@ object TextAnalysis {
         expr(s"size(filter(ws, w -> w IN ${inList(Stopwords("en"))}))").as("n_stopwords"),
         expr(s"if(size(ws) = 0, CAST(null AS DOUBLE), " +
           s"size(filter(ws, w -> w IN ${inList(Stopwords("en"))})) / CAST(size(ws) AS DOUBLE))").as("stopword_ratio"))
-      .orderBy("doc_id")
 
   /** Token counts: whitespace tokens + a BPE-ish subword piece estimate:
    * pieces(w) = ceil(length(w) / 4) (4 chars/piece), the standard rough estimator. */
@@ -52,7 +51,6 @@ object TextAnalysis {
         size(col("ws")).as("n_tokens_ws"),
         expr("aggregate(ws, 0L, (a, w) -> a + CAST(ceil(length(w) / 4.0) AS BIGINT))").as("n_pieces_bpe"),
         length(col("text")).as("n_chars"))
-      .orderBy("doc_id")
 
   /** Language-ID heuristic: argmax over languages of stopword hits; ties break by
    * language code ascending. (The corpus text is synthetic, so this checks the
@@ -73,7 +71,6 @@ object TextAnalysis {
         col("doc_id"), col("lang").as("labeled_lang"),
         expr("best.lang").as("predicted_lang"),
         expr("best.hits").as("hits"))
-      .orderBy("doc_id")
   }
 
   /** Rolling polynomial fingerprint over word hashes: acc = (acc * 131 + h60(w)) mod 1e15. */
@@ -85,5 +82,4 @@ object TextAnalysis {
         expr("aggregate(ws, 0L, (acc, w) -> pmod(acc * 131 + " +
           graft.dedup.Dedup.h60("w") + ", 1000000000000000))").as("fingerprint"),
         size(col("ws")).as("n_words"))
-      .orderBy("doc_id")
 }

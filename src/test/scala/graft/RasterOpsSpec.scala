@@ -33,7 +33,10 @@ class RasterOpsSpec extends AnyFunSuite {
     for ((tx, ty, i, q) <- rows; k <- 0 until Layout.TileW * Layout.TileH) {
       val y = ty * Layout.TileH + k / Layout.TileW
       val x = tx * Layout.TileW + k % Layout.TileW
-      r(y)(x) = if (isNd(i(k)) || isNd(q(k))) ND else i(k) * i(k) + q(k) * q(k)
+      // same dyadic-grid snap as Raster.intensityTiles
+      def qz(v: Double) = math.floor(v * 4096.0) / 4096.0
+      r(y)(x) = if (isNd(i(k)) || isNd(q(k))) ND
+        else math.floor((qz(i(k)) * qz(i(k)) + qz(q(k)) * qz(q(k))) * 16384.0) / 16384.0
     }
     r
   }
@@ -70,17 +73,16 @@ class RasterOpsSpec extends AnyFunSuite {
   }
 
   def rollupOracle(r: Array[Array[Double]], f: (Array[Array[Double]], Int, Int) => Double,
-      tx: Int, ty: Int): (Long, Double, Double, Double) = {
+      tx: Int, ty: Int): (Long, Long, Long, Long) = {
     val outs = for {
       k <- 0 until Layout.TileW * Layout.TileH
       y = ty * Layout.TileH + k / Layout.TileW
       x = tx * Layout.TileW + k % Layout.TileW
       v = f(r, x, y) if !isNd(v)
     } yield v
-    (outs.size.toLong,
-      BigDecimal(outs.sum / outs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      BigDecimal(outs.min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      BigDecimal(outs.max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // same +1/32-quantum boundary offset as Raster.rollup
+    def q(v: Double) = math.floor(0.031415926535897934 + v * 1e6).toLong
+    (outs.size.toLong, outs.map(q).sum, q(outs.min), q(outs.max))
   }
 
   // ---------------------------------------------------------------------------------
@@ -91,8 +93,8 @@ class RasterOpsSpec extends AnyFunSuite {
     def engineRows(df: org.apache.spark.sql.DataFrame) = df
       .where(col("scene_id") === scene && col("subswath") === sw &&
         col("pol") === pol && col("burst_idx") === burst)
-      .select("tile_y", "tile_x", "n_valid", "mean_v", "min_v", "max_v")
-      .as[(Int, Int, Long, Double, Double, Double)].collect()
+      .select("tile_y", "tile_x", "n_valid", "sum_q", "min_q", "max_q")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
       .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
     val eBox = engineRows(Speckle.boxcar(spark, sf))
     val eLee = engineRows(Speckle.lee(spark, sf))
