@@ -156,7 +156,7 @@ object SarOracles2 {
        |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
        |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |             CASE WHEN n = 0 THEN -9999.0
+       |             CASE WHEN n = 0 OR sp1 <= 0 OR sp2 <= 0 THEN -9999.0
        |                  ELSE sqrt(sre * sre + sim * sim) / sqrt(sp1 * sp2) END AS out
        |      FROM st)
        |${rollupSql(1.0)}""".stripMargin

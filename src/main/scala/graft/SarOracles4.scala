@@ -71,10 +71,10 @@ object SarOracles4 {
        |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
        |    c.gx, c.gy, c.cp, c.n, c.m, c.vr,
        |    coalesce(sum(CASE WHEN c.m > 0 AND c.vr > 0
-       |                      THEN n.v * exp(-(${Speckle.FrostDamping} * (c.vr / (c.m * c.m))) * (abs(d.dx) + abs(d.dy)))
+       |                      THEN n.v * exp(-(${Speckle.FrostDamping} * (c.vr / (c.m * c.m))) * greatest(abs(d.dx), abs(d.dy)))
        |                      ELSE 0 END) FILTER (n.v <> -9999.0), 0) AS num,
        |    coalesce(sum(CASE WHEN c.m > 0 AND c.vr > 0
-       |                      THEN exp(-(${Speckle.FrostDamping} * (c.vr / (c.m * c.m))) * (abs(d.dx) + abs(d.dy)))
+       |                      THEN exp(-(${Speckle.FrostDamping} * (c.vr / (c.m * c.m))) * greatest(abs(d.dx), abs(d.dy)))
        |                      ELSE 0 END) FILTER (n.v <> -9999.0), 0) AS den
        |  FROM st2 c CROSS JOIN d
        |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
@@ -91,45 +91,83 @@ object SarOracles4 {
 
   // --------------------------------------------------------------------- Lee Sigma
 
+  /** Lee Sigma at the reference defaults (sigma 0.9, numLooks 1, 7x7 filter window,
+   * 3x3 target window; LeeSigma.java:134-233, 360-628): per-tile z98 point-target
+   * threshold over the tile's valid halo cells (rank (int)(n*0.98)-1 clamped),
+   * order-independent seed test (documented deviation: no raster-scan cluster
+   * marking), target-window MMSE prior with etaV^2 = 1, sigma range
+   * [0.084 prior, 3.941 prior], MMSE with etaVP^2 over the in-range 7x7 pixels.
+   * VV / bursts<=2 subset (same kernel on every code path; full-set oracle cost). */
   val leeSigma: String = {
-    val cuR = 0.577 * cu
-    val cu2R = cuR * cuR
-    s"""WITH $pxCte,
-       |${dCte(2)},
-       |$stCte,
-       |pr AS (
-       |  SELECT *,
-       |    CASE WHEN n <= 0 THEN NULL
-       |         WHEN m <= 0 OR vr <= 0 THEN m
-       |         WHEN sqrt(vr) / m < $cu THEN m
-       |         ELSE cp * (1 - $cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m)))
-       |              + m * ($cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m))) END AS prior
-       |  FROM st2),
-       |rs AS (
+    val etaVP2 = 0.8191 * 0.8191
+    val m = 3
+    val keys6 = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
+    val pxSub = pxCte.replace(s"FROM ${fx("tiles")})",
+      s"FROM ${fx("tiles")} WHERE pol = 'VV' AND burst_idx <= 2)")
+    s"""WITH $pxSub,
+       |${dCte(m)},
+       |d1 AS (SELECT dx.dx, dy.dy
+       |       FROM (SELECT unnest(range(-1, 2)) AS dx) dx,
+       |            (SELECT unnest(range(-1, 2)) AS dy) dy),
+       |tk AS (SELECT DISTINCT $keys6 FROM px),
+       |hp AS (
+       |  SELECT t.scene_id, t.subswath, t.pol, t.burst_idx, t.tile_y, t.tile_x, p.v
+       |  FROM tk t JOIN px p ON p.scene_id = t.scene_id AND p.subswath = t.subswath
+       |    AND p.pol = t.pol AND p.burst_idx = t.burst_idx
+       |  WHERE p.gx BETWEEN t.tile_x * ${Layout.TileW} - $m AND t.tile_x * ${Layout.TileW} + ${Layout.TileW - 1 + m}
+       |    AND p.gy BETWEEN t.tile_y * ${Layout.TileH} - $m AND t.tile_y * ${Layout.TileH} + ${Layout.TileH - 1 + m}
+       |    AND p.v <> -9999.0),
+       |zr AS (SELECT *,
+       |         row_number() OVER (PARTITION BY $keys6 ORDER BY v) AS rk,
+       |         count(*) OVER (PARTITION BY $keys6) AS tot
+       |       FROM hp),
+       |z AS (SELECT $keys6, v AS z98 FROM zr
+       |      WHERE rk - 1 = greatest(0, least(tot - 1, CAST(floor(tot * 0.98) AS BIGINT) - 1))),
+       |pz AS (SELECT p.*, z.z98 FROM px p LEFT JOIN z USING ($keys6)),
+       |tw AS (
        |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.gx, c.gy, c.cp, c.n, c.prior,
+       |    c.gx, c.gy, c.v AS cp, c.z98,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS tn,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS ts1,
+       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0), 0) AS ts2,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0 AND n.v > c.z98) AS cluster
+       |  FROM pz c CROSS JOIN d1
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d1.dx AND n.gy = c.gy + d1.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+       |pr AS (
+       |  SELECT *, CASE WHEN tn <= 0 THEN NULL ELSE
+       |    CASE WHEN (CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END) <= 0
+       |         THEN ts1 / tn
+       |         ELSE (1 - greatest(((CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END) - (ts1 / tn) * (ts1 / tn) * 1.0) / (1.0 + 1.0), 0) / (CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END)) * (ts1 / tn)
+       |              + (greatest(((CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END) - (ts1 / tn) * (ts1 / tn) * 1.0) / (1.0 + 1.0), 0) / (CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END)) * cp
+       |    END END AS prior
+       |  FROM tw),
+       |fs AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.cp, c.z98, c.tn, c.cluster, c.prior,
        |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0
-       |                     AND n.v >= 0.286 * c.prior AND n.v <= 2.026 * c.prior) AS rn,
+       |                     AND n.v >= 0.084 * c.prior AND n.v <= 3.941 * c.prior) AS rn,
        |    coalesce(sum(n.v) FILTER (n.v <> -9999.0
-       |                     AND n.v >= 0.286 * c.prior AND n.v <= 2.026 * c.prior), 0) AS rs1,
+       |                     AND n.v >= 0.084 * c.prior AND n.v <= 3.941 * c.prior), 0) AS rs1,
        |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0
-       |                     AND n.v >= 0.286 * c.prior AND n.v <= 2.026 * c.prior), 0) AS rs2
+       |                     AND n.v >= 0.084 * c.prior AND n.v <= 3.941 * c.prior), 0) AS rs2
        |  FROM pr c CROSS JOIN d
        |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
        |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
        |r2 AS (
        |  SELECT *, CASE WHEN rn > 0 THEN rs1 / rn END AS rm,
-       |         CASE WHEN rn > 1 THEN (rs2 - rn * (rs1 / rn) * (rs1 / rn)) / (rn - 1) ELSE 0 END AS rvr
-       |  FROM rs),
+       |         CASE WHEN rn > 1 THEN (rs2 - rn * (rs1 / rn) * (rs1 / rn)) / (rn - 1) ELSE 0 END AS rv
+       |  FROM fs),
        |o AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |    CASE WHEN cp = -9999.0 THEN -9999.0
-       |         WHEN n <= 0 THEN -9999.0
-       |         WHEN rn <= 0 THEN prior
-       |         WHEN rm <= 0 OR rvr <= 0 THEN rm
-       |         WHEN sqrt(rvr) / rm < $cuR THEN rm
-       |         ELSE cp * (1 - $cu2R / ((sqrt(rvr) / rm) * (sqrt(rvr) / rm)))
-       |              + rm * ($cu2R / ((sqrt(rvr) / rm) * (sqrt(rvr) / rm))) END AS out
+       |         WHEN cp > z98 AND cluster > 5 THEN cp
+       |         WHEN tn <= 0 THEN -9999.0
+       |         WHEN rn <= 0 THEN cp
+       |         WHEN rv <= 0 THEN rm
+       |         ELSE (1 - greatest((rv - rm * rm * $etaVP2) / (1.0 + $etaVP2), 0) / rv) * rm
+       |              + (greatest((rv - rm * rm * $etaVP2) / (1.0 + $etaVP2), 0) / rv) * cp
+       |    END AS out
        |  FROM r2)
        |$rollup""".stripMargin
   }
@@ -331,7 +369,7 @@ object SarOracles4 {
        |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
        |o AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |    CASE WHEN n = 0 THEN -9999.0
+       |    CASE WHEN n = 0 OR sp1 <= 0 OR sp2 <= 0 THEN -9999.0
        |         ELSE greatest(0, (sqrt(sre * sre + sim * sim) / sqrt(sp1 * sp2) - ${InSAR.CohBiasC}) / ${InSAR.CohBiasDen}) END AS out
        |  FROM st)
        |$rollup""".stripMargin

@@ -6,7 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's cores (floor 16): the 96-query surface must finish inside
+    // the driver's budget — the round-2 local[4] default starved it (VERDICT r2 #1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(16, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,7 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // cheap-first ordering: if the driver's budget cuts the run short, the partial
+    // dump still covers most operators (the windowed/FFT kernels go last)
+    val heavy = Set("q_speckle_refinedlee", "q_speckle_idan", "q_speckle_leesigma",
+      "q_goldstein", "q_oversample", "q_bandpass_range", "q_bandpass_azimuth",
+      "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_cosine_pairs", "q_ann_lsh_pairs")
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (heavy.contains(n), n) }
+    ordered.foreach { case (name, fn) =>
       // ordering is a gate-layer concern (deterministic dump), not a library-operator
       // one: sort by all columns here so no operator plan carries a global sort.
       try {

@@ -83,6 +83,101 @@ object WindowMomentsExpr {
     StructField(f, ArrayType(DoubleType, containsNull = false), nullable = false)))
 }
 
+/** Neighbor-strip slice for the halo exchange: only the margin-wide band a neighbor
+ * actually contributes is shuffled (role 4 = the full tile itself). */
+case class HaloStripExpr(arr: Expression, role: Expression, w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(arr, role)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.haloStrip(${args(0)}, ${args(1)}, $w, $h, $m)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.haloStrip(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[Int], w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(arr = c(0), role = c(1))
+}
+
+/** Halo assembly from collected neighbor strips (one compiled copy pass). */
+case class HaloAssembleExpr(contribs: Expression, w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(contribs)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.haloAssemble(${args.head}, $w, $h, $m)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.haloAssemble(args(0).asInstanceOf[ArrayData], w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(contribs = c(0))
+}
+
+/** Windowed dual-pol C2 product (m-delta / DpRVI / anisotropy / entropy). */
+case class C2WindowExpr(c11: Expression, c22: Expression, c12r: Expression,
+    c12i: Expression, w: Int, h: Int, m: Int, mode: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(c11, c22, c12r, c12i)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.c2Window(${args.mkString(", ")}, $w, $h, $m, $mode)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.c2Window(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData], w, h, m, mode)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c11 = c(0), c22 = c(1), c12r = c(2), c12i = c(3))
+}
+
+/** Per-tile dark-pixel count (oil-spill detection). */
+case class DarkCountExpr(halo: Expression, w: Int, h: Int, m: Int, k: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(halo)
+  override def dataType: DataType = LongType
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.darkCount(${args.head}, $w, $h, $m, ${k}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.darkCount(args(0).asInstanceOf[ArrayData], w, h, m, k)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0))
+}
+
+/** Per-tile multilook block sums (array<struct<n:long, s:double>>, row-major blocks). */
+case class BlockMeansExpr(v: Expression, w: Int, h: Int, looks: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false))), containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.blockMeans(${args.head}, $w, $h, $looks)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.blockMeans(args(0).asInstanceOf[ArrayData], w, h, looks)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0))
+}
+
+/** Per-tile mosaic partial aggregation (array<struct<cell_x,cell_y,n_px,sum_q>>). */
+case class MosaicCellsExpr(v: Expression, tileX: Expression, tileY: Expression,
+    lon1: Expression, lat1: Expression, lon2: Expression, lon4: Expression,
+    lat4: Expression, lon0: Expression, lat0: Expression,
+    w: Int, h: Int, samplesPerBurst: Int, linesPerBurst: Int, cell: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] =
+    Seq(v, tileX, tileY, lon1, lat1, lon2, lon4, lat4, lon0, lat0)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cell_x", IntegerType, nullable = false),
+    StructField("cell_y", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_q", LongType, nullable = false))), containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.mosaicCells(${args.mkString(", ")}, $w, $h, $samplesPerBurst, $linesPerBurst, ${cell}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.mosaicCells(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[Int],
+      args(2).asInstanceOf[Int], args(3).asInstanceOf[Double], args(4).asInstanceOf[Double],
+      args(5).asInstanceOf[Double], args(6).asInstanceOf[Double], args(7).asInstanceOf[Double],
+      args(8).asInstanceOf[Double], args(9).asInstanceOf[Double],
+      w, h, samplesPerBurst, linesPerBurst, cell)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), tileX = c(1), tileY = c(2), lon1 = c(3), lat1 = c(4), lon2 = c(5),
+      lon4 = c(6), lat4 = c(7), lon0 = c(8), lat0 = c(9))
+}
+
 /** Per-pixel bilinear LUT interpolation from bracketing calibration vectors. */
 case class LutInterpExpr(vecs: Expression, burstIdx: Expression, tileX: Expression,
     tileY: Expression, w: Int, h: Int, linesPerBurst: Int) extends StaticKernelExpr {
@@ -237,6 +332,29 @@ object KernelExprs {
   def speckleFilter(halo: Column, mode: String, w: Int, h: Int, margin: Int,
       enl: Column, damping: Column): Column =
     toCol(SpeckleFilterExpr(toExpr(halo), toExpr(enl), toExpr(damping), mode, w, h, margin))
+
+  def haloStrip(arr: Column, role: Column, w: Int, h: Int, m: Int): Column =
+    toCol(HaloStripExpr(toExpr(arr), toExpr(role), w, h, m))
+
+  def haloAssemble(contribs: Column, w: Int, h: Int, m: Int): Column =
+    toCol(HaloAssembleExpr(toExpr(contribs), w, h, m))
+
+  def c2Window(c11: Column, c22: Column, c12r: Column, c12i: Column,
+      w: Int, h: Int, m: Int, mode: Int): Column =
+    toCol(C2WindowExpr(toExpr(c11), toExpr(c22), toExpr(c12r), toExpr(c12i), w, h, m, mode))
+
+  def darkCount(halo: Column, w: Int, h: Int, m: Int, k: Double): Column =
+    toCol(DarkCountExpr(toExpr(halo), w, h, m, k))
+
+  def blockMeans(v: Column, w: Int, h: Int, looks: Int): Column =
+    toCol(BlockMeansExpr(toExpr(v), w, h, looks))
+
+  def mosaicCells(v: Column, tileX: Column, tileY: Column, lon1: Column, lat1: Column,
+      lon2: Column, lon4: Column, lat4: Column, lon0: Column, lat0: Column,
+      w: Int, h: Int, samplesPerBurst: Int, linesPerBurst: Int, cell: Double): Column =
+    toCol(MosaicCellsExpr(toExpr(v), toExpr(tileX), toExpr(tileY), toExpr(lon1),
+      toExpr(lat1), toExpr(lon2), toExpr(lon4), toExpr(lat4), toExpr(lon0), toExpr(lat0),
+      w, h, samplesPerBurst, linesPerBurst, cell))
 
   def windowMoments(halo: Column, w: Int, h: Int, haloM: Int, winR: Int): Column =
     toCol(WindowMomentsExpr(toExpr(halo), w, h, haloM, winR))

@@ -21,22 +21,11 @@ object Detection2 {
   /** Oil-spill (dark-area) detection: pixel is dark when v < k * mean5x5; per-tile
    * dark count (OilSpillDetectionOp threshold-below-background shape). */
   val OilK = 0.5
-  def oilSpillQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val haloed = Speckle.haloTiles(spark, sfDir, margin = 2)
-    val hw = W + 4
-    // center-pixel array extracted from the halo (a plain column -> cheap lambda);
-    // bg enters only as a top-level zip_with operand so the kernel runs once per tile
-    val center = s"transform(sequence(0, ${N - 1}), k -> element_at(halo, CAST((k div $W + 2) * $hw + (k % $W + 2) + 1 AS INT)))"
-    haloed
-      .withColumn("bg", KernelExprs.speckleFilter(col("halo"), "mean", W, Raster.H, 2,
-        lit(Speckle.Enl), lit(Speckle.FrostDamping)))
-      .withColumn("dark", expr(
-        s"""zip_with($center, bg, (c, b) ->
-           |  if(c != $ND and b != $ND and c < $OilK * b, 1L, 0L))""".stripMargin))
+  def oilSpillQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Speckle.haloTiles(spark, sfDir, margin = 2)
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"),
-        expr("aggregate(dark, 0L, (a, x) -> a + x)").as("n_dark"))
-  }
+        KernelExprs.darkCount(col("halo"), W, Raster.H, 2, OilK).as("n_dark"))
 
   /** Speckle divergence: out = vr / m^2 over the 3x3 window (texture measure). */
   def speckleDivergenceQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -57,10 +57,18 @@ object Raster {
     withHaloMulti(tiles, Seq("v"), 1).withColumnRenamed("halo_v", "halo")
 
   /**
-   * Generalized halo exchange over several per-pixel value arrays at once: one
-   * contribution explode + one pivot aggregation produce, for each value column c,
-   * a (W+2m)x(H+2m) array column `halo_c`. Valid for margin m <= tile size (only the
-   * 8-neighbor ring is exchanged).
+   * Generalized halo exchange over several per-pixel value arrays at once. Plan shape
+   * (the scale-critical path — every windowed operator rides on it):
+   *  1. each tile emits 9 contribution rows, but neighbors are SLICED to the
+   *     margin-wide strip the target actually needs (compiled HaloStripExpr) — the
+   *     shuffle carries ~(1 + 2m(W+H)/(WH))x the pixel volume, not 9x;
+   *  2. ONE aggregation per target key collects the strips (partial-aggregated
+   *     map-side like any collect_list);
+   *  3. one compiled HaloAssembleExpr call per tile per column builds the
+   *     (W+2m)x(H+2m) halo array `halo_c` — no interpreted per-element lambdas.
+   * Out-of-raster cells hold the no-data sentinel (reference getNeighborValues
+   * semantics: out-of-image -> noDataValue, SpeckleFilter.java:95-144). Valid for
+   * margin m <= tile size (only the 8-neighbor ring is exchanged).
    */
   def withHaloMulti(tiles: DataFrame, cols: Seq[String], margin: Int): DataFrame = {
     require(margin >= 1 && margin <= W && margin <= H)
@@ -74,33 +82,19 @@ object Raster {
       .where(col("ttx").between(0, Layout.TilesX - 1) && col("tty").between(0, Layout.TilesY - 1))
       // role index of this source array seen from the target: 0..8 row-major (dy+1)*3+(dx+1)
       .withColumn("role", (lit(1) - col("d.dy")) * 3 + (lit(1) - col("d.dx")))
-    val aggs = for (c <- cols; r <- 0 to 8)
-      yield max(when(col("role") === r, col(c))).as(s"${c}_n_$r")
-    val pivoted = contributions
+    val stripped = cols.foldLeft(contributions) { (df, c) =>
+      df.withColumn(c, graft.exprs.KernelExprs.haloStrip(col(c), col("role"), W, H, margin))
+    }
+    val aggs = cols.map(c =>
+      collect_list(struct(col("role"), col(c).as("strip"))).as(s"contrib_$c"))
+    val grouped = stripped
       .groupBy(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("ttx").as("tile_x"), col("tty").as("tile_y"))
       .agg(aggs.head, aggs.tail: _*)
-    cols.foldLeft(pivoted) { (df, c) =>
-      df.withColumn(s"halo_$c", expr(haloSql(c, margin)))
-    }.drop((for (c <- cols; r <- 0 to 8) yield s"${c}_n_$r"): _*)
-  }
-
-  /** SQL building the (W+2m)x(H+2m) halo array from the 9 neighbor arrays c_n_0..c_n_8
-   * (c_n_4 = the tile itself). Missing neighbor (raster edge) -> no-data. */
-  private def haloSql(c: String, m: Int): String = {
-    val hw = W + 2 * m
-    val sy = s"(idx div $hw - $m)"
-    val sx = s"(idx % $hw - $m)"
-    def pick(r: Int) =
-      s"if(${c}_n_$r is null, $ND, element_at(${c}_n_$r, CAST((($sy + $H) % $H) * $W + (($sx + $W) % $W) + 1 AS INT)))"
-    def rowCase(dyRole: Int) =
-      s"""case when $sx < 0 then ${pick(dyRole * 3)}
-         |     when $sx > ${W - 1} then ${pick(dyRole * 3 + 2)}
-         |     else ${pick(dyRole * 3 + 1)} end""".stripMargin
-    s"""transform(sequence(0, ${hw * hw - 1}), idx ->
-       |  case when $sy < 0 then ${rowCase(0)}
-       |       when $sy > ${H - 1} then ${rowCase(2)}
-       |       else ${rowCase(1)} end)""".stripMargin
+    cols.foldLeft(grouped) { (df, c) =>
+      df.withColumn(s"halo_$c",
+        graft.exprs.KernelExprs.haloAssemble(col(s"contrib_$c"), W, H, margin))
+    }.drop(cols.map(c => s"contrib_$c"): _*)
   }
 
   /** element_at into the margin-1 halo at window offset (dy, dx) of pixel k. */

@@ -11,9 +11,11 @@ import graft.exprs.KernelExprs
  * sample variance n-1); kernels:
  *  - Boxcar = mean (Boxcar.java); Median = sorted[n/2] (Median.java:150-162)
  *  - Lee (Lee.java:168-187); Gamma-MAP (GammaMap.java:166-199)
- *  - Frost (Frost.java:45-189): exp-damped kernel, manhattan distance
+ *  - Frost (Frost.java:45-189): exp-damped kernel, Chebyshev ring distance
+ *    (getFrostMask, Frost.java:153-163)
  *  - Lee Sigma (LeeSigma.java — the reference DEFAULT, SpeckleFilterOp.java:61-66):
- *    MMSE prior then sigma-range-restricted MMSE, sigma = 0.9
+ *    z98 point-target exclusion, 3x3 target-window MMSE prior, sigma-0.9
+ *    range-restricted MMSE over the 7x7 window (numLooks-indexed table rows)
  *  - Refined Lee (RefinedLee.java): gradient-aligned half-window MMSE, 7x7
  *  - IDAN (IDAN.java): intensity-driven adaptive neighborhood mean
  * ENL is a parameter (cu = 1/sqrt(enl)); `leeEnlEstimated` implements the
@@ -55,8 +57,15 @@ object Speckle {
   def lee(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "lee")
   def gammaMap(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "gammamap")
   def frost(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "frost")
-  def leeSigma(spark: SparkSession, sfDir: String): DataFrame =
-    filtered(spark, sfDir, "leesigma", margin = 2)
+  /** Lee Sigma at the reference defaults (LeeSigma.java: sigma 0.9, numLooks 1,
+   * 7x7 filter window, 3x3 target window, z98 point-target exclusion). VV/bursts<=2
+   * subset like refinedLee: the 49-tap + rank-window oracle is costly at full set. */
+  def leeSigma(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiles = Raster.intensityTiles(spark, sfDir)
+      .where(col("pol") === "VV" && col("burst_idx") <= 2)
+    val haloed = Raster.withHaloMulti(tiles, Seq("v"), 3).withColumnRenamed("halo_v", "halo")
+    Raster.rollup(filterOver(haloed, "leesigma", 3, enl = lit(1.0)))
+  }
   /** Refined Lee runs gate-side on a VV/bursts<=2 subset: its independent oracle is a
    * 49-tap self-join with 18 filtered aggregates — full-set verification is
    * DuckDB-hours; the subset is the same kernel on every code path. */
