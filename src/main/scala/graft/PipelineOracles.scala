@@ -33,12 +33,22 @@ object PipelineOracles {
        |sidx AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
        |sh AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g FROM sidx)""".stripMargin
 
-  private def sigCtes: String =
-    s"""hk AS (SELECT doc_id, k, min(${h60("CAST(k AS VARCHAR) || '|' || g")}) AS mh
-       |       FROM sh, (SELECT unnest(range(16)) AS k) GROUP BY 1, 2),
+  /** Minhash derivation: ONE md5 per shingle, 16 permutations via the exact
+   * integer family in Kernels.minhash16 (constants inlined below; >> and & are
+   * exact int64 in DuckDB, every intermediate < 2^62). */
+  private def sigCtes: String = {
+    import graft.exprs.Kernels.{MinhashA, MinhashB, MinhashC, MinhashMask}
+    val consts = (0 until 16)
+      .map(k => s"(${k}, ${MinhashA(k)}, ${MinhashB(k)}, ${MinhashC(k)})").mkString(", ")
+    s"""hb AS (SELECT doc_id, ${h60("g")} AS h FROM sh),
+       |mc(k, ma, mb, mct) AS (SELECT * FROM (VALUES $consts) t(k, ma, mb, mct)),
+       |hk AS (SELECT doc_id, k,
+       |         min((((h >> 30) * ma) + ((h & 1073741823) * mb) + mct) & $MinhashMask) AS mh
+       |       FROM hb, mc GROUP BY 1, 2),
        |sig AS (SELECT doc_id,
        |  ${(0 until 16).map(k => s"max(CASE WHEN k = $k THEN mh END) AS mh_$k").mkString(",\n  ")}
        |  FROM hk GROUP BY 1)""".stripMargin
+  }
 
   private def bandExpr(b: Int) =
     s"md5(concat_ws('_', mh_${b * 4}, mh_${b * 4 + 1}, mh_${b * 4 + 2}, mh_${b * 4 + 3}))"

@@ -101,6 +101,9 @@ object SparkEntry {
     "q_pol_c2" -> ((s, dir) => ops.Polarimetry.c2MatrixQuery(s, dir)),
     "q_pol_speckle" -> ((s, dir) => ops.Polarimetry.polSpeckleQuery(s, dir)),
     "q_cp_stokes" -> ((s, dir) => ops.Polarimetry.stokesQuery(s, dir)),
+    "q_pol_t3" -> ((s, dir) => ops.PolarimetryQuad.t3Query(s, dir)),
+    "q_halpha_quad" -> ((s, dir) => ops.PolarimetryQuad.hAlphaQuery(s, dir)),
+    "q_wishart" -> ((s, dir) => ops.PolarimetryQuad.wishartQuery(s, dir)),
     "q_cp_mdelta" -> ((s, dir) => ops.Polarimetry.mDeltaQuery(s, dir)),
     "q_dprvi" -> ((s, dir) => ops.Polarimetry.dprviQuery(s, dir)),
     "q_dualpol_anisotropy" -> ((s, dir) => ops.Polarimetry.anisotropyQuery(s, dir)),
@@ -262,6 +265,9 @@ object SparkEntry {
     "q_pol_c2" -> SarOracles7.c2Matrix,
     "q_pol_speckle" -> SarOracles7.polSpeckle,
     "q_cp_stokes" -> SarOracles7.stokes,
+    "q_pol_t3" -> SarOraclesQuad.t3Sums,
+    "q_halpha_quad" -> SarOraclesQuad.hAlpha,
+    "q_wishart" -> SarOraclesQuad.wishart,
     "q_cp_mdelta" -> SarOracles7.mDelta,
     "q_dprvi" -> SarOracles7.dprvi,
     "q_dualpol_anisotropy" -> SarOracles7.anisotropy,

@@ -58,12 +58,14 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> " +
           "concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))"))
 
-  /** Per-doc minhash signature (16 hashes) + band bucket hashes. */
+  /** Per-doc minhash signature (16 hashes) + band bucket hashes. ONE md5 per
+   * shingle; the 16 permutations derive from it via the exact integer
+   * universal-hash family in Kernels.minhash16 (same constants inlined in the
+   * DuckDB oracle) — 16x less hashing than the per-(k, shingle) md5 of round 2. */
   def minhashSignatures(d: DataFrame): DataFrame = {
     val sig = withShingles(d)
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${NumHashes - 1}), k ->
-           |  array_min(transform(shingles, g -> ${h60("concat(CAST(k AS STRING), '|', g)")})))""".stripMargin))
+      .withColumn("bh", expr(s"transform(shingles, g -> ${h60("g")})"))
+      .withColumn("sig", graft.exprs.KernelExprs.minhash16(col("bh")))
     val mhCols = (0 until NumHashes).map(k => expr(s"element_at(sig, ${k + 1})").as(s"mh_$k"))
     val bandCols = (0 until Bands).map(b => expr(
       s"md5(concat_ws('_', ${(0 until NumHashes / Bands).map(r => s"element_at(sig, ${b * 4 + r + 1})").mkString(", ")}))")

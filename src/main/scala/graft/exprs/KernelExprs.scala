@@ -178,6 +178,94 @@ case class MosaicCellsExpr(v: Expression, tileX: Expression, tileY: Expression,
       lon4 = c(6), lat4 = c(7), lon0 = c(8), lat0 = c(9))
 }
 
+/** Quad-pol per-tile T3 integer sums: (n, s11..s23i) from the 8 i/q channels. */
+case class T3SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      Seq("s11", "s22", "s33", "s12r", "s12i", "s13r", "s13i", "s23r", "s23i")
+        .map(f => StructField(f, LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.t3Sums(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.t3Sums(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** Quad-pol per-tile H-A-alpha rollup over margin-m windowed T3. */
+case class HAlphaExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("h_q", LongType, nullable = false),
+    StructField("a_q", LongType, nullable = false),
+    StructField("al_q", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.hAlphaTile(${args.mkString(", ")}, $w, $h, $m)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.hAlphaTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData], w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** One Wishart pass per tile: 9 rows (zone, cnt, 9 quantized channel sums);
+ * empty `centers` array = H-alpha seed mode, else argmin-distance assignment. */
+case class WishartExpr(chs: Seq[Expression], centers: Expression, w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs :+ centers
+  override def dataType: DataType = ArrayType(StructType(
+    StructField("zone", IntegerType, nullable = false) +:
+      StructField("cnt", LongType, nullable = false) +:
+      Seq("s11", "s22", "s33", "s12r", "s12i", "s13r", "s13i", "s23r", "s23i")
+        .map(f => StructField(f, LongType, nullable = false))), containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.wishartTile(${args.mkString(", ")}, $w, $h, $m)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.wishartTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData],
+      args(8).asInstanceOf[ArrayData], w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c.init, centers = c.last)
+}
+
+/** Integer-exact rollup struct (n, s, mn, mx) of a filtered array (one compiled pass). */
+case class RollupQExpr(arr: Expression, q: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(arr)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", LongType, nullable = false),
+    StructField("mn", LongType, nullable = true),
+    StructField("mx", LongType, nullable = true)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.rollupQ(${args.head}, ${q}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.rollupQ(args(0).asInstanceOf[ArrayData], q)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(arr = c(0))
+}
+
+/** 16-entry minhash signature from a doc's base-hash array (one compiled pass). */
+case class Minhash16Expr(hs: Expression) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(hs)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.minhash16(${args.head})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.minhash16(args(0).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(hs = c(0))
+}
+
 /** Per-pixel bilinear LUT interpolation from bracketing calibration vectors. */
 case class LutInterpExpr(vecs: Expression, burstIdx: Expression, tileX: Expression,
     tileY: Expression, w: Int, h: Int, linesPerBurst: Int) extends StaticKernelExpr {
@@ -355,6 +443,18 @@ object KernelExprs {
     toCol(MosaicCellsExpr(toExpr(v), toExpr(tileX), toExpr(tileY), toExpr(lon1),
       toExpr(lat1), toExpr(lon2), toExpr(lon4), toExpr(lat4), toExpr(lon0), toExpr(lat0),
       w, h, samplesPerBurst, linesPerBurst, cell))
+
+  def minhash16(hs: Column): Column = toCol(Minhash16Expr(toExpr(hs)))
+
+  def rollupQ(arr: Column, q: Double): Column = toCol(RollupQExpr(toExpr(arr), q))
+
+  def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
+
+  def hAlpha(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
+    toCol(HAlphaExpr(chs.map(toExpr), w, h, m))
+
+  def wishart(chs: Seq[Column], centers: Column, w: Int, h: Int, m: Int): Column =
+    toCol(WishartExpr(chs.map(toExpr), toExpr(centers), w, h, m))
 
   def windowMoments(halo: Column, w: Int, h: Int, haloM: Int, winR: Int): Column =
     toCol(WindowMomentsExpr(toExpr(halo), w, h, haloM, winR))

@@ -441,6 +441,72 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // ------------------------------------------------------------------ rollup kernel
+
+  /**
+   * Integer-exact per-tile rollup of a filtered `out` array in ONE compiled pass:
+   * each valid (non-NaN, non-ND) pixel is quantized to floor(offset + v*q) BIGINT
+   * and n/sum/min/max of the quantized values are returned. Identical to the
+   * former interpreted filter+aggregate SQL (min/max commute with the monotone
+   * quantizer, so quantize-then-min equals min-then-quantize). min/max are null
+   * for an all-invalid tile, matching the SQL's CASE.
+   */
+  def rollupQ(arrD: ArrayData, q: Double): InternalRow = {
+    val a = arrD.toDoubleArray()
+    var n = 0L; var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var i = 0
+    while (i < a.length) {
+      val v = a(i)
+      if (!isNd(v)) {
+        val qq = math.floor(0.031415926535897934 + v * q).toLong
+        n += 1; s += qq
+        if (qq < mn) mn = qq
+        if (qq > mx) mx = qq
+      }
+      i += 1
+    }
+    if (n == 0) InternalRow(0L, 0L, null, null)
+    else InternalRow(n, s, mn, mx)
+  }
+
+  // ------------------------------------------------------------------ minhash family
+
+  /** Universal-hash family deriving all 16 minhash permutations from ONE md5-based
+   * 60-bit hash per shingle: h_k = ((hi30 * A_k) + (lo30 * B_k) + C_k) & (2^60-1),
+   * split at bit 30 so every intermediate stays < 2^62 (exact in int64 on both
+   * engines — no overflow, no float). The constants are fixed odd multipliers
+   * generated from Knuth/xxhash primes; they are inlined as literals into the
+   * DuckDB oracle SQL, so engine and oracle agree bit-for-bit. Replaces the
+   * round-2 16-md5-calls-per-shingle signature (VERDICT r2 bench table). */
+  val MinhashMask: Long = (1L << 60) - 1
+  val MinhashA: Array[Long] =
+    Array.tabulate(16)(k => ((2654435761L * (2 * k + 1)) & 0x3FFFFFFEL) | 1L)
+  val MinhashB: Array[Long] =
+    Array.tabulate(16)(k => ((2246822519L * (2 * k + 3)) & 0x3FFFFFFEL) | 1L)
+  val MinhashC: Array[Long] =
+    Array.tabulate(16)(k => (1181783497276652981L * (k + 1)) & MinhashMask)
+
+  /** All 16 minhash values over a doc's base-hash array in one compiled pass. */
+  def minhash16(hsD: ArrayData): ArrayData = {
+    val hs = hsD.toLongArray()
+    val out = new Array[Long](16)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      val hi = h >>> 30
+      val lo = h & 0x3FFFFFFFL
+      var k = 0
+      while (k < 16) {
+        val v = (hi * MinhashA(k) + lo * MinhashB(k) + MinhashC(k)) & MinhashMask
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ------------------------------------------------------------- window stats (shared)
 
   /** Per-pixel window moment struct stream (n, s1, s2, cp) packed as 4 flat double
@@ -1297,5 +1363,341 @@ object Kernels {
       y += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // --------------------------------------------------- quad-pol T3 family (rstb)
+
+  /**
+   * Quad-pol coherency-matrix family (reference rstb PolarimetricMatricesOp.java:48
+   * T3 generation; PolarimetricDecompositionOp.java:47 H-A-alpha via the 3x3
+   * Hermitian eigen problem; PolarimetricClassificationOp.java:43 H-alpha Wishart).
+   *
+   * Scattering vector in the UNnormalized Pauli basis p = (HH+VV, HH-VV, HV+VH)
+   * (the 1/sqrt2 factors fold into T = p p^H / 2, exact on the dyadic grid), so
+   * per-pixel T3 entries and their 3x3 window sums are exact doubles that DuckDB
+   * reproduces bit-for-bit. Eigenvalues by the closed-form Cardano solve,
+   * eigenvectors by the complex cross product of two rows of (T - lambda I); the
+   * identical formula text is staged in the SarOraclesQuad SQL.
+   *
+   * Channel order everywhere: t11, t22, t33, t12r, t12i, t13r, t13i, t23r, t23i.
+   */
+  @inline private def t3Px(ihh: Double, qhh: Double, ihv: Double, qhv: Double,
+      ivh: Double, qvh: Double, ivv: Double, qvv: Double, out: Array[Double]): Unit = {
+    val p1r = ihh + ivv; val p1i = qhh + qvv
+    val p2r = ihh - ivv; val p2i = qhh - qvv
+    val p3r = ihv + ivh; val p3i = qhv + qvh
+    out(0) = (p1r * p1r + p1i * p1i) / 2
+    out(1) = (p2r * p2r + p2i * p2i) / 2
+    out(2) = (p3r * p3r + p3i * p3i) / 2
+    out(3) = (p1r * p2r + p1i * p2i) / 2
+    out(4) = (p1i * p2r - p1r * p2i) / 2
+    out(5) = (p1r * p3r + p1i * p3i) / 2
+    out(6) = (p1i * p3r - p1r * p3i) / 2
+    out(7) = (p2r * p3r + p2i * p3i) / 2
+    out(8) = (p2i * p3r - p2r * p3i) / 2
+  }
+
+  @inline private def quadValid(a: Array[Array[Double]], idx: Int): Boolean = {
+    var c = 0
+    while (c < 8) { if (isNd(a(c)(idx))) return false; c += 1 }
+    true
+  }
+
+  /** Per-tile integer-exact sums of the 9 per-pixel T3 entries (+ valid count) —
+   * the T3 matrix-generation gate (quantum 1e6). Inputs: 8 tile arrays
+   * (i/q x HH,HV,VH,VV), dyadic-snapped by the caller. */
+  def t3Sums(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData): InternalRow = {
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    val t = new Array[Double](9)
+    val s = new Array[Long](9)
+    var n = 0L
+    var i = 0
+    while (i < ch(0).length) {
+      if (quadValid(ch, i)) {
+        t3Px(ch(0)(i), ch(1)(i), ch(2)(i), ch(3)(i), ch(4)(i), ch(5)(i), ch(6)(i), ch(7)(i), t)
+        n += 1
+        var j = 0
+        while (j < 9) { s(j) += math.floor(0.031415926535897934 + t(j) * 1.0e6).toLong; j += 1 }
+      }
+      i += 1
+    }
+    InternalRow(n, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8))
+  }
+
+  /** Windowed-T3 sums for pixel (x, y) of a margin-m halo set; fills win(0)=n and
+   * win(1..9) = the 9 channel sums. */
+  private def t3Win(ch: Array[Array[Double]], hw: Int, x: Int, y: Int, m: Int,
+      t: Array[Double], win: Array[Double]): Unit = {
+    java.util.Arrays.fill(win, 0.0)
+    var dy = -m
+    while (dy <= m) {
+      var dx = -m
+      while (dx <= m) {
+        val idx = (y + m + dy) * hw + (x + m + dx)
+        if (quadValid(ch, idx)) {
+          t3Px(ch(0)(idx), ch(1)(idx), ch(2)(idx), ch(3)(idx), ch(4)(idx), ch(5)(idx),
+            ch(6)(idx), ch(7)(idx), t)
+          win(0) += 1
+          var j = 0
+          while (j < 9) { win(j + 1) += t(j); j += 1 }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+  }
+
+  private val Log3 = math.log(3.0)
+  private val TwoPiThird = 2.0 * math.Pi / 3.0
+
+  /** Cardano H-A-alpha of one windowed T3 (win as from t3Win, win(0)=n > 0).
+   * Fills haa = (entropy, anisotropy, alphaDeg). Formula staged EXACTLY as the
+   * SarOraclesQuad SQL (same association order). */
+  private def hAlphaOf(win: Array[Double], haa: Array[Double]): Unit = {
+    val a = win(1); val b = win(2); val c = win(3)
+    val d12r = win(4); val d12i = win(5); val d13r = win(6); val d13i = win(7)
+    val d23r = win(8); val d23i = win(9)
+    val tr = a + b + c
+    if (tr <= 0.0) { haa(0) = ND; haa(1) = ND; haa(2) = ND; return }
+    val p1 = d12r * d12r + d12i * d12i + d13r * d13r + d13i * d13i + d23r * d23r + d23i * d23i
+    var l1 = 0.0; var l2 = 0.0; var l3 = 0.0
+    if (p1 == 0.0) {
+      l1 = math.max(a, math.max(b, c))
+      l3 = math.min(a, math.min(b, c))
+      l2 = tr - l1 - l3
+    } else {
+      val q = tr / 3.0
+      val p2 = (a - q) * (a - q) + (b - q) * (b - q) + (c - q) * (c - q) + 2.0 * p1
+      val p = math.sqrt(p2 / 6.0)
+      val b11 = (a - q) / p; val b22 = (b - q) / p; val b33 = (c - q) / p
+      val e12r = d12r / p; val e12i = d12i / p
+      val e13r = d13r / p; val e13i = d13i / p
+      val e23r = d23r / p; val e23i = d23i / p
+      val detB = b11 * b22 * b33 - b11 * (e23r * e23r + e23i * e23i) -
+        b22 * (e13r * e13r + e13i * e13i) - b33 * (e12r * e12r + e12i * e12i) +
+        2.0 * ((e12r * e23r - e12i * e23i) * e13r + (e12r * e23i + e12i * e23r) * e13i)
+      var r = detB / 2.0
+      if (r < -1.0) r = -1.0
+      if (r > 1.0) r = 1.0
+      val phi = math.acos(r) / 3.0
+      l1 = q + 2.0 * p * math.cos(phi)
+      l3 = q + 2.0 * p * math.cos(phi + TwoPiThird)
+      l2 = tr - l1 - l3
+    }
+    // probabilities (clamped), entropy base 3
+    var h = 0.0
+    var k = 0
+    while (k < 3) {
+      val l = if (k == 0) l1 else if (k == 1) l2 else l3
+      var pk = l / tr
+      if (pk < 0.0) pk = 0.0
+      if (pk > 0.0) h -= pk * (math.log(pk) / Log3)
+      k += 1
+    }
+    val anis = if (l2 + l3 > 0.0) (l2 - l3) / (l2 + l3) else 0.0
+    // mean alpha from eigenvectors: v = row1(T - lI) x row2(T - lI)
+    var alpha = 0.0
+    if (p1 == 0.0) {
+      // diagonal T: eigenvectors are the unit axes; alpha = 0 for the t11 axis,
+      // 90 deg otherwise
+      var kk = 0
+      while (kk < 3) {
+        val l = if (kk == 0) l1 else if (kk == 1) l2 else l3
+        var pk = l / tr
+        if (pk < 0.0) pk = 0.0
+        alpha += pk * (if (l == a) 0.0 else 90.0)
+        kk += 1
+      }
+    } else {
+      var kk = 0
+      while (kk < 3) {
+        val l = if (kk == 0) l1 else if (kk == 1) l2 else l3
+        var pk = l / tr
+        if (pk < 0.0) pk = 0.0
+        // r1 = (a-l, d12, d13); r2 = (conj(d12), b-l, d23)
+        val v1r = d12r * d23r - d12i * d23i - d13r * (b - l)
+        val v1i = d12r * d23i + d12i * d23r - d13i * (b - l)
+        val v2r = d13r * d12r + d13i * d12i - (a - l) * d23r
+        val v2i = d13i * d12r - d13r * d12i - (a - l) * d23i
+        val v3r = (a - l) * (b - l) - (d12r * d12r + d12i * d12i)
+        val norm2 = v1r * v1r + v1i * v1i + v2r * v2r + v2i * v2i + v3r * v3r
+        val ak =
+          if (norm2 <= 0.0) 0.0
+          else {
+            var cosA = math.sqrt((v1r * v1r + v1i * v1i) / norm2)
+            if (cosA > 1.0) cosA = 1.0
+            math.acos(cosA) * (180.0 / math.Pi)
+          }
+        alpha += pk * ak
+        kk += 1
+      }
+    }
+    haa(0) = h; haa(1) = anis; haa(2) = alpha
+  }
+
+  /** Per-tile H-A-alpha rollup over margin-m windowed T3: returns (n_valid,
+   * sum_q(H), sum_q(A), sum_q(alphaDeg)) with quantum 1e6. A pixel is valid when
+   * its window has at least one valid quad-pol sample and tr > 0 (mirrors the C2
+   * window gates). */
+  def hAlphaTile(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
+      w: Int, h: Int, m: Int): InternalRow = {
+    val hw = w + 2 * m
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    val t = new Array[Double](9)
+    val win = new Array[Double](10)
+    val haa = new Array[Double](3)
+    var n = 0L; var hs = 0L; var as = 0L; var als = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        t3Win(ch, hw, x, y, m, t, win)
+        if (win(0) > 0) {
+          hAlphaOf(win, haa)
+          if (!isNd(haa(0))) {
+            n += 1
+            hs += math.floor(0.031415926535897934 + haa(0) * 1.0e6).toLong
+            as += math.floor(0.031415926535897934 + haa(1) * 1.0e6).toLong
+            als += math.floor(0.031415926535897934 + haa(2) * 1.0e6).toLong
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(n, hs, as, als)
+  }
+
+  /** H-alpha plane zone 0..8 (3 entropy bands x 3 alpha bands; the reference's
+   * 9-zone plane, PolarimetricClassificationOp.java:43 — infeasible-zone merging
+   * is a documented deviation). */
+  @inline private def zoneOf(hEnt: Double, alphaDeg: Double): Int = {
+    val hb = if (hEnt < 0.5) 0 else if (hEnt < 0.9) 1 else 2
+    val ab = if (alphaDeg >= 47.5) 0 else if (alphaDeg >= 42.5) 1 else 2
+    hb * 3 + ab
+  }
+
+  /** Wishart quantization grid for the windowed-T3 channel sums accumulated into
+   * cluster centers: coarse (1e3) so global integer sums stay far from overflow. */
+  val WishartQ = 1.0e3
+
+  /**
+   * One Wishart pass over a tile. centers == null: SEED mode is keyed by the
+   * H-alpha zone of each pixel; centers != null: pixels are keyed by the argmin
+   * revised-Wishart distance d_z = ln det(C_z) + tr(C_z^-1 Tbar) over the 9
+   * centers (flat 10 longs per zone: cnt + 9 quantized channel sums; cnt == 0 =
+   * dead zone). Returns 9 rows of (zone, cnt, 9 quantized windowed-sum channel
+   * sums) — per-tile partials that a global groupBy folds into the next centers
+   * (so the iteration is one narrow shuffle per round at any scale).
+   */
+  def wishartTile(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
+      centersD: ArrayData, w: Int, h: Int, m: Int): ArrayData = {
+    val hw = w + 2 * m
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    val centers =
+      if (centersD == null || centersD.numElements() == 0) null else centersD.toLongArray()
+    // precompute per-zone ln det + inverse entries from the exact integer centers
+    val zinv = new Array[Array[Double]](9) // (lndet, i11,i22,i33,i12r,i12i,i13r,i13i,i23r,i23i)
+    if (centers != null) {
+      var z = 0
+      while (z < 9) {
+        val cnt = centers(z * 10)
+        if (cnt > 0) {
+          val cs = new Array[Double](9)
+          var j = 0
+          while (j < 9) { cs(j) = centers(z * 10 + 1 + j) / WishartQ / cnt; j += 1 }
+          val a = cs(0); val b = cs(1); val c = cs(2)
+          val d12r = cs(3); val d12i = cs(4); val d13r = cs(5); val d13i = cs(6)
+          val d23r = cs(7); val d23i = cs(8)
+          val det = a * b * c - a * (d23r * d23r + d23i * d23i) -
+            b * (d13r * d13r + d13i * d13i) - c * (d12r * d12r + d12i * d12i) +
+            2.0 * ((d12r * d23r - d12i * d23i) * d13r + (d12r * d23i + d12i * d23r) * d13i)
+          if (det > 0.0) {
+            // Hermitian inverse by adjugate: diag cofactors real, off-diag complex
+            val i11 = (b * c - (d23r * d23r + d23i * d23i)) / det
+            val i22 = (a * c - (d13r * d13r + d13i * d13i)) / det
+            val i33 = (a * b - (d12r * d12r + d12i * d12i)) / det
+            // (C^-1)_12 = (d13 * conj(d23) - d12 * c) / det
+            val i12r = (d13r * d23r + d13i * d23i - d12r * c) / det
+            val i12i = (d13i * d23r - d13r * d23i - d12i * c) / det
+            // (C^-1)_13 = (d12 * d23 - d13 * b) / det
+            val i13r = (d12r * d23r - d12i * d23i - d13r * b) / det
+            val i13i = (d12r * d23i + d12i * d23r - d13i * b) / det
+            // (C^-1)_23 = (d13 * conj(d12) - a * d23) / det
+            val i23r = (d13r * d12r + d13i * d12i - a * d23r) / det
+            val i23i = (d13i * d12r - d13r * d12i - a * d23i) / det
+            zinv(z) = Array(math.log(det), i11, i22, i33, i12r, i12i, i13r, i13i, i23r, i23i)
+          }
+        }
+        z += 1
+      }
+    }
+    val t = new Array[Double](9)
+    val win = new Array[Double](10)
+    val haa = new Array[Double](3)
+    val cnt = new Array[Long](9)
+    val sums = Array.ofDim[Long](9, 9)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        t3Win(ch, hw, x, y, m, t, win)
+        if (win(0) > 0) {
+          val n = win(0)
+          var zone = -1
+          if (centers == null) {
+            hAlphaOf(win, haa)
+            if (!isNd(haa(0))) zone = zoneOf(haa(0), haa(2))
+          } else if (win(1) + win(2) + win(3) > 0.0) { // tr > 0, mirrors the seed path
+            // mean coherency of the pixel (same division staged in the oracle)
+            val m11 = win(1) / n; val m22 = win(2) / n; val m33 = win(3) / n
+            val w12r = win(4) / n; val w12i = win(5) / n
+            val w13r = win(6) / n; val w13i = win(7) / n
+            val w23r = win(8) / n; val w23i = win(9) / n
+            var best = Double.PositiveInfinity
+            var z = 0
+            while (z < 9) {
+              val zi = zinv(z)
+              if (zi != null) {
+                // tr(C^-1 T) for Hermitian C^-1, T: diag + 2 Re(sum of off-diag products)
+                val trv = zi(1) * m11 + zi(2) * m22 + zi(3) * m33 +
+                  2.0 * (zi(4) * w12r + zi(5) * w12i + zi(6) * w13r + zi(7) * w13i +
+                    zi(8) * w23r + zi(9) * w23i)
+                val d = zi(0) + trv
+                if (d < best) { best = d; zone = z }
+              }
+              z += 1
+            }
+          }
+          if (zone >= 0) {
+            cnt(zone) += 1
+            var j = 0
+            while (j < 9) {
+              sums(zone)(j) += math.floor(0.031415926535897934 + win(j + 1) * WishartQ).toLong
+              j += 1
+            }
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val rows = new Array[Any](9)
+    var z = 0
+    while (z < 9) {
+      rows(z) = InternalRow(z, cnt(z), sums(z)(0), sums(z)(1), sums(z)(2), sums(z)(3),
+        sums(z)(4), sums(z)(5), sums(z)(6), sums(z)(7), sums(z)(8))
+      z += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 }

@@ -46,7 +46,7 @@ object Fixtures {
     val d = dir(sfDir)
     // version-suffixed marker: bump when generate() gains tables so stale fixture
     // dirs regenerate (deterministic -> existing tables rewrite identically)
-    val marker = Paths.get(d, "_COMPLETE_v4")
+    val marker = Paths.get(d, "_COMPLETE_v5")
     if (!Files.exists(marker)) {
       generate(spark, sc, d)
       Files.createDirectories(Paths.get(d))
@@ -260,6 +260,7 @@ object Fixtures {
     // ---- tiles: complex raster tiles; value is a pure function of GLOBAL pixel
     // coordinates so a planted shift is exactly recoverable (see tileValueSql).
     writeTiles(spark, sc, s"$d/tiles.parquet", dxCol = "0", dyCol = "0")
+    writeTilesQuad(spark, sc, s"$d/tiles_quad.parquet")
     // secondary tiles: same field sampled at (x - dx, y - dy) => xcorr ground truth.
     writeTiles(spark, sc, s"$d/tiles_sec.parquet",
       dxCol = s"(pmod(xxhash64(concat_ws('|', 'shift_x', scene_idx_str)), 4) - 1)",
@@ -407,6 +408,32 @@ object Fixtures {
     val i = s"(if($u < 0.002, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * cos(2 * pi() * $u2)))"
     val q = s"(if($u < 0.002, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * sin(2 * pi() * $u2)))"
     (i, q)
+  }
+
+  /** Quad-pol SLC tiles (HH/HV/VH/VV) for the rstb polarimetric family — subswath
+   * IW1 only (the quad-pol gates window 3x3 matrices and run eigen solves per
+   * pixel; one subswath bounds the gate cost). Same deterministic per-(pol, pixel)
+   * value law as writeTiles, so each pol channel is an independent speckle draw. */
+  private def writeTilesQuad(spark: SparkSession, sc: Scale, path: String): Unit = {
+    val pols = Seq("HH", "HV", "VH", "VV")
+    val nKeys = sc.nScenes * pols.size * Layout.BurstsPerSubswath * Layout.TilesX * Layout.TilesY
+    val (iSql, qSql) = tileValueSql("0", "0")
+    val perBurst = Layout.TilesX * Layout.TilesY
+    val df = spark.range(0, nKeys.toLong, 1, 32)
+      .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
+      .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
+      .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))
+      .withColumn("pol", expr(s"element_at(array(${pols.map(p => s"'$p'").mkString(", ")}), " +
+        s"CAST((id div ${perBurst * Layout.BurstsPerSubswath}) % ${pols.size} AS INT) + 1)"))
+      .withColumn("subswath", lit("IW1"))
+      .withColumn("scene_idx", expr(s"CAST(id div ${perBurst * Layout.BurstsPerSubswath * pols.size} AS INT)"))
+      .withColumn("scene_id", format_string("scene_%04d", col("scene_idx")))
+      .withColumn("w", lit(Layout.TileW)).withColumn("h", lit(Layout.TileH))
+      .withColumn("i", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $iSql)"))
+      .withColumn("q", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $qSql)"))
+      .withColumn("no_data", lit(Layout.NoData))
+      .select("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "w", "h", "i", "q", "no_data")
+    df.write.mode("overwrite").parquet(path)
   }
 
   private def writeTiles(spark: SparkSession, sc: Scale, path: String, dxCol: String, dyCol: String): Unit = {

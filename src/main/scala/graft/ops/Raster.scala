@@ -139,16 +139,12 @@ object Raster {
     if (s.contains("E") || s.contains("e")) s else s + "E0"
   }
 
-  def rollup(df: DataFrame, scale: Double = 1.0): DataFrame = {
-    val q = quantum(scale)
-    df.withColumn("valid_out", expr(s"filter(out, x -> not(isnan(x) or x = $ND))"))
+  def rollup(df: DataFrame, scale: Double = 1.0): DataFrame =
+    // one compiled pass (quantize + n/sum/min/max) — value-identical to the former
+    // interpreted filter+aggregate SQL; min/max commute with the monotone quantizer
+    df.withColumn("rq", graft.exprs.KernelExprs.rollupQ(col("out"), scale * 1e6))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"),
-        expr("CAST(size(valid_out) AS BIGINT)").as("n_valid"),
-        expr(s"aggregate(valid_out, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * $q) AS BIGINT))").as("sum_q"),
-        expr(s"if(size(valid_out) = 0, CAST(null AS BIGINT), " +
-          s"CAST(floor(0.031415926535897934 + array_min(valid_out) * $q) AS BIGINT))").as("min_q"),
-        expr(s"if(size(valid_out) = 0, CAST(null AS BIGINT), " +
-          s"CAST(floor(0.031415926535897934 + array_max(valid_out) * $q) AS BIGINT))").as("max_q"))
-  }
+        col("rq.n").as("n_valid"), col("rq.s").as("sum_q"),
+        col("rq.mn").as("min_q"), col("rq.mx").as("max_q"))
 }

@@ -42,9 +42,14 @@ object TerrainCorrection {
         col("y").as("orb_y"), col("z").as("orb_z"), col("vy").as("orb_vy"))
     val dem = Fixtures.table(spark, sfDir, "dem")
       .select("scene_id", "lat_idx", "lon_idx", "height")
-    scenes.join(orbit0, Seq("scene_id"))
-      .withColumn("ci", explode(sequence(lit(0), lit(GridNx - 1))))
-      .withColumn("cj", explode(sequence(lit(0), lit(GridNy - 1))))
+    // the grid is generated DISTRIBUTED: spark.range partitions the cell ids across
+    // the cluster and the tiny scene/orbit/DEM dims broadcast onto them — exploding
+    // off the one-file scenes table ran the whole geometry pipeline in a single task
+    // (the scaling job's serial floor, BENCH r3 probe)
+    val cells = spark.range(0L, GridNx.toLong * GridNy)
+      .select(expr(s"CAST(id div $GridNy AS INT)").as("ci"),
+        expr(s"CAST(id % $GridNy AS INT)").as("cj"))
+    cells.join(broadcast(scenes.join(orbit0, Seq("scene_id"))))
       .withColumn("lon", col("lon0") + (col("ci") + 0.5) * CellDeg)
       .withColumn("lat", col("lat0") + (col("cj") + 0.5) * CellDeg)
       .withColumn("lat_idx", expr(s"CAST(round((lat - lat0) / $DemStep, 0) AS INT)"))
@@ -184,16 +189,40 @@ object TerrainCorrection {
       .agg(count(lit(1)).as("n_facets"),
         sum(expr("CAST(floor(0.031415926535897934 + sim * 1.0E6) AS BIGINT)")).as("sim_sum_q"))
 
-  /** The gather join: resolved targets x tile table (VV intensity), nearest neighbor. */
+  /** The gather join: resolved targets x tile table (VV intensity), nearest
+   * neighbor. The RESOLVED side broadcasts (the target map grid is bounded per
+   * scene — ~50 B/row vs the 8 KB pixel arrays on the tile side), so the raster
+   * volume never crosses a shuffle; at full scale the same shape holds per scene
+   * partition (or becomes a bucketed co-partitioned join), and the tile scan
+   * streams map-side only. */
   def query(spark: SparkSession, sfDir: String): DataFrame = {
-    val tiles = Raster.intensityTiles(spark, sfDir)
+    // raw i/q tiles — the intensity is computed for the ONE gathered pixel per
+    // target (O(1) element_at on the scan arrays), never as a full per-tile array:
+    // deriving v up front let CollapseProject re-evaluate the 1024-element
+    // intensity lambda once per matched TARGET row after the join (the plan-shape
+    // cost the round-3 probe measured at ~3.5 s of the 5 s query)
+    val tiles = Fixtures.table(spark, sfDir, "tiles")
       .where(col("pol") === "VV")
       .select(col("scene_id"), col("subswath"), col("burst_idx"),
-        col("tile_x"), col("tile_y"), col("v"))
-    resolvedTargets(spark, sfDir)
-      .join(tiles, Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+    // prune the resolved side to its essential columns BEFORE the join: the full
+    // resolvedTargets frame carries ~45 intermediate geometry columns, pushing the
+    // joined stage past the whole-stage-codegen field limit — the interpreted
+    // fallback then copies the 8 KB pixel array into every matched output row
+    val resolved = resolvedTargets(spark, sfDir)
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y",
+        "ci", "cj", "local_line", "x_in_sw", "px")
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    tiles
+      .join(broadcast(resolved),
+        Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pa", expr("element_at(i, px + 1)"))
+      .withColumn("pb", expr("element_at(q, px + 1)"))
       .select(col("scene_id"), col("ci"), col("cj"), col("subswath"), col("burst_idx"),
         col("local_line"), col("x_in_sw"),
-        expr("round(if(element_at(v, px + 1) = -9999.0D, -9999.0D, element_at(v, px + 1)), 6)").as("value"))
+        expr(
+          s"""round(if(pa = -9999.0D or pb = -9999.0D or isnan(pa) or isnan(pb), -9999.0D,
+             |  floor(((floor(pa * $d) / $d) * (floor(pa * $d) / $d)
+             |         + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv), 6)""".stripMargin).as("value"))
   }
 }
