@@ -86,6 +86,31 @@ object PipelineOracles {
        |SELECT doc_id, CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SimHash banded Hamming pairing over the augmented corpus (mirror of
+   * Dedup.simhashPairsQuery: 4 x 15-bit bands, exact popcount(xor) <= 3). */
+  val simhashPairs: String = {
+    val bb = graft.dedup.Dedup.SimBandBits
+    val mask = (1 << bb) - 1
+    s"""WITH $augCte,
+       |wd AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+       |       FROM aug),
+       |h AS (SELECT doc_id, ${h60("w")} AS hv FROM wd),
+       |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |         FROM h, (SELECT unnest(range(60)) AS j) GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY 1),
+       |bands AS (SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * $bb)) & $mask AS bv
+       |          FROM sh, (SELECT unnest(range(${graft.dedup.Dedup.SimBands})) AS b)),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS sa, b.simhash AS sb
+       |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bv = b.bv
+       |           AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= ${graft.dedup.Dedup.HammingMax}
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val ngramPairs: String =
     s"""WITH ${shingleCtes("documents")},
        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= ${graft.dedup.Dedup.DfCap}),
@@ -186,20 +211,33 @@ object PipelineOracles {
   }
 
   val annLshPairs: String = {
+    // scale parameterization mirrored from ann.Ann: bits from the corpus count
+    // (mask on a MaxPairBits hash), hot-bucket cap 8 x expected population
     def bkCte(t: Int) = {
       val w = s"CASE WHEN ${h60(s"'lsht|' || $t || '|' || b || '|' || i")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
       s"""bk$t AS (SELECT vec_id,
-         |  CAST(list_sum(list_transform(range(${ann.Ann.PairBits}), b ->
+         |  CAST(list_sum(list_transform(range(${ann.Ann.MaxPairBits}), b ->
          |    CASE WHEN list_sum(list_transform(range(len(embedding)), i ->
          |           embedding[i+1]::DOUBLE * ($w))) >= 0
-         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bucket
-         |  FROM e)""".stripMargin
+         |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) & (SELECT mask FROM prm) AS bucket
+         |  FROM e),
+         |hot$t AS (SELECT bucket FROM bk$t GROUP BY bucket HAVING count(*) > (SELECT cap FROM prm)),
+         |cold$t AS (SELECT * FROM bk$t WHERE bucket NOT IN (SELECT bucket FROM hot$t))""".stripMargin
     }
     val unions = (0 until ann.Ann.PairTables).map(t =>
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |FROM bk$t a JOIN bk$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)
+         |FROM cold$t a JOIN cold$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id""".stripMargin)
       .mkString("\n UNION \n")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |prm AS (SELECT n,
+       |    greatest(${ann.Ann.PairBits}, least(${ann.Ann.MaxPairBits},
+       |      CAST(ceil(ln(n / ${ann.Ann.TargetBucket}.0) / ln(2.0)) AS INT))) AS bits,
+       |    (1::BIGINT << greatest(${ann.Ann.PairBits}, least(${ann.Ann.MaxPairBits},
+       |      CAST(ceil(ln(n / ${ann.Ann.TargetBucket}.0) / ln(2.0)) AS INT)))) - 1 AS mask,
+       |    ${ann.Ann.HotFactor} * greatest(1, n // (1::BIGINT << greatest(${ann.Ann.PairBits},
+       |      least(${ann.Ann.MaxPairBits}, CAST(ceil(ln(n / ${ann.Ann.TargetBucket}.0) / ln(2.0)) AS INT))))) AS cap
+       |  FROM nn),
        |${(0 until ann.Ann.PairTables).map(bkCte).mkString(",\n")},
        |cand AS ($unions),
        |j AS (SELECT c.vec_a, c.vec_b,

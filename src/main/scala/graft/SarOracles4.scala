@@ -218,18 +218,28 @@ object SarOracles4 {
        |                      ELSE abs(sub2 - sub4) <= abs(sub6 - sub4) END AS keepa
        |  FROM g2),
        |hst AS (
+       |  -- the half-window direction mask lives in the aggregate FILTERs, NOT the
+       |  -- LEFT JOIN condition: a non-equi predicate on a LEFT JOIN forces DuckDB
+       |  -- off the hash join (this one CTE was 605 s of the 638 s oracle pass)
        |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
        |    c.gx, c.gy, c.cp,
-       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
-       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1,
-       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0), 0) AS s2
-       |  FROM g3 c CROSS JOIN d
-       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |    AND (CASE c.best
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0 AND (CASE c.best
        |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
        |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
        |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
-       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)
+       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0 AND (CASE c.best
+       |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
+       |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
+       |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
+       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)), 0) AS s1,
+       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0 AND (CASE c.best
+       |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
+       |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
+       |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
+       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)), 0) AS s2
+       |  FROM g3 c CROSS JOIN d
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
        |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
        |h2 AS (
        |  SELECT *, CASE WHEN n > 0 THEN s1 / n END AS m,

@@ -1,0 +1,155 @@
+package graft
+
+import graft.model.Layout
+import graft.ops.TerrainCorrection
+
+/**
+ * DuckDB oracle for the FULL Range-Doppler terrain correction
+ * (RangeDopplerGeocodingOp.java:923-1177 + SARGeocoding.java:64-359 twin): the
+ * 40-round zero-Doppler bisection is UNROLLED into 40 chained CTEs, each staging
+ * the identical IEEE arithmetic as Kernels.zeroDopplerBisect (mid = (lo+hi)/2,
+ * uniform-grid bracket floor((t-ts0)/dt)+1 clamped to [2, n-2], degree-3 Lagrange
+ * weights, f = V·(S-P), branch on f < 0), so both engines walk bit-identical
+ * bisection trajectories on the curved orbit.
+ */
+object SarOraclesTc {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+
+  /** One Lagrange interpolation block: from a relation carrying (lo, hi | tzd) +
+   * the sv lists, compute xv/yv/zv/vxv/vyv/vzv at time `ttExpr`. */
+  private def interpStages(src: String, ttExpr: String): String = {
+    val chans = Seq("x" -> "xs", "y" -> "ys", "z" -> "zs", "vx" -> "vxs", "vy" -> "vys", "vz" -> "vzs")
+    val extracts = (Seq("t" -> "ts") ++ chans).flatMap { case (o, l) =>
+      (1 to 4).map(j => s"list_extract($l, kq + ${j - 2}) AS ${o}$j")
+    }.mkString(",\n          ")
+    val combines = chans.map { case (o, _) =>
+      s"w1 * ${o}1 + w2 * ${o}2 + w3 * ${o}3 + w4 * ${o}4 AS ${o}v"
+    }.mkString(",\n        ")
+    s"""      SELECT *,
+       |        $combines
+       |      FROM (
+       |        SELECT *,
+       |          ((tt - t2) * (tt - t3) * (tt - t4)) / ((t1 - t2) * (t1 - t3) * (t1 - t4)) AS w1,
+       |          ((tt - t1) * (tt - t3) * (tt - t4)) / ((t2 - t1) * (t2 - t3) * (t2 - t4)) AS w2,
+       |          ((tt - t1) * (tt - t2) * (tt - t4)) / ((t3 - t1) * (t3 - t2) * (t3 - t4)) AS w3,
+       |          ((tt - t1) * (tt - t2) * (tt - t3)) / ((t4 - t1) * (t4 - t2) * (t4 - t3)) AS w4
+       |        FROM (
+       |          SELECT *,
+       |          $extracts
+       |          FROM (
+       |            SELECT *, greatest(2, least(nsv - 2, CAST(floor((tt - ts0v) / dtt) AS INT) + 1)) AS kq
+       |            FROM (SELECT p.*, s.ts, s.xs, s.ys, s.zs, s.vxs, s.vys, s.vzs, s.ts0v, s.dtt, s.nsv,
+       |                         $ttExpr AS tt
+       |                  FROM $src p JOIN sv2 s USING (scene_id))
+       |          )
+       |        )
+       |      )""".stripMargin
+  }
+
+  private def bisectStep(i: Int): String =
+    s"""b$i AS (
+       |  SELECT scene_id, ci, cj, tx_m, ty_m, height,
+       |    CASE WHEN ff < 0 THEN mid ELSE lo END AS lo,
+       |    CASE WHEN ff < 0 THEN hi ELSE mid END AS hi
+       |  FROM (
+       |    SELECT *, tt AS mid, vxv * (xv - tx_m) + vyv * (yv - ty_m) + vzv * (zv - height) AS ff
+       |    FROM (
+       |${interpStages(s"b${i - 1}", "(p.lo + p.hi) / 2")}
+       |    )
+       |  ))""".stripMargin
+
+  val terrainCorrectionFull: String = {
+    val tc = TerrainCorrection
+    val steps = (1 to 40).map(bisectStep).mkString(",\n")
+    s"""WITH sv0 AS (
+       |  SELECT scene_id, list(t_sec ORDER BY t_sec) AS ts, list(x ORDER BY t_sec) AS xs,
+       |         list(y ORDER BY t_sec) AS ys, list(z ORDER BY t_sec) AS zs,
+       |         list(vx ORDER BY t_sec) AS vxs, list(vy ORDER BY t_sec) AS vys,
+       |         list(vz ORDER BY t_sec) AS vzs,
+       |         min(t_sec) AS ts0v, count(*) AS nsv
+       |  FROM ${fx("orbit_curved")} GROUP BY 1),
+       |sv2 AS (SELECT *, list_extract(ts, 2) - list_extract(ts, 1) AS dtt FROM sv0),
+       |grid AS (
+       |  SELECT s.scene_id, s.lon0, s.lat0, s.azimuth_time_interval, ci.ci, cj.cj,
+       |         s.lon0 + (ci.ci + 0.5) * ${tc.CellDeg} AS lon,
+       |         s.lat0 + (cj.cj + 0.5) * ${tc.CellDeg} AS lat
+       |  FROM ${fx("scenes")} s,
+       |       (SELECT unnest(range(${tc.GridNx})) AS ci) ci,
+       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj),
+       |g2 AS (
+       |  SELECT g.scene_id, g.ci, g.cj, d.height,
+       |         (g.lon - g.lon0) * ${tc.XMetersPerDeg} AS tx_m,
+       |         (g.lat - g.lat0) * ${tc.YMetersPerDeg} AS ty_m
+       |  FROM grid g
+       |  JOIN ${fx("dem")} d ON d.scene_id = g.scene_id
+       |    AND d.lat_idx = CAST(round((g.lat - g.lat0) / ${tc.DemStep}, 0) AS INT)
+       |    AND d.lon_idx = CAST(round((g.lon - g.lon0) / ${tc.DemStep}, 0) AS INT)),
+       |b0 AS (
+       |  SELECT g.scene_id, g.ci, g.cj, g.tx_m, g.ty_m, g.height,
+       |         list_extract(s.ts, 1) AS lo, list_extract(s.ts, CAST(s.nsv AS INT)) AS hi
+       |  FROM g2 g JOIN sv2 s USING (scene_id)),
+       |$steps,
+       |fin0 AS (SELECT *, (lo + hi) / 2 AS tzd FROM b40),
+       |fin AS (
+       |  SELECT scene_id, ci, cj, tx_m, ty_m, height, tzd,
+       |    sqrt((xv - tx_m) * (xv - tx_m) + (yv - ty_m) * (yv - ty_m) + (zv - height) * (zv - height)) AS slant,
+       |    sqrt(list_extract(xs, 1) * list_extract(xs, 1) + list_extract(zs, 1) * list_extract(zs, 1)) AS r0
+       |  FROM (
+       |${interpStages("fin0", "p.tzd")}
+       |  )),
+       |g5 AS (
+       |  SELECT f.*, s.azimuth_time_interval, (f.slant - f.r0) / ${tc.DR} AS xf
+       |  FROM fin f JOIN ${fx("scenes")} s USING (scene_id)),
+       |g6 AS (
+       |  SELECT *, CAST(floor(xf) AS INT) AS s0 FROM g5
+       |  WHERE xf >= 0 AND xf < ${3 * Layout.SamplesPerBurst - 1}),
+       |g7 AS (
+       |  SELECT *, CAST(s0 % ${Layout.SamplesPerBurst} AS INT) AS x0,
+       |         'IW' || CAST(s0 // ${Layout.SamplesPerBurst} + 1 AS VARCHAR) AS subswath,
+       |         xf - floor(xf) AS wx
+       |  FROM g6 WHERE CAST(s0 % ${Layout.SamplesPerBurst} AS INT) < ${Layout.SamplesPerBurst - 1}),
+       |b AS (
+       |  SELECT scene_id, subswath, burst_idx, burst_first_line_time AS bft, burst_last_line_time AS blt,
+       |         lag(burst_last_line_time) OVER w AS prev_last,
+       |         lead(burst_first_line_time) OVER w AS next_first
+       |  FROM ${fx("bursts")} WINDOW w AS (PARTITION BY scene_id, subswath ORDER BY burst_idx)),
+       |g8 AS (
+       |  SELECT g7.scene_id, g7.ci, g7.cj, g7.subswath, b.burst_idx, g7.x0, g7.wx,
+       |         (g7.tzd - b.bft) / g7.azimuth_time_interval AS lf
+       |  FROM g7 JOIN b ON b.scene_id = g7.scene_id AND b.subswath = g7.subswath
+       |  WHERE g7.tzd > coalesce((b.prev_last + b.bft) / 2, -1e18)
+       |    AND g7.tzd <= coalesce((b.blt + b.next_first) / 2, 1e18)),
+       |g9 AS (
+       |  SELECT *, CAST(floor(lf) AS INT) AS l0, lf - floor(lf) AS wl
+       |  FROM g8 WHERE lf >= 0 AND lf < ${Layout.LinesPerBurst - 1}),
+       |corners AS (
+       |  SELECT g9.*, c.cy, c.cx,
+       |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
+       |    l0 + c.cy AS line, x0 + c.cx AS samp
+       |  FROM g9 CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)),
+       |px0 AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
+       |         floor(unnest(i) * 4096) / 4096 AS iv, floor(unnest(q) * 4096) / 4096 AS qv
+       |  FROM ${fx("tiles")} WHERE pol = 'VV'),
+       |px AS (
+       |  SELECT scene_id, subswath, burst_idx,
+       |         tile_x * ${Layout.TileW} + k % ${Layout.TileW} AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // ${Layout.TileW} AS INT) AS gy,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0
+       |              ELSE floor((iv * iv + qv * qv) * 16384) / 16384 END AS v
+       |  FROM px0),
+       |terms AS (
+       |  SELECT c.scene_id, c.ci, c.cj, c.subswath, c.burst_idx,
+       |    CASE WHEN p.v = -9999.0 THEN NULL
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * p.v * 1E6) AS BIGINT) END AS term_q
+       |  FROM corners c
+       |  JOIN px p ON p.scene_id = c.scene_id AND p.subswath = c.subswath
+       |    AND p.burst_idx = c.burst_idx AND p.gx = c.samp AND p.gy = c.line)
+       |SELECT scene_id, ci, cj, subswath, burst_idx,
+       |       count(term_q) AS n_corners, CAST(sum(term_q) AS BIGINT) AS value_q
+       |FROM terms GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+}

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_media_meta" -> ((s, dir) => media.Multimodal.mediaMetaQuery(s, dir)),
     "q_events_window" -> ((s, dir) => streaming.Events.batchQuery(s, dir)),
     "q_terrain_correction" -> ((s, dir) => ops.TerrainCorrection.query(s, dir)),
+    "q_terrain_correction_nn" -> ((s, dir) => ops.TerrainCorrection.nearestNeighborQuery(s, dir)),
     "q_xcorr_offsets" -> ((s, dir) => ops.Coregistration.xcorrOffsetsQuery(s, dir)),
     "q_warp_fit" -> ((s, dir) => ops.Coregistration.warpFitQuery(s, dir)),
     "q_coreg_stack" -> ((s, dir) => ops.Coregistration.coregStackQuery(s, dir)),
@@ -102,6 +103,11 @@ object SparkEntry {
     "q_pol_speckle" -> ((s, dir) => ops.Polarimetry.polSpeckleQuery(s, dir)),
     "q_cp_stokes" -> ((s, dir) => ops.Polarimetry.stokesQuery(s, dir)),
     "q_pol_t3" -> ((s, dir) => ops.PolarimetryQuad.t3Query(s, dir)),
+    "q_phase_linking" -> ((s, dir) => ops.Stack.phaseLinkQuery(s, dir)),
+    "q_border_noise" -> ((s, dir) => ops.Grd.borderNoiseQuery(s, dir)),
+    "q_object_cluster" -> ((s, dir) => ops.Detection2.objectClusterQuery(s, dir)),
+    "q_dedup_simhash_pairs" -> ((s, dir) => dedup.Dedup.simhashPairsQuery(s, dir)),
+    "q_thermal_noise_az" -> ((s, dir) => ops.Grd.thermalNoiseAzQuery(s, dir)),
     "q_halpha_quad" -> ((s, dir) => ops.PolarimetryQuad.hAlphaQuery(s, dir)),
     "q_wishart" -> ((s, dir) => ops.PolarimetryQuad.wishartQuery(s, dir)),
     "q_cp_mdelta" -> ((s, dir) => ops.Polarimetry.mDeltaQuery(s, dir)),
@@ -221,7 +227,8 @@ object SparkEntry {
     "q_ann_lsh_pairs" -> PipelineOracles.annLshPairs,
     "q_media_meta" -> PipelineOracles.mediaMeta,
     "q_events_window" -> PipelineOracles.eventsWindow,
-    "q_terrain_correction" -> SarOracles2.terrainCorrection,
+    "q_terrain_correction" -> SarOraclesTc.terrainCorrectionFull,
+    "q_terrain_correction_nn" -> SarOracles2.terrainCorrection,
     "q_xcorr_offsets" -> SarOracles2.xcorrOffsets,
     "q_warp_fit" -> SarOracles2.warpFit,
     "q_coreg_stack" -> SarOracles2.coregStack,
@@ -266,6 +273,11 @@ object SparkEntry {
     "q_pol_speckle" -> SarOracles7.polSpeckle,
     "q_cp_stokes" -> SarOracles7.stokes,
     "q_pol_t3" -> SarOraclesQuad.t3Sums,
+    "q_phase_linking" -> SarOraclesPl.phaseLink,
+    "q_border_noise" -> SarOraclesGrd.borderNoise,
+    "q_object_cluster" -> SarOraclesGrd.objectCluster,
+    "q_dedup_simhash_pairs" -> PipelineOracles.simhashPairs,
+    "q_thermal_noise_az" -> SarOraclesGrd.thermalNoiseAz,
     "q_halpha_quad" -> SarOraclesQuad.hAlpha,
     "q_wishart" -> SarOraclesQuad.wishart,
     "q_cp_mdelta" -> SarOracles7.mDelta,

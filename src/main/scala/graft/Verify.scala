@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // the 105-query surface accumulates broadcast blocks in the one-JVM block
+      // manager; the ContextCleaner only drops them after a driver GC, and the
+      // default periodicGC interval (30 min) never fires inside the run — the
+      // round-3 gate hit an 8-minute GC storm ~90 queries in without this
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

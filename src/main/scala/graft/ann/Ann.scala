@@ -67,6 +67,22 @@ object Ann {
    * per-bucket cost is bounded by bits. */
   val PairTables = 3
   val PairBits = 8
+  /** Scale parameterization (round-2 verdict: fixed bucket bits explode at 10^12
+   * rows): bits grow with the corpus so the expected bucket population stays near
+   * TargetBucket, clamped to [PairBits, MaxPairBits]. The bucket hash is always
+   * computed at MaxPairBits and MASKED to the active bits, so the same per-bit
+   * hyperplane hashes serve every corpus size (and the DuckDB oracle can apply
+   * the same mask from its own count). */
+  val MaxPairBits = 16
+  val TargetBucket = 32
+  def pairBitsFor(n: Long): Int =
+    math.max(PairBits, math.min(MaxPairBits,
+      math.ceil(math.log(n.toDouble / TargetBucket) / math.log(2.0)).toInt))
+  /** Hot-bucket cap: buckets holding more than HotFactor x the expected population
+   * are dropped from candidate generation (the skew guard that bounds the
+   * in-bucket quadratic join; exact recall on the rest is unaffected). */
+  val HotFactor = 8
+  def hotCapFor(n: Long, bits: Int): Long = HotFactor.toLong * math.max(1L, n >> bits)
 
   def withBucketT(e: DataFrame, t: Int, bits: Int): DataFrame =
     e.withColumn("bucket", expr(
@@ -79,10 +95,17 @@ object Ann {
 
   def lshCosinePairsQuery(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = emb(spark, dir)
+    val n = e.count() // corpus size drives bits + hot cap (known metadata at scale)
+    val bits = pairBitsFor(n)
+    val cap = hotCapFor(n, bits)
+    val mask = (1L << bits) - 1
     val cands = (0 until PairTables).map { t =>
-      val bt = withBucketT(e.select(col("vec_id"), col("embedding")), t, PairBits)
-      val a = bt.select(col("vec_id").as("vec_a"), col("bucket"))
-      val b = bt.select(col("vec_id").as("vec_b"), col("bucket"))
+      val bt = withBucketT(e.select(col("vec_id"), col("embedding")), t, MaxPairBits)
+        .withColumn("bucket", expr(s"bucket & ${mask}L"))
+      val hot = bt.groupBy("bucket").count().where(col("count") > cap).select("bucket")
+      val cold = bt.join(hot, Seq("bucket"), "left_anti")
+      val a = cold.select(col("vec_id").as("vec_a"), col("bucket"))
+      val b = cold.select(col("vec_id").as("vec_b"), col("bucket"))
       a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b")
     }.reduce(_ unionByName _).distinct()

@@ -108,6 +108,44 @@ object Dedup {
           |           shiftleft(1L, j), 0L))""".stripMargin))
       .select("doc_id", "simhash")
 
+  /** SimHash Hamming-neighbor pairing: the 60-bit signature banded into 4 x 15-bit
+   * bands (any equal band -> candidate; a pair within Hamming distance HammingMax
+   * <= 3 must match at least one band by pigeonhole over 4 bands), then the exact
+   * popcount(xor) distance filter. Band value is the shuffle key — the standard
+   * near-dup pairing shape at corpus scale. Runs on the augmented corpus so the
+   * planted near-copies are the recall check. */
+  val SimBands = 4
+  val SimBandBits = 15
+  val HammingMax = 3
+
+  def simhashOver(d: DataFrame): DataFrame =
+    d.withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .where(size(col("ws")) >= 1)
+      .withColumn("hs", expr(s"transform(ws, w -> ${h60("w")})"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, j) ->
+          |  acc + if(aggregate(hs, 0L, (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1L, -1L)) >= 0L,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .select("doc_id", "simhash")
+
+  def simhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashOver(augmented(spark, dir))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(s"transform(sequence(0, ${SimBands - 1}), b -> " +
+        s"shiftright(simhash, b * $SimBandBits) & ${(1 << SimBandBits) - 1})"))
+        .as(Seq("band_idx", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .where(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Shingles with document frequency above this are "stop-shingles": dropped from
    * candidate generation (NOT from the exact jaccard), bounding the worst-case pair
    * blowup of one hot shingle to DfCap^2 — the skew guard that makes the inverted-

@@ -178,6 +178,66 @@ case class MosaicCellsExpr(v: Expression, tileX: Expression, tileY: Expression,
       lon4 = c(6), lat4 = c(7), lon0 = c(8), lat0 = c(9))
 }
 
+/** Sparse above-threshold pixel indices of one tile. */
+case class AboveThrExpr(v: Expression, thr: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.aboveThr(${args.head}, ${thr}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.aboveThr(args(0).asInstanceOf[ArrayData], thr)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0))
+}
+
+/** Per-tile per-row first/last above-threshold column (GRD border-noise scan). */
+case class RowScanExpr(v: Expression, w: Int, h: Int, thr: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = StructType(Seq(
+    StructField("firsts", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("lasts", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.rowScan(${args.head}, $w, $h, ${thr}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.rowScan(args(0).asInstanceOf[ArrayData], w, h, thr)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0))
+}
+
+/** Phase Linking per tile: (n, sum_q of linked phases vs epoch 0). */
+case class PhaseLinkExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      (1 until Kernels.PhaseLinkEpochs).map(e =>
+        StructField(s"ph${e}_q", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.phaseLinkTile(new org.apache.spark.sql.catalyst.util.ArrayData[] {${args.mkString(", ")}}, $w, $h, $m)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.phaseLinkTile(args.map(_.asInstanceOf[ArrayData]).toArray, w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** Zero-Doppler bisection on a Lagrange-interpolated orbit: (t_zd, slant). */
+case class ZeroDopplerExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(Seq(
+    StructField("tzd", DoubleType, nullable = false),
+    StructField("slant", DoubleType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.zeroDopplerBisect(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.zeroDopplerBisect(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[Double],
+      args(8).asInstanceOf[Double], args(9).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 /** Quad-pol per-tile T3 integer sums: (n, s11..s23i) from the 8 i/q channels. */
 case class T3SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
   override def children: Seq[Expression] = chs
@@ -449,6 +509,18 @@ object KernelExprs {
   def rollupQ(arr: Column, q: Double): Column = toCol(RollupQExpr(toExpr(arr), q))
 
   def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
+
+  def aboveThr(v: Column, thr: Double): Column = toCol(AboveThrExpr(toExpr(v), thr))
+
+  def rowScan(v: Column, w: Int, h: Int, thr: Double): Column =
+    toCol(RowScanExpr(toExpr(v), w, h, thr))
+
+  def phaseLink(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
+    toCol(PhaseLinkExpr(chs.map(toExpr), w, h, m))
+
+  def zeroDoppler(ts: Column, xs: Column, ys: Column, zs: Column,
+      vxs: Column, vys: Column, vzs: Column, tx: Column, ty: Column, h: Column): Column =
+    toCol(ZeroDopplerExpr(Seq(ts, xs, ys, zs, vxs, vys, vzs, tx, ty, h).map(toExpr)))
 
   def hAlpha(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
     toCol(HAlphaExpr(chs.map(toExpr), w, h, m))

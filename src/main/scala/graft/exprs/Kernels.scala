@@ -1365,6 +1365,212 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // ----------------------------------------------------------- sparse detection
+
+  /** Indices of above-threshold pixels in one compiled pass — the sparse
+   * extraction that keeps connected-components clustering from exploding the full
+   * pixel volume into rows. */
+  def aboveThr(vD: ArrayData, thr: Double): ArrayData = {
+    val v = vD.toDoubleArray()
+    var n = 0
+    var i = 0
+    while (i < v.length) { if (!isNd(v(i)) && v(i) > thr) n += 1; i += 1 }
+    val out = new Array[Int](n)
+    var j = 0
+    i = 0
+    while (i < v.length) { if (!isNd(v(i)) && v(i) > thr) { out(j) = i; j += 1 }; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ---------------------------------------------------------- GRD border noise
+
+  /** Per-tile per-row first/last above-threshold column index (-1 = none) — the
+   * distributed partial of the GRD border-noise inward scan
+   * (RemoveGRDBorderNoiseOp.java:54): per-row global bounds then combine as
+   * min/max over the row's tiles. */
+  def rowScan(vD: ArrayData, w: Int, h: Int, thr: Double): InternalRow = {
+    val v = vD.toDoubleArray()
+    val first = new Array[Int](h); val last = new Array[Int](h)
+    var y = 0
+    while (y < h) {
+      var f = -1; var l = -1
+      var x = 0
+      while (x < w) {
+        if (v(y * w + x) > thr) { if (f < 0) f = x; l = x }
+        x += 1
+      }
+      first(y) = f; last(y) = l
+      y += 1
+    }
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(first),
+      UnsafeArrayData.fromPrimitiveArray(last))
+  }
+
+  // ------------------------------------------------------------ phase linking
+
+  /**
+   * Phase Linking over a K-epoch SLC stack (reference PhaseLinkingOp.java:87,
+   * docs/Phase-Linking-Explained.md): per pixel, the K x K sample coherency matrix
+   * C_ef = sum over the (2m+1)^2 window of z_e * conj(z_f) (exact dyadic window
+   * sums), then the dominant eigenvector by 20 power iterations from the all-ones
+   * start vector; the linked phase history is arg(v_e * conj(v_0)). Returns
+   * per-tile (n, sum_q(ph_1..ph_{K-1})) at quantum 1e6. The matvec/normalization
+   * accumulation chains are staged EXACTLY as the unrolled SQL oracle
+   * (left-associated f-ascending sums, uniform diagonal terms with I = 0).
+   */
+  val PhaseLinkEpochs = 5
+  val PhaseLinkIters = 20
+
+  def phaseLinkTile(chD: Array[ArrayData], w: Int, h: Int, m: Int): InternalRow = {
+    val K = PhaseLinkEpochs
+    val hw = w + 2 * m
+    val ch = chD.map(_.toDoubleArray()) // i0, q0, i1, q1, ...
+    // window-summed Hermitian C per pixel: diag(K) + upper-triangle complex
+    val d = new Array[Double](K)
+    val cr = Array.ofDim[Double](K, K)
+    val ci = Array.ofDim[Double](K, K)
+    val vr = new Array[Double](K); val vi = new Array[Double](K)
+    val ur = new Array[Double](K); val ui = new Array[Double](K)
+    var n = 0L
+    val sums = new Array[Long](K) // index 1..K-1 used
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        java.util.Arrays.fill(d, 0.0)
+        var e = 0
+        while (e < K) { java.util.Arrays.fill(cr(e), 0.0); java.util.Arrays.fill(ci(e), 0.0); e += 1 }
+        var cnt = 0
+        var dy = -m
+        while (dy <= m) {
+          var dx = -m
+          while (dx <= m) {
+            val idx = (y + m + dy) * hw + (x + m + dx)
+            var ok = true
+            var c = 0
+            while (c < 2 * K) { if (isNd(ch(c)(idx))) ok = false; c += 1 }
+            if (ok) {
+              cnt += 1
+              var a = 0
+              while (a < K) {
+                val ar = ch(2 * a)(idx); val ai = ch(2 * a + 1)(idx)
+                d(a) += ar * ar + ai * ai
+                var b = a + 1
+                while (b < K) {
+                  val br = ch(2 * b)(idx); val bi = ch(2 * b + 1)(idx)
+                  cr(a)(b) += ar * br + ai * bi
+                  ci(a)(b) += ai * br - ar * bi
+                  b += 1
+                }
+                a += 1
+              }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        val trace = (((d(0) + d(1)) + d(2)) + d(3)) + d(4)
+        if (cnt > 0 && trace > 0.0) {
+          java.util.Arrays.fill(vr, 1.0); java.util.Arrays.fill(vi, 0.0)
+          var it = 0
+          while (it < PhaseLinkIters) {
+            var e2 = 0
+            while (e2 < K) {
+              var accR = 0.0; var accI = 0.0
+              var f = 0
+              while (f < K) {
+                // R_ef / I_ef of the Hermitian matrix (I = 0 on the diagonal)
+                val rEf = if (f == e2) d(e2) else if (f > e2) cr(e2)(f) else cr(f)(e2)
+                val iEf = if (f == e2) 0.0 else if (f > e2) ci(e2)(f) else -ci(f)(e2)
+                accR = accR + rEf * vr(f)
+                accR = accR - iEf * vi(f)
+                accI = accI + rEf * vi(f)
+                accI = accI + iEf * vr(f)
+                f += 1
+              }
+              ur(e2) = accR; ui(e2) = accI
+              e2 += 1
+            }
+            var s2 = 0.0
+            var e3 = 0
+            while (e3 < K) { s2 = s2 + (ur(e3) * ur(e3) + ui(e3) * ui(e3)); e3 += 1 }
+            val nrm = math.sqrt(s2)
+            var e4 = 0
+            while (e4 < K) { vr(e4) = ur(e4) / nrm; vi(e4) = ui(e4) / nrm; e4 += 1 }
+            it += 1
+          }
+          n += 1
+          var e5 = 1
+          while (e5 < K) {
+            val wr = vr(e5) * vr(0) + vi(e5) * vi(0)
+            val wi = vi(e5) * vr(0) - vr(e5) * vi(0)
+            val ph = math.atan2(wi, wr)
+            sums(e5) += math.floor(0.031415926535897934 + ph * 1.0e6).toLong
+            e5 += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(n, sums(1), sums(2), sums(3), sums(4))
+  }
+
+  // ------------------------------------------------ zero-Doppler bisection (TC)
+
+  /**
+   * General zero-Doppler solve on an interpolated orbit (SARGeocoding.java:64-107
+   * getEarthPointZeroDopplerTime + ApplyOrbitFileOp.java:60-101 Lagrange): 40-round
+   * bisection of f(t) = V(t)·(S(t) - P) over the state-vector time span, with
+   * degree-3 Lagrange interpolation over the 4 bracketing SVs at every evaluation.
+   * Returns (t_zd, slant = |S(t_zd) - P|). The identical iteration arithmetic
+   * (mid = (lo+hi)/2, branch on f < 0, uniform-grid bracket index
+   * floor((t-ts0)/dt)+1 clamped to [2, n-2]) is unrolled in the DuckDB oracle —
+   * bit-identical trajectories on both engines.
+   */
+  def zeroDopplerBisect(tsD: ArrayData, xsD: ArrayData, ysD: ArrayData, zsD: ArrayData,
+      vxsD: ArrayData, vysD: ArrayData, vzsD: ArrayData,
+      tx: Double, ty: Double, h: Double): InternalRow = {
+    val ts = tsD.toDoubleArray(); val xs = xsD.toDoubleArray(); val ys = ysD.toDoubleArray()
+    val zs = zsD.toDoubleArray(); val vxs = vxsD.toDoubleArray()
+    val vys = vysD.toDoubleArray(); val vzs = vzsD.toDoubleArray()
+    val n = ts.length
+    val ts0 = ts(0)
+    val dt = ts(1) - ts(0)
+    // Lagrange-interpolated (X, Y, Z, VX, VY, VZ) at t into out(0..5)
+    val s = new Array[Double](6)
+    def interp(t: Double): Unit = {
+      var k = math.floor((t - ts0) / dt).toInt + 1
+      if (k < 2) k = 2
+      if (k > n - 2) k = n - 2
+      val t1 = ts(k - 2); val t2 = ts(k - 1); val t3 = ts(k); val t4 = ts(k + 1)
+      val w1 = ((t - t2) * (t - t3) * (t - t4)) / ((t1 - t2) * (t1 - t3) * (t1 - t4))
+      val w2 = ((t - t1) * (t - t3) * (t - t4)) / ((t2 - t1) * (t2 - t3) * (t2 - t4))
+      val w3 = ((t - t1) * (t - t2) * (t - t4)) / ((t3 - t1) * (t3 - t2) * (t3 - t4))
+      val w4 = ((t - t1) * (t - t2) * (t - t3)) / ((t4 - t1) * (t4 - t2) * (t4 - t3))
+      s(0) = w1 * xs(k - 2) + w2 * xs(k - 1) + w3 * xs(k) + w4 * xs(k + 1)
+      s(1) = w1 * ys(k - 2) + w2 * ys(k - 1) + w3 * ys(k) + w4 * ys(k + 1)
+      s(2) = w1 * zs(k - 2) + w2 * zs(k - 1) + w3 * zs(k) + w4 * zs(k + 1)
+      s(3) = w1 * vxs(k - 2) + w2 * vxs(k - 1) + w3 * vxs(k) + w4 * vxs(k + 1)
+      s(4) = w1 * vys(k - 2) + w2 * vys(k - 1) + w3 * vys(k) + w4 * vys(k + 1)
+      s(5) = w1 * vzs(k - 2) + w2 * vzs(k - 1) + w3 * vzs(k) + w4 * vzs(k + 1)
+    }
+    var lo = ts(0)
+    var hi = ts(n - 1)
+    var it = 0
+    while (it < 40) {
+      val mid = (lo + hi) / 2
+      interp(mid)
+      val f = s(3) * (s(0) - tx) + s(4) * (s(1) - ty) + s(5) * (s(2) - h)
+      if (f < 0.0) lo = mid else hi = mid
+      it += 1
+    }
+    val tzd = (lo + hi) / 2
+    interp(tzd)
+    val slant = math.sqrt((s(0) - tx) * (s(0) - tx) + (s(1) - ty) * (s(1) - ty) + (s(2) - h) * (s(2) - h))
+    InternalRow(tzd, slant)
+  }
+
   // --------------------------------------------------- quad-pol T3 family (rstb)
 
   /**

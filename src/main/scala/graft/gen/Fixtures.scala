@@ -46,7 +46,7 @@ object Fixtures {
     val d = dir(sfDir)
     // version-suffixed marker: bump when generate() gains tables so stale fixture
     // dirs regenerate (deterministic -> existing tables rewrite identically)
-    val marker = Paths.get(d, "_COMPLETE_v5")
+    val marker = Paths.get(d, "_COMPLETE_v7")
     if (!Files.exists(marker)) {
       generate(spark, sc, d)
       Files.createDirectories(Paths.get(d))
@@ -168,6 +168,46 @@ object Fixtures {
     }
     noiseVecs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/noise_vectors.parquet")
 
+    // Azimuth noise vectors (IPF >= 2.9, Sentinel1RemoveThermalNoiseOp.java:54):
+    // one per-line gain knot per burst boundary, linear in line so the engine's
+    // 1-D lerp has a table-derived oracle.
+    val azNoise = for {
+      s <- 0 until sc.nScenes
+      sw <- Layout.Subswaths
+      pol <- Layout.Pols
+      vi <- 0 to Layout.BurstsPerSubswath
+    } yield {
+      val line = vi * Layout.LinesPerBurst
+      (f"scene_$s%04d", sw, pol, line, 1.0 + 0.0005 * line)
+    }
+    azNoise.toDF("scene_id", "subswath", "pol", "line", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/noise_az_vectors.parquet")
+
+    // GRD amplitude raster with PLANTED border noise (RemoveGRDBorderNoiseOp.java:54):
+    // per (scene, burst), the left bl and right br columns of the 128-sample swath
+    // carry sub-threshold noise; the border-noise scan must recover bl/br per row.
+    {
+      val perBurst = Layout.TilesX * Layout.TilesY
+      val nKeys = sc.nScenes * Layout.BurstsPerSubswath * perBurst
+      val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+      val gy = s"((burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + cast(k / ${Layout.TileW} as int))"
+      val u = s"(pmod(xxhash64(concat_ws('|', 'grd', scene_id, $gx, $gy)), 1000000) / 1e6)"
+      val bl = s"(3 + pmod(xxhash64(concat_ws('|', 'bl', scene_id, burst_idx)), 5))"
+      val br = s"(2 + pmod(xxhash64(concat_ws('|', 'br', scene_id, burst_idx)), 4))"
+      val vSql = s"if($gx < $bl or $gx >= ${Layout.SamplesPerBurst} - $br, 0.05 * $u, 100.0 + 50.0 * $u)"
+      spark.range(0, nKeys.toLong, 1, 8)
+        .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
+        .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
+        .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))
+        .withColumn("scene_id", format_string("scene_%04d",
+          expr(s"CAST(id div ${perBurst * Layout.BurstsPerSubswath} AS INT)")))
+        .withColumn("subswath", lit("IW1"))
+        .withColumn("pol", lit("VV"))
+        .withColumn("v", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> floor(($vSql) * 4096) / 4096)"))
+        .select("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "v")
+        .write.mode("overwrite").parquet(s"$d/tiles_grd.parquet")
+    }
+
     // Orbit: straight-line constant-velocity ephemeris in a local tangent frame
     // (meters); zero-Doppler solves then have analytic expected values
     // (reference SARGeocoding.java:64-107).
@@ -180,6 +220,28 @@ object Fixtures {
       OrbitSV(f"scene_$s%04d", t, -400000.0, 7500.0 * (t - t0), 700000.0, 0.0, 7500.0, 0.0)
     }
     orbit.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/orbit.parquet")
+
+    // Curved orbit for the full Range-Doppler geometry: cross-track (x) and radial
+    // (z) harmonic perturbations on the linear ephemeris. The constant-velocity
+    // shortcut then mis-locates targets by ~0.25 s of zero-Doppler time (~125
+    // lines), so only the Lagrange + bisection solve reproduces the gather
+    // (SARGeocoding.java:64-107; velocities are the exact analytic derivatives).
+    val orbitCurved = for {
+      s <- 0 until sc.nScenes
+      k <- 0 to 40
+    } yield {
+      val t0 = sceneT0(s)
+      val t = t0 - 1.0 + k * 0.1
+      val tau = t - t0
+      OrbitSV(f"scene_$s%04d", t,
+        -400000.0 + 40.0 * math.sin(0.5 * tau),
+        7500.0 * tau,
+        700000.0 + 30.0 * math.cos(0.4 * tau),
+        20.0 * math.cos(0.5 * tau),
+        7500.0,
+        -12.0 * math.sin(0.4 * tau))
+    }
+    orbitCurved.toDF().coalesce(1).write.mode("overwrite").parquet(s"$d/orbit_curved.parquet")
 
     // Planted-shift GCPs: the engine must recover (true_dx, true_dy) from pixel data
     // alone (reference CrossCorrelationOp.java:935-990). Shift is per-scene.

@@ -119,4 +119,53 @@ object Detection2 {
         expr(s"CAST(size(filter($cls, x -> x = 1)) AS BIGINT)").as("n_vegetation"),
         expr(s"CAST(size(filter($cls, x -> x = 2)) AS BIGINT)").as("n_urban"))
   }
+
+  // -------------------------------------------- connected-component clustering
+
+  /** Detection threshold / size gates for object clustering. */
+  val ClusterThr = 250.0
+  val CcIters = 8
+  val MinClusterPx = 2
+  val MaxClusterPx = 500
+
+  /**
+   * Connected-component object clustering (reference ObjectDiscriminationOp.java:74
+   * clustering of CFAR detections; OilSpillClusteringOp.java:46 is the same shape
+   * on dark pixels): sparse above-threshold pixels (compiled extraction — the full
+   * pixel volume is never exploded), then CcIters rounds of 8-connected min-label
+   * propagation — each round one narrow shuffle keyed by pixel position — and a
+   * final per-label size/extent aggregation with the reference's min/max target
+   * size discrimination. Both engines run the same fixed round count, so labels
+   * agree even on components whose diameter exceeds the rounds.
+   */
+  def objectClusterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val keys = Seq("scene_id", "subswath", "pol", "burst_idx")
+    var dets = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+      .withColumn("ks", graft.exprs.KernelExprs.aboveThr(col("v"), ClusterThr))
+      .select((keys ++ Seq("tile_x", "tile_y")).map(col) :+ explode(col("ks")).as("k"): _*)
+      .withColumn("gx", col("tile_x") * Layout.TileW + col("k") % Layout.TileW)
+      .withColumn("gy", col("tile_y") * Layout.TileH + expr(s"k div ${Layout.TileW}"))
+      .withColumn("label", (col("gy") * Layout.SamplesPerBurst + col("gx")).cast("long"))
+      .select((keys ++ Seq("gx", "gy", "label")).map(col): _*)
+    val offs = expr("explode(array(" +
+      (for (dy <- -1 to 1; dx <- -1 to 1) yield s"struct($dy AS dy, $dx AS dx)").mkString(", ") + "))")
+    var it = 0
+    while (it < CcIters) {
+      val contrib = dets
+        .select((keys ++ Seq("gx", "gy", "label")).map(col) :+ offs.as("o"): _*)
+        .select(keys.map(col) :+ (col("gx") + col("o.dx")).as("tgx") :+
+          (col("gy") + col("o.dy")).as("tgy") :+ col("label"): _*)
+      val minl = contrib.groupBy((keys ++ Seq("tgx", "tgy")).map(col): _*)
+        .agg(min("label").as("nl"))
+        .withColumnRenamed("tgx", "gx").withColumnRenamed("tgy", "gy")
+      dets = dets.drop("label").join(minl, keys ++ Seq("gx", "gy"))
+        .withColumnRenamed("nl", "label")
+      it += 1
+    }
+    dets.groupBy((keys :+ "label").map(col): _*)
+      .agg(count(lit(1)).as("n_px"),
+        min("gx").as("min_gx"), max("gx").as("max_gx"),
+        min("gy").as("min_gy"), max("gy").as("max_gy"))
+      .where(col("n_px") >= MinClusterPx && col("n_px") <= MaxClusterPx)
+  }
 }

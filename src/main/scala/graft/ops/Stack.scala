@@ -162,4 +162,36 @@ object Stack {
         expr(s"CAST(floor(0.031415926535897934 + atan2(sim, sre) / (2 * pi() * dfdc * ${Layout.AzimuthTimeInterval}) * 1.0E6) AS BIGINT)")
           .as("az_shift_q"))
   }
+
+  /**
+   * Phase Linking (reference PhaseLinkingOp.java:87): per pixel, the K x K sample
+   * coherency matrix over the epoch stack (3x3 window) and the dominant
+   * eigenvector's phase history via power iteration, all in ONE compiled kernel
+   * call per tile. Bursts where every epoch exists (burst_idx >= K) so the K x K
+   * matrix is full; the fixture's planted per-pixel linear phase history is what
+   * the linked phases recover. Output: per-tile quantized sums of the linked
+   * phases vs epoch 0.
+   */
+  def phaseLinkQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    def epochBand(e: Int) =
+      Fixtures.table(spark, sfDir, "tiles_stack")
+        .where(col("epoch") === e && col("burst_idx") >= Epochs)
+        .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+          col("tile_x"), col("tile_y"),
+          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(s"i_e$e"),
+          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(s"q_e$e"))
+    val chCols = (0 until Epochs).flatMap(e => Seq(s"i_e$e", s"q_e$e"))
+    val joined = (1 until Epochs).foldLeft(epochBand(0)) { (df, e) =>
+      df.join(epochBand(e), Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y"))
+    }
+    val haloed = Raster.withHaloMulti(joined, chCols, 1)
+    haloed
+      .withColumn("pl", graft.exprs.KernelExprs.phaseLink(
+        chCols.map(c => col(s"halo_$c")), Raster.W, Raster.H, 1))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        col("pl.n").as("n_valid"),
+        col("pl.ph1_q").as("ph1_sum_q"), col("pl.ph2_q").as("ph2_sum_q"),
+        col("pl.ph3_q").as("ph3_sum_q"), col("pl.ph4_q").as("ph4_sum_q"))
+  }
 }

@@ -189,13 +189,122 @@ object TerrainCorrection {
       .agg(count(lit(1)).as("n_facets"),
         sum(expr("CAST(floor(0.031415926535897934 + sim * 1.0E6) AS BIGINT)")).as("sim_sum_q"))
 
-  /** The gather join: resolved targets x tile table (VV intensity), nearest
-   * neighbor. The RESOLVED side broadcasts (the target map grid is bounded per
-   * scene — ~50 B/row vs the 8 KB pixel arrays on the tile side), so the raster
-   * volume never crosses a shuffle; at full scale the same shape holds per scene
-   * partition (or becomes a bucketed co-partitioned join), and the tile scan
-   * streams map-side only. */
-  def query(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-scene sorted state-vector arrays of the CURVED orbit, broadcastable. */
+  def svArrays(spark: SparkSession, sfDir: String): DataFrame =
+    Fixtures.table(spark, sfDir, "orbit_curved")
+      .groupBy("scene_id")
+      .agg(array_sort(collect_list(struct(col("t_sec"), col("x"), col("y"), col("z"),
+        col("vx"), col("vy"), col("vz")))).as("svs"))
+      .select(col("scene_id"),
+        expr("transform(svs, e -> e.t_sec)").as("ts"),
+        expr("transform(svs, e -> e.x)").as("xs"),
+        expr("transform(svs, e -> e.y)").as("ys"),
+        expr("transform(svs, e -> e.z)").as("zs"),
+        expr("transform(svs, e -> e.vx)").as("vxs"),
+        expr("transform(svs, e -> e.vy)").as("vys"),
+        expr("transform(svs, e -> e.vz)").as("vzs"))
+
+  /** Burst azimuth-ownership intervals (deburst midTime rule), broadcastable. */
+  private def burstOwnership(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("scene_id", "subswath").orderBy("burst_idx")
+    Fixtures.table(spark, sfDir, "bursts")
+      .select("scene_id", "subswath", "burst_idx", "burst_first_line_time", "burst_last_line_time")
+      .withColumn("own_from",
+        when(lag("burst_idx", 1).over(w).isNull, lit(Double.NegativeInfinity))
+          .otherwise((lag("burst_last_line_time", 1).over(w) + col("burst_first_line_time")) / 2))
+      .withColumn("own_to",
+        when(lead("burst_idx", 1).over(w).isNull, lit(Double.PositiveInfinity))
+          .otherwise((col("burst_last_line_time") + lead("burst_first_line_time", 1).over(w)) / 2))
+  }
+
+  /**
+   * Full Range-Doppler geometry (the MAIN terrain-correction path, reference
+   * RangeDopplerGeocodingOp.java:923-1177 + SARGeocoding.java:64-359): per target
+   * map cell — DEM height, Lagrange-interpolated CURVED orbit, 40-round bisection
+   * zero-Doppler solve (compiled kernel, one call per cell), slant -> fractional
+   * range sample, fractional azimuth line with burst ownership, and BILINEAR
+   * resampling over the 4 neighbor pixels. The constant-velocity shortcut
+   * mis-locates targets by ~125 lines on this orbit, so only the general solve
+   * passes the gate. Each of the 4 corner terms is integer-quantized before the
+   * per-target sum, so the combine is order-independent and exact.
+   */
+  def fullQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val scenes = Fixtures.table(spark, sfDir, "scenes")
+      .select("scene_id", "azimuth_time_interval", "lon0", "lat0")
+    val dem = Fixtures.table(spark, sfDir, "dem")
+      .select("scene_id", "lat_idx", "lon_idx", "height")
+    val cells = spark.range(0L, GridNx.toLong * GridNy)
+      .select(expr(s"CAST(id div $GridNy AS INT)").as("ci"),
+        expr(s"CAST(id % $GridNy AS INT)").as("cj"))
+    val zd = graft.exprs.KernelExprs.zeroDoppler(
+      col("ts"), col("xs"), col("ys"), col("zs"), col("vxs"), col("vys"), col("vzs"),
+      col("tx_m"), col("ty_m"), col("height"))
+    val resolved = cells
+      .join(broadcast(scenes))
+      .withColumn("lon", col("lon0") + (col("ci") + 0.5) * CellDeg)
+      .withColumn("lat", col("lat0") + (col("cj") + 0.5) * CellDeg)
+      .withColumn("lat_idx", expr(s"CAST(round((lat - lat0) / $DemStep, 0) AS INT)"))
+      .withColumn("lon_idx", expr(s"CAST(round((lon - lon0) / $DemStep, 0) AS INT)"))
+      .join(broadcast(dem), Seq("scene_id", "lat_idx", "lon_idx"))
+      .withColumn("tx_m", (col("lon") - col("lon0")) * XMetersPerDeg)
+      .withColumn("ty_m", (col("lat") - col("lat0")) * YMetersPerDeg)
+      .join(broadcast(svArrays(spark, sfDir)), Seq("scene_id"))
+      .withColumn("zd", zd)
+      .withColumn("r0", expr("sqrt(element_at(xs, 1) * element_at(xs, 1) + element_at(zs, 1) * element_at(zs, 1))"))
+      .withColumn("t_zd", col("zd.tzd"))
+      .withColumn("xf", (col("zd.slant") - col("r0")) / DR)
+      .where(col("xf") >= 0 && col("xf") < 3 * Layout.SamplesPerBurst - 1)
+      .withColumn("s0", expr("CAST(floor(xf) AS INT)"))
+      .withColumn("x0", expr(s"CAST(s0 % ${Layout.SamplesPerBurst} AS INT)"))
+      .where(col("x0") < Layout.SamplesPerBurst - 1) // both range corners in one subswath
+      .withColumn("subswath", concat(lit("IW"), expr(s"s0 div ${Layout.SamplesPerBurst} + 1")))
+      .withColumn("wx", col("xf") - expr("floor(xf)"))
+      .join(broadcast(burstOwnership(spark, sfDir)), Seq("scene_id", "subswath"))
+      .where(col("t_zd") > col("own_from") && col("t_zd") <= col("own_to"))
+      .withColumn("lf", (col("t_zd") - col("burst_first_line_time")) / col("azimuth_time_interval"))
+      .where(col("lf") >= 0 && col("lf") < Layout.LinesPerBurst - 1) // both az corners in burst
+      .withColumn("l0", expr("CAST(floor(lf) AS INT)"))
+      .withColumn("wl", col("lf") - expr("floor(lf)"))
+      .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx")
+    // 4 bilinear corners, each with its own tile key and weight
+    val corners = resolved
+      .withColumn("cyx", expr("explode(array(struct(0 AS cy, 0 AS cx), struct(0 AS cy, 1 AS cx), " +
+        "struct(1 AS cy, 0 AS cx), struct(1 AS cy, 1 AS cx)))"))
+      .withColumn("line", col("l0") + col("cyx.cy"))
+      .withColumn("samp", col("x0") + col("cyx.cx"))
+      .withColumn("w", expr("(CASE WHEN cyx.cy = 0 THEN 1.0D - wl ELSE wl END) * " +
+        "(CASE WHEN cyx.cx = 0 THEN 1.0D - wx ELSE wx END)"))
+      .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
+      .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
+      .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w")
+    val tiles = Fixtures.table(spark, sfDir, "tiles")
+      .where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    tiles
+      .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pa", expr("element_at(i, px + 1)"))
+      .withColumn("pb", expr("element_at(q, px + 1)"))
+      .withColumn("term_q", expr(
+        s"""if(pa = -9999.0D or pb = -9999.0D or isnan(pa) or isnan(pb), CAST(null AS BIGINT),
+           |  CAST(floor(0.031415926535897934 + w * (floor(((floor(pa * $d) / $d) * (floor(pa * $d) / $d)
+           |    + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv) * 1E6) AS BIGINT))""".stripMargin))
+      .groupBy("scene_id", "ci", "cj", "subswath", "burst_idx")
+      .agg(count(col("term_q")).as("n_corners"), sum(col("term_q")).as("value_q"))
+  }
+
+  /** The MAIN terrain-correction query is the full Range-Doppler geometry. */
+  def query(spark: SparkSession, sfDir: String): DataFrame = fullQuery(spark, sfDir)
+
+  /** The nearest-neighbor gather on the linear-ephemeris shortcut (kept as its own
+   * gate, q_terrain_correction_nn). The RESOLVED side broadcasts (the target map
+   * grid is bounded per scene — ~50 B/row vs the 8 KB pixel arrays on the tile
+   * side), so the raster volume never crosses a shuffle; at full scale the same
+   * shape holds per scene partition (or becomes a bucketed co-partitioned join),
+   * and the tile scan streams map-side only. */
+  def nearestNeighborQuery(spark: SparkSession, sfDir: String): DataFrame = {
     // raw i/q tiles — the intensity is computed for the ONE gathered pixel per
     // target (O(1) element_at on the scan arrays), never as a full per-tile array:
     // deriving v up front let CollapseProject re-evaluate the 1024-element

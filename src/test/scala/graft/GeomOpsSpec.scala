@@ -28,7 +28,7 @@ class GeomOpsSpec extends AnyFunSuite {
   }
 
   test("terrain correction geometry matches a scala oracle on sampled cells") {
-    val rows = TerrainCorrection.query(spark, sf)
+    val rows = TerrainCorrection.nearestNeighborQuery(spark, sf)
       .select("scene_id", "ci", "cj", "subswath", "burst_idx", "local_line", "x_in_sw")
       .as[(String, Int, Int, String, Int, Int, Int)].collect()
       .map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6, r._7)).toMap

@@ -12,6 +12,24 @@ class PipelineSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = TestSpark.Sf
 
+  test("LSH pair mining: bucket population bounded by the hot cap; bits scale with N") {
+    import graft.ann.Ann
+    val e = Ann.emb(spark, sf)
+    val n = e.count()
+    val bits = Ann.pairBitsFor(n)
+    val cap = Ann.hotCapFor(n, bits)
+    val mask = (1L << bits) - 1
+    val bt = Ann.withBucketT(e.select(col("vec_id"), col("embedding")), 0, Ann.MaxPairBits)
+      .withColumn("bucket", expr(s"bucket & ${mask}L"))
+    val hot = bt.groupBy("bucket").count().where(col("count") > cap).select("bucket")
+    val maxCold = bt.join(hot, Seq("bucket"), "left_anti")
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    assert(maxCold <= cap, s"cold bucket population $maxCold exceeds cap $cap")
+    // parameterization scales: a 10^12-row corpus gets (far) more bucket bits
+    assert(Ann.pairBitsFor(1L << 40) == Ann.MaxPairBits)
+    assert(Ann.pairBitsFor(n) >= Ann.PairBits)
+  }
+
   test("h60 via conv(md5) matches jvm md5 parsing (the DuckDB-shared primitive)") {
     val got = Seq("abc", "", "hello world").toDF("s")
       .withColumn("h", expr(Dedup.h60("s"))).select("h").as[Long].collect()
