@@ -202,6 +202,20 @@ object SarOracles5 {
     s"""SELECT gcp_id, scene_id, true AS ok_dx, true AS ok_dy
        |FROM ${fx("gcps_frac")}""".stripMargin
 
+  /** Degree-2 warp: expected outcome — the quadratic fit must recover the planted
+   * degree-1 warp (all-true booleans), like warpPoly. */
+  val warpPoly2: String =
+    s"""SELECT w.scene_id,
+       |       (SELECT count(*) FROM ${fx("gcps_frac")} g WHERE g.scene_id = w.scene_id) AS n_gcps,
+       |       true AS ok_x, true AS ok_y
+       |FROM ${fx("warp_truth")} w""".stripMargin
+
+  /** Polynomial SRGR: expected outcome — the per-scene cubic must track the
+   * closed-form slant->ground curve within the tolerance at every probe. */
+  val srgrPoly: String =
+    s"""SELECT scene_id, ${3 * graft.model.Layout.SamplesPerBurst}::BIGINT AS n_samples, true AS ok_fit
+       |FROM ${fx("scenes")}""".stripMargin
+
   val warpPoly: String =
     s"""SELECT w.scene_id,
        |       (SELECT count(*) FROM ${fx("gcps_frac")} g WHERE g.scene_id = w.scene_id) AS n_gcps,

@@ -44,7 +44,7 @@ object SarOraclesGrd {
     val iters = ops.Detection2.CcIters
     val keysEq = "n.scene_id = d.scene_id AND n.subswath = d.subswath AND n.pol = d.pol AND n.burst_idx = d.burst_idx"
     val steps = (1 to iters).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT d.scene_id, d.subswath, d.pol, d.burst_idx, d.gx, d.gy, min(n.label) AS label
          |  FROM l${i - 1} d CROSS JOIN offs o
          |  JOIN l${i - 1} n ON $keysEq AND n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy

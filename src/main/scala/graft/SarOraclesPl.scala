@@ -40,7 +40,7 @@ object SarOraclesPl {
     val vOut = (0 until K).map(e => s"ur$e / nrm AS vr$e, ui$e / nrm AS vi$e").mkString(",\n    ")
     val uDefs = (0 until K).map(e => s"${urExpr(e)} AS ur$e, ${uiExpr(e)} AS ui$e").mkString(",\n      ")
     val nrm = (0 until K).map(e => s"(ur$e * ur$e + ui$e * ui$e)").mkString(" + ")
-    s"""p$i AS (
+    s"""p$i AS MATERIALIZED (
        |  SELECT $keyCols, ${chanCols.mkString(", ")},
        |    $vOut
        |  FROM (
@@ -51,6 +51,74 @@ object SarOraclesPl {
        |      FROM p${i - 1}
        |    )
        |  ))""".stripMargin
+  }
+
+  /** RPCA change detection oracle: exact integer per-tile Gram, 20 unrolled
+   * real power iterations (chains staged exactly as Kernels.rpcaTile), per-pixel
+   * rank-1 residual threshold counts. */
+  val rpca: String = {
+    val tau = ops.Stack.RpcaTau
+    val gPairs = for (a <- 0 until K; b <- a until K) yield (a, b)
+    def mRef(e: Int, f: Int) = s"(g${math.min(e, f)}_${math.max(e, f)} / 1000.0)"
+    val gSums = gPairs.map { case (a, b) =>
+      s"CAST(coalesce(sum(CAST(floor(0.031415926535897934 + v$a * v$b * 1000.0) AS BIGINT)) FILTER (valid), 0) AS BIGINT) AS g${a}_$b"
+    }.mkString(",\n    ")
+    val gCols = gPairs.map { case (a, b) => s"g${a}_$b" }.mkString(", ")
+    val uInit = (0 until K).map(e => s"1.0 AS u$e").mkString(", ")
+    val steps = (1 to Iters).map { i =>
+      val wDefs = (0 until K).map { e =>
+        (0 until K).map(f => s"${mRef(e, f)} * u$f").mkString(" + ") + s" AS w$e"
+      }.mkString(",\n      ")
+      val nrm = (0 until K).map(e => s"w$e * w$e").mkString(" + ")
+      val uOut = (0 until K).map(e =>
+        s"CASE WHEN nrm > 0.0 THEN w$e / nrm ELSE 0.0 END AS u$e").mkString(",\n    ")
+      s"""r$i AS MATERIALIZED (
+         |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, $gCols,
+         |    $uOut
+         |  FROM (
+         |    SELECT *, sqrt($nrm) AS nrm
+         |    FROM (
+         |      SELECT *,
+         |      $wDefs
+         |      FROM r${i - 1}
+         |    )
+         |  ))""".stripMargin
+    }.mkString(",\n")
+    val epochCtes = (0 until K).map { e =>
+      s"""s$e AS (
+         |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+         |         unnest(range($N)) AS k,
+         |         floor(unnest(i) * 4096) / 4096 AS iv, floor(unnest(q) * 4096) / 4096 AS qv
+         |  FROM ${fx("tiles_stack")} WHERE epoch = $e AND burst_idx >= $K)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until K).map(e =>
+      s"JOIN s$e q$e ON q$e.scene_id = q0.scene_id AND q$e.subswath = q0.subswath AND q$e.pol = q0.pol " +
+        s"AND q$e.burst_idx = q0.burst_idx AND q$e.tile_y = q0.tile_y AND q$e.tile_x = q0.tile_x AND q$e.k = q0.k")
+      .mkString("\n  ")
+    val vCols = (0 until K).map(e =>
+      s"CASE WHEN q$e.iv = -9999.0 OR q$e.qv = -9999.0 THEN -9999.0 ELSE floor((q$e.iv * q$e.iv + q$e.qv * q$e.qv) * 16384) / 16384 END AS v$e").mkString(",\n    ")
+    val valid = (0 until K).map(e => s"v$e <> -9999.0").mkString(" AND ")
+    val proj = (0 until K).map(e => s"p.v$e * u.u$e").mkString(" + ")
+    val cnts = (0 until K).map(e =>
+      s"count(*) FILTER (p.valid AND abs(p.v$e - ($proj) * u.u$e) > $tau) AS chg_e$e").mkString(",\n  ")
+    s"""WITH $epochCtes,
+       |px0 AS (
+       |  SELECT q0.scene_id, q0.subswath, q0.pol, q0.burst_idx, q0.tile_y, q0.tile_x, q0.k,
+       |    $vCols
+       |  FROM s0 q0
+       |  $joins),
+       |px AS (SELECT *, $valid AS valid FROM px0),
+       |r0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    $gSums,
+       |    $uInit
+       |  FROM px GROUP BY 1, 2, 3, 4, 5, 6),
+       |$steps
+       |SELECT p.scene_id, p.subswath, p.pol, p.burst_idx, p.tile_y, p.tile_x,
+       |  count(*) FILTER (p.valid) AS n_px,
+       |  $cnts
+       |FROM px p JOIN r$Iters u USING (scene_id, subswath, pol, burst_idx, tile_y, tile_x)
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
   val phaseLink: String = {

@@ -49,7 +49,7 @@ object SarOraclesTc {
   }
 
   private def bisectStep(i: Int): String =
-    s"""b$i AS (
+    s"""b$i AS MATERIALIZED (
        |  SELECT scene_id, ci, cj, tx_m, ty_m, height,
        |    CASE WHEN ff < 0 THEN mid ELSE lo END AS lo,
        |    CASE WHEN ff < 0 THEN hi ELSE mid END AS hi
@@ -60,7 +60,12 @@ object SarOraclesTc {
        |    )
        |  ))""".stripMargin
 
-  val terrainCorrectionFull: String = {
+  val terrainCorrectionFull: String = rdGeocodeSql(useDem = true)
+
+  /** Ellipsoid-Correction-RD: identical geometry, height = 0, no DEM join. */
+  val ellipsoidRd: String = rdGeocodeSql(useDem = false)
+
+  private def rdGeocodeSql(useDem: Boolean): String = {
     val tc = TerrainCorrection
     val steps = (1 to 40).map(bisectStep).mkString(",\n")
     s"""WITH sv0 AS (
@@ -79,20 +84,20 @@ object SarOraclesTc {
        |       (SELECT unnest(range(${tc.GridNx})) AS ci) ci,
        |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj),
        |g2 AS (
-       |  SELECT g.scene_id, g.ci, g.cj, d.height,
+       |  SELECT g.scene_id, g.ci, g.cj, ${if (useDem) "d.height" else "0.0 AS height"},
        |         (g.lon - g.lon0) * ${tc.XMetersPerDeg} AS tx_m,
        |         (g.lat - g.lat0) * ${tc.YMetersPerDeg} AS ty_m
-       |  FROM grid g
+       |  FROM grid g${if (useDem) s"""
        |  JOIN ${fx("dem")} d ON d.scene_id = g.scene_id
        |    AND d.lat_idx = CAST(round((g.lat - g.lat0) / ${tc.DemStep}, 0) AS INT)
-       |    AND d.lon_idx = CAST(round((g.lon - g.lon0) / ${tc.DemStep}, 0) AS INT)),
+       |    AND d.lon_idx = CAST(round((g.lon - g.lon0) / ${tc.DemStep}, 0) AS INT)""" else ""}),
        |b0 AS (
        |  SELECT g.scene_id, g.ci, g.cj, g.tx_m, g.ty_m, g.height,
        |         list_extract(s.ts, 1) AS lo, list_extract(s.ts, CAST(s.nsv AS INT)) AS hi
        |  FROM g2 g JOIN sv2 s USING (scene_id)),
        |$steps,
-       |fin0 AS (SELECT *, (lo + hi) / 2 AS tzd FROM b40),
-       |fin AS (
+       |fin0 AS MATERIALIZED (SELECT *, (lo + hi) / 2 AS tzd FROM b40),
+       |fin AS MATERIALIZED (
        |  SELECT scene_id, ci, cj, tx_m, ty_m, height, tzd,
        |    sqrt((xv - tx_m) * (xv - tx_m) + (yv - ty_m) * (yv - ty_m) + (zv - height) * (zv - height)) AS slant,
        |    sqrt(list_extract(xs, 1) * list_extract(xs, 1) + list_extract(zs, 1) * list_extract(zs, 1)) AS r0

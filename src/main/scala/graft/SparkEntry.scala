@@ -59,6 +59,9 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => streaming.Events.batchQuery(s, dir)),
     "q_terrain_correction" -> ((s, dir) => ops.TerrainCorrection.query(s, dir)),
     "q_terrain_correction_nn" -> ((s, dir) => ops.TerrainCorrection.nearestNeighborQuery(s, dir)),
+    "q_ellipsoid_rd" -> ((s, dir) => ops.TerrainCorrection.ellipsoidRdQuery(s, dir)),
+    "q_ellipsoid_gg" -> ((s, dir) => ops.Geocode.ggGeocodeQuery(s, dir)),
+    "q_etad" -> ((s, dir) => ops.Geocode.etadQuery(s, dir)),
     "q_xcorr_offsets" -> ((s, dir) => ops.Coregistration.xcorrOffsetsQuery(s, dir)),
     "q_warp_fit" -> ((s, dir) => ops.Coregistration.warpFitQuery(s, dir)),
     "q_coreg_stack" -> ((s, dir) => ops.Coregistration.coregStackQuery(s, dir)),
@@ -88,6 +91,15 @@ object SparkEntry {
     "q_terrain_flattening" -> ((s, dir) => ops.TerrainCorrection.terrainFlatteningQuery(s, dir)),
     "q_xcorr_frac" -> ((s, dir) => ops.Coregistration.xcorrFracQuery(s, dir)),
     "q_warp_poly" -> ((s, dir) => ops.Coregistration.warpPolyQuery(s, dir)),
+    "q_warp_poly2" -> ((s, dir) => ops.Coregistration.warpPoly2Query(s, dir)),
+    "q_range_shift" -> ((s, dir) => ops.Coregistration.rangeShiftQuery(s, dir)),
+    "q_stack_split" -> ((s, dir) => ops.Stack.stackSplitQuery(s, dir)),
+    "q_remodulate" -> ((s, dir) => ops.InSAR.remodulateQuery(s, dir)),
+    "q_integer_ifg" -> ((s, dir) => ops.InSAR.integerIfgQuery(s, dir)),
+    "q_phase_filter" -> ((s, dir) => ops.InSAR.phaseFilterQuery(s, dir)),
+    "q_speckle_mulog" -> ((s, dir) => ops.Speckle.mulog(s, dir)),
+    "q_gabor" -> ((s, dir) => ops.Speckle.gabor(s, dir)),
+    "q_srgr_poly" -> ((s, dir) => ops.Geocode.srgrPolyQuery(s, dir)),
     "q_sar_simulation" -> ((s, dir) => ops.TerrainCorrection.sarSimulationQuery(s, dir)),
     "q_oversample" -> ((s, dir) => ops.Spectral.oversampleQuery(s, dir)),
     "q_bandpass_range" -> ((s, dir) => ops.Spectral.bandpassRangeQuery(s, dir)),
@@ -104,6 +116,7 @@ object SparkEntry {
     "q_cp_stokes" -> ((s, dir) => ops.Polarimetry.stokesQuery(s, dir)),
     "q_pol_t3" -> ((s, dir) => ops.PolarimetryQuad.t3Query(s, dir)),
     "q_phase_linking" -> ((s, dir) => ops.Stack.phaseLinkQuery(s, dir)),
+    "q_rpca" -> ((s, dir) => ops.Stack.rpcaQuery(s, dir)),
     "q_border_noise" -> ((s, dir) => ops.Grd.borderNoiseQuery(s, dir)),
     "q_object_cluster" -> ((s, dir) => ops.Detection2.objectClusterQuery(s, dir)),
     "q_dedup_simhash_pairs" -> ((s, dir) => dedup.Dedup.simhashPairsQuery(s, dir)),
@@ -229,6 +242,9 @@ object SparkEntry {
     "q_events_window" -> PipelineOracles.eventsWindow,
     "q_terrain_correction" -> SarOraclesTc.terrainCorrectionFull,
     "q_terrain_correction_nn" -> SarOracles2.terrainCorrection,
+    "q_ellipsoid_rd" -> SarOraclesTc.ellipsoidRd,
+    "q_ellipsoid_gg" -> SarOracles10.ggGeocode,
+    "q_etad" -> SarOracles10.etad,
     "q_xcorr_offsets" -> SarOracles2.xcorrOffsets,
     "q_warp_fit" -> SarOracles2.warpFit,
     "q_coreg_stack" -> SarOracles2.coregStack,
@@ -258,6 +274,15 @@ object SparkEntry {
     "q_terrain_flattening" -> SarOracles5.terrainFlattening,
     "q_xcorr_frac" -> SarOracles5.xcorrFrac,
     "q_warp_poly" -> SarOracles5.warpPoly,
+    "q_warp_poly2" -> SarOracles5.warpPoly2,
+    "q_range_shift" -> SarOracles10.rangeShift,
+    "q_stack_split" -> SarOracles10.stackSplit,
+    "q_remodulate" -> SarOracles10.remodulate,
+    "q_integer_ifg" -> SarOracles10.integerIfg,
+    "q_phase_filter" -> SarOracles10.phaseFilter,
+    "q_speckle_mulog" -> SarOracles10.mulog,
+    "q_gabor" -> SarOracles10.gabor,
+    "q_srgr_poly" -> SarOracles5.srgrPoly,
     "q_sar_simulation" -> SarOracles5.sarSimulation,
     "q_oversample" -> SarOracles6.oversample,
     "q_bandpass_range" -> SarOracles6.bandpassRange,
@@ -274,6 +299,7 @@ object SparkEntry {
     "q_cp_stokes" -> SarOracles7.stokes,
     "q_pol_t3" -> SarOraclesQuad.t3Sums,
     "q_phase_linking" -> SarOraclesPl.phaseLink,
+    "q_rpca" -> SarOraclesPl.rpca,
     "q_border_noise" -> SarOraclesGrd.borderNoise,
     "q_object_cluster" -> SarOraclesGrd.objectCluster,
     "q_dedup_simhash_pairs" -> PipelineOracles.simhashPairs,

@@ -178,6 +178,20 @@ case class MosaicCellsExpr(v: Expression, tileX: Expression, tileY: Expression,
       lon4 = c(6), lat4 = c(7), lon0 = c(8), lat0 = c(9))
 }
 
+/** RPCA change detection per tile: (n, count |S_e| > tau per epoch). */
+case class RpcaExpr(chs: Seq[Expression], tau: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      chs.indices.map(e => StructField(s"c$e", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.rpcaTile(new org.apache.spark.sql.catalyst.util.ArrayData[] {${args.mkString(", ")}}, ${tau}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.rpcaTile(args.map(_.asInstanceOf[ArrayData]).toArray, tau)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 /** Sparse above-threshold pixel indices of one tile. */
 case class AboveThrExpr(v: Expression, thr: Double) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(v)
@@ -511,6 +525,8 @@ object KernelExprs {
   def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
 
   def aboveThr(v: Column, thr: Double): Column = toCol(AboveThrExpr(toExpr(v), thr))
+
+  def rpca(chs: Seq[Column], tau: Double): Column = toCol(RpcaExpr(chs.map(toExpr), tau))
 
   def rowScan(v: Column, w: Int, h: Int, thr: Double): Column =
     toCol(RowScanExpr(toExpr(v), w, h, thr))

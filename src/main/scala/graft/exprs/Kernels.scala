@@ -38,6 +38,17 @@ object Kernels {
   val MODE_IDAN = 7
   val MODE_MEAN_WINDOW = 8 // windowed mean exposed for flood detection etc.
   val MODE_SPECKLE_DIV = 9 // windowed var/mean^2 (Speckle-Divergence texture)
+  val MODE_GABOR = 10 // Gabor texture convolution (GaborFilterOp.java:39)
+  val MODE_MULOG = 11 // log-domain boxcar + exp back (MuLog.java:18 pipeline shape)
+
+  /** Gabor kernel parameters (one orientation theta = 0; the weight table is
+   * inlined as literals into the DuckDB oracle, so both engines share the exact
+   * same doubles). */
+  val GaborSigma = 1.5
+  val GaborFreq = 0.25
+  def gaborW(dy: Int, dx: Int): Double =
+    math.exp(-(dx * dx + dy * dy) / (2.0 * GaborSigma * GaborSigma)) *
+      math.cos(2.0 * math.Pi * GaborFreq * dx)
 
   def modeId(name: String): Int = name match {
     case "boxcar" => MODE_BOXCAR
@@ -50,6 +61,8 @@ object Kernels {
     case "idan" => MODE_IDAN
     case "mean" => MODE_MEAN_WINDOW
     case "specklediv" => MODE_SPECKLE_DIV
+    case "gabor" => MODE_GABOR
+    case "mulog" => MODE_MULOG
     case other => throw new IllegalArgumentException(s"unknown speckle mode: $other")
   }
 
@@ -184,6 +197,48 @@ object Kernels {
             refinedLeePixel(a, hw, x, y, m, cp, enl)
           case MODE_IDAN =>
             idanPixel(a, hw, hh, x, y, m, cp, enl)
+          case MODE_GABOR =>
+            // unnormalized convolution with the Gabor weight table; center-invalid
+            // pixels stay ND, invalid neighbors contribute 0 (mirrored in SQL)
+            if (isNd(cp)) ND
+            else {
+              var acc = 0.0
+              var dy = -m
+              while (dy <= m) {
+                var dx = -m
+                while (dx <= m) {
+                  val v = a((y + m + dy) * hw + (x + m + dx))
+                  // per-term dyadic snap -> the convolution sum is exact/order-free
+                  if (!isNd(v)) acc += math.floor(gaborW(dy, dx) * v * 1048576.0) / 1048576.0
+                  dx += 1
+                }
+                dy += 1
+              }
+              acc
+            }
+          case MODE_MULOG =>
+            // log-domain boxcar: out = exp(mean(ln v)) over valid positive
+            // neighbors (the MuLog pipeline shape: transform, denoise, transform
+            // back; the deep-prior denoiser is stubbed by the boxcar)
+            if (isNd(cp)) ND
+            else {
+              var n = 0; var s1 = 0.0
+              var dy = -m
+              while (dy <= m) {
+                var dx = -m
+                while (dx <= m) {
+                  val v = a((y + m + dy) * hw + (x + m + dx))
+                  // ln snapped to the 2^-20 dyadic grid so the window sum is EXACT
+                  // (order-free) and the DuckDB oracle reproduces it bit-for-bit
+                  if (!isNd(v) && v > 0.0) {
+                    n += 1; s1 += math.floor(math.log(v) * 1048576.0) / 1048576.0
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (n == 0) ND else math.exp(s1 / n)
+            }
         }
         x += 1
       }
@@ -1363,6 +1418,95 @@ object Kernels {
       y += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // --------------------------------------------------------- RPCA change detection
+
+  /** RPCA quantization grid for the per-tile Gram matrix (exact integer sums). */
+  val RpcaQ = 1.0e3
+  val RpcaIters = 20
+
+  /**
+   * RPCA-style change detection over a K-epoch intensity stack (reference
+   * RPCAOp.java:45 low-rank + sparse split, one alternation): per TILE, the K x K
+   * Gram matrix M = sum_px v v^T accumulated on an exact integer grid, the
+   * dominant eigenvector u by RpcaIters power iterations (all-ones start, chains
+   * staged exactly as the unrolled SQL oracle), then per pixel the rank-1
+   * low-rank part L = (v·u) u and the sparse residual S = v - L; output = count
+   * of |S_e| > tau per epoch (+ valid pixel count). The Gram entries are exact
+   * integers, so both engines iterate on identical doubles.
+   */
+  def rpcaTile(chD: Array[ArrayData], tau: Double): InternalRow = {
+    val K = chD.length
+    val ch = chD.map(_.toDoubleArray())
+    val len = ch(0).length
+    val g = Array.ofDim[Long](K, K)
+    var i = 0
+    while (i < len) {
+      var ok = true
+      var c = 0
+      while (c < K) { if (isNd(ch(c)(i))) ok = false; c += 1 }
+      if (ok) {
+        var a = 0
+        while (a < K) {
+          var b = a
+          while (b < K) {
+            g(a)(b) += math.floor(0.031415926535897934 + ch(a)(i) * ch(b)(i) * RpcaQ).toLong
+            b += 1
+          }
+          a += 1
+        }
+      }
+      i += 1
+    }
+    val m = Array.ofDim[Double](K, K)
+    var a = 0
+    while (a < K) {
+      var b = 0
+      while (b < K) { m(a)(b) = g(math.min(a, b))(math.max(a, b)) / RpcaQ; b += 1 }
+      a += 1
+    }
+    val u = Array.fill(K)(1.0)
+    val w = new Array[Double](K)
+    var it = 0
+    while (it < RpcaIters) {
+      var e = 0
+      while (e < K) {
+        var acc = 0.0
+        var f = 0
+        while (f < K) { acc = acc + m(e)(f) * u(f); f += 1 }
+        w(e) = acc
+        e += 1
+      }
+      var s = 0.0
+      var e2 = 0
+      while (e2 < K) { s = s + w(e2) * w(e2); e2 += 1 }
+      val nrm = math.sqrt(s)
+      var e3 = 0
+      while (e3 < K) { u(e3) = if (nrm > 0.0) w(e3) / nrm else 0.0; e3 += 1 }
+      it += 1
+    }
+    var n = 0L
+    val cnt = new Array[Long](K)
+    i = 0
+    while (i < len) {
+      var ok = true
+      var c = 0
+      while (c < K) { if (isNd(ch(c)(i))) ok = false; c += 1 }
+      if (ok) {
+        n += 1
+        var proj = 0.0
+        var e = 0
+        while (e < K) { proj = proj + ch(e)(i) * u(e); e += 1 }
+        var e2 = 0
+        while (e2 < K) {
+          if (math.abs(ch(e2)(i) - proj * u(e2)) > tau) cnt(e2) += 1
+          e2 += 1
+        }
+      }
+      i += 1
+    }
+    InternalRow(n, cnt(0), cnt(1), cnt(2), cnt(3), cnt(4))
   }
 
   // ----------------------------------------------------------- sparse detection

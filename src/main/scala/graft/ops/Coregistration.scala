@@ -82,6 +82,14 @@ object Coregistration {
         round(sqrt(greatest(lit(0.0),
           avg(expr("CAST(est_dx AS DOUBLE) * est_dx")) - pow(avg("est_dx"), 2))), 6).as("rms_dx_dev"))
 
+  /** Range-Shift estimation (reference RangeShiftOp: constant range offset from
+   * averaged cross-correlation offsets; the azimuth leg is q_esd_shift). */
+  def rangeShiftQuery(spark: SparkSession, sfDir: String): DataFrame =
+    xcorrOffsetsQuery(spark, sfDir)
+      .groupBy("scene_id")
+      .agg(count(lit(1)).as("n_gcps"),
+        round(avg("est_dx"), 6).as("rg_shift_px"))
+
   /** Back-geocoding style coregistered stack: apply the *estimated* shift via a
    * tile-key gather (each ref tile joins its <= 4 shifted covering sec tiles), then
    * verify per-burst agreement. No pixel explode (BackGeocodingOp.java:1383-1476
@@ -211,5 +219,51 @@ object Coregistration {
       .select(col("scene_id"), col("n_gcps"),
         (maxPredErr("fa0x", "fa1x", "fa2x", "a0x", "a1x", "a2x") <= 0.1).as("ok_x"),
         (maxPredErr("fa0y", "fa1y", "fa2y", "a0y", "a1y", "a2y") <= 0.1).as("ok_y"))
+  }
+
+  /**
+   * Degree-2 polynomial warp (the reference DEFAULT, WarpOp.java:105
+   * warpPolynomialOrder = 2): basis [1, x, y, x^2, xy, y^2]. The normal-equation
+   * moments aggregate DISTRIBUTED per scene (groupBy + sum — only the 6x6 moment
+   * matrix reaches the driver, O(scenes) not O(GCPs), fixing the round-2 global
+   * GCP collect), then LinSolve solves per scene. Gate: the fitted quadratic must
+   * predict the planted (degree-1) warp to <= 0.1 px at the hull probes — the
+   * quadratic terms must come out ~0 for that to hold.
+   */
+  def warpPoly2Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ests = xcorrFracEstimates(spark, sfDir)
+      .where(!isnan(col("est_dx")))
+      .select(col("scene_id"), col("cx").cast("double").as("x"),
+        (expr(s"(burst_idx - 1) * ${Layout.LinesPerBurst}") + col("cy")).cast("double").as("y"),
+        col("est_dx").as("dx"), col("est_dy").as("dy"))
+    val basis = Seq("1.0D", "x", "y", "x * x", "x * y", "y * y")
+    val momCols =
+      (for (i <- 0 until 6; j <- i until 6)
+        yield sum(expr(s"(${basis(i)}) * (${basis(j)})")).as(s"m${i}_$j")) ++
+        (for (i <- 0 until 6) yield sum(expr(s"(${basis(i)}) * dx")).as(s"bx$i")) ++
+        (for (i <- 0 until 6) yield sum(expr(s"(${basis(i)}) * dy")).as(s"by$i")) :+
+        count(lit(1)).as("n_gcps")
+    val moments = ests.groupBy("scene_id").agg(momCols.head, momCols.tail: _*).collect()
+    val fits = moments.map { r =>
+      def m = Array.tabulate(6, 6)((i, j) =>
+        r.getDouble(r.fieldIndex(s"m${math.min(i, j)}_${math.max(i, j)}")))
+      val cx = graft.geom.LinSolve.solve(m, Array.tabulate(6)(i => r.getDouble(r.fieldIndex(s"bx$i"))))
+      val cy = graft.geom.LinSolve.solve(m, Array.tabulate(6)(i => r.getDouble(r.fieldIndex(s"by$i"))))
+      (r.getString(0), r.getLong(r.fieldIndex("n_gcps")), cx, cy)
+    }
+    val probes = Seq((32.0, 88.0), (32.0, 488.0), (96.0, 88.0), (96.0, 488.0), (64.0, 288.0))
+    val fitted = fits.toSeq.toDF("scene_id", "n_gcps", "cx", "cy")
+    val truth = Fixtures.table(spark, sfDir, "warp_truth")
+    fitted.join(truth, Seq("scene_id"))
+      .select(col("scene_id"), col("n_gcps"),
+        probes.map { case (px, py) =>
+          abs(expr(s"cx[0] + cx[1] * $px + cx[2] * $py + cx[3] * $px * $px + cx[4] * $px * $py + cx[5] * $py * $py") -
+            (col("a0x") + col("a1x") * px + col("a2x") * py))
+        }.reduce(greatest(_, _)).leq(0.1).as("ok_x"),
+        probes.map { case (px, py) =>
+          abs(expr(s"cy[0] + cy[1] * $px + cy[2] * $py + cy[3] * $px * $px + cy[4] * $px * $py + cy[5] * $py * $py") -
+            (col("a0y") + col("a1y") * px + col("a2y") * py))
+        }.reduce(greatest(_, _)).leq(0.1).as("ok_y"))
   }
 }

@@ -44,6 +44,130 @@ object Geocode {
       .agg(sum(col("c.n_px")).as("n_px"), sum(col("c.sum_q")).as("sum_q"))
   }
 
+  /** Polynomial SRGR degree + tolerance (meters) for the fit-recovery gate: the
+   * slant->ground curve needs degree 5 for a ~16 m max residual over this swath
+   * (measured); the gate bound is 2x that. */
+  val SrgrPolyDeg = 5
+  val SrgrPolyTol = 30.0
+
+  /**
+   * Polynomial SRGR (reference SRGROp.java:45): degree-SrgrPolyDeg LS fit of ground range
+   * vs normalized slant range over the swath samples. Normal-equation moments
+   * aggregate DISTRIBUTED per scene; only the 4x4 matrix reaches the driver
+   * (LinSolve). Gate: the cubic predicts the closed-form ground range to within
+   * SrgrPolyTol meters at probe samples (planted-recovery boolean, like
+   * q_warp_poly).
+   */
+  def srgrPolyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nS = 3 * Layout.SamplesPerBurst
+    val orbit0 = Fixtures.table(spark, sfDir, "orbit")
+      .withColumn("rn", row_number().over(Window.partitionBy("scene_id").orderBy("t_sec")))
+      .where(col("rn") === 1)
+      .select(col("scene_id"), col("x").as("orb_x"), col("z").as("orb_z"))
+    val samples = spark.range(0L, nS)
+      .select(col("id").cast("int").as("s_idx"))
+      .join(broadcast(orbit0))
+      .withColumn("r0", expr("sqrt(orb_x * orb_x + orb_z * orb_z)"))
+      .withColumn("slant", col("r0") + col("s_idx") * TerrainCorrection.DR)
+      .withColumn("u", col("s_idx") / lit((nS - 1).toDouble))
+      .withColumn("g", expr("orb_x + sqrt(slant * slant - orb_z * orb_z)"))
+    val nb = SrgrPolyDeg + 1
+    val basis = "1.0D" +: (1 to SrgrPolyDeg).map(k => Seq.fill(k)("u").mkString(" * "))
+    val momCols =
+      (for (i <- 0 until nb; j <- i until nb)
+        yield sum(expr(s"(${basis(i)}) * (${basis(j)})")).as(s"m${i}_$j")) ++
+        (for (i <- 0 until nb) yield sum(expr(s"(${basis(i)}) * g")).as(s"b$i")) :+
+        count(lit(1)).as("n_samples")
+    val moments = samples.groupBy("scene_id").agg(momCols.head, momCols.tail: _*).collect()
+    val fits = moments.map { r =>
+      val m = Array.tabulate(nb, nb)((i, j) =>
+        r.getDouble(r.fieldIndex(s"m${math.min(i, j)}_${math.max(i, j)}")))
+      val c = graft.geom.LinSolve.solve(m, Array.tabulate(nb)(i => r.getDouble(r.fieldIndex(s"b$i"))))
+      (r.getString(0), r.getLong(r.fieldIndex("n_samples")), c)
+    }
+    val fitted = fits.toSeq.toDF("scene_id", "n_samples", "c")
+    val probeIdx = Seq(0, 95, 191, 287, 383)
+    fitted.join(broadcast(orbit0), Seq("scene_id"))
+      .select(col("scene_id"), col("n_samples"),
+        probeIdx.map { si =>
+          val u = si.toDouble / (nS - 1)
+          abs(expr((0 until nb).map(k => s"c[$k] * " + (if (k == 0) "1.0D" else Seq.fill(k)(s"($u)").mkString(" * "))).mkString(" + ")) -
+            expr(s"orb_x + sqrt((sqrt(orb_x * orb_x + orb_z * orb_z) + $si * ${TerrainCorrection.DR}) * (sqrt(orb_x * orb_x + orb_z * orb_z) + $si * ${TerrainCorrection.DR}) - orb_z * orb_z)"))
+        }.reduce(greatest(_, _)).leq(SrgrPolyTol).as("ok_fit"))
+  }
+
+  /**
+   * Geolocation-Grid geocoding (reference GeolocationGridGeocodingOp.java:70):
+   * invert the burst tie-point (footprint) affine instead of solving orbit
+   * geometry — vv = (lat - lat1)/(lat4 - lat1), u = (lon - lon1 - vv*(lon4 -
+   * lon1))/(lon2 - lon1) — then nearest-pixel gather. Overlapping bursts dedupe
+   * to the lowest (subswath, burst). All dims broadcast; the raster never
+   * shuffles (same gather shape as TC).
+   */
+  def ggGeocodeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = TerrainCorrection
+    val scenes = Fixtures.table(spark, sfDir, "scenes").select("scene_id", "lon0", "lat0")
+    val bursts = Fixtures.table(spark, sfDir, "bursts")
+      .select("scene_id", "subswath", "burst_idx", "lon1", "lat1", "lon2", "lon4", "lat4")
+    val cells = spark.range(0L, tc.GridNx.toLong * tc.GridNy)
+      .select(expr(s"CAST(id div ${tc.GridNy} AS INT)").as("ci"),
+        expr(s"CAST(id % ${tc.GridNy} AS INT)").as("cj"))
+    val resolved = cells
+      .join(broadcast(scenes))
+      .withColumn("lon", col("lon0") + (col("ci") + 0.5) * tc.CellDeg)
+      .withColumn("lat", col("lat0") + (col("cj") + 0.5) * tc.CellDeg)
+      .join(broadcast(bursts), Seq("scene_id"))
+      .withColumn("vv", (col("lat") - col("lat1")) / (col("lat4") - col("lat1")))
+      .withColumn("u", (col("lon") - col("lon1") - col("vv") * (col("lon4") - col("lon1"))) / (col("lon2") - col("lon1")))
+      .where(col("u") >= 0 && col("u") < 1 && col("vv") >= 0 && col("vv") < 1)
+      .withColumn("rn", row_number().over(Window.partitionBy("scene_id", "ci", "cj")
+        .orderBy("subswath", "burst_idx")))
+      .where(col("rn") === 1)
+      .withColumn("x", expr(s"greatest(0, least(${Layout.SamplesPerBurst - 1}, CAST(round(u * ${Layout.SamplesPerBurst} - 0.5, 0) AS INT)))"))
+      .withColumn("line", expr(s"greatest(0, least(${Layout.LinesPerBurst - 1}, CAST(round(vv * ${Layout.LinesPerBurst} - 0.5, 0) AS INT)))"))
+      .withColumn("tile_x", expr(s"x div ${Layout.TileW}"))
+      .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
+      .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + x % ${Layout.TileW} AS INT)"))
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "line", "x", "px")
+    val tiles = Fixtures.table(spark, sfDir, "tiles")
+      .where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    tiles
+      .join(broadcast(resolved), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pa", expr("element_at(i, px + 1)"))
+      .withColumn("pb", expr("element_at(q, px + 1)"))
+      .select(col("scene_id"), col("ci"), col("cj"), col("subswath"), col("burst_idx"),
+        col("line"), col("x"),
+        expr(
+          s"""round(if(pa = -9999.0D or pb = -9999.0D or isnan(pa) or isnan(pb), -9999.0D,
+             |  floor(((floor(pa * $d) / $d) * (floor(pa * $d) / $d)
+             |         + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv), 6)""".stripMargin).as("value"))
+  }
+
+  /**
+   * S1-ETAD-Correction (reference S1ETADCorrectionOp.java:50): apply the gridded
+   * timing-correction LUT to the range coordinate — corrected fractional sample
+   * = gx + dR/DR, dR bilinearly interpolated from the correction grid (the
+   * calibration-vector LUT machinery; the noise grid doubles as the correction
+   * surface in the fixtures).
+   */
+  def etadQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiles = Raster.intensityTiles(spark, sfDir)
+    val lut = Fixtures.table(spark, sfDir, "noise_vectors")
+      .groupBy("scene_id", "subswath", "pol")
+      .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col("noise_lut").as("lut"))))
+        .as("vecs"))
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    Raster.rollup(Calibration.withLutA(tiles, lut)
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k ->
+           |  if(element_at(v, k + 1) = ${Raster.ND}, ${Raster.ND},
+           |    $gx + element_at(lut_a, k + 1) / ${TerrainCorrection.DR}))""".stripMargin)))
+  }
+
   /** Slant-range sample -> ground range (closed-form inverse of the TC slant eq). */
   def srgrQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val orbit0 = Fixtures.table(spark, sfDir, "orbit")

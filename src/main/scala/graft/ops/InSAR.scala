@@ -196,4 +196,57 @@ object InSAR {
            |                 * (burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval - reference_time)
            |            - 2 * pi() * doppler_centroid * (burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval))))""".stripMargin)))
   }
+
+  /** Remodulate (inverse of Demodulate, TOPSARDerampDemodOp's backward leg):
+   * re-apply the deramp/demod phase ramp to the demodulated signal; the round
+   * trip recovers the original phase (both engines stage wrap(phi_d + phi)). */
+  def remodulateQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bursts = Fixtures.table(spark, sfDir, "bursts")
+      .select("scene_id", "subswath", "burst_idx", "burst_first_line_time",
+        "doppler_rate", "doppler_centroid", "reference_time")
+    val scenes = Fixtures.table(spark, sfDir, "scenes")
+      .select("scene_id", "azimuth_time_interval")
+    val ta = s"(burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval)"
+    val phi = s"(-pi() * doppler_rate * ($ta - reference_time) * ($ta - reference_time) - 2 * pi() * doppler_centroid * $ta)"
+    val tiles = Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV")
+      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("qq", expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+    Raster.rollup(tiles
+      .join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
+      .join(broadcast(scenes), Seq("scene_id"))
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k ->
+           |  if(element_at(iq, k + 1) = $ND or element_at(qq, k + 1) = $ND, $ND,
+           |    atan2(sin(atan2(sin(atan2(element_at(qq, k + 1), element_at(iq, k + 1)) - $phi),
+           |                    cos(atan2(element_at(qq, k + 1), element_at(iq, k + 1)) - $phi)) + $phi),
+           |          cos(atan2(sin(atan2(element_at(qq, k + 1), element_at(iq, k + 1)) - $phi),
+           |                    cos(atan2(element_at(qq, k + 1), element_at(iq, k + 1)) - $phi)) + $phi))))""".stripMargin)))
+  }
+
+  /** Integer interferogram (jlinda IntegerInterferogramOp shape: the wrapped phase
+   * quantized onto an integer lattice for the unwrapper export). */
+  def integerIfgQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(crossTiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"""zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND,
+           |  CAST(round(atan2(b, a) * (128 / pi()), 0) AS DOUBLE)))""".stripMargin)))
+
+  /** Phase filter (jlinda phasefilter spatial leg; Goldstein is the spectral one):
+   * boxcar on the unit phasor — out = atan2(mean sin, mean cos) over 3x3. */
+  def phaseFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    // unit-phasor components snapped to the 2^-20 dyadic grid: the boxcar window
+    // sums are then EXACT (order-free) and match the oracle's SUM bit-for-bit
+    val ph = crossTiles(spark, sfDir)
+      .withColumn("sg", expr(s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, floor(sin(atan2(b, a)) * 1048576D) / 1048576D))"))
+      .withColumn("cg", expr(s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, floor(cos(atan2(b, a)) * 1048576D) / 1048576D))"))
+    val haloed = Raster.withHaloMulti(ph, Seq("sg", "cg"), 1)
+    Raster.rollup(haloed
+      .withColumn("ms", graft.exprs.KernelExprs.speckleFilter(col("halo_sg"), "boxcar",
+        Raster.W, Raster.H, 1, lit(Speckle.Enl), lit(Speckle.FrostDamping)))
+      .withColumn("mc", graft.exprs.KernelExprs.speckleFilter(col("halo_cg"), "boxcar",
+        Raster.W, Raster.H, 1, lit(Speckle.Enl), lit(Speckle.FrostDamping)))
+      .withColumn("out", expr(
+        s"zip_with(ms, mc, (sm, cm) -> if(sm = $ND or cm = $ND, $ND, atan2(sm, cm)))"))
+      .drop("halo_sg", "halo_cg", "ms", "mc"))
+  }
 }

@@ -55,6 +55,12 @@ object Speckle {
   def boxcar(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "boxcar")
   def median(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "median")
   def lee(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "lee")
+  /** MuLog pipeline shape (MuLog.java:18): log-transform, denoise (boxcar stands
+   * in for the deep prior), exp back. */
+  def mulog(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "mulog")
+  /** Gabor texture convolution (GaborFilterOp.java:39), 5x5, theta = 0. */
+  def gabor(spark: SparkSession, sfDir: String): DataFrame =
+    filtered(spark, sfDir, "gabor", margin = 2)
   def gammaMap(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "gammamap")
   def frost(spark: SparkSession, sfDir: String): DataFrame = filtered(spark, sfDir, "frost")
   /** Lee Sigma at the reference defaults (LeeSigma.java: sigma 0.9, numLooks 1,

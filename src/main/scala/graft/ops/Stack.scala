@@ -163,6 +163,46 @@ object Stack {
           .as("az_shift_q"))
   }
 
+  /** RPCA sparse-residual threshold. */
+  val RpcaTau = 50.0
+
+  /**
+   * RPCA-style change detection (reference RPCAOp.java:45): per tile, the rank-1
+   * low-rank component of the (pixels x epochs) matrix via the K x K Gram +
+   * power iteration (exact integer Gram sums -> identical doubles on both
+   * engines), sparse residual S = v - (v·u)u, per-epoch change counts. Runs on
+   * the full-coverage bursts (>= K) so the epoch vector is complete.
+   */
+  def rpcaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    def epochV(e: Int) =
+      stackTiles(spark, sfDir)
+        .where(col("epoch") === e && col("burst_idx") >= Epochs)
+        .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+          col("tile_x"), col("tile_y"), col("v").as(s"v_e$e"))
+    val joined = (1 until Epochs).foldLeft(epochV(0)) { (df, e) =>
+      df.join(epochV(e), Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y"))
+    }
+    joined
+      .withColumn("r", graft.exprs.KernelExprs.rpca(
+        (0 until Epochs).map(e => col(s"v_e$e")), RpcaTau))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"), col("r.n").as("n_px"),
+        col("r.c0").as("chg_e0"), col("r.c1").as("chg_e1"), col("r.c2").as("chg_e2"),
+        col("r.c3").as("chg_e3"), col("r.c4").as("chg_e4"))
+  }
+
+  /** Stack-Split (reference StackSplitOp): split the coregistered stack into the
+   * master product and one selected slave; per-tile rollups of both roles. */
+  val SplitEpoch = 2
+  def stackSplitQuery(spark: SparkSession, sfDir: String): DataFrame =
+    stackTiles(spark, sfDir)
+      .where(col("epoch") === 0 || col("epoch") === SplitEpoch)
+      .withColumn("role", when(col("epoch") === 0, lit("master")).otherwise(lit("slave")))
+      .select((keys :+ "role").map(col) :+ col("v"): _*)
+      .withColumn("rq", graft.exprs.KernelExprs.rollupQ(col("v"), 1e6))
+      .select((keys :+ "role").map(col) :+
+        col("rq.n").as("n_valid") :+ col("rq.s").as("sum_q"): _*)
+
   /**
    * Phase Linking (reference PhaseLinkingOp.java:87): per pixel, the K x K sample
    * coherency matrix over the epoch stack (3x3 window) and the dominant

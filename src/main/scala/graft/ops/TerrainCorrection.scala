@@ -228,7 +228,15 @@ object TerrainCorrection {
    * passes the gate. Each of the 4 corner terms is integer-quantized before the
    * per-target sum, so the combine is order-independent and exact.
    */
-  def fullQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def fullQuery(spark: SparkSession, sfDir: String): DataFrame =
+    rdGeocode(spark, sfDir, useDem = true)
+
+  /** Ellipsoid-Correction-RD (EllipsoidCorrectionRDOp.java:27): the identical
+   * Range-Doppler geometry with height pinned to the ellipsoid (0) — no DEM. */
+  def ellipsoidRdQuery(spark: SparkSession, sfDir: String): DataFrame =
+    rdGeocode(spark, sfDir, useDem = false)
+
+  private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean): DataFrame = {
     val scenes = Fixtures.table(spark, sfDir, "scenes")
       .select("scene_id", "azimuth_time_interval", "lon0", "lat0")
     val dem = Fixtures.table(spark, sfDir, "dem")
@@ -239,13 +247,18 @@ object TerrainCorrection {
     val zd = graft.exprs.KernelExprs.zeroDoppler(
       col("ts"), col("xs"), col("ys"), col("zs"), col("vxs"), col("vys"), col("vzs"),
       col("tx_m"), col("ty_m"), col("height"))
-    val resolved = cells
+    val gridded = cells
       .join(broadcast(scenes))
       .withColumn("lon", col("lon0") + (col("ci") + 0.5) * CellDeg)
       .withColumn("lat", col("lat0") + (col("cj") + 0.5) * CellDeg)
-      .withColumn("lat_idx", expr(s"CAST(round((lat - lat0) / $DemStep, 0) AS INT)"))
-      .withColumn("lon_idx", expr(s"CAST(round((lon - lon0) / $DemStep, 0) AS INT)"))
-      .join(broadcast(dem), Seq("scene_id", "lat_idx", "lon_idx"))
+    val withHeight =
+      if (useDem)
+        gridded
+          .withColumn("lat_idx", expr(s"CAST(round((lat - lat0) / $DemStep, 0) AS INT)"))
+          .withColumn("lon_idx", expr(s"CAST(round((lon - lon0) / $DemStep, 0) AS INT)"))
+          .join(broadcast(dem), Seq("scene_id", "lat_idx", "lon_idx"))
+      else gridded.withColumn("height", lit(0.0))
+    val resolved = withHeight
       .withColumn("tx_m", (col("lon") - col("lon0")) * XMetersPerDeg)
       .withColumn("ty_m", (col("lat") - col("lat0")) * YMetersPerDeg)
       .join(broadcast(svArrays(spark, sfDir)), Seq("scene_id"))
