@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exprs.Kernels
+
+/**
+ * Direct property tests of the compiled kernel layer (exprs/Kernels.scala) against
+ * independent straight-loop Scala oracles — no Spark session, seeded deterministic
+ * inputs with no-data holes. These pin the bit-identity claims the kernels make:
+ * window accumulation in (dy, dx) row-major order, exact integer rollups, exact
+ * halo assembly, and the one-md5 universal-hash minhash family.
+ */
+class KernelSpec extends AnyFunSuite {
+
+  val ND = Kernels.ND
+  def isNd(v: Double): Boolean = v.isNaN || v == ND
+
+  /** Seeded tile with ~8% ND holes on the dyadic 2^-12 grid. */
+  def tile(seed: Long, n: Int): Array[Double] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n) {
+      if (r.nextDouble() < 0.08) ND
+      else math.floor(r.nextDouble() * 8.0 * 4096.0) / 4096.0
+    }
+  }
+  def arr(a: Array[Double]): UnsafeArrayData = UnsafeArrayData.fromPrimitiveArray(a)
+
+  val W = 12; val H = 10; val M = 2
+
+  /** Oracle window stats at (x,y) over a (W+2m)x(H+2m) halo, row-major (dy,dx). */
+  def winStats(a: Array[Double], x: Int, y: Int, m: Int): (Int, Double, Double, Array[Double]) = {
+    val hw = W + 2 * m
+    var n = 0; var s1 = 0.0; var s2 = 0.0
+    val vs = Array.newBuilder[Double]
+    for (dy <- -m to m; dx <- -m to m) {
+      val v = a((y + m + dy) * hw + (x + m + dx))
+      if (!isNd(v)) { n += 1; s1 += v; s2 += v * v; vs += v }
+    }
+    (n, s1, s2, vs.result())
+  }
+
+  test("speckle boxcar/median/lee/gammamap/frost match straight-loop oracles bit-for-bit") {
+    for (seed <- 1L to 5L) {
+      val halo = tile(seed, (W + 2 * M) * (H + 2 * M))
+      val hw = W + 2 * M
+      val enl = 4.0; val damping = 2.0
+      val cu = 1.0 / math.sqrt(enl); val cu2 = cu * cu
+      val cmax = math.sqrt(2.0) * cu
+      val got = Map(
+        Kernels.MODE_BOXCAR -> Kernels.speckle(arr(halo), Kernels.MODE_BOXCAR, W, H, M, enl, damping).toDoubleArray(),
+        Kernels.MODE_MEDIAN -> Kernels.speckle(arr(halo), Kernels.MODE_MEDIAN, W, H, M, enl, damping).toDoubleArray(),
+        Kernels.MODE_LEE -> Kernels.speckle(arr(halo), Kernels.MODE_LEE, W, H, M, enl, damping).toDoubleArray(),
+        Kernels.MODE_GAMMA_MAP -> Kernels.speckle(arr(halo), Kernels.MODE_GAMMA_MAP, W, H, M, enl, damping).toDoubleArray(),
+        Kernels.MODE_FROST -> Kernels.speckle(arr(halo), Kernels.MODE_FROST, W, H, M, enl, damping).toDoubleArray())
+      for (y <- 0 until H; x <- 0 until W) {
+        val k = y * W + x
+        val cp = halo((y + M) * hw + (x + M))
+        val (n, s1, s2, vs) = winStats(halo, x, y, M)
+        val mean = if (n > 0) s1 / n else ND
+        val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
+        // boxcar
+        assert(got(Kernels.MODE_BOXCAR)(k) == (if (n <= 0) ND else mean))
+        // median
+        val med = if (n <= 0) ND else { val s = vs.sorted; s(s.length / 2) }
+        assert(got(Kernels.MODE_MEDIAN)(k) == med)
+        // lee (Lee.java:168-187 shape)
+        val lee =
+          if (n <= 0) ND
+          else if (mean <= 0.0 || vr <= 0.0) mean
+          else {
+            val ci = math.sqrt(vr) / mean
+            if (ci < cu) mean else cp * (1.0 - cu2 / (ci * ci)) + mean * (cu2 / (ci * ci))
+          }
+        assert(got(Kernels.MODE_LEE)(k) == lee)
+        // gamma-map (GammaMap.java:166-199 shape)
+        val gm =
+          if (n <= 0) ND
+          else if (mean <= 0.0 || vr <= 0.0) mean
+          else {
+            val ci = math.sqrt(vr) / mean
+            if (ci <= cu) mean
+            else if (ci < cmax) {
+              val alpha = (1.0 + cu2) / (ci * ci - cu2)
+              val dd = mean * mean * (alpha - enl - 1.0) * (alpha - enl - 1.0) + 4.0 * alpha * enl * mean * cp
+              if (dd < 0.0) cp else ((alpha - enl - 1.0) * mean + math.sqrt(dd)) / (2.0 * alpha)
+            } else cp
+          }
+        assert(got(Kernels.MODE_GAMMA_MAP)(k) == gm)
+        // frost: Chebyshev ring distance (Frost.java:153-163)
+        val fr =
+          if (n <= 0) ND
+          else if (isNd(cp)) ND
+          else if (mean <= 0.0 || vr <= 0.0) mean
+          else {
+            val b = damping * (vr / (mean * mean))
+            var num = 0.0; var den = 0.0
+            for (dy <- -M to M; dx <- -M to M) {
+              val v = halo((y + M + dy) * hw + (x + M + dx))
+              if (!isNd(v)) {
+                val kk = math.exp(-b * math.max(math.abs(dx), math.abs(dy)))
+                num += v * kk; den += kk
+              }
+            }
+            if (den == 0.0) mean else num / den
+          }
+        assert(got(Kernels.MODE_FROST)(k) == fr)
+      }
+    }
+  }
+
+  test("haloStrip + haloAssemble reproduce the directly-built halo of a 3x3 tile grid") {
+    val r = new scala.util.Random(42)
+    // 3x3 grid of WxH tiles; center tile's halo built two ways
+    val tiles = Array.fill(3, 3)(tile(r.nextLong(), W * H))
+    // direct halo from the 3Wx3H mosaic
+    val mw = 3 * W; val mosaic = new Array[Double](3 * W * 3 * H)
+    for (ty <- 0 until 3; tx <- 0 until 3; y <- 0 until H; x <- 0 until W)
+      mosaic((ty * H + y) * mw + tx * W + x) = tiles(ty)(tx)(y * W + x)
+    val hw = W + 2 * M
+    val want = new Array[Double](hw * (H + 2 * M))
+    for (y <- 0 until H + 2 * M; x <- 0 until hw)
+      want(y * hw + x) = mosaic((H - M + y) * mw + (W - M + x))
+    // strips: neighbor (ny,nx) contributes role (1-(ny-1))*3 + (1-(nx-1)) relative to center?
+    // Role convention: role = (sry+1)*3 + (srx+1) where (srx,sry) is the OFFSET of the
+    // neighbor from the center, and haloStrip extracts the strip of that neighbor
+    // facing the center. Verify by construction for every neighbor incl. center.
+    val contribs = for (ny <- 0 until 3; nx <- 0 until 3) yield {
+      val srx = nx - 1; val sry = ny - 1
+      val role = (sry + 1) * 3 + (srx + 1)
+      val strip = Kernels.haloStrip(arr(tiles(ny)(nx)), role, W, H, M)
+      org.apache.spark.sql.catalyst.InternalRow(role, strip)
+    }
+    val got = Kernels.haloAssemble(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(contribs.toArray[Any]),
+      W, H, M).toDoubleArray()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("rollupQ equals direct filter/quantize/aggregate, incl. all-invalid tiles") {
+    for (seed <- 10L to 14L) {
+      val a = tile(seed, W * H)
+      val q = 16384.0
+      val row = Kernels.rollupQ(arr(a), q)
+      val qs = a.filterNot(isNd).map(v => math.floor(0.031415926535897934 + v * q).toLong)
+      if (qs.isEmpty) {
+        assert(row.getLong(0) == 0L && row.isNullAt(2) && row.isNullAt(3))
+      } else {
+        assert(row.getLong(0) == qs.length.toLong)
+        assert(row.getLong(1) == qs.sum)
+        assert(row.getLong(2) == qs.min && row.getLong(3) == qs.max)
+      }
+    }
+    val allNd = Kernels.rollupQ(arr(Array.fill(8)(ND)), 16384.0)
+    assert(allNd.getLong(0) == 0L && allNd.isNullAt(2))
+  }
+
+  test("windowMoments equals per-pixel loop for every (n, s1, s2, cp)") {
+    val halo = tile(7L, (W + 2 * M) * (H + 2 * M))
+    val row = Kernels.windowMoments(arr(halo), W, H, M, M)
+    val nA = row.getArray(0).toDoubleArray(); val s1A = row.getArray(1).toDoubleArray()
+    val s2A = row.getArray(2).toDoubleArray(); val cpA = row.getArray(3).toDoubleArray()
+    val hw = W + 2 * M
+    for (y <- 0 until H; x <- 0 until W) {
+      val (n, s1, s2, _) = winStats(halo, x, y, M)
+      val k = y * W + x
+      assert(nA(k) == n.toDouble && s1A(k) == s1 && s2A(k) == s2)
+      assert(cpA(k) == halo((y + M) * hw + (x + M)))
+    }
+  }
+
+  test("cfar full-minus-guard equals the direct background-ring oracle") {
+    val g = 1; val thr = 3.0
+    val halo = tile(21L, (W + 2 * M) * (H + 2 * M))
+    val row = Kernels.cfar(arr(halo), W, H, M, g, thr)
+    val hw = W + 2 * M
+    var nDet = 0L; var maxT = Double.NegativeInfinity; var any = false
+    for (y <- 0 until H; x <- 0 until W) {
+      val cp = halo((y + M) * hw + (x + M))
+      if (!isNd(cp)) {
+        var n = 0.0; var s1 = 0.0; var s2 = 0.0
+        for (dy <- -M to M; dx <- -M to M; if math.abs(dy) > g || math.abs(dx) > g) {
+          val v = halo((y + M + dy) * hw + (x + M + dx))
+          if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
+        }
+        if (n >= 2) {
+          val vr = (s2 - n * (s1 / n) * (s1 / n)) / (n - 1)
+          if (vr > 0.0) {
+            val t = (cp - s1 / n) / math.sqrt(vr)
+            any = true; if (t > maxT) maxT = t; if (t > thr) nDet += 1
+          }
+        }
+      }
+    }
+    assert(row.getLong(0) == nDet)
+    if (any) assert(row.getDouble(1) == maxT) else assert(row.isNullAt(1))
+  }
+
+  test("minhash16 equals the documented universal-hash formula per permutation") {
+    val r = new scala.util.Random(99)
+    val hs = Array.fill(40)(r.nextLong().abs & Kernels.MinhashMask)
+    val got = Kernels.minhash16(UnsafeArrayData.fromPrimitiveArray(hs)).toLongArray()
+    for (k <- 0 until 16) {
+      val want = hs.map { h =>
+        val hi = h >>> 30; val lo = h & ((1L << 30) - 1)
+        (hi * Kernels.MinhashA(k) + lo * Kernels.MinhashB(k) + Kernels.MinhashC(k)) & Kernels.MinhashMask
+      }.min
+      assert(got(k) == want, s"permutation $k")
+    }
+  }
+
+  test("blockMeans equals the direct per-block loop") {
+    val looks = 2
+    val a = tile(33L, W * H)
+    val got = Kernels.blockMeans(arr(a), W, H, looks)
+    val bx = W / looks
+    for (b <- 0 until bx * (H / looks)) {
+      val y0 = (b / bx) * looks; val x0 = (b % bx) * looks
+      var n = 0L; var s = 0.0
+      for (dy <- 0 until looks; dx <- 0 until looks) {
+        val v = a((y0 + dy) * W + (x0 + dx))
+        if (v != ND) { n += 1; s += v }
+      }
+      val row = got.getStruct(b, 2)
+      assert(row.getLong(0) == n && row.getDouble(1) == s)
+    }
+  }
+
+  test("complexCross equals the dyadic-snapped per-pixel formula") {
+    val n = 64
+    val r = new scala.util.Random(55)
+    def ch() = Array.fill(n)(if (r.nextDouble() < 0.05) ND else r.nextDouble() * 4 - 2)
+    val (i1, q1, i2, q2) = (ch(), ch(), ch(), ch())
+    val row = Kernels.complexCross(arr(i1.clone), arr(q1.clone), arr(i2.clone), arr(q2.clone))
+    val cre = row.getArray(0).toDoubleArray(); val cim = row.getArray(1).toDoubleArray()
+    val p1 = row.getArray(2).toDoubleArray(); val p2 = row.getArray(3).toDoubleArray()
+    def qz(v: Double) = math.floor(v * 4096.0) / 4096.0
+    for (k <- 0 until n) {
+      val (a, b, c, d) = (qz(i1(k)), qz(q1(k)), qz(i2(k)), qz(q2(k)))
+      if (isNd(a) || isNd(b) || isNd(c) || isNd(d)) assert(cre(k) == ND && cim(k) == ND)
+      else {
+        assert(cre(k) == a * c + b * d)
+        assert(cim(k) == b * c - a * d)
+        assert(p1(k) == a * a + b * b && p2(k) == c * c + d * d)
+      }
+    }
+  }
+}
