@@ -25,8 +25,10 @@ object SarOraclesQuad {
   private val DegPerRad = (180.0 / math.Pi).toString
   private val TwoPiThird = (2.0 * math.Pi / 3.0).toString
 
-  /** Per-pixel T3 channels of the quad fixture (optionally burst-subset). */
-  private def t3Cte(maxBurst: Int): String = {
+  /** Per-pixel T3 channels of the quad fixture (optionally burst-subset).
+   * With `raw = true` the snapped per-pol i/q values ride along for the alias
+   * oracles that work on the scattering vector directly (Faraday, SNR, CP-sim). */
+  private def t3Cte(maxBurst: Int, raw: Boolean = false): String = {
     val pols = Seq("hh", "hv", "vh", "vv")
     val unnests = pols.map { p =>
       s"""p_$p AS (
@@ -40,6 +42,10 @@ object SarOraclesQuad {
         s"$p.burst_idx = hh.burst_idx AND $p.tile_y = hh.tile_y AND $p.tile_x = hh.tile_x AND $p.k = hh.k")
       .mkString("\n  ")
     val nd = pols.flatMap(p => Seq(s"$p.iv = -9999.0", s"$p.qv = -9999.0")).mkString(" OR ")
+    val rawCols = if (!raw) "" else
+      """,
+        |    hh.iv AS hhr, hh.qv AS hhi, hv.iv AS hvr, hv.qv AS hvi,
+        |    vh.iv AS vhr, vh.qv AS vhi, vv.iv AS vvr, vv.qv AS vvi""".stripMargin
     s"""$unnests,
        |t3 AS (
        |  SELECT hh.scene_id, hh.subswath, 'QP' AS pol, hh.burst_idx, hh.tile_y, hh.tile_x,
@@ -54,7 +60,7 @@ object SarOraclesQuad {
        |    ((hh.iv + vv.iv) * (hv.iv + vh.iv) + (hh.qv + vv.qv) * (hv.qv + vh.qv)) / 2 AS t13r,
        |    ((hh.qv + vv.qv) * (hv.iv + vh.iv) - (hh.iv + vv.iv) * (hv.qv + vh.qv)) / 2 AS t13i,
        |    ((hh.iv - vv.iv) * (hv.iv + vh.iv) + (hh.qv - vv.qv) * (hv.qv + vh.qv)) / 2 AS t23r,
-       |    ((hh.qv - vv.qv) * (hv.iv + vh.iv) - (hh.iv - vv.iv) * (hv.qv + vh.qv)) / 2 AS t23i
+       |    ((hh.qv - vv.qv) * (hv.iv + vh.iv) - (hh.iv - vv.iv) * (hv.qv + vh.qv)) / 2 AS t23i$rawCols
        |  FROM p_hh hh
        |  $joins)""".stripMargin
   }
@@ -231,4 +237,168 @@ object SarOraclesQuad {
        |       CAST(count(*) AS BIGINT) AS n_px
        |FROM asgn WHERE rn = 1
        |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
+  /** q_wishart_supervised: centers trained on the burst<=1 H-alpha zone seed only,
+   * then one fixed-center classification pass over bursts<=WishartMaxBurst
+   * (SupervisedWishartClassificationOp train-then-classify split). */
+  val supervisedWishart: String = {
+    val trainCtr = "FROM zs WHERE burst_idx <= 1 GROUP BY 1"
+    wishart.replace("FROM zs GROUP BY 1", trainCtr)
+  }
+
+  // ------------------------------------------------ scalar quad alias oracles
+
+  private val keys = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
+  private val Pi = math.Pi.toString
+  private val Pi4 = (math.Pi / 4.0).toString
+  private val Pi2 = (math.Pi / 2.0).toString
+  private val SB = ops.PolarimetryQuad.ScalarMaxBurst
+
+  private def sumQ6(e: String, as: String) =
+    s"CAST(coalesce(sum(${q6(e)}), 0) AS BIGINT) AS $as"
+
+  /** q_pol_orientation: theta = (atan2(2 sw23r, sw33 - sw22) + pi)/4 wrapped to
+   * (-pi/4, pi/4], on the exact 3x3 window sums (scale-invariant). */
+  val orientation: String =
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |th AS (SELECT *, 0.25 * (atan2(2.0 * sw23r, sw33 - sw22) + $Pi) AS th0
+       |       FROM win WHERE n > 0),
+       |thw AS (SELECT *, CASE WHEN th0 > $Pi4 THEN th0 - $Pi2 ELSE th0 END AS theta FROM th)
+       |SELECT $keys, count(*) AS n_valid, ${sumQ6("theta", "theta_sum_q")}
+       |FROM thw GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_pol_faraday: omega = -atan2(Im, Re)/4 of the windowed circular cross
+   * product Z_rl Z_lr^* (per-pixel products are dyadic-exact). */
+  val faraday: String =
+    s"""WITH ${t3Cte(SB, raw = true)},
+       |$dCte,
+       |fz AS (SELECT *,
+       |    (hvr - vhr - hhi - vvi) AS zr01, (hvi - vhi + hhr + vvr) AS zi01,
+       |    (vhr - hvr - hhi - vvi) AS zr10, (vhi - hvi + hhr + vvr) AS zi10
+       |  FROM t3),
+       |fzp AS (SELECT *, zr01 * zr10 + zi01 * zi10 AS zpr, zi01 * zr10 - zr01 * zi10 AS zpi FROM fz),
+       |fw AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.valid) AS nw,
+       |    coalesce(sum(n.zpr) FILTER (n.valid), 0) AS zr,
+       |    coalesce(sum(n.zpi) FILTER (n.valid), 0) AS zi
+       |  FROM fzp c CROSS JOIN d
+       |  LEFT JOIN fzp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |fo AS (SELECT *, 0.0 - 0.25 * atan2(zi, zr) AS omega FROM fw WHERE nw > 0)
+       |SELECT $keys, count(*) AS n_valid, ${sumQ6("omega", "omega_sum_q")}
+       |FROM fo GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_pol_freeman: generalized Freeman-Durden pv/pd/ps on the windowed T3 means. */
+  val freeman: String =
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |fm AS (SELECT *, sw11 / n AS t11m, sw22 / n AS t22m, sw33 / n AS t33m,
+       |         sw12r / n AS t12rm, sw12i / n AS t12im
+       |       FROM win WHERE n > 0),
+       |fd AS (SELECT *, t11m + t22m - 3.0 * t33m AS tmp1,
+       |    sqrt((t11m - t22m - t33m) * (t11m - t22m - t33m) + 4.0 * (t12rm * t12rm + t12im * t12im)) AS tmp3
+       |  FROM fm)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("4.0 * t33m", "pv_sum_q")},
+       |  ${sumQ6("0.5 * (tmp1 - tmp3)", "pd_sum_q")},
+       |  ${sumQ6("0.5 * (tmp1 + tmp3)", "ps_sum_q")}
+       |FROM fd GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_pol_params: span, pedestal height l3/l1, RVI 4 l3/(l1+l2+l3) from the
+   * windowed-T3 eigenvalues (Cardano staged exactly as the kernel/hAlpha). */
+  val polParams: String =
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |$cardanoCtes
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("2.0 * tr / n", "span_sum_q")},
+       |  ${sumQ6("l3 / l1", "pedestal_sum_q")},
+       |  ${sumQ6("4.0 * l3 / (l1 + l2 + l3)", "rvi_sum_q")}
+       |FROM lam2 WHERE l1 > 0 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_pol_xchannel_snr: HV scaled by the HV/VH window coherence at valid centers. */
+  val xChannelSnr: String =
+    s"""WITH ${t3Cte(SB, raw = true)},
+       |$dCte,
+       |sp AS (SELECT *, hvr * hvr + hvi * hvi AS c22px, vhr * vhr + vhi * vhi AS c33px,
+       |         hvr * vhr + hvi * vhi AS c23rpx, hvi * vhr - hvr * vhi AS c23ipx
+       |       FROM t3),
+       |sw AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    c.valid, c.hvr AS chvr, c.hvi AS chvi,
+       |    coalesce(sum(n.c22px) FILTER (n.valid), 0) AS c22,
+       |    coalesce(sum(n.c33px) FILTER (n.valid), 0) AS c33,
+       |    coalesce(sum(n.c23rpx) FILTER (n.valid), 0) AS c23r,
+       |    coalesce(sum(n.c23ipx) FILTER (n.valid), 0) AS c23i
+       |  FROM sp c CROSS JOIN d
+       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+       |sg AS (SELECT *, sqrt((c23r * c23r + c23i * c23i) / (c22 * c33)) AS gamma
+       |       FROM sw WHERE valid AND c22 > 0 AND c33 > 0)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("gamma * chvr", "ihv_sum_q")},
+       |  ${sumQ6("gamma * chvi", "qhv_sum_q")}
+       |FROM sg GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_cp_simulation: per-tile C2 sums of the simulated RCH compact-pol vector
+   * k = ((S_hh + i S_hv), (S_vh + i S_vv))/sqrt2; every tile kept (n may be 0). */
+  val cpSimulation: String =
+    s"""WITH ${t3Cte(Layout.BurstsPerSubswath, raw = true)},
+       |ck AS (SELECT *, (hhr + hvi) AS k0r, (hhi - hvr) AS k0i,
+       |         (vhr + vvi) AS k1r, (vhi - vvr) AS k1i
+       |       FROM t3)
+       |SELECT $keys, count(*) FILTER (valid) AS n_valid,
+       |  CAST(coalesce(sum(${q6("(k0r * k0r + k0i * k0i) / 2.0")}) FILTER (valid), 0) AS BIGINT) AS c11_q,
+       |  CAST(coalesce(sum(${q6("(k1r * k1r + k1i * k1i) / 2.0")}) FILTER (valid), 0) AS BIGINT) AS c22_q,
+       |  CAST(coalesce(sum(${q6("(k0r * k1r + k0i * k1i) / 2.0")}) FILTER (valid), 0) AS BIGINT) AS c12r_q,
+       |  CAST(coalesce(sum(${q6("(k0i * k1r - k0r * k1i) / 2.0")}) FILTER (valid), 0) AS BIGINT) AS c12i_q
+       |FROM ck GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** 3x3 Hermitian determinant staged as Kernels.det3H over `p`-prefixed mean cols. */
+  private def det3(p: String): String = {
+    val (t11, t22, t33) = (s"${p}11", s"${p}22", s"${p}33")
+    val (t12r, t12i, t13r, t13i, t23r, t23i) =
+      (s"${p}12r", s"${p}12i", s"${p}13r", s"${p}13i", s"${p}23r", s"${p}23i")
+    s"$t11 * $t22 * $t33 + 2.0 * ($t12r * ($t23r * $t13r + $t23i * $t13i) - $t12i * ($t23i * $t13r - $t23r * $t13i)) " +
+      s"- $t11 * ($t23r * $t23r + $t23i * $t23i) - $t22 * ($t13r * $t13r + $t13i * $t13i) - $t33 * ($t12r * $t12r + $t12i * $t12i)"
+  }
+
+  private val t3Chans = Seq("11", "22", "33", "12r", "12i", "13r", "13i", "23r", "23i")
+
+  /** q_pol_change: two-epoch omnibus statistic 2 ln det((T1+T2)/2) - ln det T1
+   * - ln det T2 per pixel over windowed T3 means; every tile pair kept. */
+  val polChange: String = {
+    val m1Cols = t3Chans.map(c => s"m1.sw$c / nullif(m1.n, 0) AS ma$c").mkString(", ")
+    val m2Cols = t3Chans.map(c => s"m2.sw$c / nullif(m2.n, 0) AS mb$c").mkString(", ")
+    val abCols = t3Chans.map(c => s"(ma$c + mb$c) * 0.5 AS mc$c").mkString(", ")
+    val cond = "n1 > 0 AND n2 > 0 AND deta > 0 AND detb2 > 0 AND detab > 0"
+    s"""WITH ${t3Cte(ops.PolarimetryQuad.ChangeMaxBurst)},
+       |$dCte,
+       |$winCte,
+       |pw AS (SELECT *, CAST(substring(scene_id, 7, 4) AS INT) AS scene_idx FROM win),
+       |pe AS (SELECT *, scene_idx // 2 AS pair_idx FROM pw),
+       |j AS (
+       |  SELECT m1.scene_id, m1.subswath, m1.pol, m1.burst_idx, m1.tile_y, m1.tile_x,
+       |    m1.gx, m1.gy, m1.n AS n1, m2.n AS n2, $m1Cols, $m2Cols
+       |  FROM pe m1
+       |  JOIN pe m2 ON m2.pair_idx = m1.pair_idx AND m2.subswath = m1.subswath
+       |    AND m2.burst_idx = m1.burst_idx AND m2.gx = m1.gx AND m2.gy = m1.gy
+       |    AND m2.scene_idx % 2 = 1
+       |  WHERE m1.scene_idx % 2 = 0),
+       |ab AS (SELECT *, $abCols FROM j),
+       |dets AS (SELECT *, ${det3("ma")} AS deta, ${det3("mb")} AS detb2, ${det3("mc")} AS detab FROM ab),
+       |st AS (SELECT *, CASE WHEN deta > 0 AND detb2 > 0 AND detab > 0
+       |         THEN 2.0 * ln(detab) - ln(deta) - ln(detb2) END AS stat FROM dets)
+       |SELECT $keys,
+       |  count(*) FILTER ($cond) AS n_valid,
+       |  CAST(coalesce(sum(${q6("stat")}) FILTER ($cond), 0) AS BIGINT) AS stat_sum_q
+       |FROM st GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
 }

@@ -123,6 +123,14 @@ object SparkEntry {
     "q_thermal_noise_az" -> ((s, dir) => ops.Grd.thermalNoiseAzQuery(s, dir)),
     "q_halpha_quad" -> ((s, dir) => ops.PolarimetryQuad.hAlphaQuery(s, dir)),
     "q_wishart" -> ((s, dir) => ops.PolarimetryQuad.wishartQuery(s, dir)),
+    "q_wishart_supervised" -> ((s, dir) => ops.PolarimetryQuad.supervisedWishartQuery(s, dir)),
+    "q_pol_orientation" -> ((s, dir) => ops.PolarimetryQuad.orientationQuery(s, dir)),
+    "q_pol_faraday" -> ((s, dir) => ops.PolarimetryQuad.faradayQuery(s, dir)),
+    "q_pol_freeman" -> ((s, dir) => ops.PolarimetryQuad.freemanQuery(s, dir)),
+    "q_pol_params" -> ((s, dir) => ops.PolarimetryQuad.polParamsQuery(s, dir)),
+    "q_pol_xchannel_snr" -> ((s, dir) => ops.PolarimetryQuad.xChannelSnrQuery(s, dir)),
+    "q_cp_simulation" -> ((s, dir) => ops.PolarimetryQuad.cpSimulationQuery(s, dir)),
+    "q_pol_change" -> ((s, dir) => ops.PolarimetryQuad.polChangeQuery(s, dir)),
     "q_cp_mdelta" -> ((s, dir) => ops.Polarimetry.mDeltaQuery(s, dir)),
     "q_dprvi" -> ((s, dir) => ops.Polarimetry.dprviQuery(s, dir)),
     "q_dualpol_anisotropy" -> ((s, dir) => ops.Polarimetry.anisotropyQuery(s, dir)),
@@ -306,6 +314,14 @@ object SparkEntry {
     "q_thermal_noise_az" -> SarOraclesGrd.thermalNoiseAz,
     "q_halpha_quad" -> SarOraclesQuad.hAlpha,
     "q_wishart" -> SarOraclesQuad.wishart,
+    "q_wishart_supervised" -> SarOraclesQuad.supervisedWishart,
+    "q_pol_orientation" -> SarOraclesQuad.orientation,
+    "q_pol_faraday" -> SarOraclesQuad.faraday,
+    "q_pol_freeman" -> SarOraclesQuad.freeman,
+    "q_pol_params" -> SarOraclesQuad.polParams,
+    "q_pol_xchannel_snr" -> SarOraclesQuad.xChannelSnr,
+    "q_cp_simulation" -> SarOraclesQuad.cpSimulation,
+    "q_pol_change" -> SarOraclesQuad.polChange,
     "q_cp_mdelta" -> SarOracles7.mDelta,
     "q_dprvi" -> SarOracles7.dprvi,
     "q_dualpol_anisotropy" -> SarOracles7.anisotropy,

@@ -31,7 +31,11 @@ object Verify {
     val heavy = Set("q_speckle_refinedlee", "q_speckle_idan", "q_speckle_leesigma",
       "q_goldstein", "q_oversample", "q_bandpass_range", "q_bandpass_azimuth",
       "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_cosine_pairs", "q_ann_lsh_pairs")
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (heavy.contains(n), n) }
+    // dev-only subset knob (unset in driver runs): SPARK_GRAFT_ONLY=q_a,q_b
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (heavy.contains(n), n) }
     ordered.foreach { case (name, fn) =>
       // ordering is a gate-layer concern (deterministic dump), not a library-operator
       // one: sort by all columns here so no operator plan carries a global sort.

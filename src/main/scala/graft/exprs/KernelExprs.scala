@@ -488,8 +488,75 @@ case class AlignDiffExpr(refArr: Expression, secTiles: Expression, tileX: Expres
     copy(refArr = c(0), secTiles = c(1), tileX = c(2), tileY = c(3), sdx = c(4), sdy = c(5))
 }
 
+/** Per-tile quantized-sum rollup of one scalar quad-pol alias (orientation angle,
+ * Faraday rotation, Freeman-Durden, span/pedestal/RVI, cross-channel SNR). */
+case class QuadScalarExpr(chs: Seq[Expression], w: Int, h: Int, m: Int, mode: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s1", LongType, nullable = false),
+    StructField("s2", LongType, nullable = false),
+    StructField("s3", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.quadScalar(${args.mkString(", ")}, $w, $h, $m, $mode)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.quadScalar(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData], w, h, m, mode)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** Per-tile integer-exact C2 sums of the simulated RCH compact-pol scattering vector. */
+case class CpC2SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      Seq("s11", "s22", "s12r", "s12i").map(f => StructField(f, LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.cpC2Sums(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.cpC2Sums(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** Two-epoch polarimetric change statistic rollup: 16 halo channels (8 per epoch). */
+case class PolChangeExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  require(chs.size == 16)
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s_q", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String = {
+    val a1 = args.take(8).mkString(", ")
+    val a2 = args.drop(8).mkString(", ")
+    s"graft.exprs.Kernels.polChangeTile(new org.apache.spark.sql.catalyst.util.ArrayData[]{$a1}, " +
+      s"new org.apache.spark.sql.catalyst.util.ArrayData[]{$a2}, $w, $h, $m)"
+  }
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.polChangeTile(args.take(8).map(_.asInstanceOf[ArrayData]).toArray,
+      args.drop(8).map(_.asInstanceOf[ArrayData]).toArray, w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 object KernelExprs {
   import GraftColumn.{column => toCol, expression => toExpr}
+
+  def quadScalar(chs: Seq[Column], w: Int, h: Int, m: Int, mode: Int): Column =
+    toCol(QuadScalarExpr(chs.map(toExpr), w, h, m, mode))
+
+  def cpC2Sums(chs: Seq[Column]): Column = toCol(CpC2SumsExpr(chs.map(toExpr)))
+
+  def polChange(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
+    toCol(PolChangeExpr(chs.map(toExpr), w, h, m))
 
   def speckleFilter(halo: Column, mode: String, w: Int, h: Int, margin: Int,
       enl: Column, damping: Column): Column =

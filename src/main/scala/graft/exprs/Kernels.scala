@@ -2050,4 +2050,263 @@ object Kernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
+
+  // --------------------------------------------- quad-pol scalar alias family
+
+  val QS_ORIENT = 0 // orientation angle (OrientationAngleCorrectionOp.java:311-315)
+  val QS_FARADAY = 1 // Faraday rotation, Lee window method (FaradayRotationCorrectionOp.java:311-348)
+  val QS_FREEMAN = 2 // generalized Freeman-Durden (GeneralizedFreemanDurden.java:34-53)
+  val QS_PARAMS = 3 // span / pedestal height / RVI (PolarimetricParametersOp.java computePolarimetricParameters)
+  val QS_SNR = 4 // cross-channel SNR correction (CrossChannelSNRCorrectionOp.java:197-211)
+
+  @inline private def q6l(v: Double): Long =
+    math.floor(0.031415926535897934 + v * 1.0e6).toLong
+
+  /**
+   * Per-tile rollup of the scalar quad-pol aliases over margin-m windowed T3/C4:
+   * one compiled pass, struct(n, s1, s2, s3) of 1e6-quantized per-pixel sums.
+   * Angle stages (atan2) run on the EXACT integer-grid window sums (the angles are
+   * scale-invariant, so sums == means); power stages divide by the window count
+   * with the same staging as the DuckDB oracle.
+   */
+  def quadScalar(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
+      w: Int, h: Int, m: Int, mode: Int): InternalRow = {
+    val hw = w + 2 * m
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    val t = new Array[Double](9)
+    val win = new Array[Double](10)
+    var n = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+    val Pi4 = math.Pi / 4.0
+    val Pi2 = math.Pi / 2.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        mode match {
+          case QS_ORIENT =>
+            t3Win(ch, hw, x, y, m, t, win)
+            if (win(0) > 0) {
+              // theta = 0.25 (atan2(2 t23r, t33 - t22) + pi), wrapped to (-pi/4, pi/4]
+              var theta = 0.25 * (math.atan2(2.0 * win(8), win(3) - win(2)) + math.Pi)
+              if (theta > Pi4) theta -= Pi2
+              n += 1; s1 += q6l(theta)
+            }
+          case QS_FARADAY =>
+            // window sums of the per-pixel circular cross product Z_rl Z_lr^*
+            var zr = 0.0; var zi = 0.0; var nw = 0
+            var dy = -m
+            while (dy <= m) {
+              var dx = -m
+              while (dx <= m) {
+                val idx = (y + m + dy) * hw + (x + m + dx)
+                if (quadValid(ch, idx)) {
+                  val sHHr = ch(0)(idx); val sHHi = ch(1)(idx)
+                  val sHVr = ch(2)(idx); val sHVi = ch(3)(idx)
+                  val sVHr = ch(4)(idx); val sVHi = ch(5)(idx)
+                  val sVVr = ch(6)(idx); val sVVi = ch(7)(idx)
+                  val zr01 = sHVr - sVHr - sHHi - sVVi
+                  val zi01 = sHVi - sVHi + sHHr + sVVr
+                  val zr10 = sVHr - sHVr - sHHi - sVVi
+                  val zi10 = sVHi - sHVi + sHHr + sVVr
+                  zr += zr01 * zr10 + zi01 * zi10
+                  zi += zi01 * zr10 - zr01 * zi10
+                  nw += 1
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (nw > 0) {
+              val omega = -0.25 * math.atan2(zi, zr)
+              n += 1; s1 += q6l(omega)
+            }
+          case QS_FREEMAN =>
+            t3Win(ch, hw, x, y, m, t, win)
+            if (win(0) > 0) {
+              val nw = win(0)
+              val t11m = win(1) / nw; val t22m = win(2) / nw; val t33m = win(3) / nw
+              val t12rm = win(4) / nw; val t12im = win(5) / nw
+              val mv = t33m
+              val tmp1 = t11m + t22m - 3.0 * t33m
+              val tmp2 = t11m - t22m - t33m
+              val tmp3 = math.sqrt(tmp2 * tmp2 + 4.0 * (t12rm * t12rm + t12im * t12im))
+              val ps = 0.5 * (tmp1 + tmp3)
+              val pd = 0.5 * (tmp1 - tmp3)
+              n += 1; s1 += q6l(4.0 * mv); s2 += q6l(pd); s3 += q6l(ps)
+            }
+          case QS_PARAMS =>
+            t3Win(ch, hw, x, y, m, t, win)
+            if (win(0) > 0) {
+              val a = win(1); val b = win(2); val c = win(3)
+              val tr = a + b + c
+              if (tr > 0.0) {
+                // eigenvalues: identical Cardano staging to hAlphaOf (scale-invariant
+                // ratios on the exact window sums)
+                val d12r = win(4); val d12i = win(5); val d13r = win(6); val d13i = win(7)
+                val d23r = win(8); val d23i = win(9)
+                val p1 = d12r * d12r + d12i * d12i + d13r * d13r + d13i * d13i +
+                  d23r * d23r + d23i * d23i
+                var l1 = 0.0; var l3 = 0.0
+                if (p1 == 0.0) {
+                  l1 = math.max(a, math.max(b, c))
+                  l3 = math.min(a, math.min(b, c))
+                } else {
+                  val q = tr / 3.0
+                  val p2 = (a - q) * (a - q) + (b - q) * (b - q) + (c - q) * (c - q) + 2.0 * p1
+                  val p = math.sqrt(p2 / 6.0)
+                  val b11 = (a - q) / p; val b22 = (b - q) / p; val b33 = (c - q) / p
+                  val e12r = d12r / p; val e12i = d12i / p
+                  val e13r = d13r / p; val e13i = d13i / p
+                  val e23r = d23r / p; val e23i = d23i / p
+                  val detB = b11 * b22 * b33 - b11 * (e23r * e23r + e23i * e23i) -
+                    b22 * (e13r * e13r + e13i * e13i) - b33 * (e12r * e12r + e12i * e12i) +
+                    2.0 * ((e12r * e23r - e12i * e23i) * e13r + (e12r * e23i + e12i * e23r) * e13i)
+                  var r = detB / 2.0
+                  if (r < -1.0) r = -1.0
+                  if (r > 1.0) r = 1.0
+                  val phi = math.acos(r) / 3.0
+                  l1 = q + 2.0 * p * math.cos(phi)
+                  l3 = q + 2.0 * p * math.cos(phi + TwoPiThird)
+                }
+                val l2 = tr - l1 - l3
+                if (l1 > 0.0) {
+                  val span = 2.0 * tr / win(0)
+                  val pedestal = l3 / l1
+                  // published RVI 4*l3/(l1+l2+l3); the reference line sums
+                  // lambda1 + alpha2(deg) + lambda3 — read as a typo for lambda2
+                  val rvi = 4.0 * l3 / (l1 + l2 + l3)
+                  n += 1; s1 += q6l(span); s2 += q6l(pedestal); s3 += q6l(rvi)
+                }
+              }
+            }
+          case QS_SNR =>
+            // C4 window sums over the HV/VH channels (ratio is scale-invariant)
+            val cIdx = (y + m) * hw + (x + m)
+            if (quadValid(ch, cIdx)) {
+              var c22 = 0.0; var c33 = 0.0; var c23r = 0.0; var c23i = 0.0
+              var dy = -m
+              while (dy <= m) {
+                var dx = -m
+                while (dx <= m) {
+                  val idx = (y + m + dy) * hw + (x + m + dx)
+                  if (quadValid(ch, idx)) {
+                    val hvr = ch(2)(idx); val hvi = ch(3)(idx)
+                    val vhr = ch(4)(idx); val vhi = ch(5)(idx)
+                    c22 += hvr * hvr + hvi * hvi
+                    c33 += vhr * vhr + vhi * vhi
+                    c23r += hvr * vhr + hvi * vhi
+                    c23i += hvi * vhr - hvr * vhi
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              if (c22 > 0.0 && c33 > 0.0) {
+                val gamma = math.sqrt((c23r * c23r + c23i * c23i) / (c22 * c33))
+                n += 1
+                s1 += q6l(gamma * ch(2)(cIdx))
+                s2 += q6l(gamma * ch(3)(cIdx))
+              }
+            }
+          case _ => throw new IllegalArgumentException(s"quadScalar mode $mode")
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(n, s1, s2, s3)
+  }
+
+  /**
+   * Compact-pol data simulation, RCH (right-circular transmit, H/V receive) mode:
+   * per-pixel C2 of the projected scattering vector k = ((S_hh + i S_hv),
+   * (S_vh + i S_vv)) / sqrt2 (CompactPolDataSimulationOp.java:537-541). The 1/sqrt2
+   * cancels into an exact /2 in every C2 product, so the per-pixel values stay
+   * dyadic-exact and the per-tile quantized sums are integer-exact cross-engine.
+   */
+  def cpC2Sums(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData): InternalRow = {
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    var n = 0L; var s11 = 0L; var s22 = 0L; var s12r = 0L; var s12i = 0L
+    var i = 0
+    while (i < ch(0).length) {
+      if (quadValid(ch, i)) {
+        val k0r = ch(0)(i) + ch(3)(i) // (sHHr + sHVi)
+        val k0i = ch(1)(i) - ch(2)(i) // (sHHi - sHVr)
+        val k1r = ch(4)(i) + ch(7)(i) // (sVHr + sVVi)
+        val k1i = ch(5)(i) - ch(6)(i) // (sVHi - sVVr)
+        n += 1
+        s11 += q6l((k0r * k0r + k0i * k0i) / 2.0)
+        s22 += q6l((k1r * k1r + k1i * k1i) / 2.0)
+        s12r += q6l((k0r * k1r + k0i * k1i) / 2.0)
+        s12i += q6l((k0i * k1r - k0r * k1i) / 2.0)
+      }
+      i += 1
+    }
+    InternalRow(n, s11, s22, s12r, s12i)
+  }
+
+  /** det of a 3x3 Hermitian matrix given as the 9-channel flat layout, staged as
+   * PolarimetricChangeDetectionOp.java:324-339. */
+  @inline private def det3H(t11: Double, t22: Double, t33: Double,
+      t12r: Double, t12i: Double, t13r: Double, t13i: Double,
+      t23r: Double, t23i: Double): Double = {
+    val abs12 = t12r * t12r + t12i * t12i
+    val abs13 = t13r * t13r + t13i * t13i
+    val abs23 = t23r * t23r + t23i * t23i
+    val c13t23r = t23r * t13r + t23i * t13i
+    val c13t23i = t23i * t13r - t23r * t13i
+    val tripleRe = t12r * c13t23r - t12i * c13t23i
+    t11 * t22 * t33 + 2.0 * tripleRe - t11 * abs23 - t22 * abs13 - t33 * abs12
+  }
+
+  /**
+   * Two-epoch polarimetric change statistic per pixel: s = 2 ln det((T1+T2)/2)
+   * - ln det T1 - ln det T2 over the margin-m windowed T3 means of each epoch
+   * (the omnibus likelihood-ratio core of PolarimetricChangeDetectionOp.java:316-351).
+   * Returns per-tile struct(n, s_q sum).
+   */
+  def polChangeTile(ch1D: Array[ArrayData], ch2D: Array[ArrayData],
+      w: Int, h: Int, m: Int): InternalRow = {
+    val hw = w + 2 * m
+    val ch1 = ch1D.map(_.toDoubleArray())
+    val ch2 = ch2D.map(_.toDoubleArray())
+    val t = new Array[Double](9)
+    val w1 = new Array[Double](10)
+    val w2 = new Array[Double](10)
+    var n = 0L; var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        t3Win(ch1, hw, x, y, m, t, w1)
+        t3Win(ch2, hw, x, y, m, t, w2)
+        if (w1(0) > 0 && w2(0) > 0) {
+          val n1 = w1(0); val n2 = w2(0)
+          val detA = det3H(w1(1) / n1, w1(2) / n1, w1(3) / n1, w1(4) / n1, w1(5) / n1,
+            w1(6) / n1, w1(7) / n1, w1(8) / n1, w1(9) / n1)
+          val detB = det3H(w2(1) / n2, w2(2) / n2, w2(3) / n2, w2(4) / n2, w2(5) / n2,
+            w2(6) / n2, w2(7) / n2, w2(8) / n2, w2(9) / n2)
+          val detAB = det3H(
+            (w1(1) / n1 + w2(1) / n2) * 0.5, (w1(2) / n1 + w2(2) / n2) * 0.5,
+            (w1(3) / n1 + w2(3) / n2) * 0.5, (w1(4) / n1 + w2(4) / n2) * 0.5,
+            (w1(5) / n1 + w2(5) / n2) * 0.5, (w1(6) / n1 + w2(6) / n2) * 0.5,
+            (w1(7) / n1 + w2(7) / n2) * 0.5, (w1(8) / n1 + w2(8) / n2) * 0.5,
+            (w1(9) / n1 + w2(9) / n2) * 0.5)
+          if (detA > 0.0 && detB > 0.0 && detAB > 0.0) {
+            val stat = 2.0 * math.log(detAB) - math.log(detA) - math.log(detB)
+            n += 1; s += q6l(stat)
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(n, s)
+  }
 }

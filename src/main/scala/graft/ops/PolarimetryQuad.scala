@@ -118,4 +118,104 @@ object PolarimetryQuad {
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"), col("z.zone").as("zone"), col("z.cnt").as("n_px"))
   }
+
+  /** Burst subset for the scalar quad-alias gates: bounds the DuckDB window-oracle
+   * self-join cost; the Spark side is identical machinery at any burst count. */
+  val ScalarMaxBurst = 3
+
+  private val tileKeys = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
+
+  private def scalarQuery(spark: SparkSession, sfDir: String, mode: Int,
+      outs: Seq[(String, String)]): DataFrame = {
+    val st = KernelExprs.quadScalar(haloChannels, Raster.W, Raster.H, 1, mode)
+    haloedQuad(spark, sfDir, ScalarMaxBurst)
+      .withColumn("st", st)
+      .select(tileKeys.map(col) ++ (col("st.n").as("n_valid") +:
+        outs.map { case (slot, name) => col(s"st.$slot").as(name) }): _*)
+  }
+
+  /** Polarization orientation angle estimation from the windowed T3
+   * (OrientationAngleCorrectionOp.java:311-315: theta = (atan2(2 Re t23,
+   * t33 - t22) + pi)/4 wrapped to (-pi/4, pi/4]). */
+  def orientationQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_ORIENT, Seq("s1" -> "theta_sum_q"))
+
+  /** Faraday rotation angle, Lee window estimator: omega = -atan2(Im, Re)/4 of the
+   * windowed mean circular cross product Z_rl Z_lr^*
+   * (FaradayRotationCorrectionOp.java:311-348). */
+  def faradayQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_FARADAY, Seq("s1" -> "omega_sum_q"))
+
+  /** Generalized Freeman-Durden 3-component decomposition of the windowed T3
+   * (GeneralizedFreemanDurden.java:34-53: pv = 4 t33, ps/pd = (tmp1 +- tmp3)/2). */
+  def freemanQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_FREEMAN,
+      Seq("s1" -> "pv_sum_q", "s2" -> "pd_sum_q", "s3" -> "ps_sum_q"))
+
+  /** Polarimetric parameters: span, pedestal height (l3/l1) and RVI over the
+   * windowed T3 eigenvalues (PolarimetricParametersOp.java
+   * computePolarimetricParameters; RVI denominator reads the reference's
+   * lambda1 + alpha2 + lambda3 as a typo for lambda2 — published formula used). */
+  def polParamsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_PARAMS,
+      Seq("s1" -> "span_sum_q", "s2" -> "pedestal_sum_q", "s3" -> "rvi_sum_q"))
+
+  /** Cross-channel SNR correction: HV scaled by the HV/VH window coherence
+   * gamma = |<HV VH*>| / sqrt(<|HV|^2><|VH|^2>) (CrossChannelSNRCorrectionOp.java:197-211). */
+  def xChannelSnrQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_SNR,
+      Seq("s1" -> "ihv_sum_q", "s2" -> "qhv_sum_q"))
+
+  /** Compact-pol data simulation (RCH mode): per-tile integer-exact C2 sums of the
+   * projected scattering vector (CompactPolDataSimulationOp.java:498-541). */
+  def cpSimulationQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = KernelExprs.cpC2Sums(ChannelCols.map(col))
+    quadTiles(spark, sfDir)
+      .withColumn("st", st)
+      .select(tileKeys.map(col) ++ Seq(col("st.n").as("n_valid"),
+        col("st.s11").as("c11_q"), col("st.s22").as("c22_q"),
+        col("st.s12r").as("c12r_q"), col("st.s12i").as("c12i_q")): _*)
+  }
+
+  /** Scene pairing for polarimetric change detection: consecutive (even, odd)
+   * scene indices form an epoch pair on the shared burst/tile grid. */
+  val ChangeMaxBurst = 3
+
+  /** Two-epoch polarimetric change statistic: per-pixel omnibus likelihood-ratio
+   * core 2 ln det((T1+T2)/2) - ln det T1 - ln det T2 over windowed T3 means
+   * (PolarimetricChangeDetectionOp.java:316-351), rolled up per tile. */
+  def polChangeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Raster.withHaloMulti(quadTiles(spark, sfDir, ChangeMaxBurst), ChannelCols, 1)
+      .withColumn("scene_idx", expr("CAST(substring(scene_id, 7, 4) AS INT)"))
+      .withColumn("pair_idx", expr("CAST(scene_idx / 2 AS INT)"))
+    val joinKeys = Seq("pair_idx", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
+    val e1 = haloed.where(col("scene_idx") % 2 === 0)
+    val e2 = ChannelCols.foldLeft(haloed.where(col("scene_idx") % 2 === 1)) { (df, c) =>
+      df.withColumnRenamed(s"halo_$c", s"halo2_$c")
+    }.select((joinKeys.map(col) ++ ChannelCols.map(c => col(s"halo2_$c"))): _*)
+    val chans = ChannelCols.map(c => col(s"halo_$c")) ++ ChannelCols.map(c => col(s"halo2_$c"))
+    e1.join(e2, joinKeys)
+      .withColumn("st", KernelExprs.polChange(chans, Raster.W, Raster.H, 1))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        col("st.n").as("n_valid"), col("st.s_q").as("stat_sum_q"))
+  }
+
+  /** Supervised Wishart classification: training centers from the burst-1
+   * H-alpha-zone-labelled samples only, then one fixed-center classification pass
+   * over bursts <= WishartMaxBurst (SupervisedWishartClassificationOp.java:
+   * train-then-classify split; same revised-Wishart distance as wishartQuery). */
+  def supervisedWishartQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val train = haloedQuad(spark, sfDir, 1)
+    val centers = centersOf(train.withColumn("wz",
+      KernelExprs.wishart(haloChannels, typedLit(Array.empty[Long]), Raster.W, Raster.H, 1)))
+    haloedQuad(spark, sfDir, WishartMaxBurst)
+      .withColumn("wz",
+        KernelExprs.wishart(haloChannels, typedLit(centers), Raster.W, Raster.H, 1))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"), explode(col("wz")).as("z"))
+      .where(col("z.cnt") > 0)
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"), col("z.zone").as("zone"), col("z.cnt").as("n_px"))
+  }
 }
