@@ -145,7 +145,7 @@ object SarOracles7 {
   // ------------------------------------------------------------ polarimetric family
 
   /** dual-pol C2 pixel CTE: quantized products of the VV/VH pair. */
-  private val c2Cte: String =
+  private[graft] val c2Cte: String =
     s"""pa0 AS (
        |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
        |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0

@@ -223,4 +223,92 @@ object SarOracles8 {
        |o AS (SELECT * FROM j)
        |$rollup""".stripMargin
   }
+
+  /** q_wind_cmod5: full CMOD5 inversion — per-tile mean NRCS, 200-candidate grid
+   * search, first strict minimum (staging mirrors Kernels.cmod5/cmod5Tile). */
+  val windCmod5: String = {
+    val tileKeys = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
+    s"""WITH $pxCte,
+       |t AS (
+       |  SELECT $tileKeys,
+       |    count(*) FILTER (v <> -9999.0) AS n,
+       |    coalesce(sum(v) FILTER (v <> -9999.0), 0) AS sv
+       |  FROM px WHERE pol = 'VV' GROUP BY 1, 2, 3, 4, 5, 6),
+       |tp AS (
+       |  SELECT *, sv / n / 16.0 AS nrcs,
+       |    CAST(20.0 AS DOUBLE) + CAST(20.0 AS DOUBLE) * (tile_x * $W + ${W / 2}) / CAST(${Layout.SamplesPerBurst} AS DOUBLE) AS theta,
+       |    cos((atan2((burst_idx - 5) / 4.0, 1.0) * 57.29577951308232) * 0.017453292519943295) AS cosfi
+       |  FROM t WHERE n > 0),
+       |cand AS (SELECT unnest(range(200)) AS ci),
+       |e0 AS (SELECT tp.*, cand.ci, CAST(cand.ci + 1 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS vv
+       |       FROM tp CROSS JOIN cand),
+       |e1 AS (SELECT *, (theta - 40.0) / 25.0 AS x FROM e0),
+       |e2 AS (SELECT *, x * x AS xx FROM e1),
+       |e3 AS (SELECT *,
+       |    -0.688 + -0.793 * x + 0.338 * xx + -0.173 * x * xx AS a0,
+       |    0.0 + 0.004 * x AS a1,
+       |    0.111 + 0.0162 * x AS a2,
+       |    6.7329 + 2.7541 * x + -2.2918 * xx AS gam,
+       |    0.4 + -0.6 * x AS s0,
+       |    8.39 + -3.44 * x + 1.36 * xx AS v0,
+       |    5.35 + 1.99 * x + 0.29 * xx AS d1,
+       |    3.80 + 1.53 * x AS d2
+       |  FROM e2),
+       |e4 AS (SELECT *, a2 * vv AS sres FROM e3),
+       |e5 AS (SELECT *, 1.0 / (1.0 + exp(0.0 - greatest(sres, s0))) AS a3 FROM e4),
+       |e6 AS (SELECT *, CASE WHEN sres < s0 THEN a3 * pow(sres / s0, s0 * (1.0 - a3)) ELSE a3 END AS a3b FROM e5),
+       |e7 AS (SELECT *,
+       |    pow(a3b, gam) * pow(10.0, a0 + a1 * vv) AS b0,
+       |    (0.045 * (1.0 + x) - 0.007 * vv * (0.5 + x - (exp(2.0 * (4.0 * (x + 0.33 + 0.012 * vv))) - 1.0) / (exp(2.0 * (4.0 * (x + 0.33 + 0.012 * vv))) + 1.0))) / (exp(0.34 * (vv - 22.0)) + 1.0) AS b1,
+       |    vv / v0 + 1.0 AS v2
+       |  FROM e6),
+       |e8 AS (SELECT *, CASE WHEN v2 < 1.95
+       |         THEN (1.95 - (1.95 - 1.0) / 3.0) + (1.0 / (3.0 * pow(1.95 - 1.0, 2.0))) * pow(v2 - 1.0, 3.0)
+       |         ELSE v2 END AS v2b FROM e7),
+       |e9 AS (SELECT *, (0.0 - d1 + d2 * v2b) * exp(0.0 - v2b) AS b2 FROM e8),
+       |ea AS (SELECT *, b0 * pow(1.0 + b1 * cosfi + b2 * (2.0 * cosfi * cosfi - 1.0), 1.6) AS nrcsm FROM e9),
+       |er AS (SELECT *, abs(nrcs - nrcsm) AS err FROM ea),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY $tileKeys ORDER BY err, ci) AS rn FROM er)
+       |SELECT $tileKeys, n AS n_valid, CAST(ci AS BIGINT) AS err_min_idx,
+       |       CAST(ci + 1 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS wind_speed
+       |FROM rk WHERE rn = 1""".stripMargin
+  }
+
+  /** q_oil_spill_cluster: connected components over the oil-spill dark mask with
+   * the minimum-slick size gate (mirror of Detection2.oilSpillClusterQuery). */
+  val oilSpillCluster: String = {
+    val iters = Detection2.CcIters
+    val ccKeysEq = "n.scene_id = d.scene_id AND n.subswath = d.subswath AND n.pol = d.pol AND n.burst_idx = d.burst_idx"
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT d.scene_id, d.subswath, d.pol, d.burst_idx, d.gx, d.gy, min(n.label) AS label
+         |  FROM l${i - 1} d CROSS JOIN offs o
+         |  JOIN l${i - 1} n ON $ccKeysEq AND n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+         |  GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+    }.mkString(",\n")
+    val offVals = (for (dy <- -1 to 1; dx <- -1 to 1) yield s"($dy, $dx)").mkString(", ")
+    s"""WITH $pxCte,
+       |d2 AS (SELECT dx.dx, dy.dy
+       |      FROM (SELECT unnest(range(-2, 3)) AS dx) dx,
+       |           (SELECT unnest(range(-2, 3)) AS dy) dy),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.gx, c.gy, c.v AS cp,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1
+       |  FROM px c CROSS JOIN d2
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d2.dx AND n.gy = c.gy + d2.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |l0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, gx, gy,
+       |         CAST(gy * ${Layout.SamplesPerBurst} + gx AS BIGINT) AS label
+       |  FROM st WHERE cp <> -9999.0 AND n > 0 AND cp < ${Detection2.OilK} * (s1 / n)),
+       |offs AS (SELECT * FROM (VALUES $offVals) t(dy, dx)),
+       |$steps
+       |SELECT scene_id, subswath, pol, burst_idx, label,
+       |       count(*) AS n_px,
+       |       min(gx) AS min_gx, max(gx) AS max_gx,
+       |       min(gy) AS min_gy, max(gy) AS max_gy
+       |FROM l$iters GROUP BY 1, 2, 3, 4, 5
+       |HAVING count(*) >= ${Detection2.OilMinClusterPx}""".stripMargin
+  }
 }

@@ -322,6 +322,134 @@ object SarOraclesQuad {
        |  ${sumQ6("4.0 * l3 / (l1 + l2 + l3)", "rvi_sum_q")}
        |FROM lam2 WHERE l1 > 0 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  /** q_pol_calibration: Quegan 1-iteration channel-imbalance + crosstalk solve
+   * over the exact global covariance, Kronecker D^-1 apply per pixel (staging
+   * mirrors Kernels.polCalCovTile / polCalApplyTile and
+   * ops.PolarimetryQuad.PolCalStages verbatim). */
+  val polCalibration: String = {
+    // per-scene exact covariance sums of k = (HH, HV, VH, VV)
+    val pairs = Seq( // (name, (ar, ai, br, bi)) for C_ab = sum a * conj(b)
+      ("c01", ("hhr", "hhi", "hvr", "hvi")),
+      ("c02", ("hhr", "hhi", "vhr", "vhi")),
+      ("c03", ("hhr", "hhi", "vvr", "vvi")),
+      ("c13", ("hvr", "hvi", "vvr", "vvi")),
+      ("c23", ("vhr", "vhi", "vvr", "vvi")))
+    val covCols = Seq(
+      "coalesce(sum(hhr * hhr + hhi * hhi) FILTER (valid), 0) AS c00",
+      "coalesce(sum(vvr * vvr + vvi * vvi) FILTER (valid), 0) AS c33") ++
+      pairs.flatMap { case (nm, (ar, ai, br, bi)) => Seq(
+        s"coalesce(sum($ar * $br + $ai * $bi) FILTER (valid), 0) AS ${nm}r",
+        s"coalesce(sum($ai * $br - $ar * $bi) FILTER (valid), 0) AS ${nm}i")
+      }
+    val stageCtes = ops.PolarimetryQuad.PolCalStages.zipWithIndex.map {
+      case ((name, sql), i) => s"s$i AS (SELECT *, $sql AS $name FROM ${if (i == 0) "cov" else s"s${i - 1}"})"
+    }.mkString(",\n")
+    val lastStage = s"s${ops.PolarimetryQuad.PolCalStages.size - 1}"
+    // Kronecker inverse staged as Kernels.polCalApplyTile
+    val dinvCte =
+      """dv0 AS (SELECT *,
+        |    1.0 - (d2r * d1r - d2i * d1i) AS dettr, 0.0 - (d2r * d1i + d2i * d1r) AS detti,
+        |    1.0 - (d4r * d3r - d4i * d3i) AS detrr, 0.0 - (d4r * d3i + d4i * d3r) AS detri
+        |  FROM LAST),
+        |dv1 AS (SELECT *, dettr * dettr + detti * detti AS mt, detrr * detrr + detri * detri AS mr2 FROM dv0),
+        |dv2 AS (SELECT *, dettr / mt AS idtr, 0.0 - detti / mt AS idti,
+        |    detrr / mr2 AS idrr, 0.0 - detri / mr2 AS idri FROM dv1),
+        |dv3 AS (SELECT *,
+        |    idrr AS r00r, idri AS r00i,
+        |    idrr * (0.0 - d4r) - idri * (0.0 - d4i) AS r01r, idrr * (0.0 - d4i) + idri * (0.0 - d4r) AS r01i,
+        |    idrr * (0.0 - d3r) - idri * (0.0 - d3i) AS r10r, idrr * (0.0 - d3i) + idri * (0.0 - d3r) AS r10i,
+        |    idrr AS r11r, idri AS r11i,
+        |    idtr AS t00r, idti AS t00i,
+        |    idtr * (0.0 - d2r) - idti * (0.0 - d2i) AS t01r, idtr * (0.0 - d2i) + idti * (0.0 - d2r) AS t01i,
+        |    idtr * (0.0 - d1r) - idti * (0.0 - d1i) AS t10r, idtr * (0.0 - d1i) + idti * (0.0 - d1r) AS t10i,
+        |    idtr AS t11r, idti AS t11i
+        |  FROM dv2)""".stripMargin.replace("LAST", lastStage)
+    val dinvCols = (for (i <- 0 to 1; j <- 0 to 1; k <- 0 to 1; l <- 0 to 1) yield {
+      val (row, colI) = (i * 2 + k, j * 2 + l)
+      Seq(s"r$i${j}r * t$k${l}r - r$i${j}i * t$k${l}i AS dv$row${colI}r",
+        s"r$i${j}r * t$k${l}i + r$i${j}i * t$k${l}r AS dv$row${colI}i")
+    }).flatten.mkString(",\n    ")
+    val chans = Seq(("hhr", "hhi"), ("hvr", "hvi"), ("vhr", "vhi"), ("vvr", "vvi"))
+    val outSums = chans.zipWithIndex.flatMap { case ((_, _), oi) =>
+      val rs = (0 to 3).map(j => s"(dv$oi${j}r * ${chans(j)._1} - dv$oi${j}i * ${chans(j)._2})").mkString(" + ")
+      val is = (0 to 3).map(j => s"(dv$oi${j}r * ${chans(j)._2} + dv$oi${j}i * ${chans(j)._1})").mkString(" + ")
+      val (nr, ni) = (s"${Seq("hh", "hv", "vh", "vv")(oi)}r_sum_q", s"${Seq("hh", "hv", "vh", "vv")(oi)}i_sum_q")
+      Seq(s"CAST(coalesce(sum(${q6(rs)}) FILTER (valid), 0) AS BIGINT) AS $nr",
+        s"CAST(coalesce(sum(${q6(is)}) FILTER (valid), 0) AS BIGINT) AS $ni")
+    }.mkString(",\n  ")
+    s"""WITH ${t3Cte(Layout.BurstsPerSubswath, raw = true)},
+       |cov AS (
+       |  SELECT scene_id, subswath,
+       |    ${covCols.mkString(",\n    ")}
+       |  FROM t3 GROUP BY 1, 2),
+       |$stageCtes,
+       |$dinvCte,
+       |dinv AS (SELECT *,
+       |    $dinvCols
+       |  FROM dv3)
+       |SELECT p.scene_id, p.subswath, p.pol, p.burst_idx, p.tile_y, p.tile_x,
+       |  count(*) FILTER (valid) AS n_valid,
+       |  $outSums
+       |FROM t3 p JOIN dinv d ON d.scene_id = p.scene_id AND d.subswath = p.subswath
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
+  /** q_grvi: geodesic-distance GRVI over the windowed-T3 Kennaugh matrix
+   * (Hermitian-reduced K entries, Frobenius inner-product traces, staged exactly
+   * as Kernels.quadScalar QS_GRVI; acos args clamped in both engines). */
+  val grvi: String = {
+    def gdSql(num: String, den: String) =
+      s"2.0 * acos(greatest(-1.0, least(1.0, ($num) / ($den)))) * 180.0 / $Pi / 180.0"
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |gm AS (SELECT *, sw11 / n AS t11, sw22 / n AS t22, sw33 / n AS t33,
+       |         sw12r / n AS t12r, sw12i / n AS t12i, sw13r / n AS t13r, sw13i / n AS t13i,
+       |         sw23r / n AS t23r, sw23i / n AS t23i
+       |       FROM win WHERE n > 0),
+       |kt AS (SELECT *,
+       |    0.5 * (t11 + t22 + t33) AS k00, t12r AS k01, t13r AS k02, t23i AS k03,
+       |    0.5 * (t11 + t22 - t33) AS k11, t23r AS k12, 0.5 * (t23i + t13i) AS k13,
+       |    0.5 * (t11 - t22 + t33) AS k22, 0.0 - t12i AS k23,
+       |    0.5 * (0.0 - t11 + t22 + t33) AS k33,
+       |    0.5 * (t11 + t12r + t12r + t22) AS c11g,
+       |    0.5 * (t11 - t12r - t12r + t22) AS c33g
+       |  FROM gm),
+       |kd AS (SELECT *,
+       |    sqrt(abs(k00 * k00 + k11 * k11 + k22 * k22 + k33 * k33 +
+       |      2.0 * (k01 * k01 + k02 * k02 + k03 * k03 + k12 * k12 + k13 * k13 + k23 * k23))) AS den1
+       |  FROM kt),
+       |kg AS (SELECT *, c11g / c33g AS gamma FROM kd
+       |       WHERE den1 > 0.0 AND c33g <> 0.0 AND c11g / c33g >= 0.0),
+       |kv0 AS (SELECT *, sqrt(gamma) AS sg,
+       |         1.0 / ((3.0 / 2.0) * (1.0 + gamma) - 0.5 * sqrt(gamma)) AS r
+       |       FROM kg),
+       |kv1 AS (SELECT *, r * (0.5 * (1.0 + gamma) + (1.0 / 3.0) * sg) AS av,
+       |         r * (0.5 * (gamma - 1.0)) AS bv,
+       |         r * (0.5 * (1.0 + gamma) - (1.0 / 3.0) * sg) AS cv
+       |       FROM kv0),
+       |kv AS (SELECT *, 0.5 * (av + cv + cv) AS rv00, 0.5 * (av + cv - cv) AS rv11,
+       |         0.5 * (av - cv + cv) AS rv22, 0.5 * (0.0 - av + cv + cv) AS rv33
+       |       FROM kv1),
+       |gg0 AS (SELECT *,
+       |    sqrt(abs(rv00 * rv00 + 2.0 * (bv * bv) + rv11 * rv11 + rv22 * rv22 + rv33 * rv33)) AS den2
+       |  FROM kv),
+       |gg AS (SELECT *,
+       |    ${gdSql("k00 * rv00 + 2.0 * (k01 * bv) + k11 * rv11 + k22 * rv22 + k33 * rv33", "den1 * den2")} AS gd_rv,
+       |    ${gdSql("k00 + k11 - k22 + k33", "den1 * 2.0")} AS gd_d,
+       |    ${gdSql("0.625 * k00 + 2.0 * (0.375 * k01) + 0.625 * k11 + -0.5 * k22 + 0.5 * k33", "den1 * 1.25")} AS gd_nd,
+       |    ${gdSql("k00 + k11 + k22 - k33", "den1 * 2.0")} AS gd_t,
+       |    ${gdSql("0.625 * k00 + 2.0 * (0.375 * k01) + 0.625 * k11 + 0.5 * k22 + -0.5 * k33", "den1 * 1.25")} AS gd_c
+       |  FROM gg0),
+       |gr0 AS (SELECT *, greatest(greatest(greatest(gd_t, gd_c), gd_nd), gd_d) AS ga,
+       |         least(least(least(gd_t, gd_c), gd_nd), gd_d) AS gb
+       |       FROM gg),
+       |gr AS (SELECT *, (1.0 - gd_rv) * pow((gb / ga) * (gb / ga), gd_rv) AS grvi
+       |       FROM gr0 WHERE ga > 0.0 AND den2 > 0.0)
+       |SELECT $keys, count(*) AS n_valid, ${sumQ6("grvi", "grvi_sum_q")}
+       |FROM gr GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
   /** q_pol_xchannel_snr: HV scaled by the HV/VH window coherence at valid centers. */
   val xChannelSnr: String =
     s"""WITH ${t3Cte(SB, raw = true)},

@@ -193,6 +193,35 @@ case class RpcaExpr(chs: Seq[Expression], tau: Double) extends StaticKernelExpr 
 }
 
 /** Sparse above-threshold pixel indices of one tile. */
+/** CMOD5 wind-speed grid-search inversion per tile (tile-mean NRCS). */
+case class Cmod5Expr(v: Expression, theta: Expression, cosFi: Expression)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, theta, cosFi)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("idx", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.cmod5Tile(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.cmod5Tile(args(0).asInstanceOf[ArrayData],
+      args(1).asInstanceOf[Double], args(2).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), theta = c(1), cosFi = c(2))
+}
+
+/** Dark-pixel indices of a tile (center below k * window mean, margin-m halo). */
+case class DarkKsExpr(halo: Expression, w: Int, h: Int, m: Int, k: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(halo)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.darkKs(${args.head}, $w, $h, $m, ${k}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.darkKs(args(0).asInstanceOf[ArrayData], w, h, m, k)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0))
+}
+
 case class AboveThrExpr(v: Expression, thr: Double) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(v)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -526,6 +555,48 @@ case class CpC2SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
     copy(chs = c)
 }
 
+/** Per-tile exact covariance sums for the Quegan polarimetric calibration solve. */
+case class PolCalCovExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  require(chs.size == 8)
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      Seq("c00", "c33", "c01r", "c01i", "c02r", "c02i", "c03r", "c03i",
+        "c13r", "c13i", "c23r", "c23i").map(f => StructField(f, DoubleType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.polCalCovTile(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.polCalCovTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** Quegan distortion-inverse apply: 8 channel arrays + 8 crosstalk-delta doubles. */
+case class PolCalApplyExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  require(chs.size == 16)
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      Seq("hhr", "hhi", "hvr", "hvi", "vhr", "vhi", "vvr", "vvi")
+        .map(f => StructField(s"s_$f", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.polCalApplyTile(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.polCalApplyTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData],
+      args(8).asInstanceOf[Double], args(9).asInstanceOf[Double],
+      args(10).asInstanceOf[Double], args(11).asInstanceOf[Double],
+      args(12).asInstanceOf[Double], args(13).asInstanceOf[Double],
+      args(14).asInstanceOf[Double], args(15).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 /** Two-epoch polarimetric change statistic rollup: 16 halo channels (8 per epoch). */
 case class PolChangeExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
     extends StaticKernelExpr {
@@ -547,8 +618,55 @@ case class PolChangeExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
     copy(chs = c)
 }
 
+/** Pass A of the dual-pol index family: per-pixel slope-masked |Stokes| arrays
+ * over the margin-m windowed C2 (feeds the per-scene percentile stage). */
+case class DpStokesExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
+    extends StaticKernelExpr {
+  require(chs.size == 5)
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    Seq("g1a", "g2a", "g3a", "g1s").map(f =>
+      StructField(f, ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.dpStokesTile(${args.mkString(", ")}, $w, $h, $m)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.dpStokesTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], w, h, m)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
+/** Pass B of the dual-pol index family: per-tile quantized rollup of
+ * DPRBI/DPRSI/powers/factorization given the per-scene percentile stats. */
+case class DpIndexExpr(chs: Seq[Expression], w: Int, h: Int, m: Int, mode: Int)
+    extends StaticKernelExpr {
+  require(chs.size == 13) // 5 halo arrays + 8 stat doubles
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    Seq("n", "s1", "s2", "s3", "s4").map(f => StructField(f, LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.dpIndexTile(${args.mkString(", ")}, $w, $h, $m, $mode)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.dpIndexTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData],
+      args(5).asInstanceOf[Double], args(6).asInstanceOf[Double],
+      args(7).asInstanceOf[Double], args(8).asInstanceOf[Double],
+      args(9).asInstanceOf[Double], args(10).asInstanceOf[Double],
+      args(11).asInstanceOf[Double], args(12).asInstanceOf[Double], w, h, m, mode)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 object KernelExprs {
   import GraftColumn.{column => toCol, expression => toExpr}
+
+  def dpStokes(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
+    toCol(DpStokesExpr(chs.map(toExpr), w, h, m))
+
+  def dpIndex(chs: Seq[Column], w: Int, h: Int, m: Int, mode: Int): Column =
+    toCol(DpIndexExpr(chs.map(toExpr), w, h, m, mode))
 
   def quadScalar(chs: Seq[Column], w: Int, h: Int, m: Int, mode: Int): Column =
     toCol(QuadScalarExpr(chs.map(toExpr), w, h, m, mode))
@@ -557,6 +675,10 @@ object KernelExprs {
 
   def polChange(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
     toCol(PolChangeExpr(chs.map(toExpr), w, h, m))
+
+  def polCalCov(chs: Seq[Column]): Column = toCol(PolCalCovExpr(chs.map(toExpr)))
+
+  def polCalApply(chs: Seq[Column]): Column = toCol(PolCalApplyExpr(chs.map(toExpr)))
 
   def speckleFilter(halo: Column, mode: String, w: Int, h: Int, margin: Int,
       enl: Column, damping: Column): Column =
@@ -592,6 +714,12 @@ object KernelExprs {
   def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
 
   def aboveThr(v: Column, thr: Double): Column = toCol(AboveThrExpr(toExpr(v), thr))
+
+  def cmod5(v: Column, theta: Column, cosFi: Column): Column =
+    toCol(Cmod5Expr(toExpr(v), toExpr(theta), toExpr(cosFi)))
+
+  def darkKs(halo: Column, w: Int, h: Int, m: Int, k: Double): Column =
+    toCol(DarkKsExpr(toExpr(halo), w, h, m, k))
 
   def rpca(chs: Seq[Column], tau: Double): Column = toCol(RpcaExpr(chs.map(toExpr), tau))
 

@@ -2058,6 +2058,7 @@ object Kernels {
   val QS_FREEMAN = 2 // generalized Freeman-Durden (GeneralizedFreemanDurden.java:34-53)
   val QS_PARAMS = 3 // span / pedestal height / RVI (PolarimetricParametersOp.java computePolarimetricParameters)
   val QS_SNR = 4 // cross-channel SNR correction (CrossChannelSNRCorrectionOp.java:197-211)
+  val QS_GRVI = 5 // generalized RVI via Kennaugh geodesic distances (GRVIOp.java:260-410)
 
   @inline private def q6l(v: Double): Long =
     math.floor(0.031415926535897934 + v * 1.0e6).toLong
@@ -2211,6 +2212,61 @@ object Kernels {
                 s2 += q6l(gamma * ch(3)(cIdx))
               }
             }
+          case QS_GRVI =>
+            // Generalized RVI: geodesic distances between the Kennaugh matrix of
+            // the windowed T3 mean and the GVSM volume / canonical target Kennaugh
+            // matrices (GRVIOp.java:216-410; Hermitian-reduced K entries, Frobenius
+            // inner-product traces; acos args clamped for domain safety).
+            t3Win(ch, hw, x, y, m, t, win)
+            if (win(0) > 0) {
+              val nw = win(0)
+              val t11 = win(1) / nw; val t22 = win(2) / nw; val t33 = win(3) / nw
+              val t12r = win(4) / nw; val t12i = win(5) / nw
+              val t13r = win(6) / nw; val t13i = win(7) / nw
+              val t23r = win(8) / nw; val t23i = win(9) / nw
+              val k00 = 0.5 * (t11 + t22 + t33)
+              val k01 = t12r; val k02 = t13r; val k03 = t23i
+              val k11 = 0.5 * (t11 + t22 - t33)
+              val k12 = t23r; val k13 = 0.5 * (t23i + t13i)
+              val k22 = 0.5 * (t11 - t22 + t33)
+              val k23 = 0.0 - t12i
+              val k33 = 0.5 * (0.0 - t11 + t22 + t33)
+              val ssT = k00 * k00 + k11 * k11 + k22 * k22 + k33 * k33 +
+                2.0 * (k01 * k01 + k02 * k02 + k03 * k03 + k12 * k12 + k13 * k13 + k23 * k23)
+              val den1 = math.sqrt(math.abs(ssT))
+              val c11g = 0.5 * (t11 + t12r + t12r + t22)
+              val c33g = 0.5 * (t11 - t12r - t12r + t22)
+              if (den1 > 0.0 && c33g != 0.0 && c11g / c33g >= 0.0) {
+                val gamma = c11g / c33g
+                val sg = math.sqrt(gamma)
+                val r = 1.0 / ((3.0 / 2.0) * (1.0 + gamma) - 0.5 * sg)
+                val av = r * (0.5 * (1.0 + gamma) + (1.0 / 3.0) * sg)
+                val bv = r * (0.5 * (gamma - 1.0))
+                val cv = r * (0.5 * (1.0 + gamma) - (1.0 / 3.0) * sg)
+                val rv00 = 0.5 * (av + cv + cv); val rv11 = 0.5 * (av + cv - cv)
+                val rv22 = 0.5 * (av - cv + cv); val rv33 = 0.5 * (0.0 - av + cv + cv)
+                val numRv = k00 * rv00 + 2.0 * (k01 * bv) + k11 * rv11 + k22 * rv22 + k33 * rv33
+                val ssRv = rv00 * rv00 + 2.0 * (bv * bv) + rv11 * rv11 + rv22 * rv22 + rv33 * rv33
+                val den2 = math.sqrt(math.abs(ssRv))
+                @inline def gd(num: Double, den: Double): Double = {
+                  val cl = math.max(-1.0, math.min(1.0, num / den))
+                  2.0 * math.acos(cl) * 180.0 / math.Pi / 180.0
+                }
+                val gdRv = gd(numRv, den1 * den2)
+                val gdD = gd(k00 + k11 - k22 + k33, den1 * 2.0)
+                val gdNd = gd(0.625 * k00 + 2.0 * (0.375 * k01) + 0.625 * k11 + -0.5 * k22 + 0.5 * k33, den1 * 1.25)
+                val gdT = gd(k00 + k11 + k22 - k33, den1 * 2.0)
+                val gdC = gd(0.625 * k00 + 2.0 * (0.375 * k01) + 0.625 * k11 + 0.5 * k22 + -0.5 * k33, den1 * 1.25)
+                val ga = math.max(math.max(math.max(gdT, gdC), gdNd), gdD)
+                val gb = math.min(math.min(math.min(gdT, gdC), gdNd), gdD)
+                if (ga > 0.0 && den2 > 0.0) {
+                  val ratio = gb / ga
+                  val beta = ratio * ratio
+                  val grvi = (1.0 - gdRv) * math.pow(beta, gdRv)
+                  n += 1; s1 += q6l(grvi)
+                }
+              }
+            }
           case _ => throw new IllegalArgumentException(s"quadScalar mode $mode")
         }
         x += 1
@@ -2308,5 +2364,392 @@ object Kernels {
       y += 1
     }
     InternalRow(n, s)
+  }
+
+  // ------------------------------------------------- Quegan polarimetric calibration
+
+  /** Per-tile exact covariance sums of the scattering vector k = (HH, HV, VH, VV):
+   * the 12 real components the Quegan solve needs (C00r, C33r, C01, C02, C13, C23,
+   * C03) plus the valid count. Sums are exact on the dyadic grid, so the global
+   * per-scene accumulation is order-independent cross-engine
+   * (PolarimetricCalibrationOp.java:201-246 collectCovariance/accumulateOuter). */
+  def polCalCovTile(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData): InternalRow = {
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    var n = 0L
+    var c00 = 0.0; var c33 = 0.0
+    var c01r = 0.0; var c01i = 0.0; var c02r = 0.0; var c02i = 0.0
+    var c03r = 0.0; var c03i = 0.0; var c13r = 0.0; var c13i = 0.0
+    var c23r = 0.0; var c23i = 0.0
+    var p = 0
+    while (p < ch(0).length) {
+      if (quadValid(ch, p)) {
+        val hr = ch(0)(p); val hi = ch(1)(p) // HH
+        val xr = ch(2)(p); val xi = ch(3)(p) // HV
+        val yr = ch(4)(p); val yi = ch(5)(p) // VH
+        val vr = ch(6)(p); val vi = ch(7)(p) // VV
+        n += 1
+        c00 += hr * hr + hi * hi
+        c33 += vr * vr + vi * vi
+        c01r += hr * xr + hi * xi; c01i += hi * xr - hr * xi
+        c02r += hr * yr + hi * yi; c02i += hi * yr - hr * yi
+        c03r += hr * vr + hi * vi; c03i += hi * vr - hr * vi
+        c13r += xr * vr + xi * vi; c13i += xi * vr - xr * vi
+        c23r += yr * vr + yi * vi; c23i += yi * vr - yr * vi
+      }
+      p += 1
+    }
+    InternalRow(n, c00, c33, c01r, c01i, c02r, c02i, c03r, c03i, c13r, c13i, c23r, c23i)
+  }
+
+  /**
+   * Quegan (1-iteration) distortion apply per tile: given the per-scene crosstalk
+   * deltas (d1..d4, estimated from the global covariance after the channel-imbalance
+   * fold — PolarimetricCalibrationOp.java:176-199), build the Kronecker inverse
+   * D^-1 = R^-1 (x) T^-1 in closed form (2x2 complex inverses — algebraically the
+   * reference's invert4x4Complex of R (x) T) and apply S = D^-1 M per pixel.
+   * Returns per-tile quantized sums of the 8 corrected channels.
+   */
+  def polCalApplyTile(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
+      d1r: Double, d1i: Double, d2r: Double, d2i: Double,
+      d3r: Double, d3i: Double, d4r: Double, d4i: Double): InternalRow = {
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    // det T = 1 - d2*d1, det R = 1 - d4*d3 (f folded to 1 in the Quegan path)
+    val detTr = 1.0 - (d2r * d1r - d2i * d1i)
+    val detTi = 0.0 - (d2r * d1i + d2i * d1r)
+    val detRr = 1.0 - (d4r * d3r - d4i * d3i)
+    val detRi = 0.0 - (d4r * d3i + d4i * d3r)
+    val mT = detTr * detTr + detTi * detTi
+    val mR = detRr * detRr + detRi * detRi
+    val idTr = detTr / mT; val idTi = 0.0 - detTi / mT
+    val idRr = detRr / mR; val idRi = 0.0 - detRi / mR
+    // Rinv = idetR * [[1, -d4], [-d3, 1]]; Tinv = idetT * [[1, -d2], [-d1, 1]]
+    @inline def cmul(ar: Double, ai: Double, br: Double, bi: Double): (Double, Double) =
+      (ar * br - ai * bi, ar * bi + ai * br)
+    val r = Array(
+      (idRr, idRi), cmul(idRr, idRi, 0.0 - d4r, 0.0 - d4i),
+      cmul(idRr, idRi, 0.0 - d3r, 0.0 - d3i), (idRr, idRi))
+    val t = Array(
+      (idTr, idTi), cmul(idTr, idTi, 0.0 - d2r, 0.0 - d2i),
+      cmul(idTr, idTi, 0.0 - d1r, 0.0 - d1i), (idTr, idTi))
+    // Dinv[(i,k),(j,l)] = Rinv[i][j] * Tinv[k][l]
+    val dr = new Array[Double](16); val di = new Array[Double](16)
+    var i = 0
+    while (i < 2) {
+      var j = 0
+      while (j < 2) {
+        var k = 0
+        while (k < 2) {
+          var l = 0
+          while (l < 2) {
+            val (rr, ri) = r(i * 2 + j)
+            val (tr2, ti2) = t(k * 2 + l)
+            val row = i * 2 + k; val colI = j * 2 + l
+            dr(row * 4 + colI) = rr * tr2 - ri * ti2
+            di(row * 4 + colI) = rr * ti2 + ri * tr2
+            l += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var n = 0L
+    val s = new Array[Long](8)
+    val kr = new Array[Double](4); val ki = new Array[Double](4)
+    var p = 0
+    while (p < ch(0).length) {
+      if (quadValid(ch, p)) {
+        n += 1
+        kr(0) = ch(0)(p); ki(0) = ch(1)(p)
+        kr(1) = ch(2)(p); ki(1) = ch(3)(p)
+        kr(2) = ch(4)(p); ki(2) = ch(5)(p)
+        kr(3) = ch(6)(p); ki(3) = ch(7)(p)
+        var oi = 0
+        while (oi < 4) {
+          var rs = 0.0; var is = 0.0
+          var j = 0
+          while (j < 4) {
+            rs += dr(oi * 4 + j) * kr(j) - di(oi * 4 + j) * ki(j)
+            is += dr(oi * 4 + j) * ki(j) + di(oi * 4 + j) * kr(j)
+            j += 1
+          }
+          s(oi * 2) += q6l(rs); s(oi * 2 + 1) += q6l(is)
+          oi += 1
+        }
+      }
+      p += 1
+    }
+    InternalRow(n, s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7))
+  }
+
+  // ----------------------------------------------------------------- CMOD5 wind field
+
+  /** CMOD5 NRCS forward model (Hersbach 2003, ECMWF Tech Memo 395; reference
+   * WindFieldEstimationOp.java:1029-1122 CMOD5.compute), staged exactly as the
+   * DuckDB oracle restates it. */
+  private def cmod5(v: Double, cosFi: Double, theta: Double): Double = {
+    val x = (theta - 40.0) / 25.0
+    val xx = x * x
+    val a0 = -0.688 + -0.793 * x + 0.338 * xx + -0.173 * x * xx
+    val a1 = 0.0 + 0.004 * x
+    val a2 = 0.111 + 0.0162 * x
+    val gam = 6.7329 + 2.7541 * x + -2.2918 * xx
+    val s0 = 0.4 + -0.6 * x
+    val s = a2 * v
+    var a3 = 1.0 / (1.0 + math.exp(0.0 - math.max(s, s0)))
+    if (s < s0) a3 = a3 * math.pow(s / s0, s0 * (1.0 - a3))
+    val b0 = math.pow(a3, gam) * math.pow(10.0, a0 + a1 * v)
+    // tanh via the exp identity (DuckDB has no tanh; identical staging both engines)
+    val th = {
+      val e2 = math.exp(2.0 * (4.0 * (x + 0.33 + 0.012 * v)))
+      (e2 - 1.0) / (e2 + 1.0)
+    }
+    val b1a = 0.007 * v * (0.5 + x - th)
+    val b1 = (0.045 * (1.0 + x) - b1a) / (math.exp(0.34 * (v - 22.0)) + 1.0)
+    val v0 = 8.39 + -3.44 * x + 1.36 * xx
+    val d1 = 5.35 + 1.99 * x + 0.29 * xx
+    val d2 = 3.80 + 1.53 * x
+    var v2 = v / v0 + 1.0
+    if (v2 < 1.95) {
+      val ac = 1.95 - (1.95 - 1.0) / 3.0
+      val bc = 1.0 / (3.0 * math.pow(1.95 - 1.0, 2.0))
+      v2 = ac + bc * math.pow(v2 - 1.0, 3.0)
+    }
+    val b2 = (0.0 - d1 + d2 * v2) * math.exp(0.0 - v2)
+    b0 * math.pow(1.0 + b1 * cosFi + b2 * (2.0 * cosFi * cosFi - 1.0), 1.6)
+  }
+
+  /**
+   * CMOD5 wind-speed inversion per tile (WindFieldEstimationOp.java:885-912
+   * estimateWindSpeed): tile-mean NRCS (the reference's 20-km block mean),
+   * 200-candidate grid search v = 0.1..20.0 step 0.1, first strict minimum wins.
+   * Returns (n_valid, err_min_idx); speed = (idx + 1) * 0.1.
+   */
+  def cmod5Tile(vArr: ArrayData, theta: Double, cosFi: Double): InternalRow = {
+    val v = vArr.toDoubleArray()
+    var n = 0L; var s = 0.0
+    var i = 0
+    while (i < v.length) {
+      if (!isNd(v(i))) { n += 1; s += v(i) }
+      i += 1
+    }
+    if (n == 0) InternalRow(0L, -1L)
+    else {
+      val nrcs = s / n / 16.0
+      var best = 0
+      var bestErr = math.abs(nrcs - cmod5((0 + 1) * 0.1, cosFi, theta))
+      var j = 1
+      while (j < 200) {
+        val e = math.abs(nrcs - cmod5((j + 1) * 0.1, cosFi, theta))
+        if (e < bestErr) { bestErr = e; best = j }
+        j += 1
+      }
+      InternalRow(n, best.toLong)
+    }
+  }
+
+  /** Per-tile indices (k) of dark pixels: center < k * (margin-m window mean)
+   * (OilSpillDetectionOp criterion; feeds the clustering stage). */
+  def darkKs(halo: ArrayData, w: Int, h: Int, m: Int, kf: Double): ArrayData = {
+    val hw = w + 2 * m
+    val a = halo.toDoubleArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cp = a((y + m) * hw + (x + m))
+        if (!isNd(cp)) {
+          var n = 0; var s1 = 0.0
+          var dy = -m
+          while (dy <= m) {
+            var dx = -m
+            while (dx <= m) {
+              val v = a((y + m + dy) * hw + (x + m + dx))
+              if (!isNd(v)) { n += 1; s1 += v }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (n > 0 && cp < kf * (s1 / n)) out += y * w + x
+        }
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
+  // ------------------------------------- dual-pol radar backscatter/scattering indices
+
+  val DP_RBI = 0 // DPRBIOp.java:425-505 (slope-masked normalized Stokes magnitude)
+  val DP_RSI = 1 // DPRSIOp.java:345-400 (entropy-gated sqrt(1 - g1_norm^2))
+  val DP_POWERS = 2 // DpDecompositionOp.java:500-560 (Pu/Pd/Ps + alpha_dp)
+  val DP_FACT = 3 // DpFactorizationOp.java:465-540 (Ps/Pd/Pr factorization)
+
+  /**
+   * Pass A of the DPRBI/DPRSI/Dp-Decomposition/Factorization family: per-pixel
+   * slope-masked |Stokes| magnitudes over the margin-m windowed C2 (reference
+   * windowSize 5 => m=2), feeding the per-scene 5th/95th percentile stage.
+   * Returns struct of 4 per-pixel double arrays (g1a, g2a, g3a, g1s); ND where
+   * the window is empty. Window sums are exact on the dyadic grid; the mean
+   * divisions and slope average stage exactly as the DuckDB oracle.
+   */
+  def dpStokesTile(c11H: ArrayData, c22H: ArrayData, c12rH: ArrayData, c12iH: ArrayData,
+      slH: ArrayData, w: Int, h: Int, m: Int): InternalRow = {
+    val hw = w + 2 * m
+    val c11 = c11H.toDoubleArray(); val c22 = c22H.toDoubleArray()
+    val cr = c12rH.toDoubleArray(); val ci = c12iH.toDoubleArray()
+    val sl = slH.toDoubleArray()
+    val g1a = new Array[Double](w * h); val g2a = new Array[Double](w * h)
+    val g3a = new Array[Double](w * h); val g1s = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var n = 0; var m11 = 0.0; var m22 = 0.0; var mr = 0.0; var mi = 0.0
+        var sc = 0; var ss = 0.0
+        var dy = -m
+        while (dy <= m) {
+          var dx = -m
+          while (dx <= m) {
+            val idx = (y + m + dy) * hw + (x + m + dx)
+            if (!isNd(c11(idx))) {
+              n += 1; m11 += c11(idx); m22 += c22(idx); mr += cr(idx); mi += ci(idx)
+            }
+            if (!isNd(sl(idx))) { sc += 1; ss += sl(idx) }
+            dx += 1
+          }
+          dy += 1
+        }
+        val o = y * w + x
+        if (n == 0) { g1a(o) = ND; g2a(o) = ND; g3a(o) = ND; g1s(o) = ND }
+        else {
+          val g1 = m11 / n - m22 / n
+          val g2 = 2.0 * (mr / n)
+          val g3 = 2.0 * (mi / n)
+          val slopeAvg = if (sc > 0) ss / sc else 0.0
+          val mask = if (slopeAvg > 15.0) 0.0 else 1.0
+          g1s(o) = math.abs(g1)
+          g1a(o) = math.abs(g1) * mask
+          g2a(o) = math.abs(g2) * mask
+          g3a(o) = math.abs(g3) * mask
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(g1a), UnsafeArrayData.fromPrimitiveArray(g2a),
+      UnsafeArrayData.fromPrimitiveArray(g3a), UnsafeArrayData.fromPrimitiveArray(g1s))
+  }
+
+  private val Ln2 = math.log(2.0)
+
+  /**
+   * Pass B: per-tile quantized rollup of the dual-pol index family given the
+   * per-scene percentile stats (p5/p95 of the pass-A magnitudes). One compiled
+   * pass per tile; per-pixel staging mirrors the reference op order exactly and
+   * the DuckDB oracle restates it verbatim. Shared guard: window nonempty,
+   * c11 mean > 0 (log10 domain), positive eigen trace, positive p95 normalizers.
+   */
+  def dpIndexTile(c11H: ArrayData, c22H: ArrayData, c12rH: ArrayData, c12iH: ArrayData,
+      slH: ArrayData, p5g1: Double, p95g1: Double, p5g2: Double, p95g2: Double,
+      p5g3: Double, p95g3: Double, p5g1s: Double, p95g1s: Double,
+      w: Int, h: Int, m: Int, mode: Int): InternalRow = {
+    val hw = w + 2 * m
+    val c11 = c11H.toDoubleArray(); val c22 = c22H.toDoubleArray()
+    val cr = c12rH.toDoubleArray(); val ci = c12iH.toDoubleArray()
+    val sl = slH.toDoubleArray()
+    var cnt = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L; var s4 = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var n = 0; var m11 = 0.0; var m22 = 0.0; var mr = 0.0; var mi = 0.0
+        var sc = 0; var ss = 0.0
+        var dy = -m
+        while (dy <= m) {
+          var dx = -m
+          while (dx <= m) {
+            val idx = (y + m + dy) * hw + (x + m + dx)
+            if (!isNd(c11(idx))) {
+              n += 1; m11 += c11(idx); m22 += c22(idx); mr += cr(idx); mi += ci(idx)
+            }
+            if (!isNd(sl(idx))) { sc += 1; ss += sl(idx) }
+            dx += 1
+          }
+          dy += 1
+        }
+        if (n > 0) {
+          val c11m = m11 / n; val c22m = m22 / n
+          val mrm = mr / n; val mim = mi / n
+          val tr = c11m + c22m
+          if (c11m > 0.0 && tr > 0.0 && p95g1 > 0.0 && p95g2 > 0.0 && p95g3 > 0.0 && p95g1s > 0.0) {
+            val g1 = c11m - c22m
+            val g2 = 2.0 * mrm
+            val g3 = 2.0 * mim
+            val slopeAvg = if (sc > 0) ss / sc else 0.0
+            val mask = if (slopeAvg > 15.0) 0.0 else 1.0
+            val g1sAbs = math.abs(g1)
+            val g1A = math.abs(g1) * mask
+            val g2A = math.abs(g2) * mask
+            val g3A = math.abs(g3) * mask
+            // outlier clamp + p95 normalization (reference MANDATORY stage)
+            val g1n = math.min(math.max(g1A, p5g1), p95g1) / p95g1
+            val g2n = math.min(math.max(g2A, p5g2), p95g2) / p95g2
+            val g3n = math.min(math.max(g3A, p5g3), p95g3) / p95g3
+            val g1ns = math.min(math.max(g1sAbs, p5g1s), p95g1s) / p95g1s
+            val dpRbi = math.sqrt(g1n * g1n + g2n * g2n + g3n * g3n) / math.sqrt(3.0)
+            // closed-form 2x2 Hermitian eigenvalues (descending)
+            val det = c11m * c22m - (mrm * mrm + mim * mim)
+            val disc = tr * tr - 4.0 * det
+            val sq = math.sqrt(if (disc < 0.0) 0.0 else disc)
+            val l1 = (tr + sq) / 2.0; val l2 = (tr - sq) / 2.0
+            val su = l1 + l2
+            val prob1 = l1 / su; val prob2 = l2 / su
+            val e1 = if (prob1 > 0.0) prob1 * (math.log(prob1) / Ln2) else 0.0
+            val e2 = if (prob2 > 0.0) prob2 * (math.log(prob2) / Ln2) else 0.0
+            val ent = 0.0 - e1 - e2
+            val c11Db = 10.0 * math.log10(c11m)
+            val con1 = math.sqrt(math.max(0.0, 1.0 - g1ns * g1ns))
+            val dpRsi = if (c11Db > -16.0) (1.0 - ent) * con1 else con1
+            mode match {
+              case DP_RBI => cnt += 1; s1 += q6l(dpRbi)
+              case DP_RSI => cnt += 1; s1 += q6l(dpRsi)
+              case DP_POWERS =>
+                val g0 = c11m + c22m
+                val dop = (l1 - l2) / su
+                val beta = l1 / su
+                val alpha1 = math.atan2(dpRbi, 1.0 - dpRbi) * 180.0 / math.Pi
+                val alpha2 = math.atan2(1.0 - dpRsi, dpRsi) * 180.0 / math.Pi
+                val alphaDp = (alpha1 + alpha2) / 2.0
+                val cosA = math.cos(2.0 * alphaDp / 180.0 * math.Pi)
+                val valid = c11Db > -16.0
+                val pu = if (valid) (1.0 - dop) * g0 else (1.0 - beta) * g0
+                val pd = if (valid) 0.5 * dop * g0 * (1.0 - cosA) else 0.5 * beta * g0 * (1.0 - cosA)
+                val ps = if (valid) 0.5 * dop * g0 * (1.0 + cosA) else 0.5 * beta * g0 * (1.0 + cosA)
+                cnt += 1; s1 += q6l(pu); s2 += q6l(pd); s3 += q6l(ps); s4 += q6l(alphaDp)
+              case DP_FACT =>
+                val g0 = c11m + c22m
+                val ps = if (dpRsi > dpRbi) g0 * dpRsi else g0 * (1.0 - dpRbi) * dpRsi
+                val pd = if (dpRsi > dpRbi) g0 * (1.0 - dpRsi) * dpRbi else g0 * dpRbi
+                val pr = g0 - (ps + pd)
+                cnt += 1; s1 += q6l(ps); s2 += q6l(pd); s3 += q6l(pr)
+              case _ => throw new IllegalArgumentException(s"dpIndexTile mode $mode")
+            }
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(cnt, s1, s2, s3, s4)
   }
 }

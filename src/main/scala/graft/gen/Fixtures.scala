@@ -46,7 +46,7 @@ object Fixtures {
     val d = dir(sfDir)
     // version-suffixed marker: bump when generate() gains tables so stale fixture
     // dirs regenerate (deterministic -> existing tables rewrite identically)
-    val marker = Paths.get(d, "_COMPLETE_v7")
+    val marker = Paths.get(d, "_COMPLETE_v8")
     if (!Files.exists(marker)) {
       generate(spark, sc, d)
       Files.createDirectories(Paths.get(d))
@@ -323,6 +323,7 @@ object Fixtures {
     // coordinates so a planted shift is exactly recoverable (see tileValueSql).
     writeTiles(spark, sc, s"$d/tiles.parquet", dxCol = "0", dyCol = "0")
     writeTilesQuad(spark, sc, s"$d/tiles_quad.parquet")
+    writeSlope(spark, sc, s"$d/slope.parquet")
     // secondary tiles: same field sampled at (x - dx, y - dy) => xcorr ground truth.
     writeTiles(spark, sc, s"$d/tiles_sec.parquet",
       dxCol = s"(pmod(xxhash64(concat_ws('|', 'shift_x', scene_idx_str)), 4) - 1)",
@@ -496,6 +497,31 @@ object Fixtures {
       .withColumn("no_data", lit(Layout.NoData))
       .select("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y", "w", "h", "i", "q", "no_data")
     df.write.mode("overwrite").parquet(path)
+  }
+
+  /** Terrain slope raster (degrees) aligned with the dual-pol `tiles` grid: one
+   * array per (scene, subswath, burst, tile), dyadic 1/128-grid values in
+   * [0, 23.4] so window sums are exact cross-engine; ~1/3 of pixels sit above
+   * the reference's 15-degree mask threshold (DPRBIOp.java:72), fragmenting the
+   * slope mask spatially so the mask path is actually exercised. */
+  private def writeSlope(spark: SparkSession, sc: Scale, path: String): Unit = {
+    val nKeys = sc.nScenes * 3 * Layout.BurstsPerSubswath * Layout.TilesX * Layout.TilesY
+    val perBurst = Layout.TilesX * Layout.TilesY
+    val slopeSql =
+      s"""(pmod(xxhash64(concat_ws('|', 'slope', scene_id, subswath, burst_idx,
+         |  tile_x * ${Layout.TileW} + k % ${Layout.TileW},
+         |  tile_y * ${Layout.TileH} + CAST(k div ${Layout.TileW} AS INT))), 3000) / 128.0D)""".stripMargin
+    spark.range(0, nKeys.toLong, 1, 32)
+      .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
+      .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
+      .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))
+      .withColumn("sw_idx", expr(s"CAST((id div ${perBurst * Layout.BurstsPerSubswath}) % 3 AS INT)"))
+      .withColumn("subswath", concat(lit("IW"), col("sw_idx") + 1))
+      .withColumn("scene_idx", expr(s"CAST(id div ${perBurst * Layout.BurstsPerSubswath * 3} AS INT)"))
+      .withColumn("scene_id", format_string("scene_%04d", col("scene_idx")))
+      .withColumn("s", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $slopeSql)"))
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "s")
+      .write.mode("overwrite").parquet(path)
   }
 
   private def writeTiles(spark: SparkSession, sc: Scale, path: String, dxCol: String, dyCol: String): Unit = {

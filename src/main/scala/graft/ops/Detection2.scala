@@ -138,10 +138,31 @@ object Detection2 {
    * size discrimination. Both engines run the same fixed round count, so labels
    * agree even on components whose diameter exceeds the rounds.
    */
-  def objectClusterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def objectClusterQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ccClusters(
+      Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+        .withColumn("ks", graft.exprs.KernelExprs.aboveThr(col("v"), ClusterThr)),
+      MinClusterPx, MaxClusterPx)
+
+  /** Minimum oil-slick cluster size in pixels (OilSpillClusteringOp.java:46
+   * minClusterSizeInKm -> pixels; no upper bound in the reference). */
+  val OilMinClusterPx = 3
+
+  /** Oil-spill clustering: connected components over the dark-pixel mask of the
+   * oil-spill detector, keeping slicks of at least OilMinClusterPx pixels
+   * (OilSpillClusteringOp.java:46 clustering + size gate). */
+  def oilSpillClusterQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ccClusters(
+      Speckle.haloTiles(spark, sfDir, margin = 2)
+        .withColumn("ks", graft.exprs.KernelExprs.darkKs(col("halo"), W, Raster.H, 2, OilK)),
+      OilMinClusterPx, Long.MaxValue)
+
+  /** Shared connected-component pipeline: sparse flagged-pixel indices per tile
+   * (column `ks`), CcIters rounds of 8-connected min-label propagation, per-label
+   * size/extent aggregation with a size gate. */
+  private def ccClusters(flagged: DataFrame, minPx: Long, maxPx: Long): DataFrame = {
     val keys = Seq("scene_id", "subswath", "pol", "burst_idx")
-    var dets = Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
-      .withColumn("ks", graft.exprs.KernelExprs.aboveThr(col("v"), ClusterThr))
+    var dets = flagged
       .select((keys ++ Seq("tile_x", "tile_y")).map(col) :+ explode(col("ks")).as("k"): _*)
       .withColumn("gx", col("tile_x") * Layout.TileW + col("k") % Layout.TileW)
       .withColumn("gy", col("tile_y") * Layout.TileH + expr(s"k div ${Layout.TileW}"))
@@ -166,6 +187,22 @@ object Detection2 {
       .agg(count(lit(1)).as("n_px"),
         min("gx").as("min_gx"), max("gx").as("max_gx"),
         min("gy").as("min_gy"), max("gy").as("max_gy"))
-      .where(col("n_px") >= MinClusterPx && col("n_px") <= MaxClusterPx)
+      .where(col("n_px") >= minPx && col("n_px") <= maxPx)
   }
+
+  /** Full CMOD5 wind-speed inversion (WindFieldEstimationOp.java:885-912 +
+   * CMOD5.compute :1029-1122): per-tile mean NRCS (the 20-km block shape), a
+   * deterministic per-burst wind-direction input, incidence angle linear in
+   * range position, 200-candidate grid search in compiled code. */
+  def windCmod5Query(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.intensityTiles(spark, sfDir).where(col("pol") === "VV")
+      .withColumn("theta", expr(s"20.0D + 20.0D * (tile_x * ${Layout.TileW} + ${Layout.TileW / 2}) / ${Layout.SamplesPerBurst}.0D"))
+      .withColumn("fi", expr("atan2((burst_idx - 5) / 4.0D, 1.0D) * 57.29577951308232D"))
+      .withColumn("cosfi", expr("cos(fi * 0.017453292519943295D)"))
+      .withColumn("o", graft.exprs.KernelExprs.cmod5(col("v"), col("theta"), col("cosfi")))
+      .where(col("o.n") > 0)
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        col("o.n").as("n_valid"), col("o.idx").as("err_min_idx"),
+        expr("CAST(o.idx + 1 AS DOUBLE) * 0.1D").as("wind_speed"))
 }

@@ -160,6 +160,64 @@ object PolarimetryQuad {
     scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_PARAMS,
       Seq("s1" -> "span_sum_q", "s2" -> "pedestal_sum_q", "s3" -> "rvi_sum_q"))
 
+  /** Shared Quegan-solve SQL stages (identical text in the DuckDB oracle so both
+   * engines walk the same IEEE sequence over the exact covariance sums). */
+  val PolCalStages: Seq[(String, String)] = Seq(
+    "fre" -> "CASE WHEN c00 > 0.0 AND c33 > 0.0 THEN sqrt(c33 / c00) * cos(0.5 * atan2(c03i, c03r)) ELSE 1.0 END",
+    "fim" -> "CASE WHEN c00 > 0.0 AND c33 > 0.0 THEN sqrt(c33 / c00) * sin(0.5 * atan2(c03i, c03r)) ELSE 0.0 END",
+    "mag2" -> "fre * fre + fim * fim",
+    "ifr" -> "fre / mag2",
+    "ifi" -> "0.0 - fim / mag2",
+    "a1r" -> "c33 * ifr",
+    "a1i" -> "c33 * ifi",
+    "c33p" -> "CASE WHEN mag2 >= 1.0E-30 THEN a1r * ifr + a1i * ifi ELSE c33 END",
+    "c23pr" -> "CASE WHEN mag2 >= 1.0E-30 THEN c23r * ifr + c23i * ifi ELSE c23r END",
+    "c23pi" -> "CASE WHEN mag2 >= 1.0E-30 THEN 0.0 - c23r * ifi + c23i * ifr ELSE c23i END",
+    "c13pr" -> "CASE WHEN mag2 >= 1.0E-30 THEN c13r * ifr + c13i * ifi ELSE c13r END",
+    "c13pi" -> "CASE WHEN mag2 >= 1.0E-30 THEN 0.0 - c13r * ifi + c13i * ifr ELSE c13i END",
+    "d1r" -> "CASE WHEN c00 > 1.0E-30 THEN c02r / c00 ELSE 0.0 END",
+    "d1i" -> "CASE WHEN c00 > 1.0E-30 THEN c02i / c00 ELSE 0.0 END",
+    "d2r" -> "CASE WHEN c00 > 1.0E-30 THEN c01r / c00 ELSE 0.0 END",
+    "d2i" -> "CASE WHEN c00 > 1.0E-30 THEN c01i / c00 ELSE 0.0 END",
+    "d3r" -> "CASE WHEN c33p > 1.0E-30 THEN c23pr / c33p ELSE 0.0 END",
+    "d3i" -> "CASE WHEN c33p > 1.0E-30 THEN c23pi / c33p ELSE 0.0 END",
+    "d4r" -> "CASE WHEN c33p > 1.0E-30 THEN c13pr / c33p ELSE 0.0 END",
+    "d4i" -> "CASE WHEN c33p > 1.0E-30 THEN c13pi / c33p ELSE 0.0 END")
+
+  private val deltaCols = Seq("d1r", "d1i", "d2r", "d2i", "d3r", "d3i", "d4r", "d4i")
+
+  /**
+   * Quegan polarimetric calibration (PolarimetricCalibrationOp.java:176-199, 1
+   * iteration): global per-scene 4x4 scattering covariance (exact dyadic sums),
+   * channel-imbalance fold f = sqrt(C44/C11) exp(i arg(C14)/2), closed-form
+   * crosstalk deltas from the off-diagonal residuals, then the Kronecker inverse
+   * D^-1 = R^-1 (x) T^-1 applied per pixel. The per-scene solve is a 12-double
+   * broadcast — the pixel volume shuffles nowhere.
+   */
+  def polCalibrationQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiles = quadTiles(spark, sfDir)
+    val covSums = Seq("c00", "c33", "c01r", "c01i", "c02r", "c02i", "c03r", "c03i",
+      "c13r", "c13i", "c23r", "c23i")
+    val cov = tiles
+      .withColumn("cv", KernelExprs.polCalCov(ChannelCols.map(col)))
+      .groupBy("scene_id", "subswath")
+      .agg(covSums.map(c => sum(s"cv.$c").as(c)).head, covSums.tail.map(c => sum(s"cv.$c").as(c)): _*)
+    val deltas = PolCalStages.foldLeft(cov) { case (df, (name, sql)) =>
+      df.withColumn(name, expr(sql))
+    }.select((Seq("scene_id", "subswath") ++ deltaCols).map(col): _*)
+    tiles.join(broadcast(deltas), Seq("scene_id", "subswath"))
+      .withColumn("o", KernelExprs.polCalApply((ChannelCols ++ deltaCols).map(col)))
+      .select(tileKeys.map(col) ++ (col("o.n").as("n_valid") +:
+        Seq("hhr", "hhi", "hvr", "hvi", "vhr", "vhi", "vvr", "vvi")
+          .map(f => col(s"o.s_$f").as(s"${f}_sum_q"))): _*)
+  }
+
+  /** Generalized RVI: geodesic distances between the windowed-T3 Kennaugh matrix
+   * and the GVSM volume / canonical target Kennaugh matrices (GRVIOp.java:216-410,
+   * gRVI = (1 - GD_rv) * beta^GD_rv with beta = (min/max GD of the 4 targets)^2). */
+  def grviQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_GRVI, Seq("s1" -> "grvi_sum_q"))
+
   /** Cross-channel SNR correction: HV scaled by the HV/VH window coherence
    * gamma = |<HV VH*>| / sqrt(<|HV|^2><|VH|^2>) (CrossChannelSNRCorrectionOp.java:197-211). */
   def xChannelSnrQuery(spark: SparkSession, sfDir: String): DataFrame =
