@@ -246,6 +246,19 @@ object SarOracles7 {
        |      FROM st)
        |$rollup""".stripMargin
 
+  val mChi: String = {
+    val m = "(sqrt((m11 - m22) * (m11 - m22) + (2 * mr) * (2 * mr) + (-2 * mi) * (-2 * mi)) / (m11 + m22))"
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
+       |       WHEN $m <= 0 THEN -9999.0
+       |       ELSE (m11 + m22) * $m * (1.0 + (0.0 - (-2 * mi)) / ($m * (m11 + m22))) / 2.0 END AS out
+       |  FROM st)
+       |$rollup""".stripMargin
+  }
+
   val anisotropy: String =
     s"""WITH $c2Cte,
        |$dCte,

@@ -18,7 +18,7 @@ object SarOracles8 {
   private val rollup = SarOracles.rollupSql(1.0)
 
   /** quantized-v pixel CTE over tiles (all pols). */
-  private val pxCte: String =
+  private[graft] val pxCte: String =
     s"""px0 AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0

@@ -1,0 +1,179 @@
+package graft
+
+import graft.model.Layout
+
+/**
+ * DuckDB oracles for the soil-moisture family, antenna-pattern/EAP corrections,
+ * mission thermal-noise variant, warp-gather resampling (deskew/cross) and the
+ * multi-master pair network. Formula text mirrors the ops staging; decimal
+ * literals feeding arithmetic that Spark would run in floating point are CAST to
+ * DOUBLE so both engines walk identical IEEE sequences.
+ */
+object SarOraclesSm {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+  private val W = Layout.TileW
+  private val N = Layout.TileW * Layout.TileH
+  private val rollup = SarOracles.rollupSql(1.0)
+  private def q6(e: String) = s"CAST(floor(0.031415926535897934 + ($e) * 1.0E6) AS BIGINT)"
+
+  private def thetaOf(gx: String) = s"(20.0 + 20.0 * ($gx) / ${Layout.SamplesPerBurst})"
+
+  /** q_antenna_pattern */
+  val antennaPattern: String = {
+    val g = s"(1.0 + 0.2 * cos((${thetaOf("gx")} - 30.0) / CAST(5.0 AS DOUBLE)))"
+    s"""WITH ${SarOracles8.pxCte},
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN v = -9999.0 THEN -9999.0 ELSE v / ($g * $g) END AS out
+       |      FROM px)
+       |$rollup""".stripMargin
+  }
+
+  /** q_eap_phase */
+  val eapPhase: String = {
+    val e = s"(0.4 * sin((${thetaOf("gx")} - 28.0) / CAST(3.0 AS DOUBLE)))"
+    s"""WITH ${SarOracles2.pxCte("tiles", "pa")},
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |        CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0
+       |             ELSE atan2(sin(atan2(qv, iv) - $e), cos(atan2(qv, iv) - $e)) END AS out
+       |      FROM pa)
+       |$rollup""".stripMargin
+  }
+
+  /** q_thermal_noise_rcm */
+  val thermalNoiseRcm: String =
+    s"""WITH ${SarOracles8.pxCte},
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |             CASE WHEN v = -9999.0 THEN -9999.0
+       |                  ELSE greatest(0, v - (2.0 + 0.25 * burst_idx)) END AS out
+       |      FROM px)
+       |$rollup""".stripMargin
+
+  // ------------------------------------------------------ warp-gather resampling
+
+  private def warpOracle(coeffs: Seq[Double]): String = {
+    def c(i: Int) = s"CAST(${coeffs(i)} AS DOUBLE)"
+    val dx = s"CAST(floor(${c(0)} + ${c(1)} * c.gx + ${c(2)} * c.gy + 0.5) AS INT)"
+    val dy = s"CAST(floor(${c(3)} + ${c(4)} * c.gx + ${c(5)} * c.gy + 0.5) AS INT)"
+    s"""WITH ${SarOracles8.pxCte},
+       |sh AS (SELECT *, $dx AS sdx, $dy AS sdy FROM px c),
+       |o AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    CASE WHEN abs(c.sdx) > ${ops.Resampling.Margin} OR abs(c.sdy) > ${ops.Resampling.Margin}
+       |         THEN -9999.0 ELSE coalesce(s.v, -9999.0) END AS out
+       |  FROM sh c
+       |  LEFT JOIN px s ON s.scene_id = c.scene_id AND s.subswath = c.subswath
+       |    AND s.pol = c.pol AND s.burst_idx = c.burst_idx
+       |    AND s.gx = c.gx - c.sdx AND s.gy = c.gy - c.sdy
+       |    AND s.gx >= c.tile_x * $W - ${ops.Resampling.Margin}
+       |    AND s.gx < (c.tile_x + 1) * $W + ${ops.Resampling.Margin}
+       |    AND s.gy >= c.tile_y * ${Layout.TileH} - ${ops.Resampling.Margin}
+       |    AND s.gy < (c.tile_y + 1) * ${Layout.TileH} + ${ops.Resampling.Margin})
+       |$rollup""".stripMargin
+  }
+
+  val deskew: String = warpOracle(Seq(0.0, 0.0, 0.0, 0.0, ops.Resampling.DeskewFrac, 0.0))
+
+  val crossResampling: String = warpOracle(
+    ops.Resampling.CrossDx ++ ops.Resampling.CrossDy)
+
+  // ----------------------------------------------------------- multi-master pairs
+
+  /** q_multimaster */
+  val multiMaster: String =
+    s"""WITH sc AS (SELECT scene_id, first_line_time FROM ${fx("scenes")}),
+       |pairs AS (
+       |  SELECT a.scene_id AS scene_a, b.scene_id AS scene_b
+       |  FROM sc a JOIN sc b ON a.scene_id < b.scene_id
+       |    AND b.first_line_time - a.first_line_time <= ${ops.Stack.MultiMasterMaxDt}),
+       |${SarOracles2.pxCte("tiles", "pa")},
+       |pv AS (SELECT * FROM pa WHERE pol = 'VV'),
+       |j AS (
+       |  SELECT p.scene_a, p.scene_b, a.subswath, a.pol, a.burst_idx, a.tile_y, a.tile_x,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.iv * b.iv + a.qv * b.qv END AS cre,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.qv * b.iv - a.iv * b.qv END AS cim
+       |  FROM pairs p
+       |  JOIN pv a ON a.scene_id = p.scene_a
+       |  JOIN pv b ON b.scene_id = p.scene_b AND b.subswath = a.subswath
+       |    AND b.pol = a.pol AND b.burst_idx = a.burst_idx AND b.gx = a.gx AND b.gy = a.gy)
+       |SELECT scene_a, scene_b, subswath, pol, burst_idx, tile_y, tile_x,
+       |  count(*) FILTER (cre <> -9999.0) AS n_valid,
+       |  CAST(coalesce(sum(${q6("cre")}) FILTER (cre <> -9999.0), 0) AS BIGINT) AS cre_sum_q,
+       |  CAST(coalesce(sum(${q6("cim")}) FILTER (cre <> -9999.0), 0) AS BIGINT) AS cim_sum_q
+       |FROM j GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
+  // ------------------------------------------------------------ soil moisture
+
+  private val lutKeys = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
+
+  /** IEM argmin oracle over the px-pair frame `pp(keys, gx, v1, v2)`. */
+  private def iemOracle(ppCte: String): String = {
+    val s1 = "CASE WHEN v1 = -9999.0 OR v1 <= 0.0 THEN -9999.0 ELSE 10 * log10(v1) END"
+    val s2 = "CASE WHEN v2 = -9999.0 OR v2 <= 0.0 THEN -9999.0 ELSE 10 * log10(v2) END"
+    s"""$ppCte,
+       |sg AS (SELECT *, $s1 AS s1px, $s2 AS s2px,
+       |         floor(${thetaOf("gx")} + 0.5) AS sect
+       |       FROM pp),
+       |cand AS (
+       |  SELECT g.*, l.row_id, l.rms, l.rdc,
+       |    (g.s1px - l.s1) * (g.s1px - l.s1) + (g.s2px - l.s2) * (g.s2px - l.s2) AS d
+       |  FROM sg g JOIN ${fx("sm_lut")} l ON l.theta_idx = g.sect
+       |  WHERE g.s1px <> -9999.0 AND g.s2px <> -9999.0),
+       |best AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY scene_id, subswath, pol, burst_idx, gx, gy ORDER BY d, row_id) AS rn
+       |  FROM cand)
+       |SELECT $lutKeys,
+       |  count(*) AS n_valid,
+       |  CAST(coalesce(sum(${q6("rms")}), 0) AS BIGINT) AS rms_sum_q,
+       |  CAST(coalesce(sum(${q6("rdc")}), 0) AS BIGINT) AS rdc_sum_q
+       |FROM best WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
+  /** q_sm_iem_multipol */
+  val iemMultiPol: String = iemOracle(
+    s"""WITH ${SarOracles8.pxCte},
+       |pva AS (SELECT * FROM px WHERE pol = 'VV' AND burst_idx <= ${ops.SoilMoisture.IemMaxBurst}),
+       |pvb AS (SELECT * FROM px WHERE pol = 'VH' AND burst_idx <= ${ops.SoilMoisture.IemMaxBurst}),
+       |pp AS (
+       |  SELECT a.scene_id, a.subswath, 'DP' AS pol, a.burst_idx, a.tile_y, a.tile_x,
+       |         a.gx, a.gy, a.v AS v1, b.v AS v2
+       |  FROM pva a JOIN pvb b ON b.scene_id = a.scene_id AND b.subswath = a.subswath
+       |    AND b.burst_idx = a.burst_idx AND b.gx = a.gx AND b.gy = a.gy)""".stripMargin)
+
+  /** q_sm_iem_multiangle */
+  val iemMultiAngle: String = iemOracle(
+    s"""WITH ${SarOracles8.pxCte},
+       |pv AS (SELECT *, CAST(substring(scene_id, 7, 4) AS INT) AS scene_idx
+       |       FROM px WHERE pol = 'VV' AND burst_idx <= ${ops.SoilMoisture.IemMaxBurst}),
+       |pv2 AS (SELECT *, scene_idx // 2 AS pair_idx FROM pv),
+       |pp AS (
+       |  SELECT a.scene_id, a.subswath, a.pol, a.burst_idx, a.tile_y, a.tile_x,
+       |         a.gx, a.gy, a.v AS v1, b.v AS v2
+       |  FROM pv2 a JOIN pv2 b ON b.pair_idx = a.pair_idx AND b.subswath = a.subswath
+       |    AND b.pol = a.pol AND b.burst_idx = a.burst_idx AND b.gx = a.gx AND b.gy = a.gy
+       |    AND b.scene_idx % 2 = 1
+       |  WHERE a.scene_idx % 2 = 0)""".stripMargin)
+
+  /** q_sm_dielectric */
+  val smDielectric: String = {
+    import ops.SoilMoisture.{HkA, HkB, HkC}
+    val rdc = "(6.0 + 3.0 * sin((gx) / 20) + 2.0 * cos((gy) / 15))"
+    val disc = s"($HkB * $HkB - 4.0 * $HkC * ($HkA - $rdc))"
+    val sm = s"((0.0 - $HkB + sqrt($disc)) / (2.0 * $HkC))"
+    s"""WITH ${SarOracles8.pxCte},
+       |sx AS (SELECT *, CAST(substring(scene_id, 7, 4) AS INT) AS scene_idx
+       |       FROM px WHERE pol = 'VV'),
+       |tx AS (SELECT *, CAST(30.6 + 2.0 * (scene_idx % 3) AS DOUBLE) AS sand,
+       |         CAST(13.5 + 3.0 * (scene_idx % 2) AS DOUBLE) AS clay FROM sx),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN v = -9999.0 OR $disc < 0.0 THEN -9999.0
+       |         ELSE least(greatest($sm, 0.0), 0.55) END AS out
+       |  FROM tx)
+       |$rollup""".stripMargin
+  }
+}

@@ -19,7 +19,7 @@ object SarOraclesTc {
 
   /** One Lagrange interpolation block: from a relation carrying (lo, hi | tzd) +
    * the sv lists, compute xv/yv/zv/vxv/vyv/vzv at time `ttExpr`. */
-  private def interpStages(src: String, ttExpr: String): String = {
+  private def interpStages(src: String, ttExpr: String, sv: String = "sv2"): String = {
     val chans = Seq("x" -> "xs", "y" -> "ys", "z" -> "zs", "vx" -> "vxs", "vy" -> "vys", "vz" -> "vzs")
     val extracts = (Seq("t" -> "ts") ++ chans).flatMap { case (o, l) =>
       (1 to 4).map(j => s"list_extract($l, kq + ${j - 2}) AS ${o}$j")
@@ -42,32 +42,178 @@ object SarOraclesTc {
        |            SELECT *, greatest(2, least(nsv - 2, CAST(floor((tt - ts0v) / dtt) AS INT) + 1)) AS kq
        |            FROM (SELECT p.*, s.ts, s.xs, s.ys, s.zs, s.vxs, s.vys, s.vzs, s.ts0v, s.dtt, s.nsv,
        |                         $ttExpr AS tt
-       |                  FROM $src p JOIN sv2 s USING (scene_id))
+       |                  FROM $src p JOIN $sv s USING (scene_id))
        |          )
        |        )
        |      )""".stripMargin
   }
 
-  private def bisectStep(i: Int): String =
-    s"""b$i AS MATERIALIZED (
+  private def bisectStep(i: Int, pfx: String = "b", sv: String = "sv2"): String =
+    s"""$pfx$i AS MATERIALIZED (
        |  SELECT scene_id, ci, cj, tx_m, ty_m, height,
        |    CASE WHEN ff < 0 THEN mid ELSE lo END AS lo,
        |    CASE WHEN ff < 0 THEN hi ELSE mid END AS hi
        |  FROM (
        |    SELECT *, tt AS mid, vxv * (xv - tx_m) + vyv * (yv - ty_m) + vzv * (zv - height) AS ff
        |    FROM (
-       |${interpStages(s"b${i - 1}", "(p.lo + p.hi) / 2")}
+       |${interpStages(s"$pfx${i - 1}", "(p.lo + p.hi) / 2", sv)}
        |    )
        |  ))""".stripMargin
 
   val terrainCorrectionFull: String = rdGeocodeSql(useDem = true)
+
+  /** Resolve chain from a finished bisection (fin relation with tzd + sv lists)
+   * to fractional (subswath, burst, l0, x0, wl, wx, lf, xf) positions, prefix-named. */
+  private def resolveStages(p: String, binPfx: String, sv: String): String = {
+    val tc = TerrainCorrection
+    s"""${p}fin0 AS MATERIALIZED (SELECT *, (lo + hi) / 2 AS tzd FROM ${binPfx}40),
+       |${p}fin AS MATERIALIZED (
+       |  SELECT scene_id, ci, cj, tzd,
+       |    sqrt((xv - tx_m) * (xv - tx_m) + (yv - ty_m) * (yv - ty_m) + (zv - height) * (zv - height)) AS slant,
+       |    sqrt(list_extract(xs, 1) * list_extract(xs, 1) + list_extract(zs, 1) * list_extract(zs, 1)) AS r0
+       |  FROM (
+       |${interpStages(s"${p}fin0", "p.tzd", sv)}
+       |  )),
+       |${p}g5 AS (
+       |  SELECT f.*, s.azimuth_time_interval, (f.slant - f.r0) / ${tc.DR} AS xf
+       |  FROM ${p}fin f JOIN ${fx("scenes")} s USING (scene_id)),
+       |${p}g6 AS (
+       |  SELECT *, CAST(floor(xf) AS INT) AS s0 FROM ${p}g5
+       |  WHERE xf >= 0 AND xf < ${3 * Layout.SamplesPerBurst - 1}),
+       |${p}g7 AS (
+       |  SELECT *, CAST(s0 % ${Layout.SamplesPerBurst} AS INT) AS x0,
+       |         'IW' || CAST(s0 // ${Layout.SamplesPerBurst} + 1 AS VARCHAR) AS subswath,
+       |         xf - floor(xf) AS wx
+       |  FROM ${p}g6 WHERE CAST(s0 % ${Layout.SamplesPerBurst} AS INT) < ${Layout.SamplesPerBurst - 1}),
+       |${p}g8 AS (
+       |  SELECT g7.scene_id, g7.ci, g7.cj, g7.subswath, b.burst_idx, g7.x0, g7.wx, g7.xf,
+       |         (g7.tzd - b.bft) / g7.azimuth_time_interval AS lf
+       |  FROM ${p}g7 g7 JOIN bo b ON b.scene_id = g7.scene_id AND b.subswath = g7.subswath
+       |  WHERE g7.tzd > coalesce((b.prev_last + b.bft) / 2, -1e18)
+       |    AND g7.tzd <= coalesce((b.blt + b.next_first) / 2, 1e18)),
+       |${p}g9 AS (
+       |  SELECT *, CAST(floor(lf) AS INT) AS l0, lf - floor(lf) AS wl
+       |  FROM ${p}g8 WHERE lf >= 0 AND lf < ${Layout.LinesPerBurst - 1})""".stripMargin
+  }
+
+  /** q_back_geocoding: two-geometry solve (master + baseline-offset secondary
+   * orbit), per-cell az/rg offsets, and the deramp -> bilinear -> remodulate
+   * resampling of the paired secondary image (BackGeocodingOp.java:1383-1512
+   * twin; staging mirrors ops.BackGeocoding verbatim). */
+  val backGeocoding: String = {
+    val tc = TerrainCorrection
+    val bg = graft.ops.BackGeocoding
+    val mSteps = (1 to 40).map(i => bisectStep(i, "mb", "sv2")).mkString(",\n")
+    val sSteps = (1 to 40).map(i => bisectStep(i, "sb", "sv2s")).mkString(",\n")
+    def q6(e: String) = s"CAST(floor(0.031415926535897934 + ($e) * 1.0E6) AS BIGINT)"
+    val phTs = bg.phaseSql("t_s")
+    val phTc = bg.phaseSql("t_c")
+    s"""WITH sv0 AS (
+       |  SELECT scene_id, list(t_sec ORDER BY t_sec) AS ts, list(x ORDER BY t_sec) AS xs,
+       |         list(y ORDER BY t_sec) AS ys, list(z ORDER BY t_sec) AS zs,
+       |         list(vx ORDER BY t_sec) AS vxs, list(vy ORDER BY t_sec) AS vys,
+       |         list(vz ORDER BY t_sec) AS vzs,
+       |         min(t_sec) AS ts0v, count(*) AS nsv
+       |  FROM ${fx("orbit_curved")} GROUP BY 1),
+       |sv2 AS (SELECT *, list_extract(ts, 2) - list_extract(ts, 1) AS dtt FROM sv0),
+       |sv2s AS (SELECT scene_id, ts, list_transform(xs, v -> v + ${tc.SecBx}) AS xs, ys,
+       |         list_transform(zs, v -> v + ${tc.SecBz}) AS zs, vxs, vys, vzs, ts0v, nsv, dtt
+       |         FROM sv2),
+       |grid AS (
+       |  SELECT s.scene_id, s.lon0, s.lat0, ci.ci, cj.cj,
+       |         s.lon0 + (ci.ci + 0.5) * ${tc.CellDeg} AS lon,
+       |         s.lat0 + (cj.cj + 0.5) * ${tc.CellDeg} AS lat
+       |  FROM ${fx("scenes")} s,
+       |       (SELECT unnest(range(${tc.GridNx})) AS ci) ci,
+       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj),
+       |g2 AS (
+       |  SELECT g.scene_id, g.ci, g.cj, d.height,
+       |         (g.lon - g.lon0) * ${tc.XMetersPerDeg} AS tx_m,
+       |         (g.lat - g.lat0) * ${tc.YMetersPerDeg} AS ty_m
+       |  FROM grid g
+       |  JOIN ${fx("dem")} d ON d.scene_id = g.scene_id
+       |    AND d.lat_idx = CAST(round((g.lat - g.lat0) / ${tc.DemStep}, 0) AS INT)
+       |    AND d.lon_idx = CAST(round((g.lon - g.lon0) / ${tc.DemStep}, 0) AS INT)),
+       |bo AS (
+       |  SELECT scene_id, subswath, burst_idx, burst_first_line_time AS bft, burst_last_line_time AS blt,
+       |         lag(burst_last_line_time) OVER w AS prev_last,
+       |         lead(burst_first_line_time) OVER w AS next_first
+       |  FROM ${fx("bursts")} WINDOW w AS (PARTITION BY scene_id, subswath ORDER BY burst_idx)),
+       |mb0 AS (
+       |  SELECT g.scene_id, g.ci, g.cj, g.tx_m, g.ty_m, g.height,
+       |         list_extract(s.ts, 1) AS lo, list_extract(s.ts, CAST(s.nsv AS INT)) AS hi
+       |  FROM g2 g JOIN sv2 s USING (scene_id)),
+       |$mSteps,
+       |sb0 AS (
+       |  SELECT g.scene_id, g.ci, g.cj, g.tx_m, g.ty_m, g.height,
+       |         list_extract(s.ts, 1) AS lo, list_extract(s.ts, CAST(s.nsv AS INT)) AS hi
+       |  FROM g2 g JOIN sv2s s USING (scene_id)),
+       |$sSteps,
+       |${resolveStages("m", "mb", "sv2")},
+       |${resolveStages("s", "sb", "sv2s")},
+       |jm AS (
+       |  SELECT m.scene_id, m.ci, m.cj,
+       |    m.subswath AS m_subswath, m.burst_idx AS m_burst_idx, m.lf AS lf_m, m.xf AS xf_m,
+       |    s.subswath, s.burst_idx, s.l0, s.x0, s.wl, s.wx, s.lf AS lf_s, s.xf AS xf_s,
+       |    CAST(substring(m.scene_id, 7, 4) AS INT) AS scene_idx
+       |  FROM mg9 m JOIN sg9 s ON s.scene_id = m.scene_id AND s.ci = m.ci AND s.cj = m.cj),
+       |je AS (
+       |  SELECT *, 'scene_' || lpad(CAST(scene_idx + 1 AS VARCHAR), 4, '0') AS sec_scene_id
+       |  FROM jm WHERE scene_idx % 2 = 0),
+       |wm AS (
+       |  SELECT j.*, b.doppler_rate, b.doppler_centroid, b.reference_time,
+       |    b.burst_first_line_time, sc.azimuth_time_interval
+       |  FROM je j
+       |  JOIN ${fx("bursts")} b ON b.scene_id = j.scene_id AND b.subswath = j.subswath
+       |    AND b.burst_idx = j.burst_idx
+       |  JOIN ${fx("scenes")} sc ON sc.scene_id = j.scene_id),
+       |wt AS (SELECT *, burst_first_line_time + lf_s * azimuth_time_interval AS t_s FROM wm),
+       |wr AS (SELECT *, atan2(sin(0.0 - $phTs), cos(0.0 - $phTs)) AS remod_ph FROM wt),
+       |corners AS (
+       |  SELECT wr.*, c.cy, c.cx,
+       |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
+       |    l0 + c.cy AS line, x0 + c.cx AS samp
+       |  FROM wr CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)),
+       |cph AS (SELECT *, burst_first_line_time + line * azimuth_time_interval AS t_c FROM corners),
+       |cph2 AS (SELECT *, $phTc AS ph_c FROM cph),
+       |spx0 AS (
+       |  SELECT scene_id AS sec_scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
+       |         unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")} WHERE pol = 'VV'),
+       |spx AS (
+       |  SELECT sec_scene_id, subswath, burst_idx,
+       |         tile_x * ${Layout.TileW} + k % ${Layout.TileW} AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // ${Layout.TileW} AS INT) AS gy,
+       |         iv0, qv0,
+       |         floor(iv0 * ${graft.ops.Raster.Dyadic}) / ${graft.ops.Raster.Dyadic} AS pa,
+       |         floor(qv0 * ${graft.ops.Raster.Dyadic}) / ${graft.ops.Raster.Dyadic} AS pb
+       |  FROM spx0),
+       |terms AS (
+       |  SELECT c.scene_id, c.ci, c.cj, c.m_subswath, c.m_burst_idx,
+       |    c.lf_m, c.xf_m, c.lf_s, c.xf_s, c.remod_ph,
+       |    CASE WHEN p.iv0 = -9999.0 OR p.qv0 = -9999.0 THEN NULL
+       |         ELSE ${q6("c.w * (p.pa * cos(c.ph_c) + p.pb * sin(c.ph_c))")} END AS re_t,
+       |    CASE WHEN p.iv0 = -9999.0 OR p.qv0 = -9999.0 THEN NULL
+       |         ELSE ${q6("c.w * (p.pb * cos(c.ph_c) - p.pa * sin(c.ph_c))")} END AS im_t
+       |  FROM cph2 c
+       |  JOIN spx p ON p.sec_scene_id = c.sec_scene_id AND p.subswath = c.subswath
+       |    AND p.burst_idx = c.burst_idx AND p.gx = c.samp AND p.gy = c.line)
+       |SELECT scene_id, ci, cj, m_subswath, m_burst_idx,
+       |       count(re_t) AS n_corners,
+       |       CAST(sum(re_t) AS BIGINT) AS re_q, CAST(sum(im_t) AS BIGINT) AS im_q,
+       |       any_value(${q6("lf_s - lf_m")}) AS az_off_q,
+       |       any_value(${q6("xf_s - xf_m")}) AS rg_off_q,
+       |       any_value(${q6("remod_ph")}) AS remod_q
+       |FROM terms GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
 
   /** Ellipsoid-Correction-RD: identical geometry, height = 0, no DEM join. */
   val ellipsoidRd: String = rdGeocodeSql(useDem = false)
 
   private def rdGeocodeSql(useDem: Boolean): String = {
     val tc = TerrainCorrection
-    val steps = (1 to 40).map(bisectStep).mkString(",\n")
+    val steps = (1 to 40).map(i => bisectStep(i)).mkString(",\n")
     s"""WITH sv0 AS (
        |  SELECT scene_id, list(t_sec ORDER BY t_sec) AS ts, list(x ORDER BY t_sec) AS xs,
        |         list(y ORDER BY t_sec) AS ys, list(z ORDER BY t_sec) AS zs,

@@ -10,21 +10,25 @@ object Verify {
     // the driver's budget — the round-2 local[4] default starved it (VERDICT r2 #1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(16, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      // the 105-query surface accumulates broadcast blocks in the one-JVM block
-      // manager; the ContextCleaner only drops them after a driver GC, and the
-      // default periodicGC interval (30 min) never fires inside the run — the
-      // round-3 gate hit an 8-minute GC storm ~90 queries in without this
-      .config("spark.cleaner.periodicGC.interval", "45s")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "131072")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        // the 105-query surface accumulates broadcast blocks in the one-JVM block
+        // manager; the ContextCleaner only drops them after a driver GC, and the
+        // default periodicGC interval (30 min) never fires inside the run — the
+        // round-3 gate hit an 8-minute GC storm ~90 queries in without this
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
     new java.io.File(outDir).mkdirs()
     // cheap-first ordering: if the driver's budget cuts the run short, the partial
     // dump still covers most operators (the windowed/FFT kernels go last)
@@ -36,7 +40,11 @@ object Verify {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (heavy.contains(n), n) }
-    ordered.foreach { case (name, fn) =>
+    ordered.zipWithIndex.foreach { case ((name, fn), idx) =>
+      // recycle the one-JVM session every 50 queries: the 150-query surface
+      // otherwise accumulates codegen classes + broadcast blocks until a
+      // multi-minute GC stall (observed ~100 queries in even with periodic GC)
+      if (idx > 0 && idx % 50 == 0) { spark.stop(); spark = newSession() }
       // ordering is a gate-layer concern (deterministic dump), not a library-operator
       // one: sort by all columns here so no operator plan carries a global sort.
       try {

@@ -555,6 +555,40 @@ case class CpC2SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
     copy(chs = c)
 }
 
+/** Nearest-neighbor polynomial warp gather over a margin-m halo (deskew / cross). */
+case class WarpGatherExpr(halo: Expression, tileX: Expression, tileY: Expression,
+    w: Int, h: Int, m: Int, coeffs: Seq[Double]) extends StaticKernelExpr {
+  require(coeffs.size == 6)
+  override def children: Seq[Expression] = Seq(halo, tileX, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.warpGather(${args(0)}, $w, $h, $m, ${args(1)}, ${args(2)}, " +
+      coeffs.map(c => s"${c}D").mkString(", ") + ")"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.warpGather(args(0).asInstanceOf[ArrayData], w, h, m,
+      args(1).asInstanceOf[Int], args(2).asInstanceOf[Int],
+      coeffs(0), coeffs(1), coeffs(2), coeffs(3), coeffs(4), coeffs(5))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0), tileX = c(1), tileY = c(2))
+}
+
+/** IEM LUT nearest-neighbor inversion rollup per tile. */
+case class IemInvertExpr(s1: Expression, s2: Expression, theta: Expression,
+    lut: Expression) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(s1, s2, theta, lut)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("rms_q", LongType, nullable = false),
+    StructField("rdc_q", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.iemInvertTile(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.iemInvertTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(s1 = c(0), s2 = c(1), theta = c(2), lut = c(3))
+}
+
 /** Per-tile exact covariance sums for the Quegan polarimetric calibration solve. */
 case class PolCalCovExpr(chs: Seq[Expression]) extends StaticKernelExpr {
   require(chs.size == 8)
@@ -677,6 +711,13 @@ object KernelExprs {
     toCol(PolChangeExpr(chs.map(toExpr), w, h, m))
 
   def polCalCov(chs: Seq[Column]): Column = toCol(PolCalCovExpr(chs.map(toExpr)))
+
+  def warpGather(halo: Column, tileX: Column, tileY: Column,
+      w: Int, h: Int, m: Int, coeffs: Seq[Double]): Column =
+    toCol(WarpGatherExpr(toExpr(halo), toExpr(tileX), toExpr(tileY), w, h, m, coeffs))
+
+  def iemInvert(s1: Column, s2: Column, theta: Column, lut: Column): Column =
+    toCol(IemInvertExpr(toExpr(s1), toExpr(s2), toExpr(theta), toExpr(lut)))
 
   def polCalApply(chs: Seq[Column]): Column = toCol(PolCalApplyExpr(chs.map(toExpr)))
 

@@ -654,6 +654,7 @@ object Kernels {
   val C2_DPRVI = 1
   val C2_ANISOTROPY = 2
   val C2_ENTROPY = 3
+  val C2_MCHI = 4 // m-chi surface power ps (CP decomposition; pv/pd share the pass)
 
   /**
    * Windowed dual-pol C2 products over 4 margin-m halo channels (c11, c22, c12r,
@@ -704,6 +705,21 @@ object Kernels {
               val tr = m11 + m22
               val disc = tr * tr - 4.0 * (m11 * m22 - mr * mr - mi * mi)
               if (disc < 0.0) 0.0 else math.sqrt(disc) / tr
+            }
+          case C2_MCHI =>
+            // m-chi surface power ps = g0 m (1 + sin2chi)/2 with
+            // sin2chi = -g3 / (m g0) over the windowed Stokes (Raney m-chi CP
+            // decomposition; the pv/pd channels share the identical pass).
+            if (n == 0 || m11 + m22 <= 0.0) ND
+            else {
+              val g0 = m11 + m22
+              val g1 = m11 - m22; val g2 = 2.0 * mr; val g3 = -2.0 * mi
+              val mdop = math.sqrt(g1 * g1 + g2 * g2 + g3 * g3) / g0
+              if (mdop <= 0.0) ND
+              else {
+                val s2x = (0.0 - g3) / (mdop * g0)
+                g0 * mdop * (1.0 + s2x) / 2.0
+              }
             }
           case C2_ENTROPY =>
             if (n == 0 || m11 + m22 <= 0.0) ND
@@ -2364,6 +2380,83 @@ object Kernels {
       y += 1
     }
     InternalRow(n, s)
+  }
+
+  // ------------------------------------------- warp-gather resampling (deskew / cross)
+
+  /**
+   * Nearest-neighbor gather at a degree-1 polynomial source offset: out(x, y) =
+   * halo(x - round(a0 + a1 gx + a2 gy), y - round(b0 + b1 gx + b2 gy)) with
+   * round = floor(v + 0.5) (Java Math.round staging, mirrored in SQL). Offsets
+   * beyond the margin produce ND. Covers ALOS-Deskewing (a = 0, b = fracShift * gx,
+   * ALOSDeskewingOp.java computeTileStack MapReady branch) and CrossResampling
+   * (jlinda CrossResamplingOp polynomial grid transfer, nearest-neighbor kernel).
+   */
+  def warpGather(halo: ArrayData, w: Int, h: Int, m: Int, tileX: Int, tileY: Int,
+      a0: Double, a1: Double, a2: Double, b0: Double, b1: Double, b2: Double): ArrayData = {
+    val hw = w + 2 * m
+    val a = halo.toDoubleArray()
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = tileX * w + x
+        val gy = tileY * h + y
+        val dx = math.floor(a0 + a1 * gx + a2 * gy + 0.5).toInt
+        val dy = math.floor(b0 + b1 * gx + b2 * gy + 0.5).toInt
+        out(y * w + x) =
+          if (math.abs(dx) > m || math.abs(dy) > m) ND
+          else a((y + m - dy) * hw + (x + m - dx))
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ------------------------------------------------------- IEM soil-moisture inversion
+
+  /**
+   * IEM LUT nearest-neighbor inversion per tile (IEMInverBase.java:724-860 KD-tree
+   * search re-expressed as an exact argmin over the broadcast per-angle-section
+   * LUT): for each pixel, find the LUT row of the pixel's integer-degree incidence
+   * section minimizing the Euclidean distance in (sigma1, sigma2) dB space; roll up
+   * quantized sums of the winning rms and RDC. Ties break to the lowest row index
+   * (stable first minimum). lut is the flat broadcast array
+   * [theta_idx, rms, rdc, s1, s2] * nRows.
+   */
+  def iemInvertTile(s1Arr: ArrayData, s2Arr: ArrayData, thetaArr: ArrayData,
+      lutArr: ArrayData): InternalRow = {
+    val s1 = s1Arr.toDoubleArray(); val s2 = s2Arr.toDoubleArray()
+    val th = thetaArr.toDoubleArray()
+    val lut = lutArr.toDoubleArray()
+    val nRows = lut.length / 5
+    var n = 0L; var sRms = 0L; var sRdc = 0L
+    var p = 0
+    while (p < s1.length) {
+      if (!isNd(s1(p)) && !isNd(s2(p))) {
+        val sect = math.floor(th(p) + 0.5) // round(theta) section (IEMInverBase.java:327)
+        var best = -1; var bestD = Double.MaxValue
+        var r = 0
+        while (r < nRows) {
+          if (lut(r * 5) == sect) {
+            val d1 = s1(p) - lut(r * 5 + 3)
+            val d2 = s2(p) - lut(r * 5 + 4)
+            val d = d1 * d1 + d2 * d2
+            if (d < bestD) { bestD = d; best = r }
+          }
+          r += 1
+        }
+        if (best >= 0) {
+          n += 1
+          sRms = sRms + q6l(lut(best * 5 + 1))
+          sRdc = sRdc + q6l(lut(best * 5 + 2))
+        }
+      }
+      p += 1
+    }
+    InternalRow(n, sRms, sRdc)
   }
 
   // ------------------------------------------------- Quegan polarimetric calibration

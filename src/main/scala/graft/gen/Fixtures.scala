@@ -46,7 +46,7 @@ object Fixtures {
     val d = dir(sfDir)
     // version-suffixed marker: bump when generate() gains tables so stale fixture
     // dirs regenerate (deterministic -> existing tables rewrite identically)
-    val marker = Paths.get(d, "_COMPLETE_v8")
+    val marker = Paths.get(d, "_COMPLETE_v10")
     if (!Files.exists(marker)) {
       generate(spark, sc, d)
       Files.createDirectories(Paths.get(d))
@@ -324,6 +324,7 @@ object Fixtures {
     writeTiles(spark, sc, s"$d/tiles.parquet", dxCol = "0", dyCol = "0")
     writeTilesQuad(spark, sc, s"$d/tiles_quad.parquet")
     writeSlope(spark, sc, s"$d/slope.parquet")
+    writeSmLut(spark, s"$d/sm_lut.parquet")
     // secondary tiles: same field sampled at (x - dx, y - dy) => xcorr ground truth.
     writeTiles(spark, sc, s"$d/tiles_sec.parquet",
       dxCol = s"(pmod(xxhash64(concat_ws('|', 'shift_x', scene_idx_str)), 4) - 1)",
@@ -522,6 +523,23 @@ object Fixtures {
       .withColumn("s", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $slopeSql)"))
       .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "s")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** IEM inversion LUT (rstb soil-moisture: rows of (theta section, rms, RDC,
+   * sigma1, sigma2)): deterministic forward-model surface on the dyadic 1/1024
+   * grid, 21 integer-degree sections x 6 rms x 9 RDC knots. */
+  private def writeSmLut(spark: SparkSession, path: String): Unit = {
+    spark.range(0, 21L * 6 * 9, 1, 1)
+      .withColumn("row_id", col("id").cast("int"))
+      .withColumn("theta_idx", expr("CAST(20 + id % 21 AS DOUBLE)"))
+      .withColumn("rms", expr("CAST(0.5 + CAST((id div 21) % 6 AS DOUBLE) * 0.5 AS DOUBLE)"))
+      .withColumn("rdc", expr("CAST(4.0 + CAST((id div 126) % 9 AS DOUBLE) * 2.0 AS DOUBLE)"))
+      .withColumn("s1", expr(
+        "CAST(floor((-20.0 + rms * 3.0 + rdc * 0.5 - (theta_idx - 30.0) * 0.2) * 1024.0) / 1024.0 AS DOUBLE)"))
+      .withColumn("s2", expr(
+        "CAST(floor((-22.0 + rms * 2.0 + rdc * 0.7 - (theta_idx - 30.0) * 0.1) * 1024.0) / 1024.0 AS DOUBLE)"))
+      .select("row_id", "theta_idx", "rms", "rdc", "s1", "s2")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   private def writeTiles(spark: SparkSession, sc: Scale, path: String, dxCol: String, dyCol: String): Unit = {

@@ -95,4 +95,44 @@ object Calibration {
       .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, nz) -> if(dn2 = $ND, $ND, greatest(0D, dn2 - nz)))"))
     Raster.rollup(out, scale = 1.0)
   }
+
+  /** Shared elevation-angle SQL (linear in range position, integer denominator so
+   * both engines run double division). */
+  private def thetaOf(gx: String) = s"(20.0 + 20.0 * ($gx) / ${Layout.SamplesPerBurst})"
+
+  /** q_antenna_pattern: remove the two-way elevation antenna-pattern gain
+   * (RemoveAntennaPatternOp.java — out = dn2 / g(theta)^2 with the gain pattern a
+   * closed-form elevation profile both engines evaluate from pixel coordinates). */
+  def antennaPatternQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    val g = s"(1.0 + 0.2 * cos((${thetaOf(gx)} - 30.0) / CAST(5.0 AS DOUBLE)))"
+    Raster.rollup(Raster.intensityTiles(spark, sfDir)
+      .withColumn("out", expr(
+        s"transform(v, (x, k) -> if(x = $ND, $ND, x / ($g * $g)))")))
+  }
+
+  /** q_eap_phase: Sentinel-1 elevation-antenna-pattern phase correction
+   * (EAPPhaseCorrection — wrapped phase minus the elevation phase profile). */
+  def eapPhaseQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    val e = s"(0.4 * sin((${thetaOf(gx)} - 28.0) / CAST(3.0 AS DOUBLE)))"
+    Raster.rollup(Fixtures.table(spark, sfDir, "tiles")
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x"), col("tile_y"),
+        expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as("iv"),
+        expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as("qv"))
+      .withColumn("out", expr(
+        s"""zip_with(zip_with(qv, iv, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
+           |         sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
+           |  if(ph = $ND, $ND, atan2(sin(ph - $e), cos(ph - $e))))""".stripMargin)))
+  }
+
+  /** q_thermal_noise_rcm: RCM/SAOCOM-style per-beam constant noise-floor variant
+   * of ThermalNoiseRemoval (the mission calibrators swap the vector LUT for a
+   * per-beam scalar floor; RCMCalibrator/SAOCOM noise handling). */
+  def thermalNoiseRcmQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.rollup(Raster.intensityTiles(spark, sfDir)
+      .withColumn("nf", expr("2.0D + 0.25D * burst_idx"))
+      .withColumn("out", expr(
+        s"transform(v, x -> if(x = $ND, $ND, greatest(0D, x - nf)))")))
 }

@@ -96,6 +96,11 @@ object Polarimetry {
   def dprviQuery(spark: SparkSession, sfDir: String): DataFrame =
     c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_DPRVI)
 
+  /** m-chi CP decomposition: surface power ps over the 3x3-windowed Stokes
+   * (Raney m-chi; the pv/pd channels share the same compiled pass). */
+  def mChiQuery(spark: SparkSession, sfDir: String): DataFrame =
+    c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_MCHI)
+
   /** Dual-pol anisotropy A = (l1 - l2)/(l1 + l2) of the 3x3-windowed C2. */
   def anisotropyQuery(spark: SparkSession, sfDir: String): DataFrame =
     c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_ANISOTROPY)

@@ -234,4 +234,41 @@ object Stack {
         col("pl.ph1_q").as("ph1_sum_q"), col("pl.ph2_q").as("ph2_sum_q"),
         col("pl.ph3_q").as("ph3_sum_q"), col("pl.ph4_q").as("ph4_sum_q"))
   }
+
+  /** Maximum temporal baseline (s) for multi-master pair selection. */
+  val MultiMasterMaxDt = 250.0
+
+  /**
+   * Multi-master InSAR pair network (MultiMasterInSAROp.java / MultiMasterOp.java):
+   * every scene pair within the temporal-baseline window forms an interferogram;
+   * per-pair, per-tile integer-exact sums of the complex cross product. The pair
+   * enumeration is a self-join of the (tiny) scenes dimension; the pixel volume
+   * joins once per admissible pair on the co-partitioned tile key.
+   */
+  def multiMasterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = Fixtures.table(spark, sfDir, "scenes").select("scene_id", "first_line_time")
+    val pairs = sc.select(col("scene_id").as("scene_a"), col("first_line_time").as("ta"))
+      .join(sc.select(col("scene_id").as("scene_b"), col("first_line_time").as("tb")),
+        col("scene_a") < col("scene_b") &&
+          col("tb") - col("ta") <= MultiMasterMaxDt)
+      .select("scene_a", "scene_b")
+    def snap(c: String) =
+      expr(s"transform($c, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})")
+    val tiles = Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), snap("i").as("iv"), snap("q").as("qv"))
+    val gridKeys = Seq("subswath", "pol", "burst_idx", "tile_x", "tile_y")
+    val a = tiles.withColumnRenamed("scene_id", "scene_a")
+    val b = tiles.withColumnRenamed("scene_id", "scene_b")
+      .withColumnRenamed("iv", "iv2").withColumnRenamed("qv", "qv2")
+    a.join(broadcast(pairs), Seq("scene_a"))
+      .join(b, gridKeys :+ "scene_b")
+      .withColumn("cx", graft.exprs.KernelExprs.complexCross(
+        col("iv"), col("qv"), col("iv2"), col("qv2")))
+      .select(col("scene_a"), col("scene_b"), col("subswath"), col("pol"),
+        col("burst_idx"), col("tile_y"), col("tile_x"),
+        expr(s"CAST(size(filter(cx.cre, x -> x != ${Raster.ND})) AS BIGINT)").as("n_valid"),
+        expr(s"aggregate(cx.cre, 0L, (s, x) -> s + if(x = ${Raster.ND}, 0L, CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT)))").as("cre_sum_q"),
+        expr(s"aggregate(cx.cim, 0L, (s, x) -> s + if(x = ${Raster.ND}, 0L, CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT)))").as("cim_sum_q"))
+  }
 }

@@ -236,7 +236,17 @@ object TerrainCorrection {
   def ellipsoidRdQuery(spark: SparkSession, sfDir: String): DataFrame =
     rdGeocode(spark, sfDir, useDem = false)
 
-  private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean): DataFrame = {
+  /** Secondary-orbit baseline offset (m) for Back-Geocoding: the secondary
+   * acquisition's state vectors are the master's displaced by (Bx, 0, Bz). */
+  val SecBx = 30.0
+  val SecBz = 15.0
+
+  /** Cells resolved to fractional (subswath, burst, lf, xf) source positions in
+   * either the master geometry or (perturb = true) the baseline-offset secondary
+   * geometry — the two-geometry solve at the heart of Back-Geocoding
+   * (BackGeocodingOp.java:1383-1476). */
+  private[ops] def resolveCells(spark: SparkSession, sfDir: String, useDem: Boolean,
+      perturb: Boolean = false): DataFrame = {
     val scenes = Fixtures.table(spark, sfDir, "scenes")
       .select("scene_id", "azimuth_time_interval", "lon0", "lat0")
     val dem = Fixtures.table(spark, sfDir, "dem")
@@ -244,9 +254,16 @@ object TerrainCorrection {
     val cells = spark.range(0L, GridNx.toLong * GridNy)
       .select(expr(s"CAST(id div $GridNy AS INT)").as("ci"),
         expr(s"CAST(id % $GridNy AS INT)").as("cj"))
+    val (xsC, zsC) =
+      if (perturb) (expr(s"transform(xs, v -> v + ${SecBx}D)"), expr(s"transform(zs, v -> v + ${SecBz}D)"))
+      else (col("xs"), col("zs"))
     val zd = graft.exprs.KernelExprs.zeroDoppler(
-      col("ts"), col("xs"), col("ys"), col("zs"), col("vxs"), col("vys"), col("vzs"),
+      col("ts"), xsC, col("ys"), zsC, col("vxs"), col("vys"), col("vzs"),
       col("tx_m"), col("ty_m"), col("height"))
+    val r0Sql =
+      if (perturb)
+        s"sqrt((element_at(xs, 1) + ${SecBx}D) * (element_at(xs, 1) + ${SecBx}D) + (element_at(zs, 1) + ${SecBz}D) * (element_at(zs, 1) + ${SecBz}D))"
+      else "sqrt(element_at(xs, 1) * element_at(xs, 1) + element_at(zs, 1) * element_at(zs, 1))"
     val gridded = cells
       .join(broadcast(scenes))
       .withColumn("lon", col("lon0") + (col("ci") + 0.5) * CellDeg)
@@ -258,12 +275,12 @@ object TerrainCorrection {
           .withColumn("lon_idx", expr(s"CAST(round((lon - lon0) / $DemStep, 0) AS INT)"))
           .join(broadcast(dem), Seq("scene_id", "lat_idx", "lon_idx"))
       else gridded.withColumn("height", lit(0.0))
-    val resolved = withHeight
+    withHeight
       .withColumn("tx_m", (col("lon") - col("lon0")) * XMetersPerDeg)
       .withColumn("ty_m", (col("lat") - col("lat0")) * YMetersPerDeg)
       .join(broadcast(svArrays(spark, sfDir)), Seq("scene_id"))
       .withColumn("zd", zd)
-      .withColumn("r0", expr("sqrt(element_at(xs, 1) * element_at(xs, 1) + element_at(zs, 1) * element_at(zs, 1))"))
+      .withColumn("r0", expr(r0Sql))
       .withColumn("t_zd", col("zd.tzd"))
       .withColumn("xf", (col("zd.slant") - col("r0")) / DR)
       .where(col("xf") >= 0 && col("xf") < 3 * Layout.SamplesPerBurst - 1)
@@ -278,7 +295,12 @@ object TerrainCorrection {
       .where(col("lf") >= 0 && col("lf") < Layout.LinesPerBurst - 1) // both az corners in burst
       .withColumn("l0", expr("CAST(floor(lf) AS INT)"))
       .withColumn("wl", col("lf") - expr("floor(lf)"))
-      .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx")
+      .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx", "lf", "xf")
+  }
+
+  private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean): DataFrame = {
+    val resolved = resolveCells(spark, sfDir, useDem)
+      .drop("lf", "xf")
     // 4 bilinear corners, each with its own tile key and weight
     val corners = resolved
       .withColumn("cyx", expr("explode(array(struct(0 AS cy, 0 AS cx), struct(0 AS cy, 1 AS cx), " +

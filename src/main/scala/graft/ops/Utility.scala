@@ -37,10 +37,19 @@ object Utility {
 
   def undersampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val w2 = Layout.TileW / 2
-    Raster.rollup(Raster.intensityTiles(spark, sfDir)
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    // decimate the RAW i/q arrays and snap per kept pixel: referencing the derived
+    // `v` array 256x per tile made Catalyst inline the full 1024-element zip_with
+    // into every element_at (O(W*H) per kept pixel — a 500x interpreted blowup
+    // that stalled the gate ~9 min on this one query)
+    val idx = s"CAST((j div $w2) * 2 * ${Layout.TileW} + (j % $w2) * 2 + 1 AS INT)"
+    Raster.rollup(Fixtures.table(spark, sfDir, "tiles")
       .withColumn("out", expr(
         s"""transform(sequence(0, ${w2 * Layout.TileH / 2 - 1}), j ->
-           |  element_at(v, CAST((j div $w2) * 2 * ${Layout.TileW} + (j % $w2) * 2 + 1 AS INT)))""".stripMargin)))
+           |  if(element_at(i, $idx) = $ND or element_at(q, $idx) = $ND
+           |       or isnan(element_at(i, $idx)) or isnan(element_at(q, $idx)), $ND,
+           |     floor(((floor(element_at(i, $idx) * $d) / $d) * (floor(element_at(i, $idx) * $d) / $d)
+           |            + (floor(element_at(q, $idx) * $d) / $d) * (floor(element_at(q, $idx) * $d) / $d)) * $dv) / $dv))""".stripMargin)))
   }
 
   val FloodThreshold = 80.0
