@@ -259,6 +259,24 @@ object SarOracles7 {
        |$rollup""".stripMargin
   }
 
+  /** q_dualpol_y3: Y3 surface power on the windowed C2 sums — Uniform-Random
+   * volume (volA = volB = 0.5) makes the residual trace |m11 - m22| with the
+   * volume-clip branch, surfaced when Re c12 >= 0 (DualPolY3DecompositionOp
+   * .java:231-265). Staging mirrors Kernels.c2Window C2_Y3PS exactly. */
+  val y3Ps: String = {
+    val residTrace =
+      "greatest(CASE WHEN m11 - m22 < 0 THEN greatest(m22 - m11, 0.0) ELSE m11 - m22 END, 0.0)"
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
+       |       WHEN $residTrace > 0 AND mr >= 0 THEN $residTrace
+       |       ELSE 0.0 END AS out
+       |  FROM st)
+       |$rollup""".stripMargin
+  }
+
   val anisotropy: String =
     s"""WITH $c2Cte,
        |$dCte,

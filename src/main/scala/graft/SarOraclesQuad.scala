@@ -309,6 +309,164 @@ object SarOraclesQuad {
        |  ${sumQ6("0.5 * (tmp1 + tmp3)", "ps_sum_q")}
        |FROM fd GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  /** q_pol_krogager: sphere/diplane/helix from the windowed-T3 Huynen parameters
+   * (Krogager.java:181-198), max(0) rounding guard mirrored from the kernel. */
+  val krogager: String =
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |k1 AS (SELECT *, 0.5 * (sw11 / n) AS a0, 0.5 * (sw22 / n + sw33 / n) AS b0,
+       |         abs(sw23i / n) AS f
+       |       FROM win WHERE n > 0),
+       |k2 AS (SELECT *, greatest(b0 - f, 0.0) AS dm FROM k1),
+       |k3 AS (SELECT *, sqrt(a0) AS ks, sqrt(dm) AS kd, sqrt(b0 + f) - sqrt(dm) AS kh FROM k2)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("ks", "ks_sum_q")},
+       |  ${sumQ6("kd", "kd_sum_q")},
+       |  ${sumQ6("kh", "kh_sum_q")}
+       |FROM k3 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** Windowed T3 means + lexicographic C3 extras (c00 = |HH|^2, cvv = |VV|^2,
+   * c13 = HH VV*) shared by the model-based decomposition oracles. */
+  private val c3WinCtes: String =
+    s"""e3 AS (SELECT *, hhr * hhr + hhi * hhi AS c00px, vvr * vvr + vvi * vvi AS cvvpx,
+       |         hhr * vvr + hhi * vvi AS c13rpx, hhi * vvr - hhr * vvi AS c13ipx
+       |       FROM t3),
+       |w3 AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.valid) AS n,
+       |    coalesce(sum(n.t11) FILTER (n.valid), 0) AS sw11,
+       |    coalesce(sum(n.t22) FILTER (n.valid), 0) AS sw22,
+       |    coalesce(sum(n.t33) FILTER (n.valid), 0) AS sw33,
+       |    coalesce(sum(n.t12r) FILTER (n.valid), 0) AS sw12r,
+       |    coalesce(sum(n.t12i) FILTER (n.valid), 0) AS sw12i,
+       |    coalesce(sum(n.t23i) FILTER (n.valid), 0) AS sw23i,
+       |    coalesce(sum(n.c00px) FILTER (n.valid), 0) AS sc00,
+       |    coalesce(sum(n.cvvpx) FILTER (n.valid), 0) AS scvv,
+       |    coalesce(sum(n.c13rpx) FILTER (n.valid), 0) AS sc13r,
+       |    coalesce(sum(n.c13ipx) FILTER (n.valid), 0) AS sc13i
+       |  FROM e3 c CROSS JOIN d
+       |  LEFT JOIN e3 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |m3 AS (SELECT *, sw11 / n AS t11m, sw22 / n AS t22m, sw33 / n AS t33m,
+       |         sw12r / n AS t12rm, sw12i / n AS t12im, sw23i / n AS t23im,
+       |         sc00 / n AS c00m, scvv / n AS cvvm,
+       |         sc13r / n AS c13rm, sc13i / n AS c13im
+       |       FROM w3 WHERE n > 0)""".stripMargin
+
+  /** q_pol_yamaguchi: Yamaguchi 4-component pv/ps/pc with the helix term, the
+   * 3-branch volume-model ratio selection, the Freeman-Durden fallback and the
+   * negative-power clips — staged EXACTLY as Kernels.quadScalar QS_YAMAGUCHI
+   * (guarded divisions; no IEEE infinities on either engine). */
+  val yamaguchi: String = {
+    val d = (x: Double) => s"CAST($x AS DOUBLE)"
+    s"""WITH ${t3Cte(SB, raw = true)},
+       |$dCte,
+       |$c3WinCtes,
+       |y0 AS (SELECT *, t11m + t22m + t33m AS span, 2.0 * abs(t23im) AS pc0,
+       |    CASE WHEN cvvm > 0 AND c00m > 0 THEN
+       |           CASE WHEN 10.0 * log10(cvvm / c00m) <= -2.0 THEN 0
+       |                WHEN 10.0 * log10(cvvm / c00m) > 2.0 THEN 2 ELSE 1 END
+       |         WHEN cvvm <= 0 AND c00m > 0 THEN 0
+       |         WHEN c00m <= 0 AND cvvm > 0 THEN 2
+       |         ELSE 1 END AS branch
+       |  FROM m3),
+       |y1 AS (SELECT *,
+       |    CASE WHEN branch = 0 THEN ${d(1.0 / 6.0)} WHEN branch = 2 THEN ${d(-1.0 / 6.0)} ELSE 0.0 END AS k1,
+       |    CASE WHEN branch = 1 THEN ${d(1.0 / 4.0)} ELSE ${d(7.0 / 30.0)} END AS k2,
+       |    CASE WHEN branch = 1 THEN ${d(1.0 / 4.0)} ELSE ${d(4.0 / 15.0)} END AS k3
+       |  FROM y0),
+       |y2 AS (SELECT *, (t33m - 0.5 * pc0) / k3 AS pv0 FROM y1),
+       |-- Freeman-Durden fallback staging (selected when pv0 <= 0)
+       |f1 AS (SELECT *, 4.0 * t33m AS ffv FROM y2),
+       |f2 AS (SELECT *, c00m - ffv * 3.0 / 8.0 AS fc11, c13rm - ffv / 8.0 AS fc13r0,
+       |         c13im AS fc13i0, cvvm - ffv * 3.0 / 8.0 AS fc33
+       |       FROM f1),
+       |f3 AS (SELECT *, fc11 * fc33 AS a1, fc13r0 * fc13r0 + fc13i0 * fc13i0 AS a2,
+       |         NOT (fc11 > 1.0E-15 AND fc33 > 1.0E-15) AS degen
+       |       FROM f2),
+       |f4 AS (SELECT *,
+       |    CASE WHEN NOT degen AND a1 < a2 THEN sqrt(a1) * fc13r0 / sqrt(a2) ELSE fc13r0 END AS fc13r,
+       |    CASE WHEN NOT degen AND a1 < a2 THEN sqrt(a1) * fc13i0 / sqrt(a2) ELSE fc13i0 END AS fc13i
+       |  FROM f3),
+       |f5 AS (SELECT *,
+       |    abs((a1 - fc13r * fc13r - fc13i * fc13i) / (fc11 + fc33 - 2.0 * fc13r)) AS fA,
+       |    abs((a1 - fc13r * fc13r - fc13i * fc13i) / (fc11 + fc33 + 2.0 * fc13r)) AS fB
+       |  FROM f4),
+       |f6 AS (SELECT *,
+       |    CASE WHEN degen THEN 0.0 WHEN fc13r < 0 THEN fA ELSE abs(fc33 - fB) END AS fs,
+       |    CASE WHEN degen THEN 0.0 WHEN fc13r < 0 THEN abs(fc33 - fA) ELSE fB END AS fd
+       |  FROM f5),
+       |f7 AS (SELECT *,
+       |    CASE WHEN degen THEN 0.0 WHEN fc13r < 0 THEN
+       |           CASE WHEN fd > 0 THEN (fc13r - fs) / fd ELSE 0.0 END
+       |         ELSE -1.0 END AS far,
+       |    CASE WHEN degen THEN 0.0 WHEN fc13r < 0 THEN
+       |           CASE WHEN fd > 0 THEN fc13i / fd ELSE 0.0 END
+       |         ELSE 0.0 END AS fai,
+       |    CASE WHEN degen THEN 0.0 WHEN fc13r < 0 THEN 1.0
+       |         ELSE CASE WHEN fs > 0 THEN (fc13r + fd) / fs ELSE 0.0 END END AS fbr,
+       |    CASE WHEN degen THEN 0.0 WHEN fc13r < 0 THEN 0.0
+       |         ELSE CASE WHEN fs > 0 THEN fc13i / fs ELSE 0.0 END END AS fbi
+       |  FROM f6),
+       |-- Yamaguchi main-branch staging (selected when pv0 > 0)
+       |g1 AS (SELECT *, t11m - 0.5 * pv0 AS sY, t22m - k2 * pv0 - 0.5 * pc0 AS dY,
+       |         t12rm - k1 * pv0 AS cR, t12im AS cI,
+       |         pv0 + pc0 < span AS inspan,
+       |         c13rm - 0.5 * t33m + 0.5 * pc0 AS c0
+       |       FROM f7),
+       |g2 AS (SELECT *, cR * cR + cI * cI AS num FROM g1),
+       |g3 AS (SELECT *,
+       |    CASE WHEN c0 < 0 AND dY <> 0 THEN sY - num / dY
+       |         WHEN c0 >= 0 AND sY <> 0 THEN sY + num / sY
+       |         ELSE -1.0 END AS psraw,
+       |    CASE WHEN c0 < 0 AND dY <> 0 THEN dY + num / dY
+       |         WHEN c0 >= 0 AND sY <> 0 THEN dY - num / sY
+       |         ELSE -1.0 END AS pdraw
+       |  FROM g2),
+       |g4 AS (SELECT *,
+       |    CASE WHEN NOT inspan THEN span - pc0
+       |         WHEN psraw < 0 AND pdraw < 0 THEN span - pc0
+       |         ELSE pv0 END AS pvy,
+       |    CASE WHEN NOT inspan THEN 0.0
+       |         WHEN psraw > 0 AND pdraw < 0 THEN span - pv0 - pc0
+       |         WHEN psraw < 0 THEN 0.0
+       |         ELSE psraw END AS psy
+       |  FROM g3),
+       |fin AS (SELECT *,
+       |    CASE WHEN pv0 <= 0 THEN ffv ELSE pvy END AS pv,
+       |    CASE WHEN pv0 <= 0 THEN fs * (1.0 + fbr * fbr + fbi * fbi) ELSE psy END AS ps,
+       |    CASE WHEN pv0 <= 0 THEN 0.0 ELSE pc0 END AS pc
+       |  FROM g4)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("pv", "pv_sum_q")},
+       |  ${sumQ6("ps", "ps_sum_q")},
+       |  ${sumQ6("pc", "pc_sum_q")}
+       |FROM fin GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
+  /** q_pol_vanzyl: van Zyl eigen 3-component on the windowed C3 means
+   * (vanZyl.java:185-227; C22 = t33 by the Pauli identity). */
+  val vanZyl: String =
+    s"""WITH ${t3Cte(SB, raw = true)},
+       |$dCte,
+       |$c3WinCtes,
+       |v1 AS (SELECT *, c13rm / c00m AS rhore, c13im / c00m AS rhoim,
+       |         t33m / c00m AS eta, cvvm / c00m AS zeta
+       |       FROM m3 WHERE c00m > 0),
+       |v2 AS (SELECT *, (zeta - 1.0) * (zeta - 1.0) + 4.0 * (rhore * rhore + rhoim * rhoim) AS delta
+       |       FROM v1),
+       |v3 AS (SELECT *, 0.5 * c00m * (zeta + 1.0 + sqrt(delta)) AS l1,
+       |         0.5 * c00m * (zeta + 1.0 - sqrt(delta)) AS l2,
+       |         c00m * eta AS l3
+       |       FROM v2)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("l3", "pv_sum_q")},
+       |  ${sumQ6("CASE WHEN l1 > l2 THEN l2 ELSE l1 END", "pd_sum_q")},
+       |  ${sumQ6("CASE WHEN l1 > l2 THEN l1 ELSE l2 END", "ps_sum_q")}
+       |FROM v3 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   /** q_pol_params: span, pedestal height l3/l1, RVI 4 l3/(l1+l2+l3) from the
    * windowed-T3 eigenvalues (Cardano staged exactly as the kernel/hAlpha). */
   val polParams: String =

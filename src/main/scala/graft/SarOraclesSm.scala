@@ -133,6 +133,58 @@ object SarOraclesSm {
        |FROM best WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
+  /** q_sm_iem_hybrid: four sigma channels (AM VV/VH + PM VV/VH of the even/odd
+   * scene pair), argmin over the shared (rms, rdc) grid with the PM sigma pair
+   * read from the PM incidence section (theta + offset). Tie-break mirrors the
+   * kernel's first-lowest-row_id scan. */
+  val iemHybrid: String = {
+    def dB(v: String) =
+      s"CASE WHEN $v = -9999.0 OR $v <= 0.0 THEN -9999.0 ELSE 10 * log10($v) END"
+    s"""WITH ${SarOracles8.pxCte},
+       |pc AS (SELECT *, CAST(substring(scene_id, 7, 4) AS INT) AS scene_idx
+       |       FROM px WHERE burst_idx <= ${ops.SoilMoisture.IemMaxBurst}),
+       |pc2 AS (SELECT *, scene_idx // 2 AS pair_idx FROM pc),
+       |pp AS (
+       |  SELECT a.scene_id, a.subswath, 'DP' AS pol, a.burst_idx, a.tile_y, a.tile_x,
+       |         a.gx, a.gy, a.v AS v1a, b.v AS v2a, c.v AS v1b, d.v AS v2b
+       |  FROM pc2 a
+       |  JOIN pc2 b ON b.pair_idx = a.pair_idx AND b.subswath = a.subswath
+       |    AND b.burst_idx = a.burst_idx AND b.gx = a.gx AND b.gy = a.gy
+       |    AND b.pol = 'VH' AND b.scene_idx % 2 = 0
+       |  JOIN pc2 c ON c.pair_idx = a.pair_idx AND c.subswath = a.subswath
+       |    AND c.burst_idx = a.burst_idx AND c.gx = a.gx AND c.gy = a.gy
+       |    AND c.pol = 'VV' AND c.scene_idx % 2 = 1
+       |  JOIN pc2 d ON d.pair_idx = a.pair_idx AND d.subswath = a.subswath
+       |    AND d.burst_idx = a.burst_idx AND d.gx = a.gx AND d.gy = a.gy
+       |    AND d.pol = 'VH' AND d.scene_idx % 2 = 1
+       |  WHERE a.pol = 'VV' AND a.scene_idx % 2 = 0),
+       |sg AS (SELECT *, ${dB("v1a")} AS s1a, ${dB("v2a")} AS s2a,
+       |         ${dB("v1b")} AS s1b, ${dB("v2b")} AS s2b,
+       |         floor(${thetaOf("gx")} + 0.5) AS sect_a,
+       |         floor((${thetaOf("gx")} + ${ops.SoilMoisture.HybridThetaOffset}) + 0.5) AS sect_b
+       |       FROM pp),
+       |cand AS (
+       |  SELECT g.scene_id, g.subswath, g.pol, g.burst_idx, g.tile_y, g.tile_x,
+       |    g.gx, g.gy, la.row_id, la.rms, la.rdc,
+       |    (g.s1a - la.s1) * (g.s1a - la.s1) + (g.s2a - la.s2) * (g.s2a - la.s2)
+       |      + (g.s1b - lb.s1) * (g.s1b - lb.s1) + (g.s2b - lb.s2) * (g.s2b - lb.s2) AS d
+       |  FROM sg g
+       |  JOIN ${fx("sm_lut")} la ON la.theta_idx = g.sect_a
+       |  JOIN ${fx("sm_lut")} lb ON lb.theta_idx = g.sect_b
+       |    AND lb.rms = la.rms AND lb.rdc = la.rdc
+       |  WHERE g.s1a <> -9999.0 AND g.s2a <> -9999.0
+       |    AND g.s1b <> -9999.0 AND g.s2b <> -9999.0),
+       |best AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY scene_id, subswath, pol, burst_idx, gx, gy ORDER BY d, row_id) AS rn
+       |  FROM cand)
+       |SELECT $lutKeys,
+       |  count(*) AS n_valid,
+       |  CAST(coalesce(sum(${q6("rms")}), 0) AS BIGINT) AS rms_sum_q,
+       |  CAST(coalesce(sum(${q6("rdc")}), 0) AS BIGINT) AS rdc_sum_q
+       |FROM best WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
   /** q_sm_iem_multipol */
   val iemMultiPol: String = iemOracle(
     s"""WITH ${SarOracles8.pxCte},

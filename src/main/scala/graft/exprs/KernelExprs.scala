@@ -589,6 +589,25 @@ case class IemInvertExpr(s1: Expression, s2: Expression, theta: Expression,
     copy(s1 = c(0), s2 = c(1), theta = c(2), lut = c(3))
 }
 
+/** IEM Hybrid LUT inversion rollup: AM/PM sigma pairs + per-image theta. */
+case class IemHybridExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  require(chs.size == 7)
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("rms_q", LongType, nullable = false),
+    StructField("rdc_q", LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.iemHybridTile(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.iemHybridTile(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 /** Per-tile exact covariance sums for the Quegan polarimetric calibration solve. */
 case class PolCalCovExpr(chs: Seq[Expression]) extends StaticKernelExpr {
   require(chs.size == 8)
@@ -718,6 +737,8 @@ object KernelExprs {
 
   def iemInvert(s1: Column, s2: Column, theta: Column, lut: Column): Column =
     toCol(IemInvertExpr(toExpr(s1), toExpr(s2), toExpr(theta), toExpr(lut)))
+
+  def iemHybrid(chs: Seq[Column]): Column = toCol(IemHybridExpr(chs.map(toExpr)))
 
   def polCalApply(chs: Seq[Column]): Column = toCol(PolCalApplyExpr(chs.map(toExpr)))
 

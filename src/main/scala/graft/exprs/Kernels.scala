@@ -655,6 +655,7 @@ object Kernels {
   val C2_ANISOTROPY = 2
   val C2_ENTROPY = 3
   val C2_MCHI = 4 // m-chi surface power ps (CP decomposition; pv/pd share the pass)
+  val C2_Y3PS = 5 // dual-pol Y3 surface power (DualPolY3DecompositionOp.java:231-265)
 
   /**
    * Windowed dual-pol C2 products over 4 margin-m halo channels (c11, c22, c12r,
@@ -720,6 +721,25 @@ object Kernels {
                 val s2x = (0.0 - g3) / (mdop * g0)
                 g0 * mdop * (1.0 + s2x) / 2.0
               }
+            }
+          case C2_Y3PS =>
+            // Y3 dual-pol model-based decomposition, Uniform-Random volume
+            // (volA = volB = 0.5, DualPolY3DecompositionOp.java:144-147): volume
+            // amplitude from the cross-pol diagonal, clipped when over-estimated,
+            // residual trace to surface or double-bounce by sign(Re c12)
+            // (:231-265). Window sums stand in for the window means — the powers
+            // scale by the shared valid count, identically in the DuckDB twin.
+            if (n == 0 || m11 + m22 <= 0.0) ND
+            else {
+              var residCo = m11 - m22 // c11 - fv*volA with fv = c22/volB
+              var residCross = 0.0 // c22 - fv*volB = 0 by construction
+              if (residCo < 0.0) { // volume over-estimated: clip fv to c11/volA
+                residCo = 0.0
+                residCross = m22 - m11
+                if (residCross < 0.0) residCross = 0.0 // pure-volume pixel
+              }
+              val residTrace = math.max(0.0, residCo + residCross)
+              if (residTrace > 0.0 && mr >= 0.0) residTrace else 0.0
             }
           case C2_ENTROPY =>
             if (n == 0 || m11 + m22 <= 0.0) ND
@@ -2075,6 +2095,13 @@ object Kernels {
   val QS_PARAMS = 3 // span / pedestal height / RVI (PolarimetricParametersOp.java computePolarimetricParameters)
   val QS_SNR = 4 // cross-channel SNR correction (CrossChannelSNRCorrectionOp.java:197-211)
   val QS_GRVI = 5 // generalized RVI via Kennaugh geodesic distances (GRVIOp.java:260-410)
+  val QS_YAMAGUCHI = 6 // Yamaguchi 4-component w/ helix + FD fallback (Yamaguchi.java:164-237)
+  val QS_VANZYL = 7 // van Zyl eigen 3-component (vanZyl.java:185-227)
+  val QS_KROGAGER = 8 // Krogager sphere/diplane/helix (Krogager.java:181-198)
+
+  /** SNAP's Constants.EPS (org.esa.snap.engine_utilities.eo.Constants), the
+   * degenerate-channel guard of the Freeman-Durden solve. */
+  private val SnapEps = 1e-15
 
   @inline private def q6l(v: Double): Long =
     math.floor(0.031415926535897934 + v * 1.0e6).toLong
@@ -2283,6 +2310,151 @@ object Kernels {
                 }
               }
             }
+          case QS_KROGAGER =>
+            // Krogager sphere/diplane/helix from the windowed-T3 Huynen
+            // parameters A0 = t11/2, B0 = (t22+t33)/2, F = Im T23
+            // (Krogager.java:181-198). B0 - |F| >= 0 for any valid coherency
+            // matrix; the max(0) guard absorbs last-ulp rounding so neither
+            // engine takes sqrt of a tiny negative.
+            t3Win(ch, hw, x, y, m, t, win)
+            if (win(0) > 0) {
+              val nw = win(0)
+              val a0 = 0.5 * (win(1) / nw)
+              val b0 = 0.5 * (win(2) / nw + win(3) / nw)
+              val f = math.abs(win(9) / nw)
+              val dm = math.max(b0 - f, 0.0)
+              val ks = math.sqrt(a0)
+              val kd = math.sqrt(dm)
+              val kh = math.sqrt(b0 + f) - kd
+              n += 1; s1 += q6l(ks); s2 += q6l(kd); s3 += q6l(kh)
+            }
+          case QS_YAMAGUCHI | QS_VANZYL =>
+            // Window means of the Pauli T3 plus the lexicographic C3 extras the
+            // model-based solves read: c00 = |HH|^2, cvv = |VV|^2, c13 = HH VV*
+            // (C22 = t33 by the (HV+VH) Pauli identity). Divisions are guarded
+            // (zero denominator -> degenerate clip) because the DuckDB twin
+            // cannot stage IEEE infinities; the guards are dead on real data.
+            var nw = 0
+            var s11 = 0.0; var s22 = 0.0; var s33 = 0.0
+            var s12r = 0.0; var s12i = 0.0; var s23i = 0.0
+            var sc00 = 0.0; var scvv = 0.0; var sc13r = 0.0; var sc13i = 0.0
+            var dy = -m
+            while (dy <= m) {
+              var dx = -m
+              while (dx <= m) {
+                val idx = (y + m + dy) * hw + (x + m + dx)
+                if (quadValid(ch, idx)) {
+                  t3Px(ch(0)(idx), ch(1)(idx), ch(2)(idx), ch(3)(idx), ch(4)(idx),
+                    ch(5)(idx), ch(6)(idx), ch(7)(idx), t)
+                  nw += 1
+                  s11 += t(0); s22 += t(1); s33 += t(2)
+                  s12r += t(3); s12i += t(4); s23i += t(8)
+                  val ihh = ch(0)(idx); val qhh = ch(1)(idx)
+                  val ivv = ch(6)(idx); val qvv = ch(7)(idx)
+                  sc00 += ihh * ihh + qhh * qhh
+                  scvv += ivv * ivv + qvv * qvv
+                  sc13r += ihh * ivv + qhh * qvv
+                  sc13i += qhh * ivv - ihh * qvv
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            if (nw > 0) {
+              val t11m = s11 / nw; val t22m = s22 / nw; val t33m = s33 / nw
+              val t12rm = s12r / nw; val t12im = s12i / nw; val t23im = s23i / nw
+              val c00m = sc00 / nw; val cvvm = scvv / nw
+              val c13rm = sc13r / nw; val c13im = sc13i / nw
+              if (mode == QS_VANZYL) {
+                // van Zyl 1993 eigen 3-component (vanZyl.java:185-227); C22 = t33m
+                if (c00m > 0.0) {
+                  val rhoRe = c13rm / c00m; val rhoIm = c13im / c00m
+                  val eta = t33m / c00m; val zeta = cvvm / c00m
+                  val rho2 = rhoRe * rhoRe + rhoIm * rhoIm
+                  val delta = (zeta - 1.0) * (zeta - 1.0) + 4.0 * rho2
+                  val l1 = 0.5 * c00m * (zeta + 1.0 + math.sqrt(delta))
+                  val l2 = 0.5 * c00m * (zeta + 1.0 - math.sqrt(delta))
+                  val l3 = c00m * eta
+                  val ps = if (l1 > l2) l1 else l2
+                  val pd = if (l1 > l2) l2 else l1
+                  n += 1; s1 += q6l(l3); s2 += q6l(pd); s3 += q6l(ps)
+                }
+              } else {
+                // Yamaguchi 4-component with helix + Freeman-Durden fallback
+                // (Yamaguchi.java:164-237)
+                val span = t11m + t22m + t33m
+                val pc0 = 2.0 * math.abs(t23im)
+                // guarded ratio branch: cvvm/c00m = 0 -> -inf branch, /0 -> +inf
+                val branch = // 0 = low (<= -2 dB), 1 = mid, 2 = high (> 2 dB)
+                  if (cvvm > 0.0 && c00m > 0.0) {
+                    val ratio = 10.0 * math.log10(cvvm / c00m)
+                    if (ratio <= -2.0) 0 else if (ratio > 2.0) 2 else 1
+                  } else if (cvvm <= 0.0 && c00m > 0.0) 0
+                  else if (c00m <= 0.0 && cvvm > 0.0) 2
+                  else 1
+                val k1 = if (branch == 0) 1.0 / 6.0 else if (branch == 2) -1.0 / 6.0 else 0.0
+                val k2 = if (branch == 1) 1.0 / 4.0 else 7.0 / 30.0
+                val k3 = if (branch == 1) 1.0 / 4.0 else 4.0 / 15.0
+                var pc = pc0
+                var pv = (t33m - 0.5 * pc) / k3
+                var ps = 0.0; var pd = 0.0
+                if (pv <= 0.0) {
+                  // Freeman-Durden 3-component fallback (FreemanDurden.java:184-239)
+                  pc = 0.0
+                  val fv = 4.0 * t33m
+                  val fc11 = c00m - fv * 3.0 / 8.0
+                  var fc13r = c13rm - fv / 8.0
+                  var fc13i = c13im
+                  val fc33 = cvvm - fv * 3.0 / 8.0
+                  val a1 = fc11 * fc33
+                  var fs = 0.0; var fd = 0.0
+                  var ar = 0.0; var ai = 0.0; var br = 0.0; var bi = 0.0
+                  if (fc11 > SnapEps && fc33 > SnapEps) {
+                    val a2 = fc13r * fc13r + fc13i * fc13i
+                    if (a1 < a2) {
+                      val c13 = math.sqrt(a2)
+                      fc13r = math.sqrt(a1) * fc13r / c13
+                      fc13i = math.sqrt(a1) * fc13i / c13
+                    }
+                    if (fc13r < 0.0) {
+                      br = 1.0; bi = 0.0
+                      fs = math.abs((a1 - fc13r * fc13r - fc13i * fc13i) / (fc11 + fc33 - 2.0 * fc13r))
+                      fd = math.abs(fc33 - fs)
+                      if (fd > 0.0) { ar = (fc13r - fs) / fd; ai = fc13i / fd }
+                    } else {
+                      ar = -1.0; ai = 0.0
+                      fd = math.abs((a1 - fc13r * fc13r - fc13i * fc13i) / (fc11 + fc33 + 2.0 * fc13r))
+                      fs = math.abs(fc33 - fd)
+                      if (fs > 0.0) { br = (fc13r + fd) / fs; bi = fc13i / fs }
+                    }
+                  }
+                  ps = fs * (1.0 + br * br + bi * bi)
+                  pd = fd * (1.0 + ar * ar + ai * ai)
+                  pv = fv
+                } else {
+                  val sY = t11m - 0.5 * pv
+                  val dY = t22m - k2 * pv - 0.5 * pc
+                  val cR = t12rm - k1 * pv
+                  val cI = t12im
+                  if (pv + pc < span) {
+                    val c0 = c13rm - 0.5 * t33m + 0.5 * pc
+                    if (c0 < 0.0 && dY != 0.0) {
+                      ps = sY - (cR * cR + cI * cI) / dY
+                      pd = dY + (cR * cR + cI * cI) / dY
+                    } else if (c0 >= 0.0 && sY != 0.0) {
+                      ps = sY + (cR * cR + cI * cI) / sY
+                      pd = dY - (cR * cR + cI * cI) / sY
+                    } else { // zero-denominator degenerate clip
+                      ps = -1.0; pd = -1.0
+                    }
+                    if (ps > 0.0 && pd < 0.0) { pd = 0.0; ps = span - pv - pc }
+                    else if (ps < 0.0 && pd > 0.0) { ps = 0.0; pd = span - pv - pc }
+                    else if (ps < 0.0 && pd < 0.0) { ps = 0.0; pd = 0.0; pv = span - pc }
+                  } else { ps = 0.0; pd = 0.0; pv = span - pc }
+                }
+                n += 1; s1 += q6l(pv); s2 += q6l(ps); s3 += q6l(pc)
+              }
+            }
           case _ => throw new IllegalArgumentException(s"quadScalar mode $mode")
         }
         x += 1
@@ -2445,6 +2617,66 @@ object Kernels {
             val d2 = s2(p) - lut(r * 5 + 4)
             val d = d1 * d1 + d2 * d2
             if (d < bestD) { bestD = d; best = r }
+          }
+          r += 1
+        }
+        if (best >= 0) {
+          n += 1
+          sRms = sRms + q6l(lut(best * 5 + 1))
+          sRdc = sRdc + q6l(lut(best * 5 + 2))
+        }
+      }
+      p += 1
+    }
+    InternalRow(n, sRms, sRdc)
+  }
+
+  /** IEM Hybrid inversion (IEMHybridInverOp.java:54-65): the AM/PM image pair
+   * contributes FOUR sigma channels; the LUT argmin runs over the shared
+   * (rms, rdc) parameter grid with each image's sigma pair read from its own
+   * incidence-angle section. Sections are paired by the LUT's canonical
+   * theta-major row order (row = (sect-20) + 21*(param combo), Fixtures
+   * .writeSmLut) with an explicit validation + linear-scan fallback, so a
+   * re-ordered LUT still inverts correctly. */
+  def iemHybridTile(s1aArr: ArrayData, s2aArr: ArrayData, s1bArr: ArrayData,
+      s2bArr: ArrayData, thAArr: ArrayData, thBArr: ArrayData,
+      lutArr: ArrayData): InternalRow = {
+    val s1a = s1aArr.toDoubleArray(); val s2a = s2aArr.toDoubleArray()
+    val s1b = s1bArr.toDoubleArray(); val s2b = s2bArr.toDoubleArray()
+    val thA = thAArr.toDoubleArray(); val thB = thBArr.toDoubleArray()
+    val lut = lutArr.toDoubleArray()
+    val nRows = lut.length / 5
+    var n = 0L; var sRms = 0L; var sRdc = 0L
+    var p = 0
+    while (p < s1a.length) {
+      if (!isNd(s1a(p)) && !isNd(s2a(p)) && !isNd(s1b(p)) && !isNd(s2b(p))) {
+        val sectA = math.floor(thA(p) + 0.5)
+        val sectB = math.floor(thB(p) + 0.5)
+        val off = (sectB - sectA).toInt
+        var best = -1; var bestD = Double.MaxValue
+        var r = 0
+        while (r < nRows) {
+          if (lut(r * 5) == sectA) {
+            // paired PM row: same (rms, rdc) at the PM section
+            var r2 = r + off
+            if (r2 < 0 || r2 >= nRows || lut(r2 * 5) != sectB ||
+                lut(r2 * 5 + 1) != lut(r * 5 + 1) || lut(r2 * 5 + 2) != lut(r * 5 + 2)) {
+              r2 = -1
+              var s = 0
+              while (s < nRows && r2 < 0) {
+                if (lut(s * 5) == sectB && lut(s * 5 + 1) == lut(r * 5 + 1) &&
+                    lut(s * 5 + 2) == lut(r * 5 + 2)) r2 = s
+                s += 1
+              }
+            }
+            if (r2 >= 0) {
+              val d1 = s1a(p) - lut(r * 5 + 3)
+              val d2 = s2a(p) - lut(r * 5 + 4)
+              val d3 = s1b(p) - lut(r2 * 5 + 3)
+              val d4 = s2b(p) - lut(r2 * 5 + 4)
+              val d = d1 * d1 + d2 * d2 + d3 * d3 + d4 * d4
+              if (d < bestD) { bestD = d; best = r }
+            }
           }
           r += 1
         }

@@ -105,6 +105,12 @@ object Polarimetry {
   def anisotropyQuery(spark: SparkSession, sfDir: String): DataFrame =
     c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_ANISOTROPY)
 
+  /** Dual-Pol-Y3 model-based decomposition, surface power Ps channel
+   * (DualPolY3DecompositionOp.java:231-265, Uniform-Random volume model;
+   * Pd/Pv share the identical windowed-C2 pass). */
+  def y3Query(spark: SparkSession, sfDir: String): DataFrame =
+    c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_Y3PS)
+
   /** Dual-pol ratio index vh/vv (DPRSI-style). */
   def polRatioQuery(spark: SparkSession, sfDir: String): DataFrame =
     Raster.rollup(c2Tiles(spark, sfDir)

@@ -152,6 +152,25 @@ object PolarimetryQuad {
     scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_FREEMAN,
       Seq("s1" -> "pv_sum_q", "s2" -> "pd_sum_q", "s3" -> "ps_sum_q"))
 
+  /** Yamaguchi 4-component model-based decomposition with helix power and the
+   * Freeman-Durden fallback branch (Yamaguchi.java:164-237): pv / ps / pc
+   * channels of the windowed T3+C3 (pd shares the identical pass). */
+  def yamaguchiQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_YAMAGUCHI,
+      Seq("s1" -> "pv_sum_q", "s2" -> "ps_sum_q", "s3" -> "pc_sum_q"))
+
+  /** van Zyl eigen 3-component decomposition (vanZyl.java:185-227): closed-form
+   * 2x2-block eigenvalues of the windowed C3, lambda3 = volume. */
+  def vanZylQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_VANZYL,
+      Seq("s1" -> "pv_sum_q", "s2" -> "pd_sum_q", "s3" -> "ps_sum_q"))
+
+  /** Krogager sphere/diplane/helix decomposition from the windowed-T3 Huynen
+   * parameters (Krogager.java:181-198). */
+  def krogagerQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_KROGAGER,
+      Seq("s1" -> "ks_sum_q", "s2" -> "kd_sum_q", "s3" -> "kh_sum_q"))
+
   /** Polarimetric parameters: span, pedestal height (l3/l1) and RVI over the
    * windowed T3 eigenvalues (PolarimetricParametersOp.java
    * computePolarimetricParameters; RVI denominator reads the reference's

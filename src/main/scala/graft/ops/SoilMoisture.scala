@@ -91,6 +91,44 @@ object SoilMoisture {
         col("o.rms_q").as("rms_sum_q"), col("o.rdc_q").as("rdc_sum_q")): _*)
   }
 
+  /** PM-image incidence offset (deg): the evening pass views the same site at a
+   * steeper angle; sections falling outside the LUT's theta range drop the pixel
+   * in BOTH engines (no section rows to match). */
+  val HybridThetaOffset = 4.0
+
+  /** q_sm_iem_hybrid (IEMHybridInverOp.java:54-65): FOUR sigma channels — VV+VH
+   * from the AM image and VV+VH from the PM image of the even/odd scene pair —
+   * argmin over the shared (rms, rdc) LUT grid with each image's sigma pair read
+   * from its own integer-degree incidence section. One compiled kernel call per
+   * tile; the LUT is the same ~1k-row broadcast as the other IEM gates. */
+  def iemHybridQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lut = typedLit(lutFlat(spark, sfDir))
+    def polPair(parity: Int, v1As: String, v2As: String) = {
+      def side(pol: String, as: String) =
+        Raster.intensityTiles(spark, sfDir)
+          .where(col("pol") === pol && col("burst_idx") <= IemMaxBurst)
+          .withColumn("scene_idx", expr("CAST(substring(scene_id, 7, 4) AS INT)"))
+          .where(col("scene_idx") % 2 === parity)
+          .withColumn("pair_idx", expr("CAST(scene_idx / 2 AS INT)"))
+          .select(col("pair_idx"), col("scene_id"), col("subswath"), col("burst_idx"),
+            col("tile_x"), col("tile_y"), col("v").as(as))
+      side("VV", v1As).join(side("VH", v2As).drop("scene_id"),
+        Seq("pair_idx", "subswath", "burst_idx", "tile_x", "tile_y"))
+    }
+    val am = polPair(0, "v1a", "v2a")
+    val pm = polPair(1, "v1b", "v2b").drop("scene_id")
+    am.join(pm, Seq("pair_idx", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pol", lit("DP"))
+      .withColumn("o", KernelExprs.iemHybrid(Seq(
+        expr(dbSql("v1a")), expr(dbSql("v2a")), expr(dbSql("v1b")), expr(dbSql("v2b")),
+        expr(thetaSql),
+        expr(s"transform($thetaSql, t -> t + $HybridThetaOffset)"),
+        lut)))
+      .where(col("o.n") > 0)
+      .select(tileKeys.map(col) ++ Seq(col("o.n").as("n_valid"),
+        col("o.rms_q").as("rms_sum_q"), col("o.rdc_q").as("rdc_sum_q")): _*)
+  }
+
   /** Hallikainen C-band polynomial coefficients (Hallikainen et al. 1985, the
    * model family behind SMDielectricModelInverOp's config). */
   val HkA = "(2.927 + -0.012 * sand + -0.001 * clay)"
