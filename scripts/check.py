@@ -9,6 +9,10 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# this box caps vm.max_map_count at 65530; high default thread counts make
+# duckdb's allocator mmap-fail ("Out of Memory" at tiny block sizes) long
+# before real memory runs out
+con.execute("SET memory_limit='60GB'; SET threads=8; SET preserve_insertion_order=false;")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 

@@ -326,6 +326,90 @@ object SarOraclesQuad {
        |  ${sumQ6("kh", "kh_sum_q")}
        |FROM k3 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  /** q_pol_touzi: Touzi dominant-eigenvector psi / tau / alpha
+   * (Touzi.java:215-280) — Cardano l1 over the window sums, eigenvector by the
+   * same complex row-cross as alphaK, unit-normalized, phase-aligned on the
+   * first component (EPS = SNAP Constants.EPS = 1e-15), psi rotation, then the
+   * |psi| > pi/4 tau sign fold. Staged exactly as Kernels QS_TOUZI. */
+  val touzi: String = {
+    val HalfPi = (math.Pi / 2.0).toString
+    val QuarterPi = (math.Pi / 4.0).toString
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |$cardanoCtes,
+       |tz1 AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |    sw12r * sw23r - sw12i * sw23i - sw13r * (sw22 - l1) AS v1r,
+       |    sw12r * sw23i + sw12i * sw23r - sw13i * (sw22 - l1) AS v1i,
+       |    sw13r * sw12r + sw13i * sw12i - (sw11 - l1) * sw23r AS v2r,
+       |    sw13i * sw12r - sw13r * sw12i - (sw11 - l1) * sw23i AS v2i,
+       |    (sw11 - l1) * (sw22 - l1) - (sw12r * sw12r + sw12i * sw12i) AS v3r
+       |  FROM lam2 WHERE p1 <> 0),
+       |tz2 AS (SELECT *, v1r * v1r + v1i * v1i + v2r * v2r + v2i * v2i + v3r * v3r AS norm2
+       |  FROM tz1),
+       |tz3 AS (SELECT *, 1.0 / sqrt(norm2) AS inv FROM tz2 WHERE norm2 > 0),
+       |tz4 AS (SELECT *, v1r * inv AS u1r, v1i * inv AS u1i, v2r * inv AS u2r,
+       |         v2i * inv AS u2i, v3r * inv AS u3r, 0.0 AS u3i
+       |       FROM tz3),
+       |tz5 AS (SELECT *, atan2(u1i, u1r + 1.0E-15) AS ph FROM tz4),
+       |tz6 AS (SELECT *, cos(ph) AS cp, sin(ph) AS sp FROM tz5),
+       |tz7 AS (SELECT *,
+       |    u1r * cp + u1i * sp AS w1r,
+       |    u2r * cp + u2i * sp AS w2r, u2i * cp - u2r * sp AS w2i,
+       |    u3r * cp + u3i * sp AS w3r, u3i * cp - u3r * sp AS w3i
+       |  FROM tz6),
+       |tz8 AS (SELECT *, 0.5 * atan2(w3r, w2r + 1.0E-15) AS psi FROM tz7),
+       |tz9 AS (SELECT *, cos(2.0 * psi) AS c2p, sin(2.0 * psi) AS s2p FROM tz8),
+       |tza AS (SELECT *,
+       |    w2r * c2p + w3r * s2p AS x2r, w2i * c2p + w3i * s2p AS x2i,
+       |    0.0 - w2i * s2p + w3i * c2p AS x3i
+       |  FROM tz9),
+       |tzb AS (SELECT *,
+       |    0.5 * atan2(0.0 - x3i, w1r + 1.0E-15) AS tau0,
+       |    x2r * x2r + x2i * x2i AS num, w1r * w1r + x3i * x3i AS den
+       |  FROM tza),
+       |tzc AS (SELECT *,
+       |    CASE WHEN den > 0 THEN atan(sqrt(num / den))
+       |         WHEN num > 0 THEN $HalfPi ELSE 0.0 END AS alpha,
+       |    CASE WHEN psi < 0 - $QuarterPi OR psi > $QuarterPi THEN 0.0 - tau0 ELSE tau0 END AS tau
+       |  FROM tzb)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("psi", "psi_sum_q")},
+       |  ${sumQ6("tau", "tau_sum_q")},
+       |  ${sumQ6("alpha", "alpha_sum_q")}
+       |FROM tzc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
+  /** q_pol_cloude: dominant-component coherency diagonal in dB
+   * (Cloude.java:120-145) — l1 of the window MEAN T3 times the unit-dominant-
+   * eigenvector component magnitudes, 10 log10 with the reference's EPS floor.
+   * Staged exactly as Kernels QS_CLOUDE (same v1..v3 row-cross as touzi). */
+  val cloude: String =
+    s"""WITH ${t3Cte(SB)},
+       |$dCte,
+       |$winCte,
+       |$cardanoCtes,
+       |cl1 AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy, n, l1,
+       |    sw12r * sw23r - sw12i * sw23i - sw13r * (sw22 - l1) AS v1r,
+       |    sw12r * sw23i + sw12i * sw23r - sw13i * (sw22 - l1) AS v1i,
+       |    sw13r * sw12r + sw13i * sw12i - (sw11 - l1) * sw23r AS v2r,
+       |    sw13i * sw12r - sw13r * sw12i - (sw11 - l1) * sw23i AS v2i,
+       |    (sw11 - l1) * (sw22 - l1) - (sw12r * sw12r + sw12i * sw12i) AS v3r
+       |  FROM lam2 WHERE p1 <> 0),
+       |cl2 AS (SELECT *, v1r * v1r + v1i * v1i + v2r * v2r + v2i * v2i + v3r * v3r AS norm2
+       |  FROM cl1),
+       |cl3 AS (SELECT *, l1 / n AS l1m, 1.0 / norm2 AS inv2 FROM cl2 WHERE norm2 > 0),
+       |cl4 AS (SELECT *,
+       |    10.0 * log10(greatest(l1m * ((v1r * v1r + v1i * v1i) * inv2), 1.0E-15)) AS t11_db,
+       |    10.0 * log10(greatest(l1m * ((v2r * v2r + v2i * v2i) * inv2), 1.0E-15)) AS t22_db,
+       |    10.0 * log10(greatest(l1m * ((v3r * v3r) * inv2), 1.0E-15)) AS t33_db
+       |  FROM cl3)
+       |SELECT $keys, count(*) AS n_valid,
+       |  ${sumQ6("t11_db", "t11_db_sum_q")},
+       |  ${sumQ6("t22_db", "t22_db_sum_q")},
+       |  ${sumQ6("t33_db", "t33_db_sum_q")}
+       |FROM cl4 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   /** Windowed T3 means + lexicographic C3 extras (c00 = |HH|^2, cvv = |VV|^2,
    * c13 = HH VV*) shared by the model-based decomposition oracles. */
   private val c3WinCtes: String =

@@ -2098,6 +2098,8 @@ object Kernels {
   val QS_YAMAGUCHI = 6 // Yamaguchi 4-component w/ helix + FD fallback (Yamaguchi.java:164-237)
   val QS_VANZYL = 7 // van Zyl eigen 3-component (vanZyl.java:185-227)
   val QS_KROGAGER = 8 // Krogager sphere/diplane/helix (Krogager.java:181-198)
+  val QS_TOUZI = 9 // Touzi dominant-eigenvector psi/tau/alpha (Touzi.java:215-280)
+  val QS_CLOUDE = 10 // Cloude dominant-component T diag, dB (Cloude.java:120-145)
 
   /** SNAP's Constants.EPS (org.esa.snap.engine_utilities.eo.Constants), the
    * degenerate-channel guard of the Freeman-Durden solve. */
@@ -2327,6 +2329,85 @@ object Kernels {
               val kd = math.sqrt(dm)
               val kh = math.sqrt(b0 + f) - kd
               n += 1; s1 += q6l(ks); s2 += q6l(kd); s3 += q6l(kh)
+            }
+          case QS_TOUZI | QS_CLOUDE =>
+            // Touzi scattering-vector-model parameters of the DOMINANT
+            // eigenvector (Touzi.java:215-280): Cardano l1 over the window T3
+            // sums (eigenvectors are scale-invariant), eigenvector by complex
+            // cross of two rows of T - l1 I, unit-normalized then phase-aligned
+            // on the first component (the reference's EigenDecomposition returns
+            // unit vectors, making the EPS phase guards scale-consistent), then
+            // the psi rotation, tau/phi/alpha extraction and the |psi| > pi/4
+            // sign fold. Pixels with an exactly diagonal window T3 or a
+            // degenerate cross product are skipped in BOTH engines.
+            t3Win(ch, hw, x, y, m, t, win)
+            if (win(0) > 0) {
+              val a = win(1); val b = win(2); val c = win(3)
+              val d12r = win(4); val d12i = win(5); val d13r = win(6); val d13i = win(7)
+              val d23r = win(8); val d23i = win(9)
+              val tr = a + b + c
+              val p1 = d12r * d12r + d12i * d12i + d13r * d13r + d13i * d13i + d23r * d23r + d23i * d23i
+              if (tr > 0.0 && p1 != 0.0) {
+                // Cardano dominant eigenvalue (staged exactly as hAlphaOf / SQL)
+                val q = tr / 3.0
+                val p2 = (a - q) * (a - q) + (b - q) * (b - q) + (c - q) * (c - q) + 2.0 * p1
+                val p = math.sqrt(p2 / 6.0)
+                val b11 = (a - q) / p; val b22 = (b - q) / p; val b33 = (c - q) / p
+                val e12r = d12r / p; val e12i = d12i / p
+                val e13r = d13r / p; val e13i = d13i / p
+                val e23r = d23r / p; val e23i = d23i / p
+                var r = b11 * b22 * b33 - b11 * (e23r * e23r + e23i * e23i) -
+                  b22 * (e13r * e13r + e13i * e13i) - b33 * (e12r * e12r + e12i * e12i) +
+                  2.0 * ((e12r * e23r - e12i * e23i) * e13r + (e12r * e23i + e12i * e23r) * e13i)
+                r = r / 2.0
+                if (r < -1.0) r = -1.0
+                if (r > 1.0) r = 1.0
+                val l1 = q + 2.0 * p * math.cos(math.acos(r) / 3.0)
+                // eigenvector = row1(T - l1 I) x row2(T - l1 I)
+                val v1r = d12r * d23r - d12i * d23i - d13r * (b - l1)
+                val v1i = d12r * d23i + d12i * d23r - d13i * (b - l1)
+                val v2r = d13r * d12r + d13i * d12i - (a - l1) * d23r
+                val v2i = d13i * d12r - d13r * d12i - (a - l1) * d23i
+                val v3r = (a - l1) * (b - l1) - (d12r * d12r + d12i * d12i)
+                val norm2 = v1r * v1r + v1i * v1i + v2r * v2r + v2i * v2i + v3r * v3r
+                if (norm2 > 0.0 && mode == QS_CLOUDE) {
+                  // Cloude: dominant eigenvalue of the window MEAN coherency
+                  // matrix times the unit-eigenvector component magnitudes,
+                  // dB with the reference's EPS floor (Cloude.java:120-145)
+                  val nw = win(0)
+                  val l1m = l1 / nw
+                  val inv2 = 1.0 / norm2
+                  @inline def db(v: Double): Double =
+                    10.0 * math.log10(math.max(v, SnapEps))
+                  val t11c = l1m * ((v1r * v1r + v1i * v1i) * inv2)
+                  val t22c = l1m * ((v2r * v2r + v2i * v2i) * inv2)
+                  val t33c = l1m * ((v3r * v3r) * inv2)
+                  n += 1; s1 += q6l(db(t11c)); s2 += q6l(db(t22c)); s3 += q6l(db(t33c))
+                } else if (norm2 > 0.0) {
+                  val inv = 1.0 / math.sqrt(norm2)
+                  val u1r = v1r * inv; val u1i = v1i * inv
+                  val u2r = v2r * inv; val u2i = v2i * inv
+                  val u3r = v3r * inv; val u3i = 0.0
+                  val phase = math.atan2(u1i, u1r + SnapEps)
+                  val cp = math.cos(phase); val sp = math.sin(phase)
+                  val w1r = u1r * cp + u1i * sp
+                  val w2r = u2r * cp + u2i * sp; val w2i = u2i * cp - u2r * sp
+                  val w3r = u3r * cp + u3i * sp; val w3i = u3i * cp - u3r * sp
+                  val psi = 0.5 * math.atan2(w3r, w2r + SnapEps)
+                  val c2p = math.cos(2.0 * psi); val s2p = math.sin(2.0 * psi)
+                  val x2r = w2r * c2p + w3r * s2p; val x2i = w2i * c2p + w3i * s2p
+                  val x3i = 0.0 - w2i * s2p + w3i * c2p
+                  var tau = 0.5 * math.atan2(0.0 - x3i, w1r + SnapEps)
+                  val num = x2r * x2r + x2i * x2i
+                  val den = w1r * w1r + x3i * x3i
+                  val alpha =
+                    if (den > 0.0) math.atan(math.sqrt(num / den))
+                    else if (num > 0.0) math.Pi / 2.0
+                    else 0.0
+                  if (psi < -math.Pi / 4.0 || psi > math.Pi / 4.0) tau = 0.0 - tau
+                  n += 1; s1 += q6l(psi); s2 += q6l(tau); s3 += q6l(alpha)
+                }
+              }
             }
           case QS_YAMAGUCHI | QS_VANZYL =>
             // Window means of the Pauli T3 plus the lexicographic C3 extras the

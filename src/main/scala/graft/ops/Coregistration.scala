@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.exprs.KernelExprs
 import graft.gen.Fixtures
@@ -152,29 +152,29 @@ object Coregistration {
   }
 
   /** Degree-1 polynomial warp per scene with iterative RMS outlier elimination
-   * (WarpOp.java:708-709): fit dx(x,y), dy(x,y) = a0 + a1*x + a2*y on the collected
-   * GCP estimates (driver-side, <= 2000 rows), drop residuals > 1.5*rms, refit
-   * (<= 3 rounds). Gate: fitted coefficients within tolerance of the planted truth. */
+   * (WarpOp.java:708-709): fit dx(x,y), dy(x,y) = a0 + a1*x + a2*y per scene,
+   * drop residuals > 1.5*rms, refit (<= 3 rounds). Each round aggregates only
+   * the 3x3 normal-equation moments per scene (groupBy + sum — O(scenes) to the
+   * driver, never the GCPs) and the residual cut runs executor-side behind a
+   * broadcast of the per-scene coefficients, so a 1e5-scene corpus never funnels
+   * its GCPs through the driver. Gate: fitted coefficients within tolerance of
+   * the planted truth. */
   def warpPolyQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ests = xcorrFracEstimates(spark, sfDir)
+    val base = xcorrFracEstimates(spark, sfDir)
       .where(!isnan(col("est_dx")))
-      .select(col("scene_id"), col("cx").cast("double"),
-        (expr(s"(burst_idx - 1) * ${Layout.LinesPerBurst}") + col("cy")).cast("double").as("gy"),
-        col("est_dx"), col("est_dy"))
-      .as[(String, Double, Double, Double, Double)].collect()
+      .select(col("scene_id"), col("cx").cast("double").as("x"),
+        (expr(s"(burst_idx - 1) * ${Layout.LinesPerBurst}") + col("cy")).cast("double").as("y"),
+        col("est_dx").as("dx"), col("est_dy").as("dy"))
+      .persist()
+    base.count()
 
-    def fit(pts: Array[(Double, Double, Double)]): Array[Double] = {
-      // LS on basis [1, x, y] via 3x3 normal equations (Cramer)
-      var s00 = 0.0; var s01 = 0.0; var s02 = 0.0; var s11 = 0.0; var s12 = 0.0; var s22 = 0.0
-      var b0 = 0.0; var b1 = 0.0; var b2 = 0.0
-      for ((x, y, d) <- pts) {
-        s00 += 1; s01 += x; s02 += y; s11 += x * x; s12 += x * y; s22 += y * y
-        b0 += d; b1 += x * d; b2 += y * d
-      }
+    // LS on basis [1, x, y] via 3x3 normal equations (Cramer) from moment sums
+    def fitM(s00: Double, s01: Double, s02: Double, s11: Double, s12: Double,
+             s22: Double, b0: Double, b1: Double, b2: Double): Array[Double] = {
       val det = s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02) +
         s02 * (s01 * s12 - s11 * s02)
-      if (math.abs(det) < 1e-12) return Array(if (pts.nonEmpty) b0 / s00 else 0.0, 0.0, 0.0)
+      if (math.abs(det) < 1e-12) return Array(if (s00 > 0) b0 / s00 else 0.0, 0.0, 0.0)
       val a0 = (b0 * (s11 * s22 - s12 * s12) - s01 * (b1 * s22 - s12 * b2) +
         s02 * (b1 * s12 - s11 * b2)) / det
       val a1 = (s00 * (b1 * s22 - b2 * s12) - b0 * (s01 * s22 - s12 * s02) +
@@ -184,29 +184,59 @@ object Coregistration {
       Array(a0, a1, a2)
     }
 
-    def robustFit(pts0: Array[(Double, Double, Double)]): Array[Double] = {
-      var pts = pts0
-      var c = fit(pts)
+    /** Per-scene robust fit of column `d`, distributed: returns
+     * scene -> (kept-point count at last fit, coefficients). */
+    def robustFitDist(d: Column): Map[String, (Long, Array[Double])] = {
+      var kept = base.select(col("scene_id"), col("x"), col("y"), d.as("d"))
+      def solveNow(): Array[(String, Long, Array[Double])] =
+        kept.groupBy("scene_id").agg(
+          count(lit(1)).as("n"), sum("x").as("s01"), sum("y").as("s02"),
+          sum(col("x") * col("x")).as("s11"), sum(col("x") * col("y")).as("s12"),
+          sum(col("y") * col("y")).as("s22"), sum("d").as("b0"),
+          sum(col("x") * col("d")).as("b1"), sum(col("y") * col("d")).as("b2"))
+          .collect().map { r =>
+            val n = r.getAs[Long]("n")
+            (r.getString(0), n, fitM(n.toDouble, r.getAs[Double]("s01"),
+              r.getAs[Double]("s02"), r.getAs[Double]("s11"), r.getAs[Double]("s12"),
+              r.getAs[Double]("s22"), r.getAs[Double]("b0"), r.getAs[Double]("b1"),
+              r.getAs[Double]("b2")))
+          }
+      var fits = solveNow()
       var round = 0
       var stable = false
-      while (round < 3 && pts.length > 4 && !stable) {
-        val res = pts.map { case (x, y, d) => d - (c(0) + c(1) * x + c(2) * y) }
-        val rms = math.sqrt(res.map(r => r * r).sum / res.length)
-        val keep = pts.zip(res).collect { case (p, r) if math.abs(r) <= math.max(1.5 * rms, 1e-9) => p }
-        if (keep.length == pts.length) stable = true
-        else { pts = keep; c = fit(pts) }
+      // fixed point: a scene whose cut removes nothing refits to identical
+      // coefficients, so iterating it again is a no-op — one global stop flag
+      // reproduces the reference's per-scene early exit exactly
+      while (round < 3 && !stable) {
+        val coefDf = fits.toSeq.map { case (s, n, c) => (s, n, c(0), c(1), c(2)) }
+          .toDF("scene_id", "n0", "a0", "a1", "a2")
+        val joined = kept.join(broadcast(coefDf), Seq("scene_id"))
+          .withColumn("res", col("d") - (col("a0") + col("a1") * col("x") + col("a2") * col("y")))
+        val rms = joined.groupBy("scene_id")
+          .agg(sqrt(sum(col("res") * col("res")) / count(lit(1))).as("rms"))
+        val filtered = joined.join(broadcast(rms), Seq("scene_id"))
+          .where(col("n0") <= 4 || abs(col("res")) <= greatest(col("rms") * 1.5, lit(1e-9)))
+          .select("scene_id", "x", "y", "d")
+          .persist()
+        val before = fits.map(_._2).sum
+        if (filtered.count() == before) { stable = true; filtered.unpersist() }
+        else { kept = filtered; fits = solveNow() }
         round += 1
       }
-      c
+      fits.map(f => f._1 -> (f._2, f._3)).toMap
     }
 
+    val nGcps0 = base.groupBy("scene_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fx = robustFitDist(col("dx"))
+    val fy = robustFitDist(col("dy"))
+    base.unpersist()
+
     val truth = Fixtures.table(spark, sfDir, "warp_truth")
-    val fits = ests.groupBy(_._1).toSeq.map { case (scene, rows) =>
-      val cx = robustFit(rows.map(r => (r._2, r._3, r._4)))
-      val cy = robustFit(rows.map(r => (r._2, r._3, r._5)))
-      (scene, rows.length.toLong, cx(0), cx(1), cx(2), cy(0), cy(1), cy(2))
-    }
-    val fitted = fits.toDF("scene_id", "n_gcps", "fa0x", "fa1x", "fa2x", "fa0y", "fa1y", "fa2y")
+    val fitted = nGcps0.keys.toSeq.sorted.map { scene =>
+      val cx = fx(scene)._2; val cy = fy(scene)._2
+      (scene, nGcps0(scene), cx(0), cx(1), cx(2), cy(0), cy(1), cy(2))
+    }.toDF("scene_id", "n_gcps", "fa0x", "fa1x", "fa2x", "fa0y", "fa1y", "fa2y")
     // gate on PREDICTION error at GCP-hull probe points (the operational warp
     // accuracy; raw coefficients trade off on the 3-column pin lattice): the fitted
     // polynomial must match the planted one to <= 0.1 px everywhere on the hull

@@ -171,6 +171,19 @@ object PolarimetryQuad {
     scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_KROGAGER,
       Seq("s1" -> "ks_sum_q", "s2" -> "kd_sum_q", "s3" -> "kh_sum_q"))
 
+  /** Touzi decomposition, dominant-eigenvector psi / tau / alpha parameters
+   * (Touzi.java:215-280; phase-aligned unit eigenvector, psi rotation, the
+   * |psi| > pi/4 tau sign fold). */
+  def touziQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_TOUZI,
+      Seq("s1" -> "psi_sum_q", "s2" -> "tau_sum_q", "s3" -> "alpha_sum_q"))
+
+  /** Cloude decomposition: dominant-component coherency diagonal in dB
+   * (Cloude.java:120-145, EPS floor). */
+  def cloudeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    scalarQuery(spark, sfDir, graft.exprs.Kernels.QS_CLOUDE,
+      Seq("s1" -> "t11_db_sum_q", "s2" -> "t22_db_sum_q", "s3" -> "t33_db_sum_q"))
+
   /** Polarimetric parameters: span, pedestal height (l3/l1) and RVI over the
    * windowed T3 eigenvalues (PolarimetricParametersOp.java
    * computePolarimetricParameters; RVI denominator reads the reference's
