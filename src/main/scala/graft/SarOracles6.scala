@@ -77,6 +77,44 @@ object SarOracles6 {
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, out FROM o1)
        |$rollup""".stripMargin
 
+  /** Azimuth-Spectrum: the deramp-only rotation (phi = -pi kt (ta - t_ref)^2)
+   * restated pixel-wise, dyadic-quantized exactly as the engine stages it, then a
+   * direct O(h^2) column DFT (same convention as the Goldstein rd CTE) and the
+   * reference's |F|^2 / h^2 power scaling. */
+  val azimuthSpectrum: String = {
+    val H = Layout.TileH
+    s"""WITH px AS (
+       |  SELECT t.scene_id, t.subswath, t.pol, t.burst_idx, t.tile_y, t.tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS xi, unnest(q) AS xq
+       |  FROM ${fx("tiles")} t WHERE t.pol = 'VV' AND t.burst_idx <= 2),
+       |ph AS (
+       |  SELECT p.*, CAST(p.k % $W AS INT) AS lx, CAST(p.k // $W AS INT) AS ly,
+       |    (-pi() * b.doppler_rate
+       |      * ((b.burst_first_line_time + (p.tile_y * $H + p.k // $W) * s.azimuth_time_interval) - b.reference_time)
+       |      * ((b.burst_first_line_time + (p.tile_y * $H + p.k // $W) * s.azimuth_time_interval) - b.reference_time)) AS phi,
+       |    CASE WHEN p.xi = -9999.0 OR isnan(p.xi) THEN 0.0 ELSE floor(p.xi * 4096) / 4096 END AS iq,
+       |    CASE WHEN p.xq = -9999.0 OR isnan(p.xq) THEN 0.0 ELSE floor(p.xq * 4096) / 4096 END AS qq
+       |  FROM px p
+       |  JOIN ${fx("bursts")} b ON b.scene_id = p.scene_id AND b.subswath = p.subswath AND b.burst_idx = p.burst_idx
+       |  JOIN ${fx("scenes")} s ON s.scene_id = p.scene_id),
+       |rot AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, lx, ly,
+       |    floor((iq * cos(phi) - qq * sin(phi)) * 4096) / 4096 AS di,
+       |    floor((iq * sin(phi) + qq * cos(phi)) * 4096) / 4096 AS dq
+       |  FROM ph),
+       |rr AS (SELECT unnest(range($H)) AS r),
+       |spec AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, lx, rr.r,
+       |    sum(di * cos(2 * pi() * rr.r * ly / $H) + dq * sin(2 * pi() * rr.r * ly / $H)) AS fr,
+       |    sum(dq * cos(2 * pi() * rr.r * ly / $H) - di * sin(2 * pi() * rr.r * ly / $H)) AS fi
+       |  FROM rot CROSS JOIN rr GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    (fr * fr + fi * fi) / ${H * H} AS out
+       |  FROM spec)
+       |$rollup""".stripMargin
+  }
+
   /** Goldstein: direct two-pass 2-D DFT, |F|^alpha weighting, two-pass inverse. */
   val goldstein: String =
     s"""WITH ${SarOracles2.crossCte},

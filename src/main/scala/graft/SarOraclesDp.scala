@@ -36,7 +36,12 @@ object SarOraclesDp {
        |    tile_x * $W + (unnest(range($N))) % $W AS gx,
        |    tile_y * ${Layout.TileH} + CAST((unnest(range($N))) // $W AS INT) AS gy,
        |    unnest(s) AS sv
-       |  FROM ${fx("slope")})""".stripMargin
+       |  FROM ${fx("slope")}
+       |  WHERE burst_idx <= ${graft.ops.PolarimetryIndices.DpMaxBurst})""".stripMargin
+
+  /** bursts 1-3 verification subset (mirrors ops.PolarimetryIndices.DpMaxBurst). */
+  private val c2fCte =
+    s"c2f AS (SELECT * FROM c2 WHERE burst_idx <= ${graft.ops.PolarimetryIndices.DpMaxBurst})"
 
   /** 5x5 C2 window sums + slope window mean per center pixel. */
   private val winCte =
@@ -49,8 +54,8 @@ object SarOraclesDp {
        |    coalesce(sum(n.c12i) FILTER (n.c11 <> -9999.0), 0) AS mi,
        |    count(*) FILTER (s2.sv IS NOT NULL) AS sc,
        |    coalesce(sum(s2.sv), 0) AS ssum
-       |  FROM c2 c CROSS JOIN d
-       |  LEFT JOIN c2 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |  FROM c2f c CROSS JOIN d
+       |  LEFT JOIN c2f n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
        |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
        |  LEFT JOIN slp s2 ON s2.scene_id = c.scene_id AND s2.subswath = c.subswath
        |    AND s2.burst_idx = c.burst_idx AND s2.gx = c.gx + d.dx AND s2.gy = c.gy + d.dy
@@ -158,6 +163,7 @@ object SarOraclesDp {
 
   private def full(finalSql: String): String =
     s"""WITH ${SarOracles7.c2Cte},
+       |$c2fCte,
        |$dCte,
        |$slCte,
        |$winCte,

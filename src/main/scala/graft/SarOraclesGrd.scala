@@ -98,4 +98,16 @@ object SarOraclesGrd {
        |  FROM p2 p JOIN azl USING (scene_id, subswath, pol))
        |${SarOracles.rollupSql(1.0)}""".stripMargin
   }
+
+  /** q_grd_post (GRDPostProcessOp.java:37-116 twin): per-scene band inventory,
+   * single-swath precondition flag, SLC_ -> GRDH_ relabel. */
+  val grdPost: String =
+    s"""SELECT scene_id,
+       |       count(DISTINCT subswath) AS n_swaths,
+       |       count(DISTINCT pol) AS n_bands,
+       |       count(*) AS n_tiles,
+       |       count(DISTINCT subswath) = 1 AS swaths_merged,
+       |       replace('SLC_' || scene_id, 'SLC_', 'GRDH_') AS product,
+       |       'GRD' AS product_type
+       |FROM ${fx("tiles_grd")} GROUP BY 1""".stripMargin
 }

@@ -125,7 +125,8 @@ object SarOraclesTc {
        |         s.lat0 + (cj.cj + 0.5) * ${tc.CellDeg} AS lat
        |  FROM ${fx("scenes")} s,
        |       (SELECT unnest(range(${tc.GridNx})) AS ci) ci,
-       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj),
+       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj
+       |  WHERE ci.ci < ${tc.GeoVarCiMax}),
        |g2 AS (
        |  SELECT g.scene_id, g.ci, g.cj, d.height,
        |         (g.lon - g.lon0) * ${tc.XMetersPerDeg} AS tx_m,
@@ -209,12 +210,17 @@ object SarOraclesTc {
   }
 
   /** Ellipsoid-Correction-RD: identical geometry, height = 0, no DEM join. */
-  val ellipsoidRd: String = rdGeocodeSql(useDem = false)
+  /** ci-bounded like the other geocoding variants: the identical geometry is
+   * already full-grid-verified by q_terrain_correction; the no-DEM branch only
+   * needs the height-pinning difference covered. */
+  val ellipsoidRd: String = rdGeocodeSql(useDem = false, ciMax = TerrainCorrection.GeoVarCiMax)
 
-  private def rdGeocodeSql(useDem: Boolean): String = {
+  /** The shared resolve chain (sv0 .. g9): curved-orbit bisection to fractional
+   * burst-local (l0, x0, wl, wx) + slant, bounded to ci < ciMax when given. */
+  private def resolveCtes(useDem: Boolean, ciMax: Int = TerrainCorrection.GridNx): String = {
     val tc = TerrainCorrection
     val steps = (1 to 40).map(i => bisectStep(i)).mkString(",\n")
-    s"""WITH sv0 AS (
+    s"""sv0 AS (
        |  SELECT scene_id, list(t_sec ORDER BY t_sec) AS ts, list(x ORDER BY t_sec) AS xs,
        |         list(y ORDER BY t_sec) AS ys, list(z ORDER BY t_sec) AS zs,
        |         list(vx ORDER BY t_sec) AS vxs, list(vy ORDER BY t_sec) AS vys,
@@ -228,7 +234,8 @@ object SarOraclesTc {
        |         s.lat0 + (cj.cj + 0.5) * ${tc.CellDeg} AS lat
        |  FROM ${fx("scenes")} s,
        |       (SELECT unnest(range(${tc.GridNx})) AS ci) ci,
-       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj),
+       |       (SELECT unnest(range(${tc.GridNy})) AS cj) cj
+       |  WHERE ci.ci < $ciMax),
        |g2 AS (
        |  SELECT g.scene_id, g.ci, g.cj, ${if (useDem) "d.height" else "0.0 AS height"},
        |         (g.lon - g.lon0) * ${tc.XMetersPerDeg} AS tx_m,
@@ -267,14 +274,19 @@ object SarOraclesTc {
        |         lead(burst_first_line_time) OVER w AS next_first
        |  FROM ${fx("bursts")} WINDOW w AS (PARTITION BY scene_id, subswath ORDER BY burst_idx)),
        |g8 AS (
-       |  SELECT g7.scene_id, g7.ci, g7.cj, g7.subswath, b.burst_idx, g7.x0, g7.wx,
+       |  SELECT g7.scene_id, g7.ci, g7.cj, g7.subswath, b.burst_idx, g7.x0, g7.wx, g7.slant,
        |         (g7.tzd - b.bft) / g7.azimuth_time_interval AS lf
        |  FROM g7 JOIN b ON b.scene_id = g7.scene_id AND b.subswath = g7.subswath
        |  WHERE g7.tzd > coalesce((b.prev_last + b.bft) / 2, -1e18)
        |    AND g7.tzd <= coalesce((b.blt + b.next_first) / 2, 1e18)),
        |g9 AS (
        |  SELECT *, CAST(floor(lf) AS INT) AS l0, lf - floor(lf) AS wl
-       |  FROM g8 WHERE lf >= 0 AND lf < ${Layout.LinesPerBurst - 1}),
+       |  FROM g8 WHERE lf >= 0 AND lf < ${Layout.LinesPerBurst - 1})""".stripMargin
+  }
+
+  private def rdGeocodeSql(useDem: Boolean, ciMax: Int = TerrainCorrection.GridNx): String = {
+    val tc = TerrainCorrection
+    s"""WITH ${resolveCtes(useDem, ciMax)},
        |corners AS (
        |  SELECT g9.*, c.cy, c.cx,
        |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
@@ -285,6 +297,108 @@ object SarOraclesTc {
        |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
        |         floor(unnest(i) * 4096) / 4096 AS iv, floor(unnest(q) * 4096) / 4096 AS qv
        |  FROM ${fx("tiles")} WHERE pol = 'VV'),
+       |px AS (
+       |  SELECT scene_id, subswath, burst_idx,
+       |         tile_x * ${Layout.TileW} + k % ${Layout.TileW} AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // ${Layout.TileW} AS INT) AS gy,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0
+       |              ELSE floor((iv * iv + qv * qv) * 16384) / 16384 END AS v
+       |  FROM px0),
+       |terms AS (
+       |  SELECT c.scene_id, c.ci, c.cj, c.subswath, c.burst_idx,
+       |    CASE WHEN p.v = -9999.0 THEN NULL
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * p.v * 1E6) AS BIGINT) END AS term_q
+       |  FROM corners c
+       |  JOIN px p ON p.scene_id = c.scene_id AND p.subswath = c.subswath
+       |    AND p.burst_idx = c.burst_idx AND p.gx = c.samp AND p.gy = c.line)
+       |SELECT scene_id, ci, cj, subswath, burst_idx,
+       |       count(term_q) AS n_corners, CAST(sum(term_q) AS BIGINT) AS value_q
+       |FROM terms GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** q_update_georef (UpdateGeoRefOp.java:60-71, 315-318 twin): each resolved
+   * cell scattered to its nearest source pixel; per-pixel quantized lat/lon sums. */
+  val updateGeoRef: String = {
+    val tc = TerrainCorrection
+    s"""WITH ${resolveCtes(useDem = true, ciMax = tc.GeoVarCiMax)}
+       |SELECT g9.scene_id, g9.subswath, g9.burst_idx,
+       |       g9.l0 + CASE WHEN g9.wl >= 0.5 THEN 1 ELSE 0 END AS line,
+       |       g9.x0 + CASE WHEN g9.wx >= 0.5 THEN 1 ELSE 0 END AS samp,
+       |       count(*) AS n_cells,
+       |       CAST(sum(CAST(floor(0.031415926535897934 + (s.lat0 + (g9.cj + 0.5) * ${tc.CellDeg}) * 1E6) AS BIGINT)) AS BIGINT) AS lat_sum_q,
+       |       CAST(sum(CAST(floor(0.031415926535897934 + (s.lon0 + (g9.ci + 0.5) * ${tc.CellDeg}) * 1E6) AS BIGINT)) AS BIGINT) AS lon_sum_q
+       |FROM g9 JOIN ${fx("scenes")} s USING (scene_id)
+       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** q_gslc_tc (GSLCGeocodingOp.java:67-90, 208-220 phase-flattened branch twin):
+   * complex bilinear gather x dyadic-quantized phasor exp(-j 4 pi slant / lambda),
+   * phase range-reduced arithmetically before the trig (identical IEEE staging). */
+  val gslcTc: String = {
+    val tc = TerrainCorrection
+    val lambda = graft.ops.InSAR.Wavelength
+    s"""WITH ${resolveCtes(useDem = true, ciMax = tc.GeoVarCiMax)},
+       |flt AS (
+       |  SELECT *, ph - floor(ph / (2.0 * pi())) * (2.0 * pi()) AS phr
+       |  FROM (SELECT g9.*, 4.0 * pi() * slant / $lambda AS ph FROM g9)),
+       |flt2 AS (
+       |  SELECT *, floor(cos(phr) * 16384) / 16384 AS cq, floor(sin(phr) * 16384) / 16384 AS sq
+       |  FROM flt),
+       |corners AS (
+       |  SELECT f.*, c.cy, c.cx,
+       |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
+       |    l0 + c.cy AS line, x0 + c.cx AS samp
+       |  FROM flt2 f CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)),
+       |px0 AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
+       |         unnest(i) AS ri, unnest(q) AS rq
+       |  FROM ${fx("tiles")} WHERE pol = 'VV'),
+       |px AS (
+       |  SELECT scene_id, subswath, burst_idx,
+       |         tile_x * ${Layout.TileW} + k % ${Layout.TileW} AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // ${Layout.TileW} AS INT) AS gy,
+       |         floor(ri * 4096) / 4096 AS iv, floor(rq * 4096) / 4096 AS qv,
+       |         (ri = -9999.0 OR rq = -9999.0 OR isnan(ri) OR isnan(rq)) AS bad
+       |  FROM px0),
+       |terms AS (
+       |  SELECT c.scene_id, c.ci, c.cj, c.subswath, c.burst_idx,
+       |    CASE WHEN p.bad THEN NULL
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * (p.iv * c.cq + p.qv * c.sq) * 1E6) AS BIGINT) END AS re_q,
+       |    CASE WHEN p.bad THEN NULL
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * (p.qv * c.cq - p.iv * c.sq) * 1E6) AS BIGINT) END AS im_q
+       |  FROM corners c
+       |  JOIN px p ON p.scene_id = c.scene_id AND p.subswath = c.subswath
+       |    AND p.burst_idx = c.burst_idx AND p.gx = c.samp AND p.gy = c.line)
+       |SELECT scene_id, ci, cj, subswath, burst_idx,
+       |       count(re_q) AS n_corners,
+       |       CAST(sum(re_q) AS BIGINT) AS re_sum_q, CAST(sum(im_q) AS BIGINT) AS im_sum_q
+       |FROM terms GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** q_sarsim_tc (SARSimTerrainCorrectionOp.java:97-110, 1332-1357 twin): the RD
+   * gather against the shifted real image at (line + dy, samp + dx), with the
+   * per-scene mean shift read from the planted GCP truth (the engine side must
+   * RECOVER it via the SSD xcorr the q_xcorr_offsets gate pins to the truth). */
+  val sarSimTc: String = {
+    val tc = TerrainCorrection
+    s"""WITH ${resolveCtes(useDem = true, ciMax = tc.GeoVarCiMax)},
+       |sh AS (SELECT scene_id, CAST(round(avg(true_dx), 0) AS INT) AS sdx,
+       |              CAST(round(avg(true_dy), 0) AS INT) AS sdy
+       |       FROM ${fx("gcps")} GROUP BY 1),
+       |corners AS (
+       |  SELECT g9.scene_id, g9.ci, g9.cj, g9.subswath, g9.burst_idx,
+       |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
+       |    l0 + c.cy + sh.sdy AS line, x0 + c.cx + sh.sdx AS samp
+       |  FROM g9 JOIN sh USING (scene_id)
+       |  CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)
+       |  WHERE l0 + c.cy + sh.sdy >= 0 AND l0 + c.cy + sh.sdy < ${Layout.LinesPerBurst}
+       |    AND x0 + c.cx + sh.sdx >= 0 AND x0 + c.cx + sh.sdx < ${Layout.SamplesPerBurst}),
+       |px0 AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
+       |         floor(unnest(i) * 4096) / 4096 AS iv, floor(unnest(q) * 4096) / 4096 AS qv
+       |  FROM ${fx("tiles_sec")} WHERE pol = 'VV'),
        |px AS (
        |  SELECT scene_id, subswath, burst_idx,
        |         tile_x * ${Layout.TileW} + k % ${Layout.TileW} AS gx,

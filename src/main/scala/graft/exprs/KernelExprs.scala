@@ -468,6 +468,19 @@ case class GoldsteinExpr(cre: Expression, cim: Expression, w: Int, h: Int, alpha
     copy(cre = c(0), cim = c(1))
 }
 
+/** Azimuth power spectrum of the deramped complex tile (per-column FFT). */
+case class AzSpectrumExpr(di: Expression, dq: Expression, w: Int, h: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(di, dq)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.azSpectrum(${args(0)}, ${args(1)}, $w, $h)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.azSpectrum(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData], w, h)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(di = c(0), dq = c(1))
+}
+
 /** FFT-NCC tie-point match with iterative subpixel refinement. */
 case class FftXcorrExpr(refTiles: Expression, secTiles: Expression, cx: Expression,
     cy: Expression, half: Int, searchR: Int, tw: Int, th: Int) extends StaticKernelExpr {
@@ -827,6 +840,9 @@ object KernelExprs {
 
   def goldstein(cre: Column, cim: Column, w: Int, h: Int, alpha: Double): Column =
     toCol(GoldsteinExpr(toExpr(cre), toExpr(cim), w, h, alpha))
+
+  def azSpectrum(di: Column, dq: Column, w: Int, h: Int): Column =
+    toCol(AzSpectrumExpr(toExpr(di), toExpr(dq), w, h))
 
   def fftXcorr(refTiles: Column, secTiles: Column, cx: Column, cy: Column,
       half: Int, searchR: Int, tw: Int, th: Int): Column =

@@ -1057,6 +1057,31 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /**
+   * Azimuth power spectrum of the deramped complex signal (reference
+   * DerampedAzimuthSpectrumOp.java:371-396): per image column, complex forward
+   * FFT over the h azimuth lines, output |F|^2 / h^2 per bin. The deramp
+   * rotation happens upstream (dyadic-quantized in both engines), so the kernel
+   * is a pure linear transform on bit-identical inputs; the DuckDB oracle
+   * restates it as a direct O(h^2) column DFT.
+   */
+  def azSpectrum(diD: ArrayData, dqD: ArrayData, w: Int, h: Int): ArrayData = {
+    val di = diD.toDoubleArray(); val dq = dqD.toDoubleArray()
+    val out = new Array[Double](w * h)
+    val h2 = h.toDouble * h
+    var x = 0
+    while (x < w) {
+      val cr = new Array[Double](h); val ci = new Array[Double](h)
+      var y = 0
+      while (y < h) { cr(y) = di(y * w + x); ci(y) = dq(y * w + x); y += 1 }
+      val (fr, fi) = fft1d(cr, ci, inverse = false)
+      y = 0
+      while (y < h) { out(y * w + x) = (fr(y) * fr(y) + fi(y) * fi(y)) / h2; y += 1 }
+      x += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ------------------------------------------------------------ coregistration kernels
 
   /** Assemble a patch [y0, y0+ph) x [x0, x0+pw) in burst-local raster coords from a

@@ -34,11 +34,11 @@ object BackGeocoding {
       s"- 2 * pi() * doppler_centroid * ($t))"
 
   def query(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = tc.resolveCells(spark, sfDir, useDem = true, perturb = false)
+    val m = tc.resolveCells(spark, sfDir, useDem = true, perturb = false, ciMax = tc.GeoVarCiMax)
       .withColumnRenamed("subswath", "m_subswath").withColumnRenamed("burst_idx", "m_burst_idx")
       .select("scene_id", "ci", "cj", "m_subswath", "m_burst_idx", "lf", "xf")
       .withColumnRenamed("lf", "lf_m").withColumnRenamed("xf", "xf_m")
-    val s = tc.resolveCells(spark, sfDir, useDem = true, perturb = true)
+    val s = tc.resolveCells(spark, sfDir, useDem = true, perturb = true, ciMax = tc.GeoVarCiMax)
       .withColumnRenamed("lf", "lf_s").withColumnRenamed("xf", "xf_s")
     // master scenes = even indices; the paired odd scene provides the secondary image
     val j = m.join(s, Seq("scene_id", "ci", "cj"))

@@ -81,4 +81,18 @@ object Grd {
          |  if(element_at(v, k + 1) = ${Raster.ND}, ${Raster.ND},
          |    greatest(0D, element_at(v, k + 1) - element_at(lut_a, k + 1) * $az)))""".stripMargin)))
   }
+
+  /** GRD-Post (GRDPostProcessOp.java:37-116): the SLC->GRD finalization step —
+   * validate the "detected, single merged swath" preconditions and re-label the
+   * product (name SLC_ -> GRDH_, type GRD), carrying every band through. Output:
+   * per-scene band inventory + precondition flags + the renamed identifiers. */
+  def grdPostQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Fixtures.table(spark, sfDir, "tiles_grd")
+      .groupBy("scene_id")
+      .agg(countDistinct("subswath").as("n_swaths"),
+        countDistinct("pol").as("n_bands"),
+        count(lit(1)).as("n_tiles"))
+      .withColumn("swaths_merged", col("n_swaths") === 1)
+      .withColumn("product", expr("replace(concat('SLC_', scene_id), 'SLC_', 'GRDH_')"))
+      .withColumn("product_type", lit("GRD"))
 }

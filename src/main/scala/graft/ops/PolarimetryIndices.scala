@@ -32,6 +32,11 @@ object PolarimetryIndices {
   /** Reference default windowSize 5 => half-window margin 2 (DPRBIOp.java:70). */
   val M = 2
 
+  /** Verification subset: bursts 1-3 bound the DuckDB oracle's 25-tap pixel
+   * self-join (the same trick as goldstein/refinedlee); the per-scene percentile
+   * pass runs over the same subset in BOTH engines. */
+  val DpMaxBurst = 3
+
   private val haloCols = Seq("halo_c11", "halo_c22", "halo_c12r", "halo_c12i", "halo_sl")
   private val statCols = Seq("p5_g1", "p95_g1", "p5_g2", "p95_g2", "p5_g3", "p95_g3",
     "p5_g1s", "p95_g1s")
@@ -41,6 +46,7 @@ object PolarimetryIndices {
    * `slope` band off the source product, DPRBIOp.java:119). */
   private def c2SlopeTiles(spark: SparkSession, sfDir: String): DataFrame =
     Polarimetry.c2Tiles(spark, sfDir)
+      .where(col("burst_idx") <= DpMaxBurst)
       .join(Fixtures.table(spark, sfDir, "slope")
           .withColumnRenamed("s", "sl"),
         Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))

@@ -43,6 +43,40 @@ object Spectral {
       .withColumn("out", KernelExprs.bandpass(col("i"), Layout.TileW, Layout.TileH, BandKc, 1))
       .drop("i"))
 
+  /** Azimuth-Spectrum (DerampedAzimuthSpectrumOp.java:43-46, 290-296, 371-396):
+   * deramp-only rotation exp(+j*phi) of the complex burst signal with
+   * phi = -pi * kt * (ta - t_ref)^2 (the derampOnly=true default branch), then a
+   * per-column complex FFT power |F|^2 / h^2. ND pixels enter the FFT as 0 (the
+   * Goldstein convention); the rotated signal is dyadic-quantized in BOTH engines
+   * so the linear DFT runs on bit-identical inputs. Bursts 1-2 bound the
+   * oracle's direct-DFT cost. */
+  def azimuthSpectrumQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ND = Raster.ND
+    val N = Layout.TileW * Layout.TileH
+    val d = Raster.Dyadic
+    val bursts = Fixtures.table(spark, sfDir, "bursts")
+      .select("scene_id", "subswath", "burst_idx", "burst_first_line_time",
+        "doppler_rate", "reference_time")
+    val scenes = Fixtures.table(spark, sfDir, "scenes")
+      .select("scene_id", "azimuth_time_interval")
+    val ta = s"(burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval)"
+    val phi = s"(-pi() * doppler_rate * ($ta - reference_time) * ($ta - reference_time))"
+    Raster.rollup(Fixtures.table(spark, sfDir, "tiles")
+      .where(col("pol") === "VV" && col("burst_idx") <= 2)
+      .join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
+      .join(broadcast(scenes), Seq("scene_id"))
+      .withColumn("iq", expr(s"transform(i, x -> if(x = $ND or isnan(x), 0.0D, floor(x * $d) / $d))"))
+      .withColumn("qq", expr(s"transform(q, x -> if(x = $ND or isnan(x), 0.0D, floor(x * $d) / $d))"))
+      .withColumn("cphi", expr(s"transform(sequence(0, ${N - 1}), k -> cos($phi))"))
+      .withColumn("sphi", expr(s"transform(sequence(0, ${N - 1}), k -> sin($phi))"))
+      .withColumn("di", expr(s"transform(sequence(0, ${N - 1}), k -> " +
+        s"floor((element_at(iq, k + 1) * element_at(cphi, k + 1) - element_at(qq, k + 1) * element_at(sphi, k + 1)) * $d) / $d)"))
+      .withColumn("dq", expr(s"transform(sequence(0, ${N - 1}), k -> " +
+        s"floor((element_at(iq, k + 1) * element_at(sphi, k + 1) + element_at(qq, k + 1) * element_at(cphi, k + 1)) * $d) / $d)"))
+      .withColumn("out", KernelExprs.azSpectrum(col("di"), col("dq"), Layout.TileW, Layout.TileH))
+      .select("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x", "out"))
+  }
+
   /** Goldstein phase filtering of the (tiles, tiles_sec) interferogram, bursts 1-2
    * (the oracle's direct 2-D DFT bounds the verification subset). */
   def goldsteinQuery(spark: SparkSession, sfDir: String): DataFrame =

@@ -232,9 +232,11 @@ object TerrainCorrection {
     rdGeocode(spark, sfDir, useDem = true)
 
   /** Ellipsoid-Correction-RD (EllipsoidCorrectionRDOp.java:27): the identical
-   * Range-Doppler geometry with height pinned to the ellipsoid (0) — no DEM. */
+   * Range-Doppler geometry with height pinned to the ellipsoid (0) — no DEM.
+   * ci-bounded like the other geocoding variants (the full grid is already
+   * covered by q_terrain_correction; only the height-pinning differs here). */
   def ellipsoidRdQuery(spark: SparkSession, sfDir: String): DataFrame =
-    rdGeocode(spark, sfDir, useDem = false)
+    rdGeocode(spark, sfDir, useDem = false, ciMax = GeoVarCiMax)
 
   /** Secondary-orbit baseline offset (m) for Back-Geocoding: the secondary
    * acquisition's state vectors are the master's displaced by (Bx, 0, Bz). */
@@ -246,7 +248,7 @@ object TerrainCorrection {
    * geometry — the two-geometry solve at the heart of Back-Geocoding
    * (BackGeocodingOp.java:1383-1476). */
   private[ops] def resolveCells(spark: SparkSession, sfDir: String, useDem: Boolean,
-      perturb: Boolean = false): DataFrame = {
+      perturb: Boolean = false, ciMax: Int = GridNx): DataFrame = {
     val scenes = Fixtures.table(spark, sfDir, "scenes")
       .select("scene_id", "azimuth_time_interval", "lon0", "lat0")
     val dem = Fixtures.table(spark, sfDir, "dem")
@@ -254,6 +256,7 @@ object TerrainCorrection {
     val cells = spark.range(0L, GridNx.toLong * GridNy)
       .select(expr(s"CAST(id div $GridNy AS INT)").as("ci"),
         expr(s"CAST(id % $GridNy AS INT)").as("cj"))
+      .where(col("ci") < ciMax)
     val (xsC, zsC) =
       if (perturb) (expr(s"transform(xs, v -> v + ${SecBx}D)"), expr(s"transform(zs, v -> v + ${SecBz}D)"))
       else (col("xs"), col("zs"))
@@ -295,11 +298,13 @@ object TerrainCorrection {
       .where(col("lf") >= 0 && col("lf") < Layout.LinesPerBurst - 1) // both az corners in burst
       .withColumn("l0", expr("CAST(floor(lf) AS INT)"))
       .withColumn("wl", col("lf") - expr("floor(lf)"))
-      .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx", "lf", "xf")
+      .withColumn("slant", col("zd.slant"))
+      .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx", "lf", "xf", "slant")
   }
 
-  private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean): DataFrame = {
-    val resolved = resolveCells(spark, sfDir, useDem)
+  private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean,
+      ciMax: Int = GridNx): DataFrame = {
+    val resolved = resolveCells(spark, sfDir, useDem, ciMax = ciMax)
       .drop("lf", "xf")
     // 4 bilinear corners, each with its own tile key and weight
     val corners = resolved
@@ -332,6 +337,121 @@ object TerrainCorrection {
 
   /** The MAIN terrain-correction query is the full Range-Doppler geometry. */
   def query(spark: SparkSession, sfDir: String): DataFrame = fullQuery(spark, sfDir)
+
+  /** Grid bound for the three composed geocoding variants (update-georef /
+   * GSLC / SARSim-TC): ci < GeoVarCiMax caps the DuckDB oracle's unrolled
+   * 40-round bisection cost per gate without changing the Spark plan shape. */
+  val GeoVarCiMax = 64
+
+  /** Update-Geo-Reference (UpdateGeoRefOp.java:60-71, 315-318): per-SAR-pixel
+   * latitude/longitude bands — the RD geometry run against the DEM grid, with
+   * each resolved cell scattered to its NEAREST source pixel (l0 + [wl >= 0.5],
+   * x0 + [wx >= 0.5]) and the geodetic coordinates aggregated per pixel.
+   * Output: burst-local (line, samp) -> n_cells + quantized lat/lon sums. */
+  def updateGeoRefQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val scenes = Fixtures.table(spark, sfDir, "scenes").select("scene_id", "lon0", "lat0")
+    resolveCells(spark, sfDir, useDem = true, ciMax = GeoVarCiMax)
+      .join(broadcast(scenes), Seq("scene_id"))
+      .withColumn("line", expr("l0 + IF(wl >= 0.5D, 1, 0)"))
+      .withColumn("samp", expr("x0 + IF(wx >= 0.5D, 1, 0)"))
+      // the grid lat/lon lie exactly on the 1e-6 lattice — the pi-fraction offset
+      // (the rollup convention) keeps floor off the representability boundary
+      .withColumn("lat_q", expr(s"CAST(floor(0.031415926535897934 + (lat0 + (cj + 0.5D) * $CellDeg) * 1E6) AS BIGINT)"))
+      .withColumn("lon_q", expr(s"CAST(floor(0.031415926535897934 + (lon0 + (ci + 0.5D) * $CellDeg) * 1E6) AS BIGINT)"))
+      .groupBy("scene_id", "subswath", "burst_idx", "line", "samp")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("lat_q").as("lat_sum_q"), sum("lon_q").as("lon_sum_q"))
+  }
+
+  /** GSLC geocoding (GSLCGeocodingOp.java:67-90, 208-220 phase-flattened branch):
+   * the full RD geometry with a COMPLEX bilinear gather, each gathered pixel
+   * multiplied by exp(-j phi) with phi = 4 pi slant / lambda — removing the
+   * geometric phase so the output complex cell holds the local scattering
+   * coefficient. phi is range-reduced arithmetically (ph - floor(ph / 2pi) * 2pi,
+   * exact IEEE ops on the bit-identical bisection slant) before the trig so both
+   * engines quantize the same phasor; per-corner terms are integer-quantized. */
+  def gslcQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lambda = InSAR.Wavelength
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    val resolved = resolveCells(spark, sfDir, useDem = true, ciMax = GeoVarCiMax)
+      .withColumn("ph", expr(s"4.0D * pi() * slant / ${lambda}D"))
+      .withColumn("phr", expr("ph - floor(ph / (2.0D * pi())) * (2.0D * pi())"))
+      .withColumn("cq", expr(s"floor(cos(phr) * $dv) / $dv"))
+      .withColumn("sq", expr(s"floor(sin(phr) * $dv) / $dv"))
+      .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx", "cq", "sq")
+    val corners = resolved
+      .withColumn("cyx", expr("explode(array(struct(0 AS cy, 0 AS cx), struct(0 AS cy, 1 AS cx), " +
+        "struct(1 AS cy, 0 AS cx), struct(1 AS cy, 1 AS cx)))"))
+      .withColumn("line", col("l0") + col("cyx.cy"))
+      .withColumn("samp", col("x0") + col("cyx.cx"))
+      .withColumn("w", expr("(CASE WHEN cyx.cy = 0 THEN 1.0D - wl ELSE wl END) * " +
+        "(CASE WHEN cyx.cx = 0 THEN 1.0D - wx ELSE wx END)"))
+      .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
+      .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
+      .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w", "cq", "sq")
+    val tiles = Fixtures.table(spark, sfDir, "tiles")
+      .where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+    tiles
+      .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("iv", expr(s"floor(element_at(i, px + 1) * $d) / $d"))
+      .withColumn("qv", expr(s"floor(element_at(q, px + 1) * $d) / $d"))
+      .withColumn("bad", expr("element_at(i, px + 1) = -9999.0D or element_at(q, px + 1) = -9999.0D " +
+        "or isnan(element_at(i, px + 1)) or isnan(element_at(q, px + 1))"))
+      .withColumn("re_q", expr(
+        "if(bad, CAST(null AS BIGINT), CAST(floor(0.031415926535897934 + w * (iv * cq + qv * sq) * 1E6) AS BIGINT))"))
+      .withColumn("im_q", expr(
+        "if(bad, CAST(null AS BIGINT), CAST(floor(0.031415926535897934 + w * (qv * cq - iv * sq) * 1E6) AS BIGINT))"))
+      .groupBy("scene_id", "ci", "cj", "subswath", "burst_idx")
+      .agg(count(col("re_q")).as("n_corners"),
+        sum(col("re_q")).as("re_sum_q"), sum(col("im_q")).as("im_sum_q"))
+  }
+
+  /** SARSim Terrain Correction (SARSimTerrainCorrectionOp.java:97-110, 1332-1357):
+   * the RD geometry refined by the mean range/azimuth shift ESTIMATED from the
+   * simulated-vs-real cross-correlation GCPs (here the SSD xcorr estimates the
+   * gate q_xcorr_offsets already verifies against the planted truth), then the
+   * bilinear gather runs against the SHIFTED real image (tiles_sec) at
+   * (line + sdy, samp + sdx). Out-of-burst shifted corners are discarded, as the
+   * reference discards out-of-range warped positions. */
+  def sarSimTcQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val shifts = Coregistration.xcorrOffsetsQuery(spark, sfDir)
+      .groupBy("scene_id")
+      .agg(expr("CAST(round(avg(est_dx), 0) AS INT)").as("sdx"),
+        expr("CAST(round(avg(est_dy), 0) AS INT)").as("sdy"))
+    val resolved = resolveCells(spark, sfDir, useDem = true, ciMax = GeoVarCiMax)
+      .join(broadcast(shifts), Seq("scene_id"))
+    val corners = resolved
+      .withColumn("cyx", expr("explode(array(struct(0 AS cy, 0 AS cx), struct(0 AS cy, 1 AS cx), " +
+        "struct(1 AS cy, 0 AS cx), struct(1 AS cy, 1 AS cx)))"))
+      .withColumn("line", col("l0") + col("cyx.cy") + col("sdy"))
+      .withColumn("samp", col("x0") + col("cyx.cx") + col("sdx"))
+      .where(col("line") >= 0 && col("line") < Layout.LinesPerBurst &&
+        col("samp") >= 0 && col("samp") < Layout.SamplesPerBurst)
+      .withColumn("w", expr("(CASE WHEN cyx.cy = 0 THEN 1.0D - wl ELSE wl END) * " +
+        "(CASE WHEN cyx.cx = 0 THEN 1.0D - wx ELSE wx END)"))
+      .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
+      .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
+      .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w")
+    val tiles = Fixtures.table(spark, sfDir, "tiles_sec")
+      .where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    tiles
+      .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pa", expr("element_at(i, px + 1)"))
+      .withColumn("pb", expr("element_at(q, px + 1)"))
+      .withColumn("term_q", expr(
+        s"""if(pa = -9999.0D or pb = -9999.0D or isnan(pa) or isnan(pb), CAST(null AS BIGINT),
+           |  CAST(floor(0.031415926535897934 + w * (floor(((floor(pa * $d) / $d) * (floor(pa * $d) / $d)
+           |    + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv) * 1E6) AS BIGINT))""".stripMargin))
+      .groupBy("scene_id", "ci", "cj", "subswath", "burst_idx")
+      .agg(count(col("term_q")).as("n_corners"), sum(col("term_q")).as("value_q"))
+  }
 
   /** The nearest-neighbor gather on the linear-ephemeris shortcut (kept as its own
    * gate, q_terrain_correction_nn). The RESOLVED side broadcasts (the target map
