@@ -468,6 +468,36 @@ case class GoldsteinExpr(cre: Expression, cim: Expression, w: Int, h: Int, alpha
     copy(cre = c(0), cim = c(1))
 }
 
+/** WSS deburst overlap-strip fold: flat (n, pk, pki, av) x ov rows. */
+case class WssOverlapExpr(va: Expression, ia: Expression, vb: Expression, ib: Expression,
+    tileX: Expression, w: Int, h: Int, ov: Int, margin: Int, wTotal: Int, q: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(va, ia, vb, ib, tileX)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.wssOverlap(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, ${args(4)}, $w, $h, $ov, $margin, $wTotal, ${q}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.wssOverlap(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[Int], w, h, ov, margin, wTotal, q)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(va = c(0), ia = c(1), vb = c(2), ib = c(3), tileX = c(4))
+}
+
+/** WSS deburst pass-through fold: flat (n, pk, pki, av) x h rows. */
+case class WssPassExpr(v: Expression, id: Expression, tileX: Expression,
+    w: Int, h: Int, margin: Int, wTotal: Int, q: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, id, tileX)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.wssPass(${args(0)}, ${args(1)}, ${args(2)}, $w, $h, $margin, $wTotal, ${q}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.wssPass(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[Int], w, h, margin, wTotal, q)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), id = c(1), tileX = c(2))
+}
+
 /** Azimuth power spectrum of the deramped complex tile (per-column FFT). */
 case class AzSpectrumExpr(di: Expression, dq: Expression, w: Int, h: Int)
     extends StaticKernelExpr {
@@ -843,6 +873,15 @@ object KernelExprs {
 
   def azSpectrum(di: Column, dq: Column, w: Int, h: Int): Column =
     toCol(AzSpectrumExpr(toExpr(di), toExpr(dq), w, h))
+
+  def wssOverlap(va: Column, ia: Column, vb: Column, ib: Column, tileX: Column,
+      w: Int, h: Int, ov: Int, margin: Int, wTotal: Int, q: Double): Column =
+    toCol(WssOverlapExpr(toExpr(va), toExpr(ia), toExpr(vb), toExpr(ib), toExpr(tileX),
+      w, h, ov, margin, wTotal, q))
+
+  def wssPass(v: Column, id: Column, tileX: Column, w: Int, h: Int,
+      margin: Int, wTotal: Int, q: Double): Column =
+    toCol(WssPassExpr(toExpr(v), toExpr(id), toExpr(tileX), w, h, margin, wTotal, q))
 
   def fftXcorr(refTiles: Column, secTiles: Column, cx: Column, cy: Column,
       half: Int, searchR: Int, tw: Int, th: Int): Column =

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.exprs.KernelExprs
 import graft.gen.Fixtures
 import graft.model.Layout
 
@@ -78,7 +79,7 @@ object Deburst {
     val lastTy = Layout.TilesY - 1
     val m = WssMargin
     val wTotal = Layout.SamplesPerBurst
-    val q = Raster.quantum(1.0)
+    val q = Raster.quantum(1.0).toDouble
 
     // per-pixel dyadic intensity + dyadic i channel (same snap as the oracle)
     val tiles = Raster.intensityTiles(spark, sfDir)
@@ -97,34 +98,16 @@ object Deburst {
     val bot = tiles.where(col("tile_y") === 0 && col("burst_idx") > 1)
       .select(col("scene_id"), col("subswath"), col("pol"), (col("burst_idx") - 1).as("burst_a"),
         col("tile_x"), col("v").as("vb"), col("id").as("ib"))
-    // per overlap row j (0..ov-1): fold peak/avg sums over the margin-valid columns
+    // per overlap row j (0..ov-1): fold peak/avg sums over the margin-valid
+    // columns — ONE compiled kernel call per tile pair (the interpreted
+    // aggregate-lambda version of this fold cost 311 s of the verify surface)
     val overlap = top.join(bot, Seq("scene_id", "subswath", "pol", "burst_a", "tile_x"))
+      .withColumn("flat", KernelExprs.wssOverlap(col("va"), col("ia"), col("vb"), col("ib"),
+        col("tile_x"), W, Layout.TileH, ov, m, wTotal, q))
       .withColumn("row", expr(
-        s"""transform(sequence(0, ${ov - 1}), j ->
-           |  aggregate(sequence(0, ${W - 1}),
-           |    struct(0L AS n, 0L AS pk, 0L AS pki, 0L AS av),
-           |    (acc, c) -> if(${gxOf("tile_x", "c")} < $m or ${gxOf("tile_x", "c")} > ${wTotal - m},
-           |      acc,
-           |      if(element_at(va, $topOff + j * $W + c + 1) = ${Raster.ND}
-           |         and element_at(vb, j * $W + c + 1) = ${Raster.ND}, acc,
-           |      if(element_at(vb, j * $W + c + 1) = ${Raster.ND},
-           |        struct(acc.n + 1L AS n,
-           |          acc.pk + CAST(floor(0.031415926535897934 + element_at(va, $topOff + j * $W + c + 1) * $q) AS BIGINT) AS pk,
-           |          acc.pki + CAST(floor(0.031415926535897934 + element_at(ia, $topOff + j * $W + c + 1) * $q) AS BIGINT) AS pki,
-           |          acc.av + CAST(floor(0.031415926535897934 + element_at(va, $topOff + j * $W + c + 1) * $q) AS BIGINT) AS av),
-           |      if(element_at(va, $topOff + j * $W + c + 1) = ${Raster.ND},
-           |        struct(acc.n + 1L AS n,
-           |          acc.pk + CAST(floor(0.031415926535897934 + element_at(vb, j * $W + c + 1) * $q) AS BIGINT) AS pk,
-           |          acc.pki + CAST(floor(0.031415926535897934 + element_at(ib, j * $W + c + 1) * $q) AS BIGINT) AS pki,
-           |          acc.av + CAST(floor(0.031415926535897934 + element_at(vb, j * $W + c + 1) * $q) AS BIGINT) AS av),
-           |      struct(acc.n + 1L AS n,
-           |        acc.pk + CAST(floor(0.031415926535897934
-           |          + greatest(element_at(va, $topOff + j * $W + c + 1), element_at(vb, j * $W + c + 1)) * $q) AS BIGINT) AS pk,
-           |        acc.pki + CAST(floor(0.031415926535897934
-           |          + if(element_at(va, $topOff + j * $W + c + 1) >= element_at(vb, j * $W + c + 1),
-           |               element_at(ia, $topOff + j * $W + c + 1), element_at(ib, j * $W + c + 1)) * $q) AS BIGINT) AS pki,
-           |        acc.av + CAST(floor(0.031415926535897934
-           |          + ((element_at(va, $topOff + j * $W + c + 1) + element_at(vb, j * $W + c + 1)) / 2D) * $q) AS BIGINT) AS av)))))))""".stripMargin))
+        s"""transform(sequence(0, ${ov - 1}), j -> struct(
+           |  element_at(flat, j * 4 + 1) AS n, element_at(flat, j * 4 + 2) AS pk,
+           |  element_at(flat, j * 4 + 3) AS pki, element_at(flat, j * 4 + 4) AS av))""".stripMargin))
       .select(col("scene_id"), col("subswath"), col("pol"),
         (col("burst_a") * pitch).as("line0"), posexplode(col("row")).as(Seq("j", "rs")))
       .select(col("scene_id"), col("subswath"), col("pol"),
@@ -133,16 +116,12 @@ object Deburst {
 
     // ---- pass-through rows: every burst line NOT in a shared overlap ----
     val pass = tiles
+      .withColumn("flat", KernelExprs.wssPass(col("v"), col("id"), col("tile_x"),
+        W, Layout.TileH, m, wTotal, q))
       .withColumn("row", expr(
-        s"""transform(sequence(0, ${Layout.TileH - 1}), r ->
-           |  aggregate(sequence(0, ${W - 1}),
-           |    struct(0L AS n, 0L AS pk, 0L AS pki, 0L AS av),
-           |    (acc, c) -> if(${gxOf("tile_x", "c")} < $m or ${gxOf("tile_x", "c")} > ${wTotal - m}
-           |                   or element_at(v, r * $W + c + 1) = ${Raster.ND}, acc,
-           |      struct(acc.n + 1L AS n,
-           |        acc.pk + CAST(floor(0.031415926535897934 + element_at(v, r * $W + c + 1) * $q) AS BIGINT) AS pk,
-           |        acc.pki + CAST(floor(0.031415926535897934 + element_at(id, r * $W + c + 1) * $q) AS BIGINT) AS pki,
-           |        acc.av + CAST(floor(0.031415926535897934 + element_at(v, r * $W + c + 1) * $q) AS BIGINT) AS av))))""".stripMargin))
+        s"""transform(sequence(0, ${Layout.TileH - 1}), r -> struct(
+           |  element_at(flat, r * 4 + 1) AS n, element_at(flat, r * 4 + 2) AS pk,
+           |  element_at(flat, r * 4 + 3) AS pki, element_at(flat, r * 4 + 4) AS av))""".stripMargin))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"), col("tile_y"),
         posexplode(col("row")).as(Seq("r", "rs")))
       .withColumn("l", col("tile_y") * Layout.TileH + col("r")) // burst-local line
