@@ -64,6 +64,32 @@ object SarOracles3 {
        |         AND abs(true_dy * ${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}) <= 5.0 AS valid
        |FROM ${fx("gcps")} ORDER BY gcp_id""".stripMargin
 
+  /** q_offset_tracking_fill (OffsetTrackingOp.java:526, 603-652 fillHoles twin):
+   * 1/chebyshev-weighted mean of valid neighbor shifts (radius 4) at each
+   * invalid grid GCP; weights x12 = exact integers, planted truth as shifts. */
+  val offsetTrackingFill: String = {
+    val scale = s"${Utility.RangeSpacingM} / ${Utility.TimeBaselineDays}"
+    s"""WITH est AS (
+       |  SELECT gcp_id, scene_id, subswath, pol,
+       |    dense_rank() OVER (PARTITION BY scene_id, subswath, pol
+       |                       ORDER BY (burst_idx - 1) * ${Layout.LinesPerBurst} + cy) AS gi,
+       |    dense_rank() OVER (PARTITION BY scene_id, subswath, pol ORDER BY cx) AS gj,
+       |    true_dx AS dx, true_dy AS dy
+       |  FROM ${fx("gcps")}),
+       |est2 AS (SELECT *, (gi + gj) % 2 = 1 AS valid FROM est),
+       |holes AS (SELECT scene_id, subswath, pol, gcp_id, gi AS hi, gj AS hj FROM est2 WHERE NOT valid),
+       |valids AS (SELECT scene_id, subswath, pol, gi, gj, dx, dy FROM est2 WHERE valid),
+       |j AS (
+       |  SELECT h.scene_id, h.subswath, h.pol, h.gcp_id,
+       |    12 // greatest(abs(v.gi - h.hi), abs(v.gj - h.hj)) AS w12, v.dx, v.dy
+       |  FROM holes h JOIN valids v USING (scene_id, subswath, pol)
+       |  WHERE greatest(abs(v.gi - h.hi), abs(v.gj - h.hj)) <= ${Utility.FillRadius})
+       |SELECT scene_id, subswath, pol, gcp_id, count(*) AS n_neighbors,
+       |  round(CAST(sum(w12 * dx) AS DOUBLE) / CAST(sum(w12) AS DOUBLE) * $scale, 6) AS vx_fill,
+       |  round(CAST(sum(w12 * dy) AS DOUBLE) / CAST(sum(w12) AS DOUBLE) * $scale, 6) AS vy_fill
+       |FROM j GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   val gcpGrid: String = {
     val w = Layout.SamplesPerBurst
     val h = Layout.LinesPerBurst * Layout.BurstsPerSubswath

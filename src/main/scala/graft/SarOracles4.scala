@@ -317,6 +317,53 @@ object SarOracles4 {
 
   // ---------------------------------------------------------------- Multi-temporal
 
+  /** q_speckle_mt_stack (MultiTemporalSpeckleFilterOp.java:56-60 twin over the
+   * 5-epoch stack): per-epoch 3x3 means, dyadic-quantized ratios, exact
+   * cross-epoch sum, J_0 = m_0 * (sum / n). */
+  val multiTemporalStack: String =
+    s"""WITH spx0 AS (
+       |  SELECT epoch, scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
+       |         unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles_stack")}),
+       |spx AS (
+       |  SELECT epoch, scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    tile_x * ${Layout.TileW} + k % ${Layout.TileW} AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // ${Layout.TileW} AS INT) AS gy,
+       |    CASE WHEN iv0 = -9999.0 OR qv0 = -9999.0 OR isnan(iv0) OR isnan(qv0) THEN -9999.0
+       |         ELSE floor(((floor(iv0 * 4096) / 4096) * (floor(iv0 * 4096) / 4096)
+       |                   + (floor(qv0 * 4096) / 4096) * (floor(qv0 * 4096) / 4096)) * 16384) / 16384 END AS v
+       |  FROM spx0),
+       |${dCte(1)},
+       |ms AS (
+       |  SELECT c.epoch, c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.v,
+       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS nn,
+       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1
+       |  FROM spx c CROSS JOIN d
+       |  LEFT JOIN spx n ON n.epoch = c.epoch AND n.scene_id = c.scene_id
+       |    AND n.subswath = c.subswath AND n.pol = c.pol AND n.burst_idx = c.burst_idx
+       |    AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+       |rt AS (
+       |  SELECT *, CASE WHEN nn > 0 THEN s1 / nn ELSE -9999.0 END AS m FROM ms),
+       |rt2 AS (
+       |  SELECT *, CASE WHEN v = -9999.0 OR m = -9999.0 OR m = 0 THEN NULL
+       |            ELSE floor(v / m * 16384) / 16384 END AS r
+       |  FROM rt),
+       |ag AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |    count(r) AS cnt, coalesce(sum(r), 0) AS sm
+       |  FROM rt2 GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |o AS (
+       |  SELECT a.scene_id, a.subswath, a.pol, a.burst_idx, a.tile_y, a.tile_x,
+       |    CASE WHEN a.cnt = 0 OR z.m = -9999.0 THEN -9999.0
+       |         ELSE z.m * (a.sm / a.cnt) END AS out
+       |  FROM ag a JOIN rt2 z ON z.epoch = 0 AND z.scene_id = a.scene_id
+       |    AND z.subswath = a.subswath AND z.pol = a.pol AND z.burst_idx = a.burst_idx
+       |    AND z.gx = a.gx AND z.gy = a.gy)
+       |$rollup""".stripMargin
+
   val multiTemporal: String =
     s"""WITH ${SarOracles2.pxCte("tiles", "pa")},
        |${SarOracles2.pxCte("tiles_sec", "pb")},

@@ -135,6 +135,35 @@ object SarOracles5 {
        |  AND df.burst_a = dd.burst_a""".stripMargin
   }
 
+  /** q_esd_apply (SpectralDiversityOp azimuth-correction leg twin): cumulative
+   * overlap phases in burst order, per-pixel wrap(phase - corr_b) for b >= 2. */
+  val esdApply: String = {
+    val ovStart = Layout.LinesPerBurst - Layout.BurstOverlapLines
+    s"""WITH ${SarOracles2.crossCte},
+       |t AS (SELECT * FROM cx WHERE pol = 'VV' AND gy >= $ovStart),
+       |b AS (SELECT * FROM cx WHERE pol = 'VV' AND gy < ${Layout.BurstOverlapLines} AND burst_idx > 1),
+       |dd AS (
+       |  SELECT t.scene_id, t.subswath, t.burst_idx AS burst_a,
+       |    sum(t.cre * b.cre + t.cim * b.cim) AS sre,
+       |    sum(t.cim * b.cre - t.cre * b.cim) AS sim
+       |  FROM t JOIN b ON b.scene_id = t.scene_id AND b.subswath = t.subswath
+       |    AND b.burst_idx = t.burst_idx + 1 AND b.gx = t.gx AND b.gy = t.gy - $ovStart
+       |  WHERE t.cre <> -9999.0 AND b.cre <> -9999.0
+       |  GROUP BY 1, 2, 3),
+       |cs AS (
+       |  SELECT scene_id, subswath, burst_a + 1 AS burst_idx,
+       |    sum(atan2(sim, sre)) OVER (PARTITION BY scene_id, subswath ORDER BY burst_a) AS corr
+       |  FROM dd),
+       |o AS (
+       |  SELECT cx.scene_id, cx.subswath, cx.pol, cx.burst_idx, cx.tile_y, cx.tile_x,
+       |    CASE WHEN cx.cim = -9999.0 OR cx.cre = -9999.0 THEN -9999.0
+       |         ELSE atan2(sin(atan2(cx.cim, cx.cre) - cs.corr), cos(atan2(cx.cim, cx.cre) - cs.corr)) END AS out
+       |  FROM cx JOIN cs ON cs.scene_id = cx.scene_id AND cs.subswath = cx.subswath
+       |    AND cs.burst_idx = cx.burst_idx
+       |  WHERE cx.pol = 'VV')
+       |${SarOracles.rollupSql(1.0)}""".stripMargin
+  }
+
   /** TC geometry chain kept through slant/tx_m/orb_x for the scatter-add operators. */
   private val tfChain: String = {
     val tc = TerrainCorrection

@@ -92,6 +92,54 @@ object SarOracles8 {
        |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
        |    AND a.burst_idx = b.burst_idx AND a.gx = b.gx AND a.gy = b.gy)""".stripMargin
 
+  /** q_forest_class (ForestAreaClassificationOp.java:44-58, 216-330 twin):
+   * ratio-bin initial classes, exact per-scene center means, one ML
+   * (equal-variance argmin) reassignment, per-tile class counts. */
+  val forestClass: String = {
+    val fc = ops.Detection2
+    val cls2 =
+      s"""(CASE WHEN abs(r - c1) <= abs(r - c2) AND abs(r - c1) <= abs(r - c3) THEN 1
+         |      WHEN abs(r - c2) <= abs(r - c3) THEN 2 ELSE 3 END)""".stripMargin
+    s"""WITH fpx AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x, pol,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")} WHERE pol IN ('VV', 'VH')),
+       |fv AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x, pol, k,
+       |    CASE WHEN iv0 = -9999.0 OR qv0 = -9999.0 OR isnan(iv0) OR isnan(qv0) THEN -9999.0
+       |         ELSE floor(((floor(iv0 * 4096) / 4096) * (floor(iv0 * 4096) / 4096)
+       |                   + (floor(qv0 * 4096) / 4096) * (floor(qv0 * 4096) / 4096)) * 16384) / 16384 END AS v
+       |  FROM fpx),
+       |fr AS (
+       |  SELECT a.scene_id, a.subswath, a.burst_idx, a.tile_y, a.tile_x, a.k,
+       |    CASE WHEN a.v = -9999.0 OR b.v = -9999.0 OR a.v <= 0 THEN NULL
+       |         ELSE floor(b.v / a.v * 16384) / 16384 END AS r
+       |  FROM fv a JOIN fv b ON b.scene_id = a.scene_id AND b.subswath = a.subswath
+       |    AND b.burst_idx = a.burst_idx AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x
+       |    AND b.k = a.k AND a.pol = 'VV' AND b.pol = 'VH'),
+       |bn AS (
+       |  SELECT scene_id,
+       |    CASE WHEN r >= ${fc.FcLow} AND r < ${fc.FcHigh} THEN 1
+       |         WHEN r < ${fc.FcLow} THEN 2 ELSE 3 END AS cls, r
+       |  FROM fr WHERE r IS NOT NULL),
+       |ct AS (
+       |  SELECT scene_id, cls, count(*) AS nc,
+       |         sum(CAST(floor(0.031415926535897934 + r * 16384) AS BIGINT)) AS sq
+       |  FROM bn GROUP BY 1, 2),
+       |cp AS (
+       |  SELECT scene_id,
+       |    max(CASE WHEN cls = 1 THEN CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE) / 16384 END) AS c1,
+       |    max(CASE WHEN cls = 2 THEN CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE) / 16384 END) AS c2,
+       |    max(CASE WHEN cls = 3 THEN CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE) / 16384 END) AS c3
+       |  FROM ct GROUP BY 1)
+       |SELECT f.scene_id, f.subswath, f.burst_idx, f.tile_y, f.tile_x,
+       |  CAST(count(*) FILTER (f.r IS NOT NULL AND $cls2 = 1) AS BIGINT) AS n_class1,
+       |  CAST(count(*) FILTER (f.r IS NOT NULL AND $cls2 = 2) AS BIGINT) AS n_class2,
+       |  CAST(count(*) FILTER (f.r IS NOT NULL AND $cls2 = 3) AS BIGINT) AS n_class3
+       |FROM fr f JOIN cp ON cp.scene_id = f.scene_id
+       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
   val forestArea: String =
     s"""WITH $pxCte,
        |$pairCte
@@ -171,6 +219,23 @@ object SarOracles8 {
        |                  ELSE atan2(cim, cre) / ${InSAR.Ktopo} END AS out
        |      FROM cx)
        |$rollup""".stripMargin
+
+  /** q_phase_to_height (jlinda Slant2Height.java:104-230 Schwabisch twin): the
+   * per-gx degree-2 fit uses the SAME shared SQL text as the engine
+   * (InSAR.s2hCoefSql), then each pixel evaluates h(phi_obs). */
+  val phaseToHeight: String = {
+    val (a0, a1, a2) = InSAR.s2hCoefSql("g.gx")
+    s"""WITH ${SarOracles2.crossCte},
+       |gxs AS (SELECT unnest(range(${Layout.SamplesPerBurst})) AS gx),
+       |cf AS (SELECT g.gx, $a0 AS a0, $a1 AS a1, $a2 AS a2 FROM gxs g),
+       |o AS (
+       |  SELECT cx.scene_id, cx.subswath, cx.pol, cx.burst_idx, cx.tile_y, cx.tile_x,
+       |    CASE WHEN cx.cim = -9999.0 OR cx.cre = -9999.0 THEN -9999.0
+       |         ELSE cf.a0 + cf.a1 * atan2(cx.cim, cx.cre)
+       |              + cf.a2 * atan2(cx.cim, cx.cre) * atan2(cx.cim, cx.cre) END AS out
+       |  FROM cx JOIN cf ON cf.gx = cx.gx)
+       |$rollup""".stripMargin
+  }
 
   val phaseToDisplacement: String =
     s"""WITH ${SarOracles2.crossCte},

@@ -771,4 +771,91 @@ object SarOraclesQuad {
        |  CAST(coalesce(sum(${q6("stat")}) FILTER ($cond), 0) AS BIGINT) AS stat_sum_q
        |FROM st GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
+
+  /** q_pol_speckle_refined (rstb RefinedLee.java:226-321, 372-400 twin): span
+   * sub-means -> gradient direction -> closer half-plane; b from span stats with
+   * sigmaV^2 = 1/enl; the 9 T3 channels filtered with the shared half-plane and
+   * gain (identical staging to Kernels.polRefinedLee). The half-plane mask lives
+   * in aggregate FILTERs, not the LEFT JOIN condition (hash-join preserving — the
+   * lesson of the single-channel refinedLee oracle). */
+  val polRefinedLee: String = {
+    val m = ops.PolarimetryQuad.PolSpeckleM
+    val step = (2 * m + 1) / 3.0
+    val sigmaVSqr = 1.0 / ops.Speckle.Enl
+    def subSel(i: Int) = {
+      val sy = i / 3; val sx = i % 3
+      s"""coalesce(sum(n.sv) FILTER (n.valid AND sy = $sy AND sx = $sx), 0)
+         |  / greatest(1, count(*) FILTER (n.valid AND sy = $sy AND sx = $sx)) AS sub$i""".stripMargin
+    }
+    val subs = (0 until 9).map(subSel).mkString(",\n")
+    val halfMask =
+      s"""(CASE c.best
+         |  WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
+         |  WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
+         |  WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
+         |  ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)""".stripMargin
+    val zSums = t3Chans.map(c =>
+      s"coalesce(sum(n.t$c) FILTER (n.valid AND $halfMask), 0) AS zs$c").mkString(",\n    ")
+    val outs = t3Chans.map(c =>
+      s"CAST(coalesce(sum(${q6(s"(zs$c / nh) + b * (ct$c - zs$c / nh)")}), 0) AS BIGINT) AS t${c}_q")
+      .mkString(",\n  ")
+    val cts = t3Chans.map(c => s"cc.t$c AS ct$c").mkString(", ")
+    s"""WITH ${t3Cte(ops.PolarimetryQuad.PolSpeckleMaxBurst)},
+       |sp AS (SELECT *, t11 + t22 + t33 AS sv FROM t3),
+       |d AS (
+       |  SELECT a.dx, b.dy,
+       |    least(2, CAST(floor((b.dy + $m) / $step) AS INT)) AS sy,
+       |    least(2, CAST(floor((a.dx + $m) / $step) AS INT)) AS sx
+       |  FROM (SELECT unnest(range(-$m, ${m + 1})) AS dx) a,
+       |       (SELECT unnest(range(-$m, ${m + 1})) AS dy) b),
+       |sub AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |$subs
+       |  FROM sp c CROSS JOIN d
+       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  WHERE c.valid
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |g AS (
+       |  SELECT *, abs(sub3 - sub5) AS g0, abs(sub1 - sub7) AS g1,
+       |         abs(sub0 - sub8) AS g2, abs(sub2 - sub6) AS g3
+       |  FROM sub),
+       |g2 AS (
+       |  SELECT *, CASE WHEN g0 = greatest(g0, g1, g2, g3) THEN 0
+       |                 WHEN g1 = greatest(g0, g1, g2, g3) THEN 1
+       |                 WHEN g2 = greatest(g0, g1, g2, g3) THEN 2 ELSE 3 END AS best
+       |  FROM g),
+       |g3 AS (
+       |  SELECT *, CASE best WHEN 0 THEN abs(sub3 - sub4) <= abs(sub5 - sub4)
+       |                      WHEN 1 THEN abs(sub1 - sub4) <= abs(sub7 - sub4)
+       |                      WHEN 2 THEN abs(sub0 - sub4) <= abs(sub8 - sub4)
+       |                      ELSE abs(sub2 - sub4) <= abs(sub6 - sub4) END AS keepa
+       |  FROM g2),
+       |hst AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.valid AND $halfMask) AS nh,
+       |    coalesce(sum(n.sv) FILTER (n.valid AND $halfMask), 0) AS s1,
+       |    coalesce(sum(n.sv * n.sv) FILTER (n.valid AND $halfMask), 0) AS s2,
+       |    $zSums
+       |  FROM g3 c CROSS JOIN d
+       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |h2 AS (
+       |  SELECT *, s1 / nh AS meany,
+       |    CASE WHEN nh > 1 THEN (s2 - nh * (s1 / nh) * (s1 / nh)) / (nh - 1) ELSE 0.0 END AS vary
+       |  FROM hst WHERE nh > 0),
+       |h3 AS (
+       |  SELECT *, CASE WHEN vary <= 0.0 THEN 0.0
+       |    ELSE (CASE WHEN (vary - meany * meany * $sigmaVSqr) / ${1.0 + sigmaVSqr} < 0.0 THEN 0.0
+       |          ELSE (vary - meany * meany * $sigmaVSqr) / ${1.0 + sigmaVSqr} END) / vary END AS b
+       |  FROM h2),
+       |oc AS (
+       |  SELECT h.*, $cts
+       |  FROM h3 h JOIN sp cc ON cc.scene_id = h.scene_id AND cc.subswath = h.subswath
+       |    AND cc.burst_idx = h.burst_idx AND cc.gx = h.gx AND cc.gy = h.gy)
+       |SELECT $keys, count(*) AS n_valid,
+       |  $outs
+       |FROM oc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
 }

@@ -299,6 +299,25 @@ case class T3SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
     copy(chs = c)
 }
 
+/** Polarimetric Refined Lee: span-driven edge window applied to all 9 T3 channels. */
+case class PolRefinedLeeExpr(chs: Seq[Expression], w: Int, h: Int, m: Int, enl: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+      Seq("s11", "s22", "s33", "s12r", "s12i", "s13r", "s13i", "s23r", "s23i")
+        .map(f => StructField(f, LongType, nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.polRefinedLee(${args.mkString(", ")}, $w, $h, $m, ${enl}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.polRefinedLee(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData],
+      args(4).asInstanceOf[ArrayData], args(5).asInstanceOf[ArrayData],
+      args(6).asInstanceOf[ArrayData], args(7).asInstanceOf[ArrayData], w, h, m, enl)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 /** Quad-pol per-tile H-A-alpha rollup over margin-m windowed T3. */
 case class HAlphaExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
     extends StaticKernelExpr {
@@ -837,6 +856,9 @@ object KernelExprs {
   def zeroDoppler(ts: Column, xs: Column, ys: Column, zs: Column,
       vxs: Column, vys: Column, vzs: Column, tx: Column, ty: Column, h: Column): Column =
     toCol(ZeroDopplerExpr(Seq(ts, xs, ys, zs, vxs, vys, vzs, tx, ty, h).map(toExpr)))
+
+  def polRefinedLee(chs: Seq[Column], w: Int, h: Int, m: Int, enl: Double): Column =
+    toCol(PolRefinedLeeExpr(chs.map(toExpr), w, h, m, enl))
 
   def hAlpha(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
     toCol(HAlphaExpr(chs.map(toExpr), w, h, m))

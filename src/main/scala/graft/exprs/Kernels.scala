@@ -2221,6 +2221,130 @@ object Kernels {
    * scale-invariant, so sums == means); power stages divide by the window count
    * with the same staging as the DuckDB oracle.
    */
+  /**
+   * Polarimetric Refined Lee speckle filter (reference rstb RefinedLee.java:
+   * 226-321, 372-400 — the operator's T3 path): per pixel, the edge direction
+   * and the filter gain b come from the SPAN image (t11+t22+t33); every one of
+   * the 9 T3 channels is then filtered with the SAME non-edge half-plane and
+   * gain: out_j = meanZ_j + b (z_j - meanZ_j), with
+   * b = varX / varY, varX = max(0, (varY - meanY^2 sigmaV^2) / (1 + sigmaV^2)),
+   * sigmaV^2 = 1/enl (RefinedLee.java:389-394). Sub-mean 3x3 grid, gradient
+   * direction and closer-half-plane selection share the staging of the
+   * single-channel refinedLeePixel (and the DuckDB twin restates it verbatim).
+   * Returns per-tile quantized sums (n + 9 channels, quantum 1e6).
+   */
+  def polRefinedLee(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
+      vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
+      w: Int, h: Int, m: Int, enl: Double): InternalRow = {
+    val hw = w + 2 * m; val hh2 = h + 2 * m
+    val ch = Array(hhI.toDoubleArray(), hhQ.toDoubleArray(), hvI.toDoubleArray(),
+      hvQ.toDoubleArray(), vhI.toDoubleArray(), vhQ.toDoubleArray(),
+      vvI.toDoubleArray(), vvQ.toDoubleArray())
+    val nPix = hw * hh2
+    val t = new Array[Double](9)
+    val t3 = Array.ofDim[Double](9, nPix)
+    val span = new Array[Double](nPix)
+    var i = 0
+    while (i < nPix) {
+      if (quadValid(ch, i)) {
+        t3Px(ch(0)(i), ch(1)(i), ch(2)(i), ch(3)(i), ch(4)(i), ch(5)(i), ch(6)(i), ch(7)(i), t)
+        var j = 0
+        while (j < 9) { t3(j)(i) = t(j); j += 1 }
+        span(i) = t(0) + t(1) + t(2)
+      } else span(i) = ND
+      i += 1
+    }
+    val sigmaVSqr = 1.0 / enl
+    val step = (2 * m + 1) / 3.0
+    val sums = new Array[Long](9)
+    var nOut = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c0 = (y + m) * hw + (x + m)
+        if (span(c0) != ND) {
+          // 3x3 sub-means of the span window (refinedLeePixel staging)
+          val sub = new Array[Double](9); val subN = new Array[Int](9)
+          var dy = -m
+          while (dy <= m) {
+            var dx = -m
+            while (dx <= m) {
+              val v = span((y + m + dy) * hw + (x + m + dx))
+              if (!isNd(v)) {
+                val sy = math.min(2, ((dy + m) / step).toInt)
+                val sx = math.min(2, ((dx + m) / step).toInt)
+                sub(sy * 3 + sx) += v; subN(sy * 3 + sx) += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          i = 0
+          while (i < 9) { if (subN(i) > 0) sub(i) /= subN(i); i += 1 }
+          val gAbs = Array(
+            math.abs(sub(3) - sub(5)), math.abs(sub(1) - sub(7)),
+            math.abs(sub(0) - sub(8)), math.abs(sub(2) - sub(6)))
+          var best = 0
+          i = 1
+          while (i < 4) { if (gAbs(i) > gAbs(best)) best = i; i += 1 }
+          val (pa, pb) = best match {
+            case 0 => (3, 5); case 1 => (1, 7); case 2 => (0, 8); case 3 => (2, 6)
+          }
+          val keepA = math.abs(sub(pa) - sub(4)) <= math.abs(sub(pb) - sub(4))
+          @inline def inHalf(dx: Int, dy: Int): Boolean = best match {
+            case 0 => if (keepA) dx <= 0 else dx >= 0
+            case 1 => if (keepA) dy <= 0 else dy >= 0
+            case 2 => if (keepA) dx + dy <= 0 else dx + dy >= 0
+            case 3 => if (keepA) dx - dy >= 0 else dx - dy <= 0
+          }
+          // half-plane span stats + per-channel means in one pass
+          var nh = 0; var s1 = 0.0; var s2 = 0.0
+          val zs = new Array[Double](9)
+          dy = -m
+          while (dy <= m) {
+            var dx = -m
+            while (dx <= m) {
+              if (inHalf(dx, dy)) {
+                val idx = (y + m + dy) * hw + (x + m + dx)
+                val v = span(idx)
+                if (!isNd(v)) {
+                  nh += 1; s1 += v; s2 += v * v
+                  var j = 0
+                  while (j < 9) { zs(j) += t3(j)(idx); j += 1 }
+                }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (nh > 0) {
+            val meanY = s1 / nh
+            val varY = if (nh > 1) (s2 - nh * meanY * meanY) / (nh - 1) else 0.0
+            val b =
+              if (varY <= 0.0) 0.0
+              else {
+                var varX = (varY - meanY * meanY * sigmaVSqr) / (1.0 + sigmaVSqr)
+                if (varX < 0.0) varX = 0.0
+                varX / varY
+              }
+            nOut += 1
+            var j = 0
+            while (j < 9) {
+              val meanZ = zs(j) / nh
+              val out = meanZ + b * (t3(j)(c0) - meanZ)
+              sums(j) += math.floor(0.031415926535897934 + out * 1.0e6).toLong
+              j += 1
+            }
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(nOut, sums(0), sums(1), sums(2), sums(3), sums(4), sums(5), sums(6), sums(7), sums(8))
+  }
+
   def quadScalar(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
       vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
       w: Int, h: Int, m: Int, mode: Int): InternalRow = {

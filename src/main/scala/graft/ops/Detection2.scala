@@ -58,6 +58,52 @@ object Detection2 {
              |  x -> x = 1D)) AS BIGINT)""".stripMargin).as("n_forest"))
   }
 
+  /** Forest-Area-Classification class boundaries on the VH/VV ratio (the
+   * reference's [3.76, 6.55] forest band rescaled to the fixture's ratio
+   * range, ForestAreaClassificationOp.java:56-58). */
+  val FcLow = 0.3
+  val FcHigh = 0.9
+
+  /** Forest-Area-Classification (ForestAreaClassificationOp.java:44-58, 216-330):
+   * initial classes from ratio-range boundaries (1 = forest [FcLow, FcHigh),
+   * 2 = below, 3 = above), exact per-class center means from the
+   * dyadic-quantized ratios, then one maximum-likelihood reassignment pass
+   * (argmin |r - center|, lowest class wins ties — the equal-variance
+   * simplification of the reference's Mahalanobis distance, documented).
+   * Output: per-tile class counts. The center frame is 3 rows — broadcast. */
+  def forestClassQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dv = Raster.DyadicV
+    val keys = Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y")
+    def side(pol: String, as: String) =
+      Raster.intensityTiles(spark, sfDir).where(col("pol") === pol)
+        .select((keys.map(col) :+ col("v").as(as)): _*)
+    val rq = side("VV", "vvv").join(side("VH", "vvh"), keys)
+      .withColumn("rq", expr(
+        s"""zip_with(vvh, vvv, (b, a) -> if(a = $ND or b = $ND or a <= 0D, CAST(NULL AS DOUBLE),
+           |  floor(b / a * $dv) / $dv))""".stripMargin))
+      .select((keys.map(col) :+ col("rq")): _*)
+    val binned = rq.select(col("scene_id"), explode(col("rq")).as("r"))
+      .where(col("r").isNotNull)
+      .withColumn("cls", expr(
+        s"CASE WHEN r >= $FcLow AND r < $FcHigh THEN 1 WHEN r < $FcLow THEN 2 ELSE 3 END"))
+    // per-scene centers (the reference clusters per product)
+    val centers = binned.groupBy("scene_id", "cls")
+      .agg(count(lit(1)).as("nc"),
+        sum(expr(s"CAST(floor(0.031415926535897934 + r * $dv) AS BIGINT)")).as("sq"))
+      .withColumn("center", expr(s"CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE) / $dv"))
+      .groupBy("scene_id")
+      .pivot("cls", Seq("1", "2", "3"))
+      .agg(first("center"))
+      .select(col("scene_id"), col("1").as("c1"), col("2").as("c2"), col("3").as("c3"))
+    val counts = (1 to 3).map(c => expr(
+      s"""CAST(size(filter(rq, r -> r IS NOT NULL
+         |  AND (CASE WHEN abs(r - c1) <= abs(r - c2) AND abs(r - c1) <= abs(r - c3) THEN 1
+         |            WHEN abs(r - c2) <= abs(r - c3) THEN 2 ELSE 3 END) = $c)) AS BIGINT)""".stripMargin)
+      .as(s"n_class$c"))
+    rq.join(broadcast(centers), Seq("scene_id"))
+      .select((Seq("scene_id", "subswath", "burst_idx", "tile_y", "tile_x").map(col) ++ counts): _*)
+  }
+
   /** Principal components over the (VV, VH) band pair per (scene, subswath):
    * closed-form 2x2 eigenvalues from integer-exact second moments. */
   def pcaQuery(spark: SparkSession, sfDir: String): DataFrame = {

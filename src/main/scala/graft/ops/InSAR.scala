@@ -129,6 +129,62 @@ object InSAR {
         s"""zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND,
            |  -$Wavelength / (4 * pi()) * atan2(b, a)))""".stripMargin)), scale = 1e3)
 
+  /** PhaseToHeight (jlinda Slant2Height.java:104-230, the Schwabisch method):
+   * per range column gx, the reference phase is sampled at NH test heights via
+   * the fixture's analytic height->phase model phi(h) = h2ph(gx) (h + C h^2)
+   * with h2ph(gx) = Ktopo (1 + 0.2 gx / samplesPerBurst), a degree-2 polynomial
+   * h(phi) is fitted by closed-form 3x3 normal equations (the reference's
+   * polyFit at :196), and each pixel's observed phase evaluates the polynomial.
+   * The SQL text below is SHARED with the DuckDB oracle, so both engines stage
+   * bit-identical IEEE arithmetic. */
+  val S2hCurve = 2.0e-5
+  val S2hHeights = Seq(0.0, 250.0, 500.0, 750.0, 1000.0)
+
+  /** h2ph model and sampled phases as SQL text parameterized by the gx expr.
+   * All literal atoms are CAST to DOUBLE so Spark's decimal-literal default and
+   * DuckDB's double literals stage the identical IEEE arithmetic. */
+  def s2hH2phSql(gx: String): String =
+    s"(CAST($Ktopo AS DOUBLE) * (1.0 + 0.2 * CAST($gx AS DOUBLE) / ${Layout.SamplesPerBurst}))"
+
+  /** Closed-form degree-2 LS coefficients (a0, a1, a2) of h(phi) through the
+   * sampled (phi_i, h_i), as three SQL expressions in the shared text. */
+  def s2hCoefSql(gx: String): (String, String, String) = {
+    val h2 = s2hH2phSql(gx)
+    val phis = S2hHeights.map(h =>
+      s"($h2 * (CAST($h AS DOUBLE) + $S2hCurve * CAST(${h * h} AS DOUBLE)))")
+    def pow(p: String, k: Int) = Seq.fill(k)(p).mkString(" * ")
+    def sum(k: Int) = phis.map(p => if (k == 0) "CAST(1.0 AS DOUBLE)" else pow(p, k)).mkString("(", " + ", ")")
+    def bsum(k: Int) = phis.zip(S2hHeights).map { case (p, h) =>
+      if (k == 0) s"CAST($h AS DOUBLE)" else s"${pow(p, k)} * CAST($h AS DOUBLE)"
+    }.mkString("(", " + ", ")")
+    val (s0, s1, s2, s3, s4) = (sum(0), sum(1), sum(2), sum(3), sum(4))
+    val (b0, b1, b2) = (bsum(0), bsum(1), bsum(2))
+    val det = s"($s0 * ($s2 * $s4 - $s3 * $s3) - $s1 * ($s1 * $s4 - $s3 * $s2) + $s2 * ($s1 * $s3 - $s2 * $s2))"
+    val a0 = s"(($b0 * ($s2 * $s4 - $s3 * $s3) - $s1 * ($b1 * $s4 - $s3 * $b2) + $s2 * ($b1 * $s3 - $s2 * $b2)) / $det)"
+    val a1 = s"(($s0 * ($b1 * $s4 - $b2 * $s3) - $b0 * ($s1 * $s4 - $s3 * $s2) + $s2 * ($s1 * $b2 - $b1 * $s2)) / $det)"
+    val a2 = s"(($s0 * ($s2 * $b2 - $s3 * $b1) - $s1 * ($s1 * $b2 - $s3 * $b0) + $b0 * ($s1 * $s3 - $s2 * $s2)) / $det)"
+    (a0, a1, a2)
+  }
+
+  def phaseToHeightQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = Layout.TileW
+    val (a0, a1, a2) = s2hCoefSql(s"(tile_x * $W + lx)")
+    val coef = spark.range(Layout.TilesX)
+      .select(col("id").cast("int").as("tile_x"))
+      .withColumn("a0v", expr(s"transform(sequence(0, ${W - 1}), lx -> $a0)"))
+      .withColumn("a1v", expr(s"transform(sequence(0, ${W - 1}), lx -> $a1)"))
+      .withColumn("a2v", expr(s"transform(sequence(0, ${W - 1}), lx -> $a2)"))
+    Raster.rollup(crossTiles(spark, sfDir)
+      .join(broadcast(coef), Seq("tile_x"))
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${W * Layout.TileH - 1}), k ->
+           |  if(element_at(cim, k + 1) = $ND or element_at(cre, k + 1) = $ND, $ND,
+           |    element_at(a0v, k % $W + 1)
+           |    + element_at(a1v, k % $W + 1) * atan2(element_at(cim, k + 1), element_at(cre, k + 1))
+           |    + element_at(a2v, k % $W + 1) * atan2(element_at(cim, k + 1), element_at(cre, k + 1))
+           |      * atan2(element_at(cim, k + 1), element_at(cre, k + 1))))""".stripMargin)), scale = 1.0)
+  }
+
   /** Demodulate (TOPSAR demod, Sentinel1Utils.java:735-805): subtract the deramp
    * phase from the raw signal phase, wrapped. */
   def demodulateQuery(spark: SparkSession, sfDir: String): DataFrame = {

@@ -70,6 +70,25 @@ object PolarimetryQuad {
         col("st.n").as("n_valid"), col("st.h_q").as("h_sum_q"),
         col("st.a_q").as("a_sum_q"), col("st.al_q").as("alpha_sum_q"))
 
+  /** Polarimetric Refined Lee (rstb RefinedLee.java:226-321, the operator's
+   * DEFAULT filter on the T3 path): 7x7 window (margin 3), edge direction and
+   * gain b from the span image, applied to all 9 T3 channels. Bursts 1-2 bound
+   * the 49-tap 9-channel DuckDB twin. */
+  val PolSpeckleMaxBurst = 2
+  val PolSpeckleM = 3
+
+  def polRefinedLeeQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Raster.withHaloMulti(quadTiles(spark, sfDir, PolSpeckleMaxBurst), ChannelCols, PolSpeckleM)
+      .withColumn("st", KernelExprs.polRefinedLee(haloChannels, Raster.W, Raster.H,
+        PolSpeckleM, Speckle.Enl))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        col("st.n").as("n_valid"),
+        col("st.s11").as("t11_q"), col("st.s22").as("t22_q"), col("st.s33").as("t33_q"),
+        col("st.s12r").as("t12r_q"), col("st.s12i").as("t12i_q"),
+        col("st.s13r").as("t13r_q"), col("st.s13i").as("t13i_q"),
+        col("st.s23r").as("t23r_q"), col("st.s23i").as("t23i_q"))
+
   /** Max burst for the Wishart gate subset (per-pixel 9-class distance argmin has
    * a heavy DuckDB twin). */
   val WishartMaxBurst = 2

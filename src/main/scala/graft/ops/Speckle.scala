@@ -137,4 +137,47 @@ object Speckle {
            |    (element_at(msum, k + 1) / element_at(m1, k + 1) / 2D) * $c))""".stripMargin))
     Raster.rollup(out)
   }
+
+  /** Multi-Temporal Speckle Filter over the FULL K-epoch stack
+   * (MultiTemporalSpeckleFilterOp.java:56-60): J_k = E[I_k] (sum_j I_j/E[I_j])/n
+   * with E[I] the 3x3 local mean; output epoch k = 0. The per-epoch ratios are
+   * dyadic-quantized BEFORE the cross-epoch sum, so the sum is exact
+   * order-independent arithmetic in both engines (collect order and DuckDB group
+   * order both become irrelevant). Epochs with an invalid mean (ND or 0) or an
+   * invalid center drop out of the sum per pixel, like the reference's
+   * f != 0 / no-data skips (:370-374). */
+  def multiTemporalStackQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = Raster.ND; val dv = Raster.DyadicV
+    val K = 5
+    val keys = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y")
+    val hw = W + 2
+    val center = s"CAST((k div $W + 1) * $hw + (k % $W + 1) + 1 AS INT)"
+    def epochFrame(e: Int): DataFrame = {
+      val base = Raster.withHaloMulti(
+        Raster.intensityTiles(spark, sfDir, "tiles_stack").where(col("epoch") === e)
+          .select((keys.map(col) :+ col("v")): _*),
+        Seq("v"), 1)
+        .withColumn(s"m$e", KernelExprs.speckleFilter(col("halo_v"), "mean", W, H, 1,
+          lit(Enl), lit(FrostDamping)))
+        .withColumn(s"r$e", expr(
+          s"""transform(sequence(0, ${W * H - 1}), k ->
+             |  if(element_at(halo_v, $center) = $nd or element_at(m$e, k + 1) = $nd
+             |     or element_at(m$e, k + 1) = 0D, CAST(NULL AS DOUBLE),
+             |    floor(element_at(halo_v, $center) / element_at(m$e, k + 1) * $dv) / $dv))""".stripMargin))
+      val cols = if (e == 0) Seq(col(s"m$e"), col(s"r$e")) else Seq(col(s"r$e"))
+      base.select((keys.map(col) ++ cols): _*)
+    }
+    // epoch 0 (the master extent) defines the output grid; epochs with no tile
+    // at a key contribute nothing (null r_e array -> null elements -> count 0),
+    // mirroring the reference's per-pixel invalid-band skip
+    val joined = (1 until K).foldLeft(epochFrame(0))((df, e) =>
+      df.join(epochFrame(e), keys, "left"))
+    val rs = (0 until K).map(e => s"element_at(r$e, k + 1)")
+    val cnt = rs.map(r => s"if($r IS NULL, 0, 1)").mkString(" + ")
+    val sm = rs.map(r => s"if($r IS NULL, 0D, $r)").mkString(" + ")
+    Raster.rollup(joined.withColumn("out", expr(
+      s"""transform(sequence(0, ${W * H - 1}), k ->
+         |  if(($cnt) = 0 or element_at(m0, k + 1) = $nd, $nd,
+         |    element_at(m0, k + 1) * (($sm) / ($cnt))))""".stripMargin)))
+  }
 }

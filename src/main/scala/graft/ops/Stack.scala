@@ -125,7 +125,9 @@ object Stack {
         (expr("CAST(substring(subswath, 3, 1) AS INT)") - 1) * Layout.SamplesPerBurst)
 
   /** ESD: per burst-overlap double-difference interferogram -> azimuth shift. */
-  def esdShiftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared ESD overlap sums: per (scene, subswath, burst_a) coherent
+   * double-difference re/im totals over the burst_a/burst_a+1 overlap strip. */
+  private def esdDdSums(spark: SparkSession, sfDir: String): DataFrame = {
     val ov = Layout.BurstOverlapLines
     val w = Layout.TileW
     val rowsTop = w * (Layout.TileH - ov) // k offset of the last `ov` rows
@@ -136,14 +138,6 @@ object Stack {
     val bot = cx.where(col("tile_y") === 0 && col("burst_idx") > 1)
       .select(col("scene_id"), col("subswath"), (col("burst_idx") - 1).as("burst_a"), col("tile_x"),
         col("cre").as("cre_b"), col("cim").as("cim_b"))
-    val fdc = Fixtures.table(spark, sfDir, "bursts")
-      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("doppler_centroid"))
-    val dfdc = fdc.as("a").join(fdc.as("b"),
-        col("a.scene_id") === col("b.scene_id") && col("a.subswath") === col("b.subswath") &&
-          col("a.burst_idx") + 1 === col("b.burst_idx"))
-      .select(col("a.scene_id").as("scene_id"), col("a.subswath").as("subswath"),
-        col("a.burst_idx").as("burst_a"),
-        (col("b.doppler_centroid") - col("a.doppler_centroid")).as("dfdc"))
     top.join(bot, Seq("scene_id", "subswath", "burst_a", "tile_x"))
       .withColumn("dd", expr(
         s"""aggregate(sequence(0, ${ov * w - 1}), struct(0L AS n, 0D AS re, 0D AS im),
@@ -156,11 +150,43 @@ object Stack {
            |                - element_at(cre_a, $rowsTop + j + 1) * element_at(cim_b, j + 1)) AS im)))""".stripMargin))
       .groupBy("scene_id", "subswath", "burst_a")
       .agg(sum(col("dd.n")).as("n_px"), sum(col("dd.re")).as("sre"), sum(col("dd.im")).as("sim"))
+  }
+
+  def esdShiftQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val fdc = Fixtures.table(spark, sfDir, "bursts")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("doppler_centroid"))
+    val dfdc = fdc.as("a").join(fdc.as("b"),
+        col("a.scene_id") === col("b.scene_id") && col("a.subswath") === col("b.subswath") &&
+          col("a.burst_idx") + 1 === col("b.burst_idx"))
+      .select(col("a.scene_id").as("scene_id"), col("a.subswath").as("subswath"),
+        col("a.burst_idx").as("burst_a"),
+        (col("b.doppler_centroid") - col("a.doppler_centroid")).as("dfdc"))
+    esdDdSums(spark, sfDir)
       .join(broadcast(dfdc), Seq("scene_id", "subswath", "burst_a"))
       .select(col("scene_id"), col("subswath"), col("burst_a"), col("n_px"),
         expr("CAST(floor(0.031415926535897934 + atan2(sim, sre) * 1.0E6) AS BIGINT)").as("phase_q"),
         expr(s"CAST(floor(0.031415926535897934 + atan2(sim, sre) / (2 * pi() * dfdc * ${Layout.AzimuthTimeInterval}) * 1.0E6) AS BIGINT)")
           .as("az_shift_q"))
+  }
+
+  /** ESD shift APPLICATION (SpectralDiversityOp's azimuth-shift correction leg):
+   * the per-overlap double-difference phases accumulate along the burst timeline
+   * (cumulative window sum in burst order — deterministic in both engines), and
+   * each burst b >= 2 of the interferogram is re-aligned per pixel by its
+   * cumulative correction: out = wrap(phase - corr_b). The tiny per-burst
+   * correction frame broadcasts back onto the tiles — estimation shuffles only
+   * overlap strips, application is map-side. */
+  def esdApplyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val grp = Window.partitionBy("scene_id", "subswath").orderBy("burst_a")
+    val corr = esdDdSums(spark, sfDir)
+      .withColumn("phase", expr("atan2(sim, sre)"))
+      .withColumn("corr", sum("phase").over(grp))
+      .select(col("scene_id"), col("subswath"), (col("burst_a") + 1).as("burst_idx"), col("corr"))
+    val cx = InSAR.crossTiles(spark, sfDir).where(col("pol") === "VV")
+    Raster.rollup(cx.join(broadcast(corr), Seq("scene_id", "subswath", "burst_idx"))
+      .withColumn("out", expr(
+        s"""zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND,
+           |  atan2(sin(atan2(b, a) - corr), cos(atan2(b, a) - corr))))""".stripMargin)))
   }
 
   /** RPCA sparse-residual threshold. */

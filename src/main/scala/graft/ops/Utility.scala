@@ -74,6 +74,48 @@ object Utility {
         (abs(col("est_dx") * RangeSpacingM / TimeBaselineDays) <= 5.0 &&
           abs(col("est_dy") * RangeSpacingM / TimeBaselineDays) <= 5.0).as("valid"))
 
+  val FillRadius = 4 // OffsetTrackingOp.java:122
+
+  /** Offset-Tracking hole filling (OffsetTrackingOp.java:526, 603-652 fillHoles):
+   * each HOLE grid GCP takes the 1/chebyshev-distance weighted mean of the
+   * valid GCPs within radius 4 on the (azimuth, range) GCP grid. Grid indices are
+   * dense ranks of the global-line/sample pin coordinates per (scene, subswath,
+   * pol). The fixture's SSD matches never fail, so the hole set is PLANTED by
+   * grid parity ((gi + gj) even), the same device as the planted shifts — the
+   * weighted-fill mechanism is what the gate verifies. Weights are staged x12 —
+   * {12, 6, 4, 3} exact integers — so the weighted sums are order-independent
+   * integer arithmetic in both engines. */
+  def offsetTrackingFillQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = s"$RangeSpacingM / $TimeBaselineDays"
+    val grp = Window.partitionBy("scene_id", "subswath", "pol")
+    val est = Coregistration.xcorrOffsetsQuery(spark, sfDir)
+      .join(Fixtures.table(spark, sfDir, "gcps")
+          .select("gcp_id", "subswath", "pol", "burst_idx", "cx", "cy"),
+        Seq("gcp_id"))
+      .withColumn("gy", expr(s"(burst_idx - 1) * ${Layout.LinesPerBurst} + cy"))
+      .withColumn("gi", dense_rank().over(grp.orderBy("gy")))
+      .withColumn("gj", dense_rank().over(grp.orderBy("cx")))
+      .withColumn("valid", expr("(gi + gj) % 2 = 1"))
+    val holes = est.where(!col("valid"))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("gcp_id"),
+        col("gi").as("hi"), col("gj").as("hj"))
+    val valids = est.where(col("valid"))
+      .select(col("scene_id"), col("subswath"), col("pol"),
+        col("gi"), col("gj"), col("est_dx"), col("est_dy"))
+    holes.join(valids, Seq("scene_id", "subswath", "pol"))
+      .where(expr(s"greatest(abs(gi - hi), abs(gj - hj)) <= $FillRadius"))
+      .withColumn("w12", expr("12 div greatest(abs(gi - hi), abs(gj - hj))"))
+      .groupBy("scene_id", "subswath", "pol", "gcp_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(expr("w12 * CAST(est_dx AS BIGINT)")).as("sdx"),
+        sum(expr("w12 * CAST(est_dy AS BIGINT)")).as("sdy"),
+        sum("w12").as("sw"))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("gcp_id"), col("n_neighbors"),
+        expr(s"round(CAST(sdx AS DOUBLE) / CAST(sw AS DOUBLE) * $scale, 6)").as("vx_fill"),
+        expr(s"round(CAST(sdy AS DOUBLE) / CAST(sw AS DOUBLE) * $scale, 6)").as("vy_fill"))
+  }
+
   /** The reference pin lattice per (width, height) = subswath raster, numPins = 24. */
   def gcpGridQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Layout.SamplesPerBurst

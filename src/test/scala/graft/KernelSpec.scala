@@ -226,6 +226,95 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("wssOverlap/wssPass match straight-loop quantized fold oracles") {
+    val w = W; val h = H; val ov = 3; val margin = 2; val wTotal = 4 * w; val q = 1.0e6
+    val off = 0.031415926535897934
+    for (seed <- 11L to 13L; tileX <- 0 to 3) {
+      val va = tile(seed, w * h); val ia = tile(seed + 100, w * h)
+      val vb = tile(seed + 200, w * h); val ib = tile(seed + 300, w * h)
+      val got = Kernels.wssOverlap(arr(va.clone), arr(ia.clone), arr(vb.clone), arr(ib.clone),
+        tileX, w, h, ov, margin, wTotal, q).toLongArray()
+      val topOff = w * (h - ov)
+      for (j <- 0 until ov) {
+        var n = 0L; var pk = 0L; var pki = 0L; var av = 0L
+        for (c <- 0 until w) {
+          val gx = tileX * w + c
+          if (gx >= margin && gx <= wTotal - margin) {
+            val a = va(topOff + j * w + c); val b = vb(j * w + c)
+            if (!(a == ND && b == ND)) {
+              n += 1
+              if (b == ND) {
+                pk += math.floor(off + a * q).toLong
+                pki += math.floor(off + ia(topOff + j * w + c) * q).toLong
+                av += math.floor(off + a * q).toLong
+              } else if (a == ND) {
+                pk += math.floor(off + b * q).toLong
+                pki += math.floor(off + ib(j * w + c) * q).toLong
+                av += math.floor(off + b * q).toLong
+              } else {
+                pk += math.floor(off + math.max(a, b) * q).toLong
+                pki += math.floor(off + (if (a >= b) ia(topOff + j * w + c) else ib(j * w + c)) * q).toLong
+                av += math.floor(off + ((a + b) / 2.0) * q).toLong
+              }
+            }
+          }
+        }
+        assert(got(j * 4) == n && got(j * 4 + 1) == pk && got(j * 4 + 2) == pki && got(j * 4 + 3) == av)
+      }
+      val gp = Kernels.wssPass(arr(va.clone), arr(ia.clone), tileX, w, h, margin, wTotal, q).toLongArray()
+      for (r <- 0 until h) {
+        var n = 0L; var pk = 0L; var pki = 0L
+        for (c <- 0 until w) {
+          val gx = tileX * w + c
+          if (gx >= margin && gx <= wTotal - margin) {
+            val x = va(r * w + c)
+            if (x != ND) { n += 1; pk += math.floor(off + x * q).toLong; pki += math.floor(off + ia(r * w + c) * q).toLong }
+          }
+        }
+        assert(gp(r * 4) == n && gp(r * 4 + 1) == pk && gp(r * 4 + 2) == pki && gp(r * 4 + 3) == pk)
+      }
+    }
+  }
+
+  test("azSpectrum equals the direct column DFT power within 1e-9 (and exactly for impulses)") {
+    val w = 8; val h = 8
+    val r = new scala.util.Random(77)
+    val di = Array.fill(w * h)(r.nextDouble() * 2 - 1)
+    val dq = Array.fill(w * h)(r.nextDouble() * 2 - 1)
+    val got = Kernels.azSpectrum(arr(di.clone), arr(dq.clone), w, h).toDoubleArray()
+    for (x <- 0 until w; k <- 0 until h) {
+      var fr = 0.0; var fi = 0.0
+      for (y <- 0 until h) {
+        val th = 2.0 * math.Pi * k * y / h
+        fr += di(y * w + x) * math.cos(th) + dq(y * w + x) * math.sin(th)
+        fi += dq(y * w + x) * math.cos(th) - di(y * w + x) * math.sin(th)
+      }
+      val exp = (fr * fr + fi * fi) / (h * h)
+      assert(math.abs(got(k * w + x) - exp) < 1e-9, s"x=$x k=$k")
+    }
+    // impulse at row 0 of a column -> flat spectrum 1/h^2 exactly
+    val imp = new Array[Double](w * h); imp(3) = 1.0
+    val gi = Kernels.azSpectrum(arr(imp.clone), arr(new Array[Double](w * h)), w, h).toDoubleArray()
+    for (k <- 0 until h) assert(gi(k * w + 3) == 1.0 / (h * h))
+  }
+
+  test("polRefinedLee reduces span variance and preserves T3 means on flat input") {
+    // flat (constant) channels: b -> varX = 0... but varY = 0 -> b = 0 -> out = meanZ = z
+    val w = 8; val h = 8; val m = 3; val n = (w + 2 * m) * (h + 2 * m)
+    def const(v: Double) = Array.fill(n)(v)
+    val row = Kernels.polRefinedLee(
+      arr(const(1.0)), arr(const(0.5)), arr(const(0.25)), arr(const(0.1)),
+      arr(const(0.25)), arr(const(0.1)), arr(const(-0.5)), arr(const(0.3)),
+      w, h, m, 16.0)
+    assert(row.getLong(0) == (w * h).toLong)
+    // constant input: every filtered value equals the per-pixel T3 value
+    val t = new Array[Double](9)
+    val p1r = 1.0 + -0.5; val p1i = 0.5 + 0.3
+    t(0) = (p1r * p1r + p1i * p1i) / 2
+    val expT11 = math.floor(0.031415926535897934 + t(0) * 1.0e6).toLong * (w * h)
+    assert(row.getLong(1) == expT11)
+  }
+
   test("complexCross equals the dyadic-snapped per-pixel formula") {
     val n = 64
     val r = new scala.util.Random(55)
