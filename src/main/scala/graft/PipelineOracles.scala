@@ -193,6 +193,31 @@ object PipelineOracles {
        |SELECT vec_a, vec_b, label_a, label_b, round(cos, 6) AS cos_r
        |FROM s WHERE cos > 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q_ann_ivf: coarse-quantizer assignment (C=8 seeded centroids), nprobe=2
+   * probed inverted lists per query, exact cosine within the probed lists. */
+  val annIvf: String = {
+    val C = ann.Ann.IvfCells; val NP = ann.Ann.IvfNProbe
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM e WHERE vec_id < $C),
+       |asg0 AS (SELECT a.vec_id, c.centroid_id, ${cosSql("a.embedding", "c.cv")} AS ccos
+       |         FROM e a CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+       |          FROM asg0) WHERE rn = 1),
+       |pr0 AS (SELECT q.vec_id AS query_id, c.centroid_id, ${cosSql("q.embedding", "c.cv")} AS ccos
+       |        FROM e q CROSS JOIN cent c WHERE q.vec_id < 20),
+       |pr AS (SELECT query_id, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+       |         FROM pr0) WHERE rn <= $NP),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM pr p JOIN asg a USING (centroid_id) WHERE a.vec_id != p.query_id),
+       |s AS (SELECT cd.query_id, cd.neighbor_id, ${cosSql("q.embedding", "n.embedding")} AS cos
+       |      FROM cand cd JOIN e q ON q.vec_id = cd.query_id JOIN e n ON n.vec_id = cd.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val annLsh: String = {
     val w = s"CASE WHEN ${h60("'lsh|' || b || '|' || i")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -127,6 +127,57 @@ object Ann {
          |      0D, (a, x) -> a + x) >= 0D,
          |    shiftleft(1L, b), 0L))""".stripMargin))
 
+  /** IVF parameters: C coarse cells, nprobe probed cells per query. */
+  val IvfCells = 8
+  val IvfNProbe = 2
+
+  /**
+   * IVF (inverted-file) ANN — the second scale path beside LSH: a small coarse
+   * quantizer (C centroid vectors, broadcast) assigns every corpus vector to its
+   * nearest cell; a query probes only its `nprobe` nearest cells and brute-forces
+   * within those inverted lists. At 10^12 rows the cell id is the shuffle /
+   * partition key (each inverted list is a co-located partition) and per-query
+   * work drops from O(N) to O(nprobe * N/C). Centroids are seeded
+   * deterministically (vec_id < C) — k-means training is orthogonal to the
+   * search plan shape and would reuse the same assignment machinery.
+   */
+  def ivfTopKQuery(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val cent = e.where(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("vb"))
+    // corpus -> nearest cell (C-way broadcast scoring, rank 1)
+    val assign = e.select(col("vec_id"), col("embedding").as("va"))
+      .join(broadcast(cent))
+      .withColumn("ccos", expr(cosSql))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    // query -> nprobe nearest cells
+    val probes = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+      .join(broadcast(cent))
+      .withColumn("ccos", expr(cosSql))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("ccos"), asc("centroid_id"))))
+      .where(col("prn") <= IvfNProbe)
+      .select(col("query_id"), col("centroid_id"))
+    // search only the probed inverted lists
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
+    probes
+      .join(assign, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos", expr(cosSql))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_r"))
+  }
+
   /** Bucketed ANN: top-3 cosine neighbors *within the same LSH bucket*. */
   def lshTopKQuery(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = withBucket(emb(spark, dir))

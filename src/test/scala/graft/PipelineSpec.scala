@@ -104,4 +104,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(best._2 - c) < 1e-5)
     }
   }
+
+  test("ann ivf: probed-list search recalls most of the exact top-k") {
+    val exact = ann.Ann.topKQuery(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = ann.Ann.ivfTopKQuery(spark, sf, nQueries = 10, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe=2 of 8 cells scans ~25% of the corpus; label-clustered embeddings
+    // keep true neighbors mostly inside the probed cells
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
 }
