@@ -338,10 +338,11 @@ object TerrainCorrection {
   /** The MAIN terrain-correction query is the full Range-Doppler geometry. */
   def query(spark: SparkSession, sfDir: String): DataFrame = fullQuery(spark, sfDir)
 
-  /** Grid bound for the three composed geocoding variants (update-georef /
-   * GSLC / SARSim-TC): ci < GeoVarCiMax caps the DuckDB oracle's unrolled
-   * 40-round bisection cost per gate without changing the Spark plan shape. */
-  val GeoVarCiMax = 64
+  /** Grid bound for the composed geocoding variants (update-georef / GSLC /
+   * SARSim-TC / ellipsoid / back-geocoding): ci < GeoVarCiMax caps the DuckDB
+   * oracle's unrolled 40-round bisection cost per gate without changing the
+   * Spark plan shape; the FULL grid stays covered by q_terrain_correction. */
+  val GeoVarCiMax = 32
 
   /** Update-Geo-Reference (UpdateGeoRefOp.java:60-71, 315-318): per-SAR-pixel
    * latitude/longitude bands — the RD geometry run against the DEM grid, with
