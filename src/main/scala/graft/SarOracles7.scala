@@ -277,6 +277,29 @@ object SarOracles7 {
        |$rollup""".stripMargin
   }
 
+  /** q_cprvi: compact-pol RVI (CPRVIOp.java:235-293) — Kennaugh geodesic distance
+   * to the ideal depolarizer (trace algebra collapsed to closed form, identical
+   * staging to Kernels.c2Window C2_CPRVI), lambda = 1.5*GD, index =
+   * (1-lambda)*(minSC_OC/maxSC_OC)^(2*lambda); non-positive powers -> ND. */
+  val cpRvi: String = {
+    val num3 = "0.25 * ((m11 + m22) * (m11 + m22)) + 0.3125 * ((m11 - m22) * (m11 - m22)) + 0.3125 * ((2 * mr) * (2 * mr)) + 0.25 * ((-2 * mi) * (-2 * mi))"
+    val gd = s"2.0 * acos(0.5 * (m11 + m22) / sqrt($num3)) / pi()"
+    val sc = "((m11 + m22) - (-2 * mi)) / 2.0"
+    val oc = "((m11 + m22) + (-2 * mi)) / 2.0"
+    s"""WITH $c2Cte,
+       |$dCte,
+       |$winCte,
+       |gd AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  n, m11, m22, mr, mi,
+       |  least($sc, $oc) AS mn, greatest($sc, $oc) AS mx FROM st),
+       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
+       |       WHEN mn <= 0 OR mx <= 0 THEN -9999.0
+       |       ELSE (1.0 - 1.5 * ($gd)) * pow(mn / mx, 2.0 * (1.5 * ($gd))) END AS out
+       |  FROM gd)
+       |$rollup""".stripMargin
+  }
+
   val anisotropy: String =
     s"""WITH $c2Cte,
        |$dCte,

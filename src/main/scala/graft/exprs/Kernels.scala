@@ -656,6 +656,7 @@ object Kernels {
   val C2_ENTROPY = 3
   val C2_MCHI = 4 // m-chi surface power ps (CP decomposition; pv/pd share the pass)
   val C2_Y3PS = 5 // dual-pol Y3 surface power (DualPolY3DecompositionOp.java:231-265)
+  val C2_CPRVI = 6 // compact-pol RVI, Mandal GD index (CPRVIOp.java:235-293)
 
   /**
    * Windowed dual-pol C2 products over 4 margin-m halo channels (c11, c22, c12r,
@@ -755,6 +756,28 @@ object Kernels {
                 val t1 = if (p1 > 0.0) p1 * (math.log(p1) / ln2) else 0.0
                 val t2 = if (p2 > 0.0) p2 * (math.log(p2) / ln2) else 0.0
                 -1.0 * (t1 + t2)
+              }
+            }
+          case C2_CPRVI =>
+            // Compact-pol RVI (Mandal et al. 2020; CPRVIOp.java:235-293): geodesic
+            // distance between the window Kennaugh matrix (built from Stokes g0..g3
+            // with the reference's halved lower triangle: K00=.5g0, K02=.5g2,
+            // K13=.5g1, K20=.25g2, K31=.25g1, K33=.5g3) and the ideal depolarizer
+            // diag(1,0,0,0); trace algebra collapses to closed form. Guard: non-
+            // positive SC/OC powers -> ND (the reference emits NaN there).
+            if (n == 0 || m11 + m22 <= 0.0) ND
+            else {
+              val g0 = m11 + m22
+              val g1 = m11 - m22; val g2 = 2.0 * mr; val g3 = -2.0 * mi
+              val num3 = 0.25 * (g0 * g0) + 0.3125 * (g1 * g1) +
+                0.3125 * (g2 * g2) + 0.25 * (g3 * g3)
+              val gd = 2.0 * math.acos(0.5 * g0 / math.sqrt(num3)) / math.Pi
+              val sc = (g0 - g3) / 2.0; val oc = (g0 + g3) / 2.0
+              val mn = math.min(sc, oc); val mx = math.max(sc, oc)
+              if (mn <= 0.0 || mx <= 0.0) ND
+              else {
+                val lam = 1.5 * gd
+                (1.0 - lam) * math.pow(mn / mx, 2.0 * lam)
               }
             }
         }

@@ -96,6 +96,12 @@ object Polarimetry {
   def dprviQuery(spark: SparkSession, sfDir: String): DataFrame =
     c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_DPRVI)
 
+  /** Compactpol-Radar-Vegetation-Index (CpRVI, CPRVIOp.java:235-293): Kennaugh
+   * geodesic distance to the ideal depolarizer, modulated by (min/max of the
+   * same/odd-bounce powers)^(2*lambda), over the windowed C2 -> Stokes. */
+  def cpRviQuery(spark: SparkSession, sfDir: String): DataFrame =
+    c2WindowQuery(spark, sfDir, graft.exprs.Kernels.C2_CPRVI)
+
   /** m-chi CP decomposition: surface power ps over the 3x3-windowed Stokes
    * (Raney m-chi; the pv/pd channels share the same compiled pass). */
   def mChiQuery(spark: SparkSession, sfDir: String): DataFrame =
