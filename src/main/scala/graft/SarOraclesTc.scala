@@ -417,4 +417,54 @@ object SarOraclesTc {
        |       count(term_q) AS n_corners, CAST(sum(term_q) AS BIGINT) AS value_q
        |FROM terms GROUP BY 1, 2, 3, 4, 5""".stripMargin
   }
+
+  /** q_layover_shadow (SARSimulationOp.java:951-1037): the three monotone scans as
+   * window aggregates over the same analytic steep-ridge scan grid; slant/elev
+   * quantized to the dithered 1e6 integer grid before any comparison, so the
+   * layover/shadow flags are integer-exact in both engines. */
+  val layoverShadow: String =
+    s"""WITH orb AS (
+       |  SELECT scene_id, x AS orb_x, z AS orb_z
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS rn
+       |        FROM ${fx("orbit")}) WHERE rn = 1),
+       |cells AS (SELECT CAST(r1.range AS INT) AS ci, CAST(r2.range AS INT) AS cj
+       |          FROM range(${TerrainCorrection.LsNx}) r1, range(${TerrainCorrection.LsNy}) r2),
+       |g0 AS (
+       |  SELECT o.scene_id, c.ci, c.cj, o.orb_x, o.orb_z,
+       |    100.0 + 4000.0 * greatest(0.0, 1.0 - abs(c.ci - 80) / 20.0) + 20.0 * cos(c.cj * 0.3) AS h,
+       |    c.ci * 50.0 AS tx,
+       |    (c.ci * 7 + c.cj * 3) % 23 != 0 AS valid
+       |  FROM cells c CROSS JOIN orb o),
+       |g1 AS (
+       |  SELECT *, sqrt((orb_x - tx) * (orb_x - tx) + (orb_z - h) * (orb_z - h)) AS slant
+       |  FROM g0),
+       |g2 AS (
+       |  SELECT *,
+       |    acos((slant * slant + (orb_x * orb_x + orb_z * orb_z) - (tx * tx + h * h)) / (2.0 * slant * sqrt(orb_x * orb_x + orb_z * orb_z))) * 57.29577951308232 AS elev
+       |  FROM g1),
+       |q AS (
+       |  SELECT scene_id, ci, cj, valid,
+       |    CAST(floor(0.031415926535897934 + slant * 1.0E6) AS BIGINT) AS sl_q,
+       |    CAST(floor(0.031415926535897934 + elev * 1.0E6) AS BIGINT) AS el_q
+       |  FROM g2),
+       |w AS (
+       |  SELECT *,
+       |    max(CASE WHEN valid THEN sl_q END) OVER (PARTITION BY scene_id, cj ORDER BY ci ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax_sl,
+       |    max(CASE WHEN valid THEN sl_q END) OVER (PARTITION BY scene_id, cj) AS gmax_sl,
+       |    min(CASE WHEN valid THEN sl_q END) OVER (PARTITION BY scene_id, cj ORDER BY ci DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smin_sl,
+       |    max(CASE WHEN valid THEN el_q END) OVER (PARTITION BY scene_id, cj ORDER BY ci ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax_el
+       |  FROM q),
+       |m AS (
+       |  SELECT scene_id, ci, cj, valid,
+       |    valid AND (sl_q <= coalesce(pmax_sl, 0) OR sl_q > coalesce(smin_sl, gmax_sl)) AS layover,
+       |    valid AND el_q <= coalesce(pmax_el, 0) AS shadow
+       |  FROM w)
+       |SELECT scene_id, cj,
+       |  count(*) FILTER (valid) AS n_valid,
+       |  count(*) FILTER (layover) AS n_layover,
+       |  count(*) FILTER (shadow) AS n_shadow,
+       |  count(*) FILTER (layover AND shadow) AS n_both,
+       |  CAST(coalesce(sum(ci) FILTER (layover), 0) AS BIGINT) AS ci_layover_sum,
+       |  CAST(coalesce(sum(ci) FILTER (shadow), 0) AS BIGINT) AS ci_shadow_sum
+       |FROM m GROUP BY 1, 2""".stripMargin
 }

@@ -189,6 +189,77 @@ object TerrainCorrection {
       .agg(count(lit(1)).as("n_facets"),
         sum(expr("CAST(floor(0.031415926535897934 + sim * 1.0E6) AS BIGINT)")).as("sim_sum_q"))
 
+  // ---- Layover-Shadow mask (SARSimulationOp.java:951-1037, saveLayoverShadowMask) ----
+
+  /** Scan grid for the layover/shadow gate: 50 m ground step under a 4 km analytic
+   * ridge, so slant-range inversions (layover) and elevation-angle occlusions
+   * (shadow) actually occur — the smooth 0.05-deg fixture DEM never folds at the
+   * TC grid's 2 km step. Both engines restate the ridge analytically. */
+  val LsNx = 160
+  val LsNy = 24
+
+  /**
+   * Layover/shadow mask (reference SARSimulationOp.java:951-1037): per constant-lat
+   * DEM scan row, three monotone scans in range order —
+   *   (1) near->far: cell is LAYOVER if its slant range does not exceed the running
+   *       max of nearer cells (:962-970);
+   *   (2) far->near: remaining layover where slant range exceeds the running min
+   *       seeded with the row's max (:973-982);
+   *   (3) near->far: cell is SHADOW if its sensor elevation angle
+   *       acos((slant^2 + H^2 - R^2) / (2 slant H)) (:1082-1089) does not exceed
+   *       the running max (:985-994).
+   * Invalid cells (savePixel=false) pass through without updating the scans.
+   *
+   * Spark shape: the scan grid is generated distributed; the running max/min are
+   * native window aggregates over (scene, row) ordered by range index — the only
+   * shuffle is the geometry table (~1e-3 of pixel volume) partitioned by scan row,
+   * embarrassingly parallel across rows at any scale. Slant/elev quantized to the
+   * 1e6 dithered integer grid BEFORE the scans so every comparison is integer-exact
+   * in both engines.
+   */
+  def layoverShadowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val scenes = Fixtures.table(spark, sfDir, "scenes").select("scene_id")
+    val orbit0 = Fixtures.table(spark, sfDir, "orbit")
+      .withColumn("rn", row_number().over(Window.partitionBy("scene_id").orderBy("t_sec")))
+      .where(col("rn") === 1)
+      .select(col("scene_id"), col("x").as("orb_x"), col("z").as("orb_z"))
+    val cells = spark.range(0L, LsNx.toLong * LsNy)
+      .select(expr(s"CAST(id % $LsNx AS INT)").as("ci"),
+        expr(s"CAST(id div $LsNx AS INT)").as("cj"))
+    val g = cells.join(broadcast(scenes.join(orbit0, Seq("scene_id"))))
+      .withColumn("h", expr(
+        "100.0 + 4000.0 * greatest(0.0, 1.0 - abs(ci - 80) / 20.0) + 20.0 * cos(cj * 0.3)"))
+      .withColumn("tx", expr("ci * 50.0"))
+      // planted savePixel=false cells exercise the scan's skip branch
+      .withColumn("valid", expr("(ci * 7 + cj * 3) % 23 != 0"))
+      .withColumn("slant", expr(
+        "sqrt((orb_x - tx) * (orb_x - tx) + (orb_z - h) * (orb_z - h))"))
+      .withColumn("elev", expr(
+        "acos((slant * slant + (orb_x * orb_x + orb_z * orb_z) - (tx * tx + h * h)) / (2.0 * slant * sqrt(orb_x * orb_x + orb_z * orb_z))) * 57.29577951308232"))
+      .withColumn("sl_q", expr("CAST(floor(0.031415926535897934 + slant * 1.0E6) AS BIGINT)"))
+      .withColumn("el_q", expr("CAST(floor(0.031415926535897934 + elev * 1.0E6) AS BIGINT)"))
+    val pre = Window.partitionBy("scene_id", "cj").orderBy("ci")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suf = Window.partitionBy("scene_id", "cj").orderBy(col("ci").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy("scene_id", "cj")
+    g.withColumn("pmax_sl", max(when(col("valid"), col("sl_q"))).over(pre))
+      .withColumn("gmax_sl", max(when(col("valid"), col("sl_q"))).over(all))
+      .withColumn("smin_sl", min(when(col("valid"), col("sl_q"))).over(suf))
+      .withColumn("pmax_el", max(when(col("valid"), col("el_q"))).over(pre))
+      .withColumn("layover", col("valid") &&
+        (col("sl_q") <= coalesce(col("pmax_sl"), lit(0L)) ||
+          col("sl_q") > coalesce(col("smin_sl"), col("gmax_sl"))))
+      .withColumn("shadow", col("valid") && col("el_q") <= coalesce(col("pmax_el"), lit(0L)))
+      .groupBy("scene_id", "cj")
+      .agg(count(when(col("valid"), 1)).as("n_valid"),
+        count(when(col("layover"), 1)).as("n_layover"),
+        count(when(col("shadow"), 1)).as("n_shadow"),
+        count(when(col("layover") && col("shadow"), 1)).as("n_both"),
+        coalesce(sum(when(col("layover"), col("ci"))), lit(0L)).as("ci_layover_sum"),
+        coalesce(sum(when(col("shadow"), col("ci"))), lit(0L)).as("ci_shadow_sum"))
+  }
+
   /** Per-scene sorted state-vector arrays of the CURVED orbit, broadcastable. */
   def svArrays(spark: SparkSession, sfDir: String): DataFrame =
     Fixtures.table(spark, sfDir, "orbit_curved")
