@@ -73,6 +73,39 @@ object SarOraclesSm {
        |$rollup""".stripMargin
   }
 
+  /** q_bisinc_resampling: 5-tap normalized truncated-sinc along range at the
+   * per-burst fractional shift (taps pivoted per center pixel so the weighted
+   * sum stages in the kernel's exact left-assoc order; any NULL/ND tap -> ND). */
+  val bisincResampling: String = {
+    val wj = (0 to 4).map { j =>
+      val t = s"(d - (${(j - 2).toDouble}))"
+      s"CASE WHEN $t = 0 THEN 1.0 ELSE sin(pi() * $t) / (pi() * $t) END AS w$j"
+    }.mkString(",\n       |    ").stripMargin
+    val taps = (0 to 4).map { j =>
+      s"max(CASE WHEN s.gx = c.gx + ${j - 2} THEN s.v END) AS v$j"
+    }.mkString(",\n       |    ").stripMargin
+    val ndOrNull = (0 to 4).map(j => s"v$j IS NULL OR v$j = -9999.0").mkString(" OR ")
+    s"""WITH ${SarOracles8.pxCte},
+       |tap AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy,
+       |    $taps
+       |  FROM px c
+       |  JOIN px s ON s.scene_id = c.scene_id AND s.subswath = c.subswath
+       |    AND s.pol = c.pol AND s.burst_idx = c.burst_idx AND s.gy = c.gy
+       |    AND s.gx BETWEEN c.gx - 2 AND c.gx + 2
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |wts AS (SELECT *,
+       |    $wj
+       |  FROM (SELECT *, ((burst_idx * 13) % 17) / CAST(17.0 AS DOUBLE) - CAST(0.5 AS DOUBLE) AS d FROM tap)),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |    CASE WHEN $ndOrNull THEN -9999.0
+       |         ELSE (w0 * v0 + w1 * v1 + w2 * v2 + w3 * v3 + w4 * v4) / (w0 + w1 + w2 + w3 + w4) END AS out
+       |  FROM wts)
+       |$rollup""".stripMargin
+  }
+
   val deskew: String = warpOracle(Seq(0.0, 0.0, 0.0, 0.0, ops.Resampling.DeskewFrac, 0.0))
 
   val crossResampling: String = warpOracle(

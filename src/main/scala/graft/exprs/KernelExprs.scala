@@ -617,6 +617,20 @@ case class CpC2SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
     copy(chs = c)
 }
 
+/** 5-point truncated-sinc range resample at per-row fractional shift d. */
+case class BisincRangeExpr(halo: Expression, d: Expression,
+    w: Int, h: Int, m: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(halo, d)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.bisincRange(${args(0)}, $w, $h, $m, ${args(1)})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.bisincRange(args(0).asInstanceOf[ArrayData], w, h, m,
+      args(1).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0), d = c(1))
+}
+
 /** Nearest-neighbor polynomial warp gather over a margin-m halo (deskew / cross). */
 case class WarpGatherExpr(halo: Expression, tileX: Expression, tileY: Expression,
     w: Int, h: Int, m: Int, coeffs: Seq[Double]) extends StaticKernelExpr {
@@ -796,6 +810,9 @@ object KernelExprs {
   def warpGather(halo: Column, tileX: Column, tileY: Column,
       w: Int, h: Int, m: Int, coeffs: Seq[Double]): Column =
     toCol(WarpGatherExpr(toExpr(halo), toExpr(tileX), toExpr(tileY), w, h, m, coeffs))
+
+  def bisincRange(halo: Column, d: Column, w: Int, h: Int, m: Int): Column =
+    toCol(BisincRangeExpr(toExpr(halo), toExpr(d), w, h, m))
 
   def iemInvert(s1: Column, s2: Column, theta: Column, lut: Column): Column =
     toCol(IemInvertExpr(toExpr(s1), toExpr(s2), toExpr(theta), toExpr(lut)))

@@ -2898,6 +2898,44 @@ object Kernels {
    * ALOSDeskewingOp.java computeTileStack MapReady branch) and CrossResampling
    * (jlinda CrossResamplingOp polynomial grid transfer, nearest-neighbor kernel).
    */
+  /** 5-point truncated-sinc (BiSinc) resampling along range at constant fractional
+   * shift d per tile — the textbook normalized-sinc kernel behind the reference's
+   * default BISINC_5_POINT resampling (BackGeocodingOp.java:91-94; the SNAP core
+   * class is not in the reference tree, so the public formula is restated:
+   * w_j = sinc(d - j), j = -2..2, output = sum(w_j v_{x+j}) / sum(w_j)). Any ND
+   * tap makes the output ND; taps read the margin-m halo. */
+  def bisincRange(halo: ArrayData, w: Int, h: Int, m: Int, d: Double): ArrayData = {
+    val hw = w + 2 * m
+    val a = halo.toDoubleArray()
+    val out = new Array[Double](w * h)
+    val wts = new Array[Double](5)
+    var sw = 0.0
+    var j = 0
+    while (j < 5) {
+      val t = d - (j - 2)
+      val wj = if (t == 0.0) 1.0 else math.sin(math.Pi * t) / (math.Pi * t)
+      wts(j) = wj; sw += wj; j += 1
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var acc = 0.0
+        var nd = false
+        var k = 0
+        while (k < 5) {
+          val v = a((y + m) * hw + (x + m + k - 2))
+          if (isNd(v)) nd = true else acc += wts(k) * v
+          k += 1
+        }
+        out(y * w + x) = if (nd) ND else acc / sw
+        x += 1
+      }
+      y += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def warpGather(halo: ArrayData, w: Int, h: Int, m: Int, tileX: Int, tileY: Int,
       a0: Double, a1: Double, a2: Double, b0: Double, b1: Double, b2: Double): ArrayData = {
     val hw = w + 2 * m

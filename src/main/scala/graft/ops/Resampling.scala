@@ -43,4 +43,18 @@ object Resampling {
   def crossResamplingQuery(spark: SparkSession, sfDir: String): DataFrame =
     gatherQuery(spark, sfDir,
       Seq(CrossDx(0), CrossDx(1), CrossDx(2), CrossDy(0), CrossDy(1), CrossDy(2)))
+
+  /** q_bisinc_resampling: 5-point truncated-sinc (BiSinc) range resample at a
+   * per-burst constant fractional shift — the reference's DEFAULT resampling for
+   * Back-Geocoding (BackGeocodingOp.java:91-94 BISINC_5_POINT). The shift is a
+   * deterministic function of burst_idx that both engines restate; weights are
+   * computed once per tile and applied in one compiled pass over the halo. */
+  def bisincResamplingQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val haloed = Speckle.haloTiles(spark, sfDir, Margin)
+      .withColumn("d", expr(
+        "((burst_idx * 13) % 17) / CAST(17.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)"))
+    Raster.rollup(haloed.withColumn("out",
+      graft.exprs.KernelExprs.bisincRange(col("halo"), col("d"),
+        Raster.W, Raster.H, Margin)))
+  }
 }
