@@ -284,4 +284,25 @@ object PipelineOracles {
        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
        |  round(sum(value), 4) AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_events_sessions: 30-minute gap-split sessionization (lag + running sum),
+   * event_id tie-break, fixed-point cent sums. */
+  val eventsSessions: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         CAST(round(value * 100, 0) AS BIGINT) AS value_c
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |                   OR ts_us - lag(ts_us) OVER w > ${graft.streaming.Sessions.GapUs}
+       |                 THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |g AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM f)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us,
+       |  count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_sum_c
+       |FROM g GROUP BY 1, 2""".stripMargin
 }

@@ -78,6 +78,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) equals the batch gap-split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, uid: Long, minutes: Double, v: Double) =
+      (id, uid, new Timestamp(t0 + (minutes * 60000).toLong), v)
+    // user 1: gap-split inside one batch; user 2: one session spanning batches
+    // (its batch-2 event at minute 45 stays >= the post-batch-1 watermark of 44);
+    // user 3: single event; user 999: sentinel advancing the watermark
+    val batch1 = Seq(ev(0, 1, 0, 1.25), ev(1, 1, 5, 2.5), ev(2, 1, 45, 4.0),
+      ev(3, 2, 20, 3.0), ev(4, 3, 1, 7.75))
+    val batch2 = Seq(ev(5, 2, 45, 1.0))
+    val sentinel = Seq(ev(6, 999, 100000, 0.0), ev(7, 999, 100001, 0.0))
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, Double)]
+    val src = in.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = graft.streaming.Sessions.streamingSessions(src)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    in.addData(batch1); q.processAllAvailable()
+    in.addData(batch2); q.processAllAvailable()
+    in.addData(sentinel); q.processAllAvailable()
+    in.addData(Seq(ev(8, 999, 100002, 0.0))); q.processAllAvailable() // fire timeouts
+    q.stop()
+
+    val streamed = spark.table("sess_out").where(col("user_id") =!= 999)
+      .select("user_id", "start_us", "duration_us", "n_events", "value_sum_c")
+    val batchDf = (batch1 ++ batch2).toDF("event_id", "user_id", "ts", "value")
+    val expected = graft.streaming.Sessions.batchSessions(batchDf)
+      .select("user_id", "start_us", "duration_us", "n_events", "value_sum_c")
+    assert(streamed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(streamed).count() == 0)
+    assert(streamed.count() == 4) // u1 x2 (gap split), u2 x1 (cross-batch), u3 x1
+  }
+
   test("multimodal: typed mapPartitions decode equals the expression pipeline") {
     val exprPath = Multimodal.mediaMetaQuery(spark, sf)
     val typed = graft.gen.Fixtures.table(spark, sf, "media").as[Multimodal.MediaRow]
