@@ -215,6 +215,12 @@ object SarOraclesTc {
    * needs the height-pinning difference covered. */
   val ellipsoidRd: String = rdGeocodeSql(useDem = false, ciMax = TerrainCorrection.GeoVarCiMax)
 
+  /** q_tc_normalized: TC + radiometric normalization — gathered value / lut^2 at
+   * the resolved fractional position (RangeDopplerGeocodingOp.java:1151-1163,
+   * Sentinel1Calibrator.applyCalibration:508-535). */
+  val terrainCorrectionNormalized: String =
+    rdGeocodeSql(useDem = true, ciMax = TerrainCorrection.GeoVarCiMax, normalize = true)
+
   /** The shared resolve chain (sv0 .. g9): curved-orbit bisection to fractional
    * burst-local (l0, x0, wl, wx) + slant, bounded to ci < ciMax when given. */
   private def resolveCtes(useDem: Boolean, ciMax: Int = TerrainCorrection.GridNx): String = {
@@ -284,11 +290,18 @@ object SarOraclesTc {
        |  FROM g8 WHERE lf >= 0 AND lf < ${Layout.LinesPerBurst - 1})""".stripMargin
   }
 
-  private def rdGeocodeSql(useDem: Boolean, ciMax: Int = TerrainCorrection.GridNx): String = {
+  private def rdGeocodeSql(useDem: Boolean, ciMax: Int = TerrainCorrection.GridNx,
+      normalize: Boolean = false): String = {
     val tc = TerrainCorrection
+    val snorm =
+      if (normalize)
+        s"500.0 + 0.1 * ((burst_idx - 1) * ${Layout.LinesPerBurst} + l0 + wl) + 0.05 * (x0 + wx)"
+      else "1.0"
+    val factor = if (normalize) "/ (c.snorm * c.snorm)" else ""
+    val quantum = if (normalize) "1E9" else "1E6"
     s"""WITH ${resolveCtes(useDem, ciMax)},
        |corners AS (
-       |  SELECT g9.*, c.cy, c.cx,
+       |  SELECT g9.*, c.cy, c.cx, ($snorm) AS snorm,
        |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
        |    l0 + c.cy AS line, x0 + c.cx AS samp
        |  FROM g9 CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)),
@@ -307,7 +320,7 @@ object SarOraclesTc {
        |terms AS (
        |  SELECT c.scene_id, c.ci, c.cj, c.subswath, c.burst_idx,
        |    CASE WHEN p.v = -9999.0 THEN NULL
-       |         ELSE CAST(floor(0.031415926535897934 + c.w * p.v * 1E6) AS BIGINT) END AS term_q
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * p.v $factor * $quantum) AS BIGINT) END AS term_q
        |  FROM corners c
        |  JOIN px p ON p.scene_id = c.scene_id AND p.subswath = c.subswath
        |    AND p.burst_idx = c.burst_idx AND p.gx = c.samp AND p.gy = c.line)

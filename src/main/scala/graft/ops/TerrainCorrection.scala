@@ -374,9 +374,17 @@ object TerrainCorrection {
   }
 
   private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean,
-      ciMax: Int = GridNx): DataFrame = {
-    val resolved = resolveCells(spark, sfDir, useDem, ciMax = ciMax)
+      ciMax: Int = GridNx, normalize: Boolean = false): DataFrame = {
+    // radiometric normalization (RangeDopplerGeocodingOp.java:1151-1163 +
+    // Sentinel1Calibrator.applyCalibration:508-535): the gathered value divided by
+    // lut^2, the LUT evaluated at the RESOLVED fractional source position — the
+    // fixture LUT is the exact sigma0 plane, so interpolation = plane evaluation
+    val resolved0 = resolveCells(spark, sfDir, useDem, ciMax = ciMax)
       .drop("lf", "xf")
+    val resolved =
+      if (!normalize) resolved0.withColumn("snorm", lit(1.0))
+      else resolved0.withColumn("snorm", expr(
+        s"500.0D + 0.1D * ((burst_idx - 1) * ${Layout.LinesPerBurst} + l0 + wl) + 0.05D * (x0 + wx)"))
     // 4 bilinear corners, each with its own tile key and weight
     val corners = resolved
       .withColumn("cyx", expr("explode(array(struct(0 AS cy, 0 AS cx), struct(0 AS cy, 1 AS cx), " +
@@ -388,12 +396,14 @@ object TerrainCorrection {
       .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
       .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
       .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
-      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w")
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w", "snorm")
     val tiles = Fixtures.table(spark, sfDir, "tiles")
       .where(col("pol") === "VV")
       .select(col("scene_id"), col("subswath"), col("burst_idx"),
         col("tile_x"), col("tile_y"), col("i"), col("q"))
     val d = Raster.Dyadic; val dv = Raster.DyadicV
+    val (factor, quantum) =
+      if (normalize) ("/ (snorm * snorm)", "1E9") else ("", "1E6")
     tiles
       .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
       .withColumn("pa", expr("element_at(i, px + 1)"))
@@ -401,10 +411,17 @@ object TerrainCorrection {
       .withColumn("term_q", expr(
         s"""if(pa = -9999.0D or pb = -9999.0D or isnan(pa) or isnan(pb), CAST(null AS BIGINT),
            |  CAST(floor(0.031415926535897934 + w * (floor(((floor(pa * $d) / $d) * (floor(pa * $d) / $d)
-           |    + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv) * 1E6) AS BIGINT))""".stripMargin))
+           |    + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv) $factor * $quantum) AS BIGINT))""".stripMargin))
       .groupBy("scene_id", "ci", "cj", "subswath", "burst_idx")
       .agg(count(col("term_q")).as("n_corners"), sum(col("term_q")).as("value_q"))
   }
+
+  /** Terrain-Correction WITH radiometric normalization (the applyRadiometric-
+   * Normalization leg of RangeDopplerGeocodingOp.java:1151-1163): gathered value
+   * divided by lut^2 at the resolved fractional source position. ci-bounded like
+   * the other composed variants. */
+  def tcNormalizedQuery(spark: SparkSession, sfDir: String): DataFrame =
+    rdGeocode(spark, sfDir, useDem = true, ciMax = GeoVarCiMax, normalize = true)
 
   /** The MAIN terrain-correction query is the full Range-Doppler geometry. */
   def query(spark: SparkSession, sfDir: String): DataFrame = fullQuery(spark, sfDir)
