@@ -334,4 +334,55 @@ class KernelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bisincRange matches the straight-loop normalized truncated-sinc oracle") {
+    for (seed <- 11L to 13L) {
+      val halo = tile(seed, (W + 2 * M) * (H + 2 * M))
+      val hw = W + 2 * M
+      val d = 0.3 - 0.05 * seed
+      val got = Kernels.bisincRange(arr(halo), W, H, M, d).toDoubleArray()
+      val wts = (0 until 5).map { j =>
+        val t = d - (j - 2)
+        if (t == 0.0) 1.0 else math.sin(math.Pi * t) / (math.Pi * t)
+      }
+      val sw = wts.foldLeft(0.0)(_ + _)
+      for (y <- 0 until H; x <- 0 until W) {
+        val taps = (0 until 5).map(k => halo((y + M) * hw + (x + M + k - 2)))
+        if (taps.exists(isNd)) assert(got(y * W + x) == ND)
+        else {
+          var acc = 0.0
+          for (k <- 0 until 5) acc += wts(k) * taps(k)
+          assert(got(y * W + x) == acc / sw)
+        }
+      }
+    }
+  }
+
+  test("c2Window CPRVI matches the closed-form Kennaugh geodesic oracle") {
+    val m = 1
+    def ch(seed: Long) = tile(seed, (W + 2 * m) * (H + 2 * m))
+    val (c11, c22, cr, ci) = (ch(21), ch(22), ch(23), ch(24))
+    val got = Kernels.c2Window(arr(c11.clone), arr(c22.clone), arr(cr.clone), arr(ci.clone),
+      W, H, m, Kernels.C2_CPRVI).toDoubleArray()
+    val hw = W + 2 * m
+    for (y <- 0 until H; x <- 0 until W) {
+      var n = 0; var m11 = 0.0; var m22 = 0.0; var mr = 0.0; var mi = 0.0
+      for (dy <- -m to m; dx <- -m to m) {
+        val idx = (y + m + dy) * hw + (x + m + dx)
+        if (!isNd(c11(idx))) { n += 1; m11 += c11(idx); m22 += c22(idx); mr += cr(idx); mi += ci(idx) }
+      }
+      val exp =
+        if (n == 0 || m11 + m22 <= 0.0) ND
+        else {
+          val g0 = m11 + m22; val g1 = m11 - m22; val g2 = 2.0 * mr; val g3 = -2.0 * mi
+          val num3 = 0.25 * (g0 * g0) + 0.3125 * (g1 * g1) + 0.3125 * (g2 * g2) + 0.25 * (g3 * g3)
+          val gd = 2.0 * math.acos(0.5 * g0 / math.sqrt(num3)) / math.Pi
+          val sc = (g0 - g3) / 2.0; val oc = (g0 + g3) / 2.0
+          val mn = math.min(sc, oc); val mx = math.max(sc, oc)
+          if (mn <= 0.0 || mx <= 0.0) ND
+          else { val lam = 1.5 * gd; (1.0 - lam) * math.pow(mn / mx, 2.0 * lam) }
+        }
+      assert(got(y * W + x) == exp, s"($x,$y)")
+    }
+  }
 }

@@ -77,6 +77,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("layover/shadow scans shuffle only the geometry grid, once, by scan row") {
+    val p = plan(ops.TerrainCorrection.layoverShadowQuery(spark, sf))
+    // window scans re-use ONE (scene, cj) hash exchange; the partial agg needs none
+    val exchanges = ShuffleRe.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <= 2 shuffles, got $exchanges\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("bisinc resample is the halo exchange plus a compiled pass (no extra shuffle)") {
+    val p = plan(ops.Resampling.bisincResamplingQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // same plan budget as the warp-gather queries that share the halo machinery
+    val budget = ShuffleRe.findAllIn(plan(ops.Resampling.deskewQuery(spark, sf))).length
+    val exchanges = ShuffleRe.findAllIn(p).length
+    assert(exchanges <= budget, s"expected <= $budget shuffles, got $exchanges\n" + p.take(2000))
+  }
+
+  test("sessionization is one user-key shuffle feeding both window passes") {
+    val p = plan(streaming.Sessions.batchQuery(spark, sf))
+    val exchanges = ShuffleRe.findAllIn(p).length
+    // lag + running-sum share the (user_id) exchange; final agg is partial-agg'd
+    assert(exchanges <= 2, s"expected <= 2 shuffles, got $exchanges\n" + p.take(2000))
+  }
+
   test("ESD apply broadcasts the per-burst correction frame onto the tiles") {
     val p = plan(ops.Stack.esdApplyQuery(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
