@@ -285,6 +285,40 @@ object PipelineOracles {
        |  round(sum(value), 4) AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_ann_pq: PQ encode (argmin codeword per subspace, corpus rows 0..15 as the
+   * codebook) + ADC top-k — distance terms written out in the kernel's exact
+   * left-assoc order; the 8-subspace ADC sum pivoted into columns so its
+   * accumulation order is explicit too. */
+  val annPq: String = {
+    val dTerms = (1 to 8).map(j =>
+      s"(CAST(e.embedding[s.s * 8 + $j] AS DOUBLE) - CAST(w.embedding[s.s * 8 + $j] AS DOUBLE)) * " +
+        s"(CAST(e.embedding[s.s * 8 + $j] AS DOUBLE) - CAST(w.embedding[s.s * 8 + $j] AS DOUBLE))")
+      .mkString(" + ")
+    val pivots = (0 to 7).map(s => s"max(CASE WHEN d.s = $s THEN d.d END) AS d$s").mkString(", ")
+    val adist = (0 to 7).map(s => s"d$s").mkString(" + ")
+    s"""WITH s AS (SELECT unnest(range(8)) AS s),
+       |cw AS (SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < 16),
+       |dists AS (
+       |  SELECT e.vec_id, s.s, w.c, $dTerms AS d
+       |  FROM embeddings e, s, cw w),
+       |enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |adc AS (
+       |  SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id, $pivots
+       |  FROM enc n JOIN dists d ON d.s = n.s AND d.c = n.code AND d.vec_id < 20
+       |  WHERE n.vec_id != d.vec_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, ($adist) AS adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ($adist) ASC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT) AS adist_q
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_events_sessions: 30-minute gap-split sessionization (lag + running sum),
    * event_id tie-break, fixed-point cent sums. */
   val eventsSessions: String =

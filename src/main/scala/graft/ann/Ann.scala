@@ -191,4 +191,51 @@ object Ann {
       .select(col("query_id"), col("bucket"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos_r"))
   }
+
+  // ------------------------------------------ product quantization (IVF-PQ ADC)
+
+  /** PQ codewords per subspace (corpus rows 0..PqK-1 seed the codebook; k-means
+   * training is orthogonal to the search plan and would reuse this layout). */
+  val PqK = 16
+
+  /** Flattened (s, c, j) codebook — ONE broadcastable row of 8*16*8 doubles. */
+  private def pqCb(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).where(col("vec_id") < PqK)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("cws"))
+      .select(expr(
+        """flatten(transform(sequence(0, 7), s ->
+          |  flatten(transform(cws, e ->
+          |    transform(sequence(0, 7), j -> CAST(element_at(e.embedding, s * 8 + j + 1) AS DOUBLE))))))""".stripMargin)
+        .as("cb"))
+
+  /**
+   * PQ ADC top-k (the memory-compression scale path beside LSH and IVF): every
+   * corpus vector is ENCODED to 8 codeword ids (8 bytes vs 256 — the 100-TB corpus
+   * becomes ~3% of its float size); a query precomputes its 8x16 distance table,
+   * and the scan is one map-side pass over the codes (codebook + tables broadcast,
+   * zero shuffle until the per-query top-k). Asymmetric distance = sum of table
+   * lookups; all staging identical to the DuckDB twin so ranks match exactly.
+   */
+  def pqTopKQuery(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val cb = pqCb(spark, dir)
+    val vd = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    val codes = e.crossJoin(broadcast(cb))
+      .withColumn("vdd", expr(vd))
+      .withColumn("codes", graft.exprs.KernelExprs.pqEncode(col("vdd"), col("cb")))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val dts = e.where(col("vec_id") < nQueries).crossJoin(broadcast(cb))
+      .withColumn("vdd", expr(vd))
+      .withColumn("dt", graft.exprs.KernelExprs.pqDistTable(col("vdd"), col("cb")))
+      .select(col("vec_id").as("query_id"), col("dt"))
+    codes.join(broadcast(dts), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", expr(
+        "aggregate(sequence(0, 7), 0D, (a, s) -> a + element_at(dt, s * 16 + CAST(element_at(codes, s + 1) AS INT) + 1))"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        expr("CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT)").as("adist_q"))
+  }
 }

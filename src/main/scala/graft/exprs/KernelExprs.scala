@@ -617,6 +617,30 @@ case class CpC2SumsExpr(chs: Seq[Expression]) extends StaticKernelExpr {
     copy(chs = c)
 }
 
+/** PQ encode: argmin codeword id per subspace over the flattened codebook. */
+case class PqEncodeExpr(v: Expression, cb: Expression) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, cb)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.pqEncode(${args(0)}, ${args(1)})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.pqEncode(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), cb = c(1))
+}
+
+/** PQ ADC distance table dt[s*K + c] per query vector. */
+case class PqDistTableExpr(v: Expression, cb: Expression) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, cb)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.pqDistTable(${args(0)}, ${args(1)})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.pqDistTable(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), cb = c(1))
+}
+
 /** 5-point truncated-sinc range resample at per-row fractional shift d. */
 case class BisincRangeExpr(halo: Expression, d: Expression,
     w: Int, h: Int, m: Int) extends StaticKernelExpr {
@@ -813,6 +837,10 @@ object KernelExprs {
 
   def bisincRange(halo: Column, d: Column, w: Int, h: Int, m: Int): Column =
     toCol(BisincRangeExpr(toExpr(halo), toExpr(d), w, h, m))
+
+  def pqEncode(v: Column, cb: Column): Column = toCol(PqEncodeExpr(toExpr(v), toExpr(cb)))
+
+  def pqDistTable(v: Column, cb: Column): Column = toCol(PqDistTableExpr(toExpr(v), toExpr(cb)))
 
   def iemInvert(s1: Column, s2: Column, theta: Column, lut: Column): Column =
     toCol(IemInvertExpr(toExpr(s1), toExpr(s2), toExpr(theta), toExpr(lut)))

@@ -2898,6 +2898,54 @@ object Kernels {
    * ALOSDeskewingOp.java computeTileStack MapReady branch) and CrossResampling
    * (jlinda CrossResamplingOp polynomial grid transfer, nearest-neighbor kernel).
    */
+  // ------------------------------------------------------- product quantization
+
+  /** PQ geometry: 64-dim vectors as 8 subspaces x 8 dims, 16 codewords each. */
+  val PqS = 8; val PqD = 8; val PqK = 16
+
+  /** PQ encode: per subspace, the index of the L2-nearest codeword (strict <, so
+   * ties keep the lowest code). `cb` is the flattened (s, c, j) codebook. */
+  def pqEncode(v: ArrayData, cb: ArrayData): ArrayData = {
+    val x = v.toDoubleArray(); val w = cb.toDoubleArray()
+    val out = new Array[Long](PqS)
+    var s = 0
+    while (s < PqS) {
+      var best = 0L; var bd = Double.MaxValue
+      var c = 0
+      while (c < PqK) {
+        var d = 0.0; var j = 0
+        while (j < PqD) {
+          val t = x(s * PqD + j) - w((s * PqK + c) * PqD + j)
+          d += t * t; j += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(s) = best; s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** PQ ADC distance table: dt[s*K + c] = ||v_sub(s) - codeword(s, c)||^2. */
+  def pqDistTable(v: ArrayData, cb: ArrayData): ArrayData = {
+    val x = v.toDoubleArray(); val w = cb.toDoubleArray()
+    val out = new Array[Double](PqS * PqK)
+    var s = 0
+    while (s < PqS) {
+      var c = 0
+      while (c < PqK) {
+        var d = 0.0; var j = 0
+        while (j < PqD) {
+          val t = x(s * PqD + j) - w((s * PqK + c) * PqD + j)
+          d += t * t; j += 1
+        }
+        out(s * PqK + c) = d; c += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 5-point truncated-sinc (BiSinc) resampling along range at constant fractional
    * shift d per tile — the textbook normalized-sinc kernel behind the reference's
    * default BISINC_5_POINT resampling (BackGeocodingOp.java:91-94; the SNAP core
