@@ -101,6 +101,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <= 2 shuffles, got $exchanges\n" + p.take(2000))
   }
 
+  test("salted skew join shuffles on (key, salt) through a sort-merge join") {
+    val p = plan(ops.SkewJoin.saltedJoinQuery(spark, sf))
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // the pre-join exchange must carry the salt so each hot scene spreads S ways
+    val saltedExchange = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("_salt"))
+    assert(saltedExchange, p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
   test("ESD apply broadcasts the per-burst correction frame onto the tiles") {
     val p = plan(ops.Stack.esdApplyQuery(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
