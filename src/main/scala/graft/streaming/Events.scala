@@ -27,6 +27,16 @@ object Events {
   def batchQuery(spark: SparkSession, dir: String): DataFrame =
     windowed(spark.read.parquet(s"$dir/events.parquet"))
 
+  /** Streaming exact dedup for at-least-once ingestion: re-deliveries of an
+   * event_id within the watermark window are dropped; dedup state is evicted
+   * once the watermark passes, so state stays bounded at any scale. Batch twin
+   * = dropDuplicates("event_id") (PipelineSpec asserts equality). */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming variant with watermark (for tests: memory sink + processAllAvailable).
    * `eventsDir` must be a DIRECTORY of parquet files (file-source contract). */
   def streamingWindowed(spark: SparkSession, eventsDir: String): DataFrame = {

@@ -139,6 +139,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.count() == 4) // u1 x2 (gap split), u2 x1 (cross-batch), u3 x1
   }
 
+  test("streaming dedup drops at-least-once re-deliveries within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, minutes: Double) = (id, new Timestamp(t0 + (minutes * 60000).toLong), id * 1.5)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val src = in.toDF().toDF("event_id", "ts", "value")
+    val q = graft.streaming.Events.streamingDedup(src)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    in.addData(Seq(ev(1, 0), ev(2, 1), ev(2, 1), ev(3, 2))) // in-batch duplicate
+    q.processAllAvailable()
+    in.addData(Seq(ev(3, 2), ev(4, 3)))                     // cross-batch re-delivery
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L), out.mkString(","))
+  }
+
   test("multimodal: typed mapPartitions decode equals the expression pipeline") {
     val exprPath = Multimodal.mediaMetaQuery(spark, sf)
     val typed = graft.gen.Fixtures.table(spark, sf, "media").as[Multimodal.MediaRow]
