@@ -279,6 +279,51 @@ object PipelineOracles {
        |  md5(content::VARCHAR) AS content_md5
        |FROM read_parquet('$FIX/media.parquet/*.parquet') ORDER BY media_ref""".stripMargin
 
+  private val mediaFx = s"read_parquet('$FIX/media.parquet/*.parquet')"
+
+  /** q_media_resize: aspect-preserving metadata fit into MaxDim. */
+  val mediaResize: String =
+    s"""WITH m AS (
+       |  SELECT media_ref, kind,
+       |    CAST(regexp_extract(content::VARCHAR, 'W=([0-9]+)', 1) AS INT) AS width,
+       |    CAST(regexp_extract(content::VARCHAR, 'H=([0-9]+)', 1) AS INT) AS height
+       |  FROM $mediaFx),
+       |s AS (SELECT *,
+       |  CASE WHEN greatest(width, height) > ${graft.media.Multimodal.MaxDim}
+       |       THEN CAST(${graft.media.Multimodal.MaxDim} AS DOUBLE) / greatest(width, height)
+       |       ELSE CAST(1.0 AS DOUBLE) END AS scale FROM m)
+       |SELECT media_ref, kind, width, height,
+       |  CAST(floor(width * scale) AS INT) AS new_w,
+       |  CAST(floor(height * scale) AS INT) AS new_h
+       |FROM s""".stripMargin
+
+  /** q_media_frames: up to 4 stride-32 frame fingerprints per payload. */
+  val mediaFrames: String =
+    s"""WITH m AS (
+       |  SELECT media_ref, content::VARCHAR AS header,
+       |    least(4, greatest(1, CAST(octet_length(content) AS INT) // 32)) AS n
+       |  FROM $mediaFx),
+       |f AS (SELECT media_ref, header, unnest(range(n)) AS frame_idx FROM m)
+       |SELECT media_ref, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(frame_idx * 32 AS INT) AS frame_off,
+       |  md5(substring(header, CAST(frame_idx * 32 + 1 AS INT), 16)) AS frame_md5
+       |FROM f""".stripMargin
+
+  /** q_media_features: 16-dim md5-nibble embedding, first 4 dims + checksum. */
+  val mediaFeatures: String = {
+    val hexDig = "'0123456789abcdef'"
+    def byteAt(j: Int): String =
+      s"CAST((instr($hexDig, substring(h, ${j * 2 + 1}, 1)) - 1) * 16 + (instr($hexDig, substring(h, ${j * 2 + 2}, 1)) - 1) AS INT)"
+    def fAt(j: Int): String = s"${byteAt(j)} / CAST(255.0 AS DOUBLE)"
+    val checksum = (0 until 16)
+      .map(j => s"CAST(floor(0.031415926535897934 + (${fAt(j)}) * 1.0E6) AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT media_ref, md5(content::VARCHAR) AS h FROM $mediaFx)
+       |SELECT media_ref, ${fAt(0)} AS f0, ${fAt(1)} AS f1, ${fAt(2)} AS f2, ${fAt(3)} AS f3,
+       |  ($checksum) AS feat_sum_q
+       |FROM m""".stripMargin
+  }
+
   val eventsWindow: String =
     s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, event_type,
        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,

@@ -28,6 +28,52 @@ object Multimodal {
         regexp_extract(col("header"), "H=([0-9]+)", 1).cast("int").as("height"),
         md5(col("header")).as("content_md5")) // md5 over the utf-8 text form (DuckDB md5 is VARCHAR-only)
 
+  /** Aspect-preserving resize bound (longest side after resize). */
+  val MaxDim = 64
+
+  /** Resize (q_media_resize): aspect-preserving fit of (width, height) into
+   * MaxDim. The pixel resample itself is part of the stubbed codec; the
+   * metadata arithmetic, schema, and per-row pipeline shape are real. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    mediaMetaQuery(spark, dir)
+      .withColumn("scale", expr(
+        s"IF(greatest(width, height) > $MaxDim, CAST($MaxDim AS DOUBLE) / greatest(width, height), CAST(1.0 AS DOUBLE))"))
+      .select(col("media_ref"), col("kind"), col("width"), col("height"),
+        expr("CAST(floor(width * scale) AS INT)").as("new_w"),
+        expr("CAST(floor(height * scale) AS INT)").as("new_h"))
+
+  /** Frame sampling (q_media_frames) — the video-analog plumbing: sample up to 4
+   * evenly-spaced "frames" from the payload (32-byte stride), each fingerprinted.
+   * With a real container codec the stride becomes the frame index table. */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.table(spark, dir, "media")
+      .withColumn("header", col("content").cast("string"))
+      .withColumn("n_frames", expr("least(4, greatest(1, CAST(length(content) AS INT) div 32))"))
+      .select(col("media_ref"), col("header"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("k", "frame_idx")))
+      .select(col("media_ref"), col("frame_idx"),
+        (col("frame_idx") * 32).as("frame_off"),
+        md5(expr("substring(header, frame_idx * 32 + 1, 16)")).as("frame_md5"))
+
+  /** Feature extraction (q_media_features): a deterministic 16-dim unit-scale
+   * embedding from the content fingerprint — the stand-in for a CNN embedding;
+   * the fixed-dim vector column + downstream ANN shape is the real pipeline. */
+  def featureQuery(spark: SparkSession, dir: String): DataFrame = {
+    val hexDig = "'0123456789abcdef'"
+    def byteAt(j: Int): String =
+      s"CAST((instr($hexDig, substring(h, ${j * 2 + 1}, 1)) - 1) * 16 + (instr($hexDig, substring(h, ${j * 2 + 2}, 1)) - 1) AS INT)"
+    def fAt(j: Int): String = s"${byteAt(j)} / CAST(255.0 AS DOUBLE)"
+    val checksum = (0 until 16)
+      .map(j => s"CAST(floor(0.031415926535897934 + (${fAt(j)}) * 1.0E6) AS BIGINT)")
+      .mkString(" + ")
+    Fixtures.table(spark, dir, "media")
+      .withColumn("h", md5(col("content").cast("string")))
+      .select(col("media_ref"),
+        expr(fAt(0)).as("f0"), expr(fAt(1)).as("f1"),
+        expr(fAt(2)).as("f2"), expr(fAt(3)).as("f3"),
+        expr(s"($checksum)").as("feat_sum_q"))
+  }
+
   /**
    * Batch decode via typed mapPartitions — the shape a real codec would use (one
    * library init per partition, batched row iteration). `decodeStub` stands in for
