@@ -8,13 +8,17 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-# this box caps vm.max_map_count at 65530; high default thread counts make
-# duckdb's allocator mmap-fail ("Out of Memory" at tiny block sizes) long
-# before real memory runs out
-con.execute("SET memory_limit='60GB'; SET threads=8; SET preserve_insertion_order=false;")
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+def fresh_con():
+    # this box caps vm.max_map_count at 65530; high default thread counts make
+    # duckdb's allocator mmap-fail ("Out of Memory" at tiny block sizes) long
+    # before real memory runs out
+    c = duckdb.connect()
+    c.execute("SET memory_limit='60GB'; SET threads=8; SET preserve_insertion_order=false;")
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+con = fresh_con()
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 ok = fail = 0
@@ -26,7 +30,16 @@ for name, sql in sorted(oracle.items()):
     try:
         exp = con.execute(sql).df()
     except Exception as e:
-        print(f"[ORACLE-ERROR] {name}: {e}"); fail += 1; continue
+        if "Out of Memory" in str(e):
+            # mmap-cap allocator fragmentation after ~170 sequential queries:
+            # a fresh connection resets the block allocator; the query itself fits
+            try:
+                con.close(); con = fresh_con()
+                exp = con.execute(sql).df()
+            except Exception as e2:
+                print(f"[ORACLE-ERROR] {name}: {e2}"); fail += 1; continue
+        else:
+            print(f"[ORACLE-ERROR] {name}: {e}"); fail += 1; continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):

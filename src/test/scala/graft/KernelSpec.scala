@@ -358,6 +358,24 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode/pqDistTable match the straight-loop argmin/table oracles") {
+    val r = new scala.util.Random(77)
+    val cb = Array.fill(8 * 16 * 8)(r.nextDouble() * 2 - 1)
+    val v = Array.fill(64)(r.nextDouble() * 2 - 1)
+    val codes = Kernels.pqEncode(arr(v.clone), arr(cb.clone)).toLongArray()
+    val dt = Kernels.pqDistTable(arr(v.clone), arr(cb.clone)).toDoubleArray()
+    for (s <- 0 until 8) {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- 0 until 16) {
+        var d = 0.0
+        for (j <- 0 until 8) { val t = v(s * 8 + j) - cb((s * 16 + c) * 8 + j); d += t * t }
+        assert(dt(s * 16 + c) == d)
+        if (d < bd) { bd = d; best = c }
+      }
+      assert(codes(s) == best)
+    }
+  }
+
   test("c2Window CPRVI matches the closed-form Kennaugh geodesic oracle") {
     val m = 1
     def ch(seed: Long) = tile(seed, (W + 2 * m) * (H + 2 * m))
