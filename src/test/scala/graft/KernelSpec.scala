@@ -358,6 +358,36 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("coherence returns ND (not NaN/Inf) for zero-power windows") {
+    val m = 1; val hw = W + 2 * m; val n = hw * (H + 2 * m)
+    // all-zero signal: valid (non-ND) but zero power everywhere
+    val zeros = Array.fill(n)(0.0)
+    val out = Kernels.coherence(arr(zeros.clone), arr(zeros.clone),
+      arr(zeros.clone), arr(zeros.clone), W, H, m).toDoubleArray()
+    assert(out.forall(_ == ND), "zero-power window must be ND")
+    // one-sided zero power (sp2 = 0) must also be ND, never +Infinity
+    val ones = Array.fill(n)(1.0)
+    val out2 = Kernels.coherence(arr(ones.clone), arr(zeros.clone),
+      arr(ones.clone), arr(zeros.clone), W, H, m).toDoubleArray()
+    assert(out2.forall(_ == ND), "one-sided zero power must be ND")
+  }
+
+  test("lutInterp survives degenerate LUTs (duplicate lines / pixel knots) without NaN") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def vec(line: Int, pixels: Array[Int], lut: Array[Double]): InternalRow =
+      InternalRow(line, UnsafeArrayData.fromPrimitiveArray(pixels),
+        UnsafeArrayData.fromPrimitiveArray(lut))
+    // duplicate vector lines AND a duplicate pixel knot
+    val vecs = new GenericArrayData(Array[Any](
+      vec(0, Array(0, 8, 8, 24), Array(10.0, 20.0, 20.0, 40.0)),
+      vec(0, Array(0, 8, 8, 24), Array(30.0, 60.0, 60.0, 80.0))))
+    val out = Kernels.lutInterp(vecs, 1, 0, 0, W, H, 64).toDoubleArray()
+    assert(out.forall(v => !v.isNaN && !v.isInfinite), "degenerate LUT must not produce NaN/Inf")
+    // muY pinned to 0 on equal lines: output is the FIRST vector's surface
+    assert(out(0) == 10.0)
+  }
+
   test("pqEncode/pqDistTable match the straight-loop argmin/table oracles") {
     val r = new scala.util.Random(77)
     val cb = Array.fill(8 * 16 * 8)(r.nextDouble() * 2 - 1)
