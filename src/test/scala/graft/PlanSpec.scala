@@ -101,6 +101,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <= 2 shuffles, got $exchanges\n" + p.take(2000))
   }
 
+  test("PQ ADC scan broadcasts the query tables onto the code scan (no cartesian)") {
+    val p = plan(ann.Ann.pqTopKQuery(spark, sf, nQueries = 4, k = 3))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("salted skew join shuffles on (key, salt) through a sort-merge join") {
     val p = plan(ops.SkewJoin.saltedJoinQuery(spark, sf))
     assert(p.contains("SortMergeJoin"), p.take(2000))
