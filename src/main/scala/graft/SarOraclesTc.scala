@@ -435,7 +435,8 @@ object SarOraclesTc {
    * window aggregates over the same analytic steep-ridge scan grid; slant/elev
    * quantized to the dithered 1e6 integer grid before any comparison, so the
    * layover/shadow flags are integer-exact in both engines. */
-  val layoverShadow: String =
+  /** Shared scan-cell CTE chain (through the flagged `m` relation). */
+  private val lsCtes: String =
     s"""WITH orb AS (
        |  SELECT scene_id, x AS orb_x, z AS orb_z
        |  FROM (SELECT *, row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS rn
@@ -468,10 +469,13 @@ object SarOraclesTc {
        |    max(CASE WHEN valid THEN el_q END) OVER (PARTITION BY scene_id, cj ORDER BY ci ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax_el
        |  FROM q),
        |m AS (
-       |  SELECT scene_id, ci, cj, valid,
+       |  SELECT scene_id, ci, cj, valid, sl_q,
        |    valid AND (sl_q <= coalesce(pmax_sl, 0) OR sl_q > coalesce(smin_sl, gmax_sl)) AS layover,
        |    valid AND el_q <= coalesce(pmax_el, 0) AS shadow
-       |  FROM w)
+       |  FROM w)""".stripMargin
+
+  val layoverShadow: String =
+    s"""$lsCtes
        |SELECT scene_id, cj,
        |  count(*) FILTER (valid) AS n_valid,
        |  count(*) FILTER (layover) AS n_layover,
@@ -480,4 +484,15 @@ object SarOraclesTc {
        |  CAST(coalesce(sum(ci) FILTER (layover), 0) AS BIGINT) AS ci_layover_sum,
        |  CAST(coalesce(sum(ci) FILTER (shadow), 0) AS BIGINT) AS ci_shadow_sum
        |FROM m GROUP BY 1, 2""".stripMargin
+
+  /** q_layover_shadow_scatter: flagged cells painted to (row, 50 m range bucket)
+   * SAR pixels, commutative layover(1)|shadow(2) merge (saveLayoverShadow twin,
+   * order-independent semantics — see the engine Scaladoc for the deviation). */
+  val layoverShadowScatter: String =
+    s"""$lsCtes
+       |SELECT scene_id, cj, sl_q // 50000000 AS rg,
+       |  count(*) AS n_cells,
+       |  CAST(max(CASE WHEN layover THEN 1 ELSE 0 END) + max(CASE WHEN shadow THEN 2 ELSE 0 END) AS INT) AS mask
+       |FROM m WHERE layover OR shadow
+       |GROUP BY 1, 2, 3""".stripMargin
 }

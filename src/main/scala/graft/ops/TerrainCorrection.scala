@@ -217,7 +217,8 @@ object TerrainCorrection {
    * 1e6 dithered integer grid BEFORE the scans so every comparison is integer-exact
    * in both engines.
    */
-  def layoverShadowQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Scan cells with layover/shadow flags — shared by the rollup and scatter gates. */
+  private def lsMaskedCells(spark: SparkSession, sfDir: String): DataFrame = {
     val scenes = Fixtures.table(spark, sfDir, "scenes").select("scene_id")
     val orbit0 = Fixtures.table(spark, sfDir, "orbit")
       .withColumn("rn", row_number().over(Window.partitionBy("scene_id").orderBy("t_sec")))
@@ -251,6 +252,10 @@ object TerrainCorrection {
         (col("sl_q") <= coalesce(col("pmax_sl"), lit(0L)) ||
           col("sl_q") > coalesce(col("smin_sl"), col("gmax_sl"))))
       .withColumn("shadow", col("valid") && col("el_q") <= coalesce(col("pmax_el"), lit(0L)))
+  }
+
+  def layoverShadowQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lsMaskedCells(spark, sfDir)
       .groupBy("scene_id", "cj")
       .agg(count(when(col("valid"), 1)).as("n_valid"),
         count(when(col("layover"), 1)).as("n_layover"),
@@ -258,7 +263,23 @@ object TerrainCorrection {
         count(when(col("layover") && col("shadow"), 1)).as("n_both"),
         coalesce(sum(when(col("layover"), col("ci"))), lit(0L)).as("ci_layover_sum"),
         coalesce(sum(when(col("shadow"), col("ci"))), lit(0L)).as("ci_shadow_sum"))
-  }
+
+  /** Mask SCATTER leg (saveLayoverShadow, SARSimulationOp.java:1039-1061): each
+   * flagged scan cell paints its SAR pixel — range bucket from the slant range,
+   * azimuth = scan row — and collisions merge layover(1)|shadow(2) -> 3. Deviation
+   * from the reference, documented: the 2x2 paint footprint and its row write
+   * order (which can drop a later layover bit under an earlier shadow write) are
+   * raster-painting artifacts; the cell's own pixel with a commutative bit-OR is
+   * the order-independent semantics, scatter-gathered with one hash aggregation
+   * exactly like q_sar_simulation. */
+  def layoverShadowScatterQuery(spark: SparkSession, sfDir: String): DataFrame =
+    lsMaskedCells(spark, sfDir)
+      .where(col("layover") || col("shadow"))
+      .withColumn("rg", expr("sl_q div 50000000")) // 50 m range buckets, exact ints
+      .groupBy("scene_id", "cj", "rg")
+      .agg(count(lit(1)).as("n_cells"),
+        (max(when(col("layover"), 1).otherwise(0)) +
+          max(when(col("shadow"), 2).otherwise(0))).as("mask"))
 
   /** Per-scene sorted state-vector arrays of the CURVED orbit, broadcastable. */
   def svArrays(spark: SparkSession, sfDir: String): DataFrame =
