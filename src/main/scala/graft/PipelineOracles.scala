@@ -60,6 +60,38 @@ object PipelineOracles {
        |  ${(0 until 4).map(b => s"${bandExpr(b)} AS band_$b").mkString(",\n  ")}
        |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** q_dedup_clusters: connected components over the jaccard>=0.5 pair graph —
+   * the engine's 6 min-label-propagation rounds unrolled as chained CTEs (fixed
+   * round count on both sides, so equality holds regardless of diameter). */
+  val dedupClusters: String = {
+    val rounds = (1 to graft.dedup.Dedup.ClusterIters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT doc_id, min(label) AS label FROM (
+         |    SELECT doc_id, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.doc_a AS doc_id, l.label FROM edges e JOIN l${i - 1} l ON l.doc_id = e.doc_b)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $augCte,
+       |${shingleCtes("aug")},
+       |$sigCtes,
+       |bk AS (SELECT doc_id, b, CASE ${(0 until 4).map(b => s"WHEN b = $b THEN ${bandExpr(b)}").mkString(" ")} END AS bucket
+       |       FROM sig, (SELECT unnest(range(4)) AS b)),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bk a JOIN bk b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2),
+       |sets AS (SELECT doc_id, list(g) AS sg FROM sh GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a JOIN sets y ON y.doc_id = c.doc_b
+       |  WHERE round(len(list_intersect(x.sg, y.sg)) / len(list_distinct(list_concat(x.sg, y.sg))), 6) >= 0.5),
+       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |$rounds
+       |SELECT label AS keeper_doc, count(*) AS n_members, CAST(max(doc_id) AS BIGINT) AS max_doc
+       |FROM l${graft.dedup.Dedup.ClusterIters} GROUP BY 1""".stripMargin
+  }
+
   val minhashPairs: String =
     s"""WITH $augCte,
        |${shingleCtes("aug")},

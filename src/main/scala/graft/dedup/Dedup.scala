@@ -77,6 +77,39 @@ object Dedup {
     minhashSignatures(docs(spark, dir))
 
   /** LSH candidate pairs (any band equal) + exact jaccard on shingle sets. */
+  /** Min-label propagation rounds for near-dup clustering: planted duplicate
+   * chains have diameter <= 2; 6 rounds covers diameter-6 components. */
+  val ClusterIters = 6
+
+  /**
+   * Corpus-level near-duplicate CLUSTERS (what a dedup pipeline actually keeps,
+   * beyond pairwise candidates): connected components over the MinHash-LSH pair
+   * graph (jaccard >= 0.5), ClusterIters rounds of min-label propagation, then
+   * per-cluster keeper = min doc_id + membership stats. Each round is one narrow
+   * shuffle of the label frame, which holds only docs that appear in the pair
+   * graph — at 10^12 docs that is the duplicate fraction, not the corpus.
+   */
+  def dedupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsQuery(spark, dir).where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    // cache: every propagation round joins `edges`; without it Catalyst re-derives
+    // the whole minhash chain once per round (the iterative-algorithm idiom)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to ClusterIters) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("label"))
+      labels = labels.unionByName(nbr).groupBy("doc_id").agg(min("label").as("label"))
+    }
+    labels.groupBy(col("label").as("keeper_doc"))
+      .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
+  }
+
   def minhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
     val d = augmented(spark, dir)
     val sigs = minhashSignatures(d)

@@ -139,6 +139,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.count() == 4) // u1 x2 (gap split), u2 x1 (cross-batch), u3 x1
   }
 
+  test("dedup clusters collapse planted duplicate families onto the original keeper") {
+    val cl = Dedup.dedupClustersQuery(spark, sf)
+      .select("keeper_doc", "n_members", "max_doc").as[(Long, Long, Long)].collect()
+    assert(cl.nonEmpty)
+    // docs divisible by 35 plant a 3-member family (x, x+1e6 exact, x+2e6 near)
+    assert(cl.exists(_._2 >= 3), "expected at least one 3-member duplicate family")
+    // the keeper is the min label = the ORIGINAL doc id (< the copy id spaces)
+    assert(cl.forall(c => c._1 < 1000000L), cl.filter(_._1 >= 1000000L).take(3).mkString(","))
+  }
+
   test("streaming dedup drops at-least-once re-deliveries within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
