@@ -194,6 +194,34 @@ object PipelineOracles {
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** q_corpus_filter: composition of dedup keepers x quality thresholds x lang-id. */
+  val corpusFilter: String = {
+    val langs = TextAnalysis.Stopwords.keys.toSeq.sorted
+    val unions = langs.map(l =>
+      s"SELECT doc_id, '$l' AS plang, len(list_filter(ws, w -> list_contains(${stopList(l)}, w))) AS hits FROM base")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $augCte,
+       |keepers AS (SELECT DISTINCT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+       |base AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |         FROM documents),
+       |sc AS (
+       |  $unions),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rn FROM sc),
+       |lang AS (SELECT doc_id, plang AS predicted_lang FROM r WHERE rn = 1),
+       |q AS (SELECT doc_id, len(ws) AS n_words, length(text) AS n_chars,
+       |        CASE WHEN len(ws) = 0 THEN NULL
+       |             ELSE len(list_filter(ws, w -> list_contains(${stopList("en")}, w))) / CAST(len(ws) AS DOUBLE) END AS stopword_ratio
+       |      FROM base),
+       |j AS (SELECT q.*, lang.predicted_lang
+       |      FROM q JOIN lang USING (doc_id) JOIN keepers USING (doc_id)
+       |      WHERE q.n_words >= 5 AND q.stopword_ratio IS NOT NULL)
+       |SELECT predicted_lang, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS words_sum,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       |  CAST(sum(CAST(floor(0.031415926535897934 + stopword_ratio * 1.0E6) AS BIGINT)) AS BIGINT) AS stop_ratio_sum_q
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   val fingerprint: String =
     s"""SELECT doc_id,
        |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> ${h60("w")})),

@@ -82,4 +82,28 @@ object TextAnalysis {
         expr("aggregate(ws, 0L, (acc, w) -> pmod(acc * 131 + " +
           graft.dedup.Dedup.h60("w") + ", 1000000000000000))").as("fingerprint"),
         size(col("ws")).as("n_words"))
+
+  /**
+   * Composed corpus-curation pass (q_corpus_filter) — the actual shape of a
+   * training-data filter: exact-dedup keepers x quality thresholds (n_words >= 5,
+   * defined stopword ratio) x predicted language, rolled up per language. Each
+   * leg is its own gate-checked operator; this gate checks the COMPOSITION — all
+   * three joins are doc_id-keyed hash joins on already-reduced frames, so at
+   * 10^12 docs the pass is one shuffle per leg plus the final tiny aggregation.
+   */
+  def corpusFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val quality = qualityQuery(spark, dir)
+      .select("doc_id", "n_words", "n_chars", "stopword_ratio")
+    val lang = langIdQuery(spark, dir).select("doc_id", "predicted_lang")
+    val keepers = graft.dedup.Dedup.exactQuery(spark, dir)
+      .select(col("keep_doc_id").as("doc_id")).distinct()
+    quality.join(lang, Seq("doc_id")).join(keepers, Seq("doc_id"))
+      .where(col("n_words") >= 5 && col("stopword_ratio").isNotNull)
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("words_sum"),
+        sum("n_chars").as("chars_sum"),
+        sum(expr("CAST(floor(0.031415926535897934 + stopword_ratio * 1.0E6) AS BIGINT)"))
+          .as("stop_ratio_sum_q"))
+  }
 }
