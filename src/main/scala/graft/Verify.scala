@@ -49,7 +49,7 @@ object Verify {
     ordered.grouped(50).zipWithIndex.foreach { case (batch, bi) =>
       if (bi > 0) { spark.stop(); spark = newSession() }
       val s = spark
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
       // ordering is a gate-layer concern (deterministic dump), not a
       // library-operator one: sort by all columns so no operator plan carries
       // a global sort.
