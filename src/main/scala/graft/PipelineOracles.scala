@@ -64,7 +64,7 @@ object PipelineOracles {
    * the engine's 6 min-label-propagation rounds unrolled as chained CTEs (fixed
    * round count on both sides, so equality holds regardless of diameter). */
   val dedupClusters: String = {
-    val rounds = (1 to graft.dedup.Dedup.ClusterIters).map { i =>
+    val rounds = (1 to graft.dedup.Dedup.ClusterMaxRounds).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT doc_id, min(label) AS label FROM (
          |    SELECT doc_id, label FROM l${i - 1}
@@ -89,7 +89,7 @@ object PipelineOracles {
        |l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
        |$rounds
        |SELECT label AS keeper_doc, count(*) AS n_members, CAST(max(doc_id) AS BIGINT) AS max_doc
-       |FROM l${graft.dedup.Dedup.ClusterIters} GROUP BY 1""".stripMargin
+       |FROM l${graft.dedup.Dedup.ClusterMaxRounds} GROUP BY 1""".stripMargin
   }
 
   val minhashPairs: String =
@@ -281,11 +281,15 @@ object PipelineOracles {
   val annLsh: String = {
     val w = s"CASE WHEN ${h60("'lsh|' || b || '|' || i")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |prm AS (SELECT greatest(${ann.Ann.PairBits}, least(${ann.Ann.MaxPairBits},
+       |    CAST(ceil(ln(count(*) / ${ann.Ann.TargetBucket}.0) / ln(2.0)) AS INT))) AS bits
+       |  FROM e),
        |bk AS (SELECT vec_id, embedding,
-       |  CAST(list_sum(list_transform(range(${ann.Ann.LshBits}), b ->
+       |  CAST(list_sum(list_transform(range(${ann.Ann.MaxPairBits}), b ->
        |    CASE WHEN list_sum(list_transform(range(len(embedding)), i ->
        |           embedding[i+1]::DOUBLE * ($w))) >= 0
-       |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS bucket
+       |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+       |    & ((1::BIGINT << (SELECT bits FROM prm)) - 1) AS bucket
        |  FROM e),
        |j AS (SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id,
        |             ${cosSql("a.embedding", "b.embedding")} AS cos

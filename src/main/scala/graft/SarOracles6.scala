@@ -110,7 +110,7 @@ object SarOracles6 {
        |  FROM rot CROSS JOIN rr GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
        |o AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |    (fr * fr + fi * fi) / ${H * H} AS out
+       |    floor(((fr * fr + fi * fi) / ${H * H}) * 4096) / 4096 AS out
        |  FROM spec)
        |$rollup""".stripMargin
   }

@@ -144,55 +144,44 @@ object SarOracles7 {
 
   // ------------------------------------------------------------ polarimetric family
 
-  /** dual-pol C2 pixel CTE: quantized products of the VV/VH pair. */
+  /** dual-pol C2 pixel CTE: quantized products of the VV/VH pair — tile-level
+   * join + positional unnest (see SarOracleWin on why not a pixel-level join). */
   private[graft] val c2Cte: String =
-    s"""pa0 AS (
+    s"""tqd AS (
+       |  SELECT a.scene_id, a.subswath, a.burst_idx, a.tile_y, a.tile_x,
+       |         a.i AS a_i, a.q AS a_q, b.i AS b_i, b.q AS b_q
+       |  FROM ${fx("tiles")} a
+       |  JOIN ${fx("tiles")} b ON b.pol = 'VH' AND b.scene_id = a.scene_id
+       |    AND b.subswath = a.subswath AND b.burst_idx = a.burst_idx
+       |    AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x
+       |  WHERE a.pol = 'VV'),
+       |pzd AS (
        |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
-       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
-       |  FROM ${fx("tiles")} WHERE pol = 'VV'),
-       |pb0 AS (
-       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
-       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
-       |  FROM ${fx("tiles")} WHERE pol = 'VH'),
-       |pa AS (SELECT scene_id, subswath, burst_idx, tile_y, tile_x, k,
-       |              floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv FROM pa0),
-       |pb AS (SELECT scene_id, subswath, burst_idx, tile_y, tile_x, k,
-       |              floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv FROM pb0),
+       |         unnest(range($N)) AS k,
+       |         floor(unnest(a_i) * 4096) / 4096 AS aiv, floor(unnest(a_q) * 4096) / 4096 AS aqv,
+       |         floor(unnest(b_i) * 4096) / 4096 AS biv, floor(unnest(b_q) * 4096) / 4096 AS bqv
+       |  FROM tqd),
        |c2 AS (
-       |  SELECT a.scene_id, a.subswath, 'DP' AS pol, a.burst_idx, a.tile_y, a.tile_x,
-       |    a.tile_x * $W + a.k % $W AS gx,
-       |    a.tile_y * ${Layout.TileH} + CAST(a.k // $W AS INT) AS gy,
-       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
-       |         THEN -9999.0 ELSE a.iv * a.iv + a.qv * a.qv END AS c11,
-       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
-       |         THEN -9999.0 ELSE b.iv * b.iv + b.qv * b.qv END AS c22,
-       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
-       |         THEN -9999.0 ELSE a.iv * b.iv + a.qv * b.qv END AS c12r,
-       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
-       |         THEN -9999.0 ELSE a.qv * b.iv - a.iv * b.qv END AS c12i
-       |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
-       |    AND a.burst_idx = b.burst_idx AND a.tile_y = b.tile_y AND a.tile_x = b.tile_x
-       |    AND a.k = b.k)""".stripMargin
+       |  SELECT scene_id, subswath, 'DP' AS pol, burst_idx, tile_y, tile_x,
+       |    tile_x * $W + k % $W AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |    (aiv <> -9999.0 AND aqv <> -9999.0 AND biv <> -9999.0 AND bqv <> -9999.0) AS valid,
+       |    CASE WHEN aiv = -9999.0 OR aqv = -9999.0 OR biv = -9999.0 OR bqv = -9999.0
+       |         THEN -9999.0 ELSE aiv * aiv + aqv * aqv END AS c11,
+       |    CASE WHEN aiv = -9999.0 OR aqv = -9999.0 OR biv = -9999.0 OR bqv = -9999.0
+       |         THEN -9999.0 ELSE biv * biv + bqv * bqv END AS c22,
+       |    CASE WHEN aiv = -9999.0 OR aqv = -9999.0 OR biv = -9999.0 OR bqv = -9999.0
+       |         THEN -9999.0 ELSE aiv * biv + aqv * bqv END AS c12r,
+       |    CASE WHEN aiv = -9999.0 OR aqv = -9999.0 OR biv = -9999.0 OR bqv = -9999.0
+       |         THEN -9999.0 ELSE aqv * biv - aiv * bqv END AS c12i
+       |  FROM pzd)""".stripMargin
 
-  private val dCte: String =
-    "d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy))"
-
-  private val winCte: String =
-    s"""st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.c11 IS NOT NULL AND n.c11 <> -9999.0) AS n,
-       |    coalesce(sum(n.c11) FILTER (n.c11 <> -9999.0), 0) AS m11,
-       |    coalesce(sum(n.c22) FILTER (n.c11 <> -9999.0), 0) AS m22,
-       |    coalesce(sum(n.c12r) FILTER (n.c11 <> -9999.0), 0) AS mr,
-       |    coalesce(sum(n.c12i) FILTER (n.c11 <> -9999.0), 0) AS mi
-       |  FROM c2 c CROSS JOIN d
-       |  LEFT JOIN c2 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)""".stripMargin
+  /** 3x3 windowed C2 sums (separable two-pass, see SarOracleWin). */
+  private val winCte: String = SarOracleWin.sepWin("c2", "st", 1, Seq(
+    "c11" -> "m11", "c22" -> "m22", "c12r" -> "mr", "c12i" -> "mi"))
 
   val c2Matrix: String =
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |             CASE WHEN n <= 0 THEN -9999.0 ELSE m11 / n END AS out
@@ -201,16 +190,8 @@ object SarOracles7 {
 
   val polSpeckle: String =
     s"""WITH $c2Cte,
-       |$dCte,
        |sp AS (SELECT *, CASE WHEN c11 = -9999.0 THEN -9999.0 ELSE c11 + c22 END AS span FROM c2),
-       |st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.span IS NOT NULL AND n.span <> -9999.0) AS n,
-       |    coalesce(sum(n.span) FILTER (n.span <> -9999.0), 0) AS s1
-       |  FROM sp c CROSS JOIN d
-       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |${SarOracleWin.sepWin("sp", "st", 1, Seq("span" -> "s1"))},
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |             CASE WHEN n <= 0 THEN -9999.0 ELSE s1 / n END AS out
        |      FROM st)
@@ -232,14 +213,12 @@ object SarOracles7 {
 
   val mDelta: String =
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, $mExpr AS out FROM st)
        |$rollup""".stripMargin
 
   val dprvi: String =
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |             CASE WHEN ($mExpr) = -9999.0 THEN -9999.0 ELSE 1 - ($mExpr) END AS out
@@ -249,7 +228,6 @@ object SarOracles7 {
   val mChi: String = {
     val m = "(sqrt((m11 - m22) * (m11 - m22) + (2 * mr) * (2 * mr) + (-2 * mi) * (-2 * mi)) / (m11 + m22))"
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
@@ -267,7 +245,6 @@ object SarOracles7 {
     val residTrace =
       "greatest(CASE WHEN m11 - m22 < 0 THEN greatest(m22 - m11, 0.0) ELSE m11 - m22 END, 0.0)"
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0
@@ -287,7 +264,6 @@ object SarOracles7 {
     val sc = "((m11 + m22) - (-2 * mi)) / 2.0"
     val oc = "((m11 + m22) + (-2 * mi)) / 2.0"
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |gd AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |  n, m11, m22, mr, mi,
@@ -302,7 +278,6 @@ object SarOracles7 {
 
   val anisotropy: String =
     s"""WITH $c2Cte,
-       |$dCte,
        |$winCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |  CASE WHEN n = 0 OR (m11 + m22) <= 0 THEN -9999.0

@@ -36,36 +36,22 @@ object SarOracles8 {
     """n.scene_id = c.scene_id AND n.subswath = c.subswath AND n.pol = c.pol
       |    AND n.burst_idx = c.burst_idx""".stripMargin
 
+  /** px plus the boolean no-data mask the separable window passes gate on. */
+  private val pxvCte: String =
+    s"$pxCte,\npxv AS (SELECT *, v <> -9999.0 AS valid FROM px)"
+
   val oilSpill: String =
-    s"""WITH $pxCte,
-       |d AS (SELECT dx.dx, dy.dy
-       |      FROM (SELECT unnest(range(-2, 3)) AS dx) dx,
-       |           (SELECT unnest(range(-2, 3)) AS dy) dy),
-       |st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.gx, c.gy, c.v AS cp,
-       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
-       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1
-       |  FROM px c CROSS JOIN d
-       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9)
+    s"""WITH $pxvCte,
+       |${SarOracleWin.sepWin("pxv", "st", 2, Seq("v" -> "s1"), carry = Seq("v"))}
        |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |       CAST(coalesce(sum(CASE WHEN cp <> -9999.0 AND n > 0
-       |                               AND cp < ${Detection2.OilK} * (s1 / n) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dark
+       |       CAST(coalesce(sum(CASE WHEN v <> -9999.0 AND n > 0
+       |                               AND v < ${Detection2.OilK} * (s1 / n) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dark
        |FROM st GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
   val speckleDivergence: String =
-    s"""WITH $pxCte,
-       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
-       |st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.gx, c.gy,
-       |    CAST(count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS DOUBLE) AS n,
-       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1,
-       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0), 0) AS s2
-       |  FROM px c CROSS JOIN d
-       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+    s"""WITH $pxvCte,
+       |${SarOracleWin.sepWin("pxv", "st0", 1, Seq("v" -> "s1", "v * v" -> "s2"))},
+       |st AS (SELECT * EXCLUDE (n), CAST(n AS DOUBLE) AS n FROM st0),
        |o AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |    CASE WHEN n < 2 THEN -9999.0
@@ -342,7 +328,7 @@ object SarOracles8 {
   /** q_oil_spill_cluster: connected components over the oil-spill dark mask with
    * the minimum-slick size gate (mirror of Detection2.oilSpillClusterQuery). */
   val oilSpillCluster: String = {
-    val iters = Detection2.CcIters
+    val iters = Detection2.CcMaxRounds
     val ccKeysEq = "n.scene_id = d.scene_id AND n.subswath = d.subswath AND n.pol = d.pol AND n.burst_idx = d.burst_idx"
     val steps = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (
@@ -352,21 +338,12 @@ object SarOracles8 {
          |  GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
     }.mkString(",\n")
     val offVals = (for (dy <- -1 to 1; dx <- -1 to 1) yield s"($dy, $dx)").mkString(", ")
-    s"""WITH $pxCte,
-       |d2 AS (SELECT dx.dx, dy.dy
-       |      FROM (SELECT unnest(range(-2, 3)) AS dx) dx,
-       |           (SELECT unnest(range(-2, 3)) AS dy) dy),
-       |st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.gx, c.gy, c.v AS cp,
-       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0) AS n,
-       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0), 0) AS s1
-       |  FROM px c CROSS JOIN d2
-       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d2.dx AND n.gy = c.gy + d2.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    s"""WITH $pxvCte,
+       |${SarOracleWin.sepWin("pxv", "st", 2, Seq("v" -> "s1"), carry = Seq("v"))},
        |l0 AS (
        |  SELECT scene_id, subswath, pol, burst_idx, gx, gy,
        |         CAST(gy * ${Layout.SamplesPerBurst} + gx AS BIGINT) AS label
-       |  FROM st WHERE cp <> -9999.0 AND n > 0 AND cp < ${Detection2.OilK} * (s1 / n)),
+       |  FROM st WHERE v <> -9999.0 AND n > 0 AND v < ${Detection2.OilK} * (s1 / n)),
        |offs AS (SELECT * FROM (VALUES $offVals) t(dy, dx)),
        |$steps
        |SELECT scene_id, subswath, pol, burst_idx, label,

@@ -25,41 +25,45 @@ object SarOraclesDp {
 
   private def q6(e: String) = s"CAST(floor(0.031415926535897934 + ($e) * 1.0E6) AS BIGINT)"
 
-  /** margin-2 window offsets (reference windowSize 5). */
-  private val dCte =
-    "d AS (SELECT a.dx, b.dy FROM (SELECT unnest(range(-2, 3)) AS dx) a, (SELECT unnest(range(-2, 3)) AS dy) b)"
-
-  /** slope raster pixels aligned with the c2 grid. */
-  private val slCte =
-    s"""slp AS (
+  /** VV/VH/slope zipped at tile level (bursts 1-3 verification subset, mirrors
+   * ops.PolarimetryIndices.DpMaxBurst), then one positional unnest — replaces
+   * the per-pol pixel-level join + 25-offset window self-join (SarOracleWin). */
+  private val c2sCte: String =
+    s"""dtq AS (
+       |  SELECT a.scene_id, a.subswath, a.burst_idx, a.tile_y, a.tile_x,
+       |         a.i AS a_i, a.q AS a_q, b.i AS b_i, b.q AS b_q, sl.s AS s_l
+       |  FROM ${fx("tiles")} a
+       |  JOIN ${fx("tiles")} b ON b.pol = 'VH' AND b.scene_id = a.scene_id
+       |    AND b.subswath = a.subswath AND b.burst_idx = a.burst_idx
+       |    AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x
+       |  JOIN ${fx("slope")} sl ON sl.scene_id = a.scene_id
+       |    AND sl.subswath = a.subswath AND sl.burst_idx = a.burst_idx
+       |    AND sl.tile_y = a.tile_y AND sl.tile_x = a.tile_x
+       |  WHERE a.pol = 'VV' AND a.burst_idx <= ${graft.ops.PolarimetryIndices.DpMaxBurst}),
+       |dpz AS (
        |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
-       |    tile_x * $W + (unnest(range($N))) % $W AS gx,
-       |    tile_y * ${Layout.TileH} + CAST((unnest(range($N))) // $W AS INT) AS gy,
-       |    unnest(s) AS sv
-       |  FROM ${fx("slope")}
-       |  WHERE burst_idx <= ${graft.ops.PolarimetryIndices.DpMaxBurst})""".stripMargin
+       |         unnest(range($N)) AS k,
+       |         floor(unnest(a_i) * 4096) / 4096 AS aiv, floor(unnest(a_q) * 4096) / 4096 AS aqv,
+       |         floor(unnest(b_i) * 4096) / 4096 AS biv, floor(unnest(b_q) * 4096) / 4096 AS bqv,
+       |         unnest(s_l) AS sv
+       |  FROM dtq),
+       |c2s AS (
+       |  SELECT scene_id, subswath, 'DP' AS pol, burst_idx, tile_y, tile_x,
+       |    tile_x * $W + k % $W AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |    (aiv <> -9999.0 AND aqv <> -9999.0 AND biv <> -9999.0 AND bqv <> -9999.0) AS valid,
+       |    aiv * aiv + aqv * aqv AS c11,
+       |    biv * biv + bqv * bqv AS c22,
+       |    aiv * biv + aqv * bqv AS c12r,
+       |    aqv * biv - aiv * bqv AS c12i,
+       |    sv
+       |  FROM dpz)""".stripMargin
 
-  /** bursts 1-3 verification subset (mirrors ops.PolarimetryIndices.DpMaxBurst). */
-  private val c2fCte =
-    s"c2f AS (SELECT * FROM c2 WHERE burst_idx <= ${graft.ops.PolarimetryIndices.DpMaxBurst})"
-
-  /** 5x5 C2 window sums + slope window mean per center pixel. */
-  private val winCte =
-    s"""st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.c11 IS NOT NULL AND n.c11 <> -9999.0) AS n,
-       |    coalesce(sum(n.c11) FILTER (n.c11 <> -9999.0), 0) AS m11,
-       |    coalesce(sum(n.c22) FILTER (n.c11 <> -9999.0), 0) AS m22,
-       |    coalesce(sum(n.c12r) FILTER (n.c11 <> -9999.0), 0) AS mr,
-       |    coalesce(sum(n.c12i) FILTER (n.c11 <> -9999.0), 0) AS mi,
-       |    count(*) FILTER (s2.sv IS NOT NULL) AS sc,
-       |    coalesce(sum(s2.sv), 0) AS ssum
-       |  FROM c2f c CROSS JOIN d
-       |  LEFT JOIN c2f n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  LEFT JOIN slp s2 ON s2.scene_id = c.scene_id AND s2.subswath = c.subswath
-       |    AND s2.burst_idx = c.burst_idx AND s2.gx = c.gx + d.dx AND s2.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)""".stripMargin
+  /** 5x5 C2 window sums + slope window mean per center pixel (separable; the
+   * slope raster is present on every cell so its count/sum are ungated). */
+  private val winCte: String = SarOracleWin.sepWin("c2s", "st", 2,
+    sums = Seq("c11" -> "m11", "c22" -> "m22", "c12r" -> "mr", "c12i" -> "mi"),
+    ungated = Seq("1.0" -> "sc", "sv" -> "ssum"))
 
   /** Per-pixel pass-A magnitudes (slope-masked |Stokes|) staged as dpStokesTile. */
   private val mgCte =
@@ -162,10 +166,7 @@ object SarOraclesDp {
        |  FROM ix6)""".stripMargin
 
   private def full(finalSql: String): String =
-    s"""WITH ${SarOracles7.c2Cte},
-       |$c2fCte,
-       |$dCte,
-       |$slCte,
+    s"""WITH $c2sCte,
        |$winCte,
        |$mgCte,
        |$statsCte,

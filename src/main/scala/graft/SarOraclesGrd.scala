@@ -41,7 +41,7 @@ object SarOraclesGrd {
    * min-label propagation (mirror of Detection2.objectClusterQuery). */
   val objectCluster: String = {
     val thr = ops.Detection2.ClusterThr
-    val iters = ops.Detection2.CcIters
+    val iters = ops.Detection2.CcMaxRounds
     val keysEq = "n.scene_id = d.scene_id AND n.subswath = d.subswath AND n.pol = d.pol AND n.burst_idx = d.burst_idx"
     val steps = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (

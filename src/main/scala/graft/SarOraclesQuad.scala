@@ -27,42 +27,51 @@ object SarOraclesQuad {
 
   /** Per-pixel T3 channels of the quad fixture (optionally burst-subset).
    * With `raw = true` the snapped per-pol i/q values ride along for the alias
-   * oracles that work on the scattering vector directly (Faraday, SNR, CP-sim). */
+   * oracles that work on the scattering vector directly (Faraday, SNR, CP-sim).
+   *
+   * The 4 pol channels are joined at TILE level (hundreds of rows) and then
+   * positionally unnested in one pass — the round-3 per-pol pixel-level join
+   * fragmented the driver's single DuckDB process (see SarOracleWin). */
   private def t3Cte(maxBurst: Int, raw: Boolean = false): String = {
     val pols = Seq("hh", "hv", "vh", "vv")
-    val unnests = pols.map { p =>
-      s"""p_$p AS (
-         |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
-         |         unnest(range($N)) AS k,
-         |         floor(unnest(i) * 4096) / 4096 AS iv, floor(unnest(q) * 4096) / 4096 AS qv
-         |  FROM ${fx("tiles_quad")} WHERE pol = '${p.toUpperCase}' AND burst_idx <= $maxBurst)""".stripMargin
-    }.mkString(",\n")
-    val joins = pols.tail.map(p =>
-      s"JOIN p_$p $p ON $p.scene_id = hh.scene_id AND $p.subswath = hh.subswath AND " +
-        s"$p.burst_idx = hh.burst_idx AND $p.tile_y = hh.tile_y AND $p.tile_x = hh.tile_x AND $p.k = hh.k")
-      .mkString("\n  ")
-    val nd = pols.flatMap(p => Seq(s"$p.iv = -9999.0", s"$p.qv = -9999.0")).mkString(" OR ")
-    val rawCols = if (!raw) "" else
-      """,
-        |    hh.iv AS hhr, hh.qv AS hhi, hv.iv AS hvr, hv.qv AS hvi,
-        |    vh.iv AS vhr, vh.qv AS vhi, vv.iv AS vvr, vv.qv AS vvi""".stripMargin
-    s"""$unnests,
+    val listCols = pols.map(p => s"${p}0.i AS ${p}_i, ${p}0.q AS ${p}_q").mkString(",\n         ")
+    val joins = pols.tail.map { p =>
+      s"""JOIN ${fx("tiles_quad")} ${p}0 ON ${p}0.pol = '${p.toUpperCase}'
+         |    AND ${p}0.scene_id = hh0.scene_id AND ${p}0.subswath = hh0.subswath
+         |    AND ${p}0.burst_idx = hh0.burst_idx AND ${p}0.tile_y = hh0.tile_y
+         |    AND ${p}0.tile_x = hh0.tile_x""".stripMargin
+    }.mkString("\n  ")
+    val unnests = pols.map(p =>
+      s"floor(unnest(${p}_i) * 4096) / 4096 AS ${p}r, floor(unnest(${p}_q) * 4096) / 4096 AS ${p}i")
+      .mkString(",\n         ")
+    val nd = pols.flatMap(p => Seq(s"${p}r = -9999.0", s"${p}i = -9999.0")).mkString(" OR ")
+    val rawCols = if (!raw) "" else ",\n    hhr, hhi, hvr, hvi, vhr, vhi, vvr, vvi"
+    s"""tq AS (
+       |  SELECT hh0.scene_id, hh0.subswath, hh0.burst_idx, hh0.tile_y, hh0.tile_x,
+       |         $listCols
+       |  FROM ${fx("tiles_quad")} hh0
+       |  $joins
+       |  WHERE hh0.pol = 'HH' AND hh0.burst_idx <= $maxBurst),
+       |pz AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k,
+       |         $unnests
+       |  FROM tq),
        |t3 AS (
-       |  SELECT hh.scene_id, hh.subswath, 'QP' AS pol, hh.burst_idx, hh.tile_y, hh.tile_x,
-       |    hh.tile_x * $W + hh.k % $W AS gx,
-       |    hh.tile_y * ${Layout.TileH} + CAST(hh.k // $W AS INT) AS gy,
+       |  SELECT scene_id, subswath, 'QP' AS pol, burst_idx, tile_y, tile_x,
+       |    tile_x * $W + k % $W AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
        |    NOT ($nd) AS valid,
-       |    ((hh.iv + vv.iv) * (hh.iv + vv.iv) + (hh.qv + vv.qv) * (hh.qv + vv.qv)) / 2 AS t11,
-       |    ((hh.iv - vv.iv) * (hh.iv - vv.iv) + (hh.qv - vv.qv) * (hh.qv - vv.qv)) / 2 AS t22,
-       |    ((hv.iv + vh.iv) * (hv.iv + vh.iv) + (hv.qv + vh.qv) * (hv.qv + vh.qv)) / 2 AS t33,
-       |    ((hh.iv + vv.iv) * (hh.iv - vv.iv) + (hh.qv + vv.qv) * (hh.qv - vv.qv)) / 2 AS t12r,
-       |    ((hh.qv + vv.qv) * (hh.iv - vv.iv) - (hh.iv + vv.iv) * (hh.qv - vv.qv)) / 2 AS t12i,
-       |    ((hh.iv + vv.iv) * (hv.iv + vh.iv) + (hh.qv + vv.qv) * (hv.qv + vh.qv)) / 2 AS t13r,
-       |    ((hh.qv + vv.qv) * (hv.iv + vh.iv) - (hh.iv + vv.iv) * (hv.qv + vh.qv)) / 2 AS t13i,
-       |    ((hh.iv - vv.iv) * (hv.iv + vh.iv) + (hh.qv - vv.qv) * (hv.qv + vh.qv)) / 2 AS t23r,
-       |    ((hh.qv - vv.qv) * (hv.iv + vh.iv) - (hh.iv - vv.iv) * (hv.qv + vh.qv)) / 2 AS t23i$rawCols
-       |  FROM p_hh hh
-       |  $joins)""".stripMargin
+       |    ((hhr + vvr) * (hhr + vvr) + (hhi + vvi) * (hhi + vvi)) / 2 AS t11,
+       |    ((hhr - vvr) * (hhr - vvr) + (hhi - vvi) * (hhi - vvi)) / 2 AS t22,
+       |    ((hvr + vhr) * (hvr + vhr) + (hvi + vhi) * (hvi + vhi)) / 2 AS t33,
+       |    ((hhr + vvr) * (hhr - vvr) + (hhi + vvi) * (hhi - vvi)) / 2 AS t12r,
+       |    ((hhi + vvi) * (hhr - vvr) - (hhr + vvr) * (hhi - vvi)) / 2 AS t12i,
+       |    ((hhr + vvr) * (hvr + vhr) + (hhi + vvi) * (hvi + vhi)) / 2 AS t13r,
+       |    ((hhi + vvi) * (hvr + vhr) - (hhr + vvr) * (hvi + vhi)) / 2 AS t13i,
+       |    ((hhr - vvr) * (hvr + vhr) + (hhi - vvi) * (hvi + vhi)) / 2 AS t23r,
+       |    ((hhi - vvi) * (hvr + vhr) - (hhr - vvr) * (hvi + vhi)) / 2 AS t23i$rawCols
+       |  FROM pz)""".stripMargin
   }
 
   private def q6(e: String) = s"CAST(floor(0.031415926535897934 + ($e) * 1.0E6) AS BIGINT)"
@@ -83,27 +92,13 @@ object SarOraclesQuad {
        |  CAST(coalesce(sum(${q6("t23i")}) FILTER (valid), 0) AS BIGINT) AS t23i_q
        |FROM t3 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
-  private val dCte: String =
-    "d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy))"
+  private val t3SumCols: Seq[(String, String)] = Seq(
+    "t11" -> "sw11", "t22" -> "sw22", "t33" -> "sw33",
+    "t12r" -> "sw12r", "t12i" -> "sw12i", "t13r" -> "sw13r",
+    "t13i" -> "sw13i", "t23r" -> "sw23r", "t23i" -> "sw23i")
 
-  /** 3x3 windowed T3 sums per center pixel (self-join over the burst raster). */
-  private val winCte: String =
-    s"""win AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.valid) AS n,
-       |    coalesce(sum(n.t11) FILTER (n.valid), 0) AS sw11,
-       |    coalesce(sum(n.t22) FILTER (n.valid), 0) AS sw22,
-       |    coalesce(sum(n.t33) FILTER (n.valid), 0) AS sw33,
-       |    coalesce(sum(n.t12r) FILTER (n.valid), 0) AS sw12r,
-       |    coalesce(sum(n.t12i) FILTER (n.valid), 0) AS sw12i,
-       |    coalesce(sum(n.t13r) FILTER (n.valid), 0) AS sw13r,
-       |    coalesce(sum(n.t13i) FILTER (n.valid), 0) AS sw13i,
-       |    coalesce(sum(n.t23r) FILTER (n.valid), 0) AS sw23r,
-       |    coalesce(sum(n.t23i) FILTER (n.valid), 0) AS sw23i
-       |  FROM t3 c CROSS JOIN d
-       |  LEFT JOIN t3 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)""".stripMargin
+  /** 3x3 windowed T3 sums per center pixel (separable two-pass, see SarOracleWin). */
+  private val winCte: String = SarOracleWin.sepWin("t3", "win", 1, t3SumCols)
 
   /** Cardano eigen stages over `win` — staged exactly as Kernels.hAlphaOf. */
   private val cardanoCtes: String =
@@ -165,7 +160,6 @@ object SarOraclesQuad {
   /** q_halpha_quad: per-tile quantized sums of H, A, alpha. */
   val hAlpha: String =
     s"""WITH ${t3Cte(Layout.BurstsPerSubswath)},
-       |$dCte,
        |$winCte,
        |$cardanoCtes,
        |$haaCte
@@ -184,7 +178,6 @@ object SarOraclesQuad {
    * integer cluster-center sums, revised-Wishart argmin, per-tile class counts. */
   val wishart: String =
     s"""WITH ${t3Cte(ops.PolarimetryQuad.WishartMaxBurst)},
-       |$dCte,
        |$winCte,
        |$cardanoCtes,
        |$haaCte,
@@ -261,7 +254,6 @@ object SarOraclesQuad {
    * (-pi/4, pi/4], on the exact 3x3 window sums (scale-invariant). */
   val orientation: String =
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |th AS (SELECT *, 0.25 * (atan2(2.0 * sw23r, sw33 - sw22) + $Pi) AS th0
        |       FROM win WHERE n > 0),
@@ -273,29 +265,19 @@ object SarOraclesQuad {
    * product Z_rl Z_lr^* (per-pixel products are dyadic-exact). */
   val faraday: String =
     s"""WITH ${t3Cte(SB, raw = true)},
-       |$dCte,
        |fz AS (SELECT *,
        |    (hvr - vhr - hhi - vvi) AS zr01, (hvi - vhi + hhr + vvr) AS zi01,
        |    (vhr - hvr - hhi - vvi) AS zr10, (vhi - hvi + hhr + vvr) AS zi10
        |  FROM t3),
        |fzp AS (SELECT *, zr01 * zr10 + zi01 * zi10 AS zpr, zi01 * zr10 - zr01 * zi10 AS zpi FROM fz),
-       |fw AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.valid) AS nw,
-       |    coalesce(sum(n.zpr) FILTER (n.valid), 0) AS zr,
-       |    coalesce(sum(n.zpi) FILTER (n.valid), 0) AS zi
-       |  FROM fzp c CROSS JOIN d
-       |  LEFT JOIN fzp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |fo AS (SELECT *, 0.0 - 0.25 * atan2(zi, zr) AS omega FROM fw WHERE nw > 0)
+       |${SarOracleWin.sepWin("fzp", "fw", 1, Seq("zpr" -> "zr", "zpi" -> "zi"))},
+       |fo AS (SELECT *, 0.0 - 0.25 * atan2(zi, zr) AS omega FROM fw WHERE n > 0)
        |SELECT $keys, count(*) AS n_valid, ${sumQ6("omega", "omega_sum_q")}
        |FROM fo GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
   /** q_pol_freeman: generalized Freeman-Durden pv/pd/ps on the windowed T3 means. */
   val freeman: String =
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |fm AS (SELECT *, sw11 / n AS t11m, sw22 / n AS t22m, sw33 / n AS t33m,
        |         sw12r / n AS t12rm, sw12i / n AS t12im
@@ -313,7 +295,6 @@ object SarOraclesQuad {
    * (Krogager.java:181-198), max(0) rounding guard mirrored from the kernel. */
   val krogager: String =
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |k1 AS (SELECT *, 0.5 * (sw11 / n) AS a0, 0.5 * (sw22 / n + sw33 / n) AS b0,
        |         abs(sw23i / n) AS f
@@ -335,7 +316,6 @@ object SarOraclesQuad {
     val HalfPi = (math.Pi / 2.0).toString
     val QuarterPi = (math.Pi / 4.0).toString
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |$cardanoCtes,
        |tz1 AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
@@ -386,7 +366,6 @@ object SarOraclesQuad {
    * Staged exactly as Kernels QS_CLOUDE (same v1..v3 row-cross as touzi). */
   val cloude: String =
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |$cardanoCtes,
        |cl1 AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy, n, l1,
@@ -416,23 +395,11 @@ object SarOraclesQuad {
     s"""e3 AS (SELECT *, hhr * hhr + hhi * hhi AS c00px, vvr * vvr + vvi * vvi AS cvvpx,
        |         hhr * vvr + hhi * vvi AS c13rpx, hhi * vvr - hhr * vvi AS c13ipx
        |       FROM t3),
-       |w3 AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.valid) AS n,
-       |    coalesce(sum(n.t11) FILTER (n.valid), 0) AS sw11,
-       |    coalesce(sum(n.t22) FILTER (n.valid), 0) AS sw22,
-       |    coalesce(sum(n.t33) FILTER (n.valid), 0) AS sw33,
-       |    coalesce(sum(n.t12r) FILTER (n.valid), 0) AS sw12r,
-       |    coalesce(sum(n.t12i) FILTER (n.valid), 0) AS sw12i,
-       |    coalesce(sum(n.t23i) FILTER (n.valid), 0) AS sw23i,
-       |    coalesce(sum(n.c00px) FILTER (n.valid), 0) AS sc00,
-       |    coalesce(sum(n.cvvpx) FILTER (n.valid), 0) AS scvv,
-       |    coalesce(sum(n.c13rpx) FILTER (n.valid), 0) AS sc13r,
-       |    coalesce(sum(n.c13ipx) FILTER (n.valid), 0) AS sc13i
-       |  FROM e3 c CROSS JOIN d
-       |  LEFT JOIN e3 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |${SarOracleWin.sepWin("e3", "w3", 1, Seq(
+              "t11" -> "sw11", "t22" -> "sw22", "t33" -> "sw33",
+              "t12r" -> "sw12r", "t12i" -> "sw12i", "t23i" -> "sw23i",
+              "c00px" -> "sc00", "cvvpx" -> "scvv",
+              "c13rpx" -> "sc13r", "c13ipx" -> "sc13i"))},
        |m3 AS (SELECT *, sw11 / n AS t11m, sw22 / n AS t22m, sw33 / n AS t33m,
        |         sw12r / n AS t12rm, sw12i / n AS t12im, sw23i / n AS t23im,
        |         sc00 / n AS c00m, scvv / n AS cvvm,
@@ -446,7 +413,6 @@ object SarOraclesQuad {
   val yamaguchi: String = {
     val d = (x: Double) => s"CAST($x AS DOUBLE)"
     s"""WITH ${t3Cte(SB, raw = true)},
-       |$dCte,
        |$c3WinCtes,
        |y0 AS (SELECT *, t11m + t22m + t33m AS span, 2.0 * abs(t23im) AS pc0,
        |    CASE WHEN cvvm > 0 AND c00m > 0 THEN
@@ -534,7 +500,6 @@ object SarOraclesQuad {
    * (vanZyl.java:185-227; C22 = t33 by the Pauli identity). */
   val vanZyl: String =
     s"""WITH ${t3Cte(SB, raw = true)},
-       |$dCte,
        |$c3WinCtes,
        |v1 AS (SELECT *, c13rm / c00m AS rhore, c13im / c00m AS rhoim,
        |         t33m / c00m AS eta, cvvm / c00m AS zeta
@@ -555,7 +520,6 @@ object SarOraclesQuad {
    * windowed-T3 eigenvalues (Cardano staged exactly as the kernel/hAlpha). */
   val polParams: String =
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |$cardanoCtes
        |SELECT $keys, count(*) AS n_valid,
@@ -643,7 +607,6 @@ object SarOraclesQuad {
     def gdSql(num: String, den: String) =
       s"2.0 * acos(greatest(-1.0, least(1.0, ($num) / ($den)))) * 180.0 / $Pi / 180.0"
     s"""WITH ${t3Cte(SB)},
-       |$dCte,
        |$winCte,
        |gm AS (SELECT *, sw11 / n AS t11, sw22 / n AS t22, sw33 / n AS t33,
        |         sw12r / n AS t12r, sw12i / n AS t12i, sw13r / n AS t13r, sw13i / n AS t13i,
@@ -695,26 +658,17 @@ object SarOraclesQuad {
   /** q_pol_xchannel_snr: HV scaled by the HV/VH window coherence at valid centers. */
   val xChannelSnr: String =
     s"""WITH ${t3Cte(SB, raw = true)},
-       |$dCte,
        |sp AS (SELECT *, hvr * hvr + hvi * hvi AS c22px, vhr * vhr + vhi * vhi AS c33px,
        |         hvr * vhr + hvi * vhi AS c23rpx, hvi * vhr - hvr * vhi AS c23ipx
        |       FROM t3),
-       |sw AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    c.valid, c.hvr AS chvr, c.hvi AS chvi,
-       |    coalesce(sum(n.c22px) FILTER (n.valid), 0) AS c22,
-       |    coalesce(sum(n.c33px) FILTER (n.valid), 0) AS c33,
-       |    coalesce(sum(n.c23rpx) FILTER (n.valid), 0) AS c23r,
-       |    coalesce(sum(n.c23ipx) FILTER (n.valid), 0) AS c23i
-       |  FROM sp c CROSS JOIN d
-       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+       |${SarOracleWin.sepWin("sp", "sw", 1, Seq(
+            "c22px" -> "c22", "c33px" -> "c33",
+            "c23rpx" -> "c23r", "c23ipx" -> "c23i"), carry = Seq("hvr", "hvi"))},
        |sg AS (SELECT *, sqrt((c23r * c23r + c23i * c23i) / (c22 * c33)) AS gamma
        |       FROM sw WHERE valid AND c22 > 0 AND c33 > 0)
        |SELECT $keys, count(*) AS n_valid,
-       |  ${sumQ6("gamma * chvr", "ihv_sum_q")},
-       |  ${sumQ6("gamma * chvi", "qhv_sum_q")}
+       |  ${sumQ6("gamma * hvr", "ihv_sum_q")},
+       |  ${sumQ6("gamma * hvi", "qhv_sum_q")}
        |FROM sg GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
   /** q_cp_simulation: per-tile C2 sums of the simulated RCH compact-pol vector
@@ -750,7 +704,6 @@ object SarOraclesQuad {
     val abCols = t3Chans.map(c => s"(ma$c + mb$c) * 0.5 AS mc$c").mkString(", ")
     val cond = "n1 > 0 AND n2 > 0 AND deta > 0 AND detb2 > 0 AND detab > 0"
     s"""WITH ${t3Cte(ops.PolarimetryQuad.ChangeMaxBurst)},
-       |$dCte,
        |$winCte,
        |pw AS (SELECT *, CAST(substring(scene_id, 7, 4) AS INT) AS scene_idx FROM win),
        |pe AS (SELECT *, scene_idx // 2 AS pair_idx FROM pw),

@@ -142,28 +142,44 @@ object SarOraclesSm {
 
   private val lutKeys = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
 
-  /** IEM argmin oracle over the px-pair frame `pp(keys, gx, v1, v2)`. */
+  /** IEM argmin oracle over the px-pair frame `pp(keys, gx, v1, v2)`.
+   *
+   * Two-pass vectorized argmin (min d, then min row_id among the d-minima, the
+   * kernel's first-strictly-lower scan semantics): d is recomputed from the
+   * same inputs in both passes so the equality join on `= md` is exact. A
+   * single-pass min(struct(...)) aggregate walked interpreted struct compares
+   * at ~3 µs/row (59 thread-seconds); the two plain double/int mins are
+   * vectorized. sgv is materialized so the pixel chain runs once. */
   private def iemOracle(ppCte: String): String = {
     val s1 = "CASE WHEN v1 = -9999.0 OR v1 <= 0.0 THEN -9999.0 ELSE 10 * log10(v1) END"
     val s2 = "CASE WHEN v2 = -9999.0 OR v2 <= 0.0 THEN -9999.0 ELSE 10 * log10(v2) END"
+    val d = "(g.s1px - l.s1) * (g.s1px - l.s1) + (g.s2px - l.s2) * (g.s2px - l.s2)"
+    val pxKeys = "g.scene_id, g.subswath, g.pol, g.burst_idx, g.tile_y, g.tile_x, g.gx, g.gy"
     s"""$ppCte,
        |sg AS (SELECT *, $s1 AS s1px, $s2 AS s2px,
        |         floor(${thetaOf("gx")} + 0.5) AS sect
        |       FROM pp),
-       |cand AS (
-       |  SELECT g.*, l.row_id, l.rms, l.rdc,
-       |    (g.s1px - l.s1) * (g.s1px - l.s1) + (g.s2px - l.s2) * (g.s2px - l.s2) AS d
-       |  FROM sg g JOIN ${fx("sm_lut")} l ON l.theta_idx = g.sect
-       |  WHERE g.s1px <> -9999.0 AND g.s2px <> -9999.0),
-       |best AS (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY scene_id, subswath, pol, burst_idx, gx, gy ORDER BY d, row_id) AS rn
-       |  FROM cand)
+       |sgv AS MATERIALIZED (SELECT * FROM sg WHERE s1px <> -9999.0 AND s2px <> -9999.0),
+       |bd AS MATERIALIZED (
+       |  SELECT $pxKeys, min($d) AS md
+       |  FROM sgv g JOIN ${fx("sm_lut")} l ON l.theta_idx = g.sect
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |bi AS MATERIALIZED (
+       |  SELECT $pxKeys, min(l.row_id) AS rid
+       |  FROM sgv g
+       |  JOIN ${fx("sm_lut")} l ON l.theta_idx = g.sect
+       |  JOIN bd ON bd.scene_id = g.scene_id AND bd.subswath = g.subswath
+       |    AND bd.pol = g.pol AND bd.burst_idx = g.burst_idx
+       |    AND bd.tile_y = g.tile_y AND bd.tile_x = g.tile_x
+       |    AND bd.gx = g.gx AND bd.gy = g.gy AND ($d) = bd.md
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |best AS (SELECT bi.*, l.rms, l.rdc
+       |         FROM bi JOIN ${fx("sm_lut")} l ON l.row_id = bi.rid)
        |SELECT $lutKeys,
        |  count(*) AS n_valid,
        |  CAST(coalesce(sum(${q6("rms")}), 0) AS BIGINT) AS rms_sum_q,
        |  CAST(coalesce(sum(${q6("rdc")}), 0) AS BIGINT) AS rdc_sum_q
-       |FROM best WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+       |FROM best GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
   /** q_sm_iem_hybrid: four sigma channels (AM VV/VH + PM VV/VH of the even/odd
@@ -173,49 +189,81 @@ object SarOraclesSm {
   val iemHybrid: String = {
     def dB(v: String) =
       s"CASE WHEN $v = -9999.0 OR $v <= 0.0 THEN -9999.0 ELSE 10 * log10($v) END"
-    s"""WITH ${SarOracles8.pxCte},
-       |pc AS (SELECT *, CAST(substring(scene_id, 7, 4) AS INT) AS scene_idx
-       |       FROM px WHERE burst_idx <= ${ops.SoilMoisture.IemMaxBurst}),
-       |pc2 AS (SELECT *, scene_idx // 2 AS pair_idx FROM pc),
+    val dH = "(g.s1a - la.s1) * (g.s1a - la.s1) + (g.s2a - la.s2) * (g.s2a - la.s2)" +
+      " + (g.s1b - lb.s1) * (g.s1b - lb.s1) + (g.s2b - lb.s2) * (g.s2b - lb.s2)"
+    val pxKeysH = "g.scene_id, g.subswath, g.pol, g.burst_idx, g.tile_y, g.tile_x, g.gx, g.gy"
+    val vOf = (p: String) =>
+      s"""CASE WHEN ${p}_iv = -9999.0 OR ${p}_qv = -9999.0 THEN -9999.0
+         |         ELSE floor(((floor(${p}_iv * 4096) / 4096) * (floor(${p}_iv * 4096) / 4096)
+         |                   + (floor(${p}_qv * 4096) / 4096) * (floor(${p}_qv * 4096) / 4096)) * 16384) / 16384 END""".stripMargin
+    // the 4 channels (VV/VH of the even scene x VV/VH of its odd partner) are
+    // joined at TILE level and positionally unnested (see SarOracleWin)
+    s"""WITH ht AS (
+       |  SELECT a.scene_id, a.subswath, a.burst_idx, a.tile_y, a.tile_x,
+       |         a.i AS a_i, a.q AS a_q, b.i AS b_i, b.q AS b_q,
+       |         c.i AS c_i, c.q AS c_q, d.i AS d_i, d.q AS d_q
+       |  FROM ${fx("tiles")} a
+       |  JOIN ${fx("tiles")} b ON b.pol = 'VH' AND b.scene_id = a.scene_id
+       |    AND b.subswath = a.subswath AND b.burst_idx = a.burst_idx
+       |    AND b.tile_y = a.tile_y AND b.tile_x = a.tile_x
+       |  JOIN ${fx("tiles")} c ON c.pol = 'VV'
+       |    AND c.scene_id = 'scene_' || lpad(CAST(CAST(substring(a.scene_id, 7, 4) AS INT) + 1 AS VARCHAR), 4, '0')
+       |    AND c.subswath = a.subswath AND c.burst_idx = a.burst_idx
+       |    AND c.tile_y = a.tile_y AND c.tile_x = a.tile_x
+       |  JOIN ${fx("tiles")} d ON d.pol = 'VH' AND d.scene_id = c.scene_id
+       |    AND d.subswath = a.subswath AND d.burst_idx = a.burst_idx
+       |    AND d.tile_y = a.tile_y AND d.tile_x = a.tile_x
+       |  WHERE a.pol = 'VV' AND a.burst_idx <= ${ops.SoilMoisture.IemMaxBurst}
+       |    AND CAST(substring(a.scene_id, 7, 4) AS INT) % 2 = 0),
+       |hz AS (
+       |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
+       |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
+       |         unnest(a_i) AS a_iv, unnest(a_q) AS a_qv, unnest(b_i) AS b_iv, unnest(b_q) AS b_qv,
+       |         unnest(c_i) AS c_iv, unnest(c_q) AS c_qv, unnest(d_i) AS d_iv, unnest(d_q) AS d_qv
+       |  FROM ht),
        |pp AS (
-       |  SELECT a.scene_id, a.subswath, 'DP' AS pol, a.burst_idx, a.tile_y, a.tile_x,
-       |         a.gx, a.gy, a.v AS v1a, b.v AS v2a, c.v AS v1b, d.v AS v2b
-       |  FROM pc2 a
-       |  JOIN pc2 b ON b.pair_idx = a.pair_idx AND b.subswath = a.subswath
-       |    AND b.burst_idx = a.burst_idx AND b.gx = a.gx AND b.gy = a.gy
-       |    AND b.pol = 'VH' AND b.scene_idx % 2 = 0
-       |  JOIN pc2 c ON c.pair_idx = a.pair_idx AND c.subswath = a.subswath
-       |    AND c.burst_idx = a.burst_idx AND c.gx = a.gx AND c.gy = a.gy
-       |    AND c.pol = 'VV' AND c.scene_idx % 2 = 1
-       |  JOIN pc2 d ON d.pair_idx = a.pair_idx AND d.subswath = a.subswath
-       |    AND d.burst_idx = a.burst_idx AND d.gx = a.gx AND d.gy = a.gy
-       |    AND d.pol = 'VH' AND d.scene_idx % 2 = 1
-       |  WHERE a.pol = 'VV' AND a.scene_idx % 2 = 0),
+       |  SELECT scene_id, subswath, 'DP' AS pol, burst_idx, tile_y, tile_x,
+       |    tile_x * $W + k % $W AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |    ${vOf("a")} AS v1a,
+       |    ${vOf("b")} AS v2a,
+       |    ${vOf("c")} AS v1b,
+       |    ${vOf("d")} AS v2b
+       |  FROM hz),
        |sg AS (SELECT *, ${dB("v1a")} AS s1a, ${dB("v2a")} AS s2a,
        |         ${dB("v1b")} AS s1b, ${dB("v2b")} AS s2b,
        |         floor(${thetaOf("gx")} + 0.5) AS sect_a,
        |         floor((${thetaOf("gx")} + ${ops.SoilMoisture.HybridThetaOffset}) + 0.5) AS sect_b
        |       FROM pp),
-       |cand AS (
-       |  SELECT g.scene_id, g.subswath, g.pol, g.burst_idx, g.tile_y, g.tile_x,
-       |    g.gx, g.gy, la.row_id, la.rms, la.rdc,
-       |    (g.s1a - la.s1) * (g.s1a - la.s1) + (g.s2a - la.s2) * (g.s2a - la.s2)
-       |      + (g.s1b - lb.s1) * (g.s1b - lb.s1) + (g.s2b - lb.s2) * (g.s2b - lb.s2) AS d
-       |  FROM sg g
+       |sgv AS MATERIALIZED (
+       |  SELECT * FROM sg
+       |  WHERE s1a <> -9999.0 AND s2a <> -9999.0 AND s1b <> -9999.0 AND s2b <> -9999.0),
+       |-- two-pass vectorized argmin (see iemOracle): min d, then min row_id on d = md
+       |bd AS MATERIALIZED (
+       |  SELECT $pxKeysH, min($dH) AS md
+       |  FROM sgv g
        |  JOIN ${fx("sm_lut")} la ON la.theta_idx = g.sect_a
        |  JOIN ${fx("sm_lut")} lb ON lb.theta_idx = g.sect_b
        |    AND lb.rms = la.rms AND lb.rdc = la.rdc
-       |  WHERE g.s1a <> -9999.0 AND g.s2a <> -9999.0
-       |    AND g.s1b <> -9999.0 AND g.s2b <> -9999.0),
-       |best AS (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY scene_id, subswath, pol, burst_idx, gx, gy ORDER BY d, row_id) AS rn
-       |  FROM cand)
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |bi AS MATERIALIZED (
+       |  SELECT $pxKeysH, min(la.row_id) AS rid
+       |  FROM sgv g
+       |  JOIN ${fx("sm_lut")} la ON la.theta_idx = g.sect_a
+       |  JOIN ${fx("sm_lut")} lb ON lb.theta_idx = g.sect_b
+       |    AND lb.rms = la.rms AND lb.rdc = la.rdc
+       |  JOIN bd ON bd.scene_id = g.scene_id AND bd.subswath = g.subswath
+       |    AND bd.pol = g.pol AND bd.burst_idx = g.burst_idx
+       |    AND bd.tile_y = g.tile_y AND bd.tile_x = g.tile_x
+       |    AND bd.gx = g.gx AND bd.gy = g.gy AND ($dH) = bd.md
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |best AS (SELECT bi.*, l.rms, l.rdc
+       |         FROM bi JOIN ${fx("sm_lut")} l ON l.row_id = bi.rid)
        |SELECT $lutKeys,
        |  count(*) AS n_valid,
        |  CAST(coalesce(sum(${q6("rms")}), 0) AS BIGINT) AS rms_sum_q,
        |  CAST(coalesce(sum(${q6("rdc")}), 0) AS BIGINT) AS rdc_sum_q
-       |FROM best WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+       |FROM best GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
   /** q_sm_iem_multipol */

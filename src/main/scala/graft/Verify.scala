@@ -40,34 +40,36 @@ object Verify {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (heavy.contains(n), n) }
-    // 4 queries in flight per batch: the 169-query surface is dominated by
-    // per-query planning + small-file IO, not executor compute — concurrent
-    // actions on one session overlap those latencies (~2.5x wall-time cut).
-    // Session recycling stays BETWEEN batches (no stop() under live jobs):
-    // the one-JVM block manager otherwise accumulates codegen classes +
-    // broadcast blocks until a multi-minute GC stall (~100 queries in).
+    // `Concurrency` queries in flight per batch: the 182-query surface is
+    // dominated by per-query planning + small-file IO, not executor compute —
+    // concurrent actions on one session overlap those latencies (~2.5x
+    // wall-time cut). Session recycling stays BETWEEN batches (no stop() under
+    // live jobs): the one-JVM block manager otherwise accumulates codegen
+    // classes + broadcast blocks until a multi-minute GC stall (~100 queries in).
+    val Concurrency = 6
     ordered.grouped(50).zipWithIndex.foreach { case (batch, bi) =>
       if (bi > 0) { spark.stop(); spark = newSession() }
       val s = spark
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
-      // ordering is a gate-layer concern (deterministic dump), not a
-      // library-operator one: sort by all columns so no operator plan carries
-      // a global sort.
-      val futures = batch.map { case (name, fn) =>
-        pool.submit(new Runnable {
-          def run(): Unit =
-            try {
-              val df = fn(s, sfDir)
-              df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-                .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-            } catch {
-              case e: Throwable =>
-                System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            }
-        })
-      }
-      futures.foreach(_.get())
-      pool.shutdown()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(Concurrency)
+      try {
+        // ordering is a gate-layer concern (deterministic dump), not a
+        // library-operator one: sort by all columns so no operator plan carries
+        // a global sort.
+        val futures = batch.map { case (name, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try {
+                val df = fn(s, sfDir)
+                df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+                  .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

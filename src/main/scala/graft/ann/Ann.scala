@@ -117,10 +117,14 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
   }
 
-  /** LSH bucket signature: bit b = sign of sum_i w(b,i) * e_i, w = +-1 from md5 parity. */
-  def withBucket(e: DataFrame): DataFrame =
+  /** LSH bucket signature: bit b = sign of sum_i w(b,i) * e_i, w = +-1 from md5
+   * parity. `bits` is corpus-driven (pairBitsFor) — computing the low `bits`
+   * bits equals computing all MaxPairBits and masking, so the same hyperplane
+   * family serves every corpus size (round-3 ADVICE: the last fixed-bits
+   * variant). */
+  def withBucket(e: DataFrame, bits: Int = LshBits): DataFrame =
     e.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, b) ->
+      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
          |  acc + if(
          |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) ->
          |      CAST(x AS DOUBLE) * if((CAST(conv(substring(md5(concat('lsh|', CAST(b AS STRING), '|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2) = 0, 1D, -1D)),
@@ -178,9 +182,12 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_r"))
   }
 
-  /** Bucketed ANN: top-3 cosine neighbors *within the same LSH bucket*. */
+  /** Bucketed ANN: top-3 cosine neighbors *within the same LSH bucket*; bucket
+   * bits scale with the corpus (pairBitsFor), so per-bucket population — and
+   * with it the in-bucket quadratic join — stays bounded at any N. */
   def lshTopKQuery(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = withBucket(emb(spark, dir))
+    val e0 = emb(spark, dir)
+    val e = withBucket(e0, pairBitsFor(e0.count()))
     val a = e.select(col("vec_id").as("query_id"), col("embedding").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))

@@ -1180,7 +1180,14 @@ object Kernels {
       while (y < h) { cr(y) = di(y * w + x); ci(y) = dq(y * w + x); y += 1 }
       val (fr, fi) = fft1d(cr, ci, inverse = false)
       y = 0
-      while (y < h) { out(y * w + x) = (fr(y) * fr(y) + fi(y) * fi(y)) / h2; y += 1 }
+      // per-bin power is dyadically quantized (2^-12) BEFORE the gate's 1e-6
+      // rollup: the oracle's direct O(h^2) DFT agrees with the FFT only to
+      // ~1e-12, and without this snap a power landing within that drift of a
+      // rollup quantum boundary flips the floor on one side (ADVICE r3)
+      while (y < h) {
+        out(y * w + x) = math.floor(((fr(y) * fr(y) + fi(y) * fi(y)) / h2) * 4096.0) / 4096.0
+        y += 1
+      }
       x += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)

@@ -40,18 +40,70 @@ object Fixtures {
 
   def dir(sfDir: String): String = s"$Root/${scale(sfDir).tag}"
 
-  /** Generate all fixture tables for this scale if not already present; returns fixture dir. */
+  /** Tables covered by the content fingerprint (every generated table). */
+  private val AllTables = Seq(
+    "docs", "media", "scenes", "bursts", "aoi", "cal_vectors", "noise_vectors",
+    "noise_az_vectors", "orbit", "orbit_curved", "gcps", "gcps_frac", "dem",
+    "slope", "sm_lut", "warp_truth", "tiles", "tiles_sec", "tiles_grd",
+    "tiles_quad", "tiles_smooth", "tiles_smooth_sec", "tiles_stack")
+
+  /** Order-independent content fingerprint of one fixture table: row count +
+   * bit_xor of xxhash64 over whole rows (xor is commutative and cannot
+   * overflow under ANSI mode). Deterministic for the generator's pure-function
+   * values at any parallelism. */
+  private def fingerprint(spark: SparkSession, d: String, t: String): String = {
+    val df = spark.read.parquet(s"$d/$t.parquet")
+    val row = df.selectExpr("count(*) AS n", s"bit_xor(xxhash64(struct(${df.columns.map(c => s"`$c`").mkString(",")}))) AS h")
+      .collect()(0)
+    s"$t=${row.getLong(0)}:${if (row.isNullAt(1)) 0L else row.getLong(1)}"
+  }
+
+  private def fingerprintAll(spark: SparkSession, d: String): String =
+    AllTables.map(t => fingerprint(spark, d, t)).mkString("\n")
+
+  /** md5 of this generator's compiled bytecode: any change to generate() (or
+   * its helpers in this object) yields a different hash, forcing regeneration
+   * even when the on-disk tables still match their own stored fingerprint —
+   * the stale-marker-across-a-generator-change gotcha (VERDICT r3 #2). */
+  private lazy val generatorHash: String = {
+    val in = getClass.getResourceAsStream("/graft/gen/Fixtures$.class")
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(in.readAllBytes()).map("%02x".format(_)).mkString
+    } finally in.close()
+  }
+
+  @volatile private var verifiedDirs = Set.empty[String]
+
+  /** Generate all fixture tables for this scale if not already present; returns
+   * fixture dir. The marker is CONTENT-ADDRESSED: it stores a fingerprint (row
+   * count + order-independent xxhash64 sum per table) which is re-verified once
+   * per JVM — a stale or half-written fixture dir left in the shared working
+   * copy by an earlier round regenerates instead of silently feeding both
+   * engines different bytes (the suspected cause of the two unreproducible
+   * round-3 driver hash mismatches). */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val sc = scale(sfDir)
     val d = dir(sfDir)
-    // version-suffixed marker: bump when generate() gains tables so stale fixture
+    if (verifiedDirs.contains(d)) return d
+    // version-suffixed marker: bump when generate() changes so stale fixture
     // dirs regenerate (deterministic -> existing tables rewrite identically)
-    val marker = Paths.get(d, "_COMPLETE_v10")
-    if (!Files.exists(marker)) {
+    val marker = Paths.get(d, "_COMPLETE_v11")
+    val ok = Files.exists(marker) && {
+      val want = Files.readString(marker)
+      val got = try s"gen=$generatorHash\n${fingerprintAll(spark, d)}"
+        catch { case _: Exception => "" }
+      val matches = want == got
+      if (!matches)
+        System.err.println(s"[fixtures] generator/fingerprint mismatch in $d — regenerating")
+      matches
+    }
+    if (!ok) {
       generate(spark, sc, d)
       Files.createDirectories(Paths.get(d))
-      Files.writeString(marker, sc.toString)
+      Files.writeString(marker, s"gen=$generatorHash\n${fingerprintAll(spark, d)}")
     }
+    verifiedDirs += d
     d
   }
 
@@ -462,15 +514,32 @@ object Fixtures {
    *  v        = f*(0.5+u), with u<0.002 -> no-data sentinel -9999
    *  i        = sqrt(v)*cos(2*pi*u2),  q = sqrt(v)*sin(2*pi*u2)   (so i^2+q^2 = v)
    */
+  /** Planted connected-component chains (VERDICT r3 #4): two 16-pixel L-shaped
+   * 1-px-thin snakes in scene_0000/IW1/VV, each with 8-connected graph diameter
+   * ~14 — a FIXED 8-round label propagation under-merges them, so the cluster
+   * gates only pass with convergence-checked propagation. The snakes ride the
+   * sampled (shifted) coordinates, so tiles_sec carries them at the planted
+   * shift and the xcorr ground truth stays exactly recoverable.
+   *  - dark snake  (burst 5, global line 268, f -> 1.0):    oil-spill CC chain
+   *  - bright snake (burst 7, global line 396, f -> 5.0e4): object CC chain
+   * Both cross the tile_x 0/1 boundary (gx 26..35), so the merge also spans
+   * tiles. Snake pixels are never no-data (a dropout would split the chain). */
+  private def snakeSql(gx: String, gy: String, line: Int): String =
+    s"""(scene_id = 'scene_0000' AND subswath = 'IW1' AND pol = 'VV' AND
+       | ((($gy) = $line AND ($gx) BETWEEN 26 AND 35)
+       |  OR (($gx) = 35 AND ($gy) BETWEEN ${line + 1} AND ${line + 6})))""".stripMargin
+
   private def tileValueSql(dx: String, dy: String): (String, String) = {
     val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW} - ($dx))"
     val gy = s"((burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * ${Layout.TileH} + cast(k / ${Layout.TileW} as int) - ($dy))"
     val u = s"(pmod(xxhash64(concat_ws('|', 'px', scene_id, subswath, pol, $gx, $gy)), 1000000) / 1e6)"
     val u2 = s"(pmod(xxhash64(concat_ws('|', 'ph', scene_id, subswath, pol, $gx, $gy)), 1000000) / 1e6)"
-    val f = s"(100.0 + 50.0 * sin($gx / 40.0) + 30.0 * cos($gy / 25.0))"
-    val v = s"(if($u < 0.002, ${Layout.NoData}d, $f * (0.5 + $u)))"
-    val i = s"(if($u < 0.002, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * cos(2 * pi() * $u2)))"
-    val q = s"(if($u < 0.002, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * sin(2 * pi() * $u2)))"
+    val dark = snakeSql(gx, gy, 268) // inside burst 5 (global lines 256..319)
+    val bright = snakeSql(gx, gy, 396) // inside burst 7 (global lines 384..447)
+    val f = s"(if($dark, 1.0, if($bright, 50000.0, 100.0 + 50.0 * sin($gx / 40.0) + 30.0 * cos($gy / 25.0))))"
+    val nd = s"($u < 0.002 AND NOT $dark AND NOT $bright)"
+    val i = s"(if($nd, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * cos(2 * pi() * $u2)))"
+    val q = s"(if($nd, ${Layout.NoData}d, sqrt($f * (0.5 + $u)) * sin(2 * pi() * $u2)))"
     (i, q)
   }
 

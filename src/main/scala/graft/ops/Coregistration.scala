@@ -204,6 +204,10 @@ object Coregistration {
       var fits = solveNow()
       var round = 0
       var stable = false
+      // the persisted frame of the PREVIOUS round — unpersisted as soon as it is
+      // superseded, so robust-fit rounds don't accumulate cached blocks in the
+      // long-lived Verify JVM (ADVICE r3)
+      var keptPersisted: DataFrame = null
       // fixed point: a scene whose cut removes nothing refits to identical
       // coefficients, so iterating it again is a no-op — one global stop flag
       // reproduces the reference's per-scene early exit exactly
@@ -220,9 +224,13 @@ object Coregistration {
           .persist()
         val before = fits.map(_._2).sum
         if (filtered.count() == before) { stable = true; filtered.unpersist() }
-        else { kept = filtered; fits = solveNow() }
+        else {
+          if (keptPersisted != null) keptPersisted.unpersist()
+          keptPersisted = filtered; kept = filtered; fits = solveNow()
+        }
         round += 1
       }
+      if (keptPersisted != null) keptPersisted.unpersist()
       fits.map(f => f._1 -> (f._2, f._3)).toMap
     }
 

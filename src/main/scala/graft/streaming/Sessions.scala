@@ -88,8 +88,11 @@ object Sessions {
                   closed += SessionOut(uid, s.startUs, s.lastUs - s.startUs, s.n, s.sumC)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value_c))
                 case Some(s) =>
-                  open = Some(OpenSession(s.startUs, math.max(s.lastUs, e.ts_us),
-                    s.n + 1, s.sumC + e.value_c))
+                  // a late-but-in-watermark event older than the open session's
+                  // start must also pull start_us back, or batch/stream outputs
+                  // diverge on out-of-order input (ADVICE r3)
+                  open = Some(OpenSession(math.min(s.startUs, e.ts_us),
+                    math.max(s.lastUs, e.ts_us), s.n + 1, s.sumC + e.value_c))
                 case None =>
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value_c))
               }

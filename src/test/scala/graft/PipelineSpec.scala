@@ -111,11 +111,13 @@ class PipelineSpec extends AnyFunSuite {
     def ev(id: Long, uid: Long, minutes: Double, v: Double) =
       (id, uid, new Timestamp(t0 + (minutes * 60000).toLong), v)
     // user 1: gap-split inside one batch; user 2: one session spanning batches
-    // (its batch-2 event at minute 45 stays >= the post-batch-1 watermark of 44);
-    // user 3: single event; user 999: sentinel advancing the watermark
+    // (its batch-2 event at minute 45 stays >= the post-batch-1 watermark of 44.5);
+    // user 3: single event; user 4: a LATE in-watermark (44.8 >= 44.5) event OLDER
+    // than the open session's 45.5 start (must pull start_us back — ADVICE r3);
+    // user 999: sentinel advancing the watermark
     val batch1 = Seq(ev(0, 1, 0, 1.25), ev(1, 1, 5, 2.5), ev(2, 1, 45, 4.0),
-      ev(3, 2, 20, 3.0), ev(4, 3, 1, 7.75))
-    val batch2 = Seq(ev(5, 2, 45, 1.0))
+      ev(3, 2, 20, 3.0), ev(4, 3, 1, 7.75), ev(9, 4, 45.5, 1.0))
+    val batch2 = Seq(ev(5, 2, 45, 1.0), ev(10, 4, 44.8, 2.0))
     val sentinel = Seq(ev(6, 999, 100000, 0.0), ev(7, 999, 100001, 0.0))
 
     implicit val sqlCtx = spark.sqlContext
@@ -136,7 +138,7 @@ class PipelineSpec extends AnyFunSuite {
       .select("user_id", "start_us", "duration_us", "n_events", "value_sum_c")
     assert(streamed.exceptAll(expected).count() == 0)
     assert(expected.exceptAll(streamed).count() == 0)
-    assert(streamed.count() == 4) // u1 x2 (gap split), u2 x1 (cross-batch), u3 x1
+    assert(streamed.count() == 5) // u1 x2 (gap split), u2 x1 (cross-batch), u3 x1, u4 x1 (late start pull-back)
   }
 
   test("dedup clusters collapse planted duplicate families onto the original keeper") {
