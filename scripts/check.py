@@ -2,18 +2,23 @@
 """Local replica of the driver's correctness gate (dev tool only, not part of the
 library): reads Verify output parquet + oracle_sql.json, runs each oracle in DuckDB
 with the sf tables registered as views, compares sorted-column sorted-row values."""
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# Driver-fidelity mode: GRAFT_CHECK_MEMLIMIT=2GB GRAFT_CHECK_NO_RETRY=1 replicates
+# the round driver's harness exactly (one connection, sequential, no OOM retry) —
+# the shape that forfeited 60 round-3 rows when one oracle fragmented the allocator.
+MEMLIMIT = os.environ.get("GRAFT_CHECK_MEMLIMIT", "60GB")
+NO_RETRY = os.environ.get("GRAFT_CHECK_NO_RETRY", "") == "1"
 
 def fresh_con():
     # this box caps vm.max_map_count at 65530; high default thread counts make
     # duckdb's allocator mmap-fail ("Out of Memory" at tiny block sizes) long
     # before real memory runs out
     c = duckdb.connect()
-    c.execute("SET memory_limit='60GB'; SET threads=8; SET preserve_insertion_order=false;")
+    c.execute(f"SET memory_limit='{MEMLIMIT}'; SET threads=8; SET preserve_insertion_order=false;")
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     return c
@@ -30,7 +35,7 @@ for name, sql in sorted(oracle.items()):
     try:
         exp = con.execute(sql).df()
     except Exception as e:
-        if "Out of Memory" in str(e):
+        if "Out of Memory" in str(e) and not NO_RETRY:
             # mmap-cap allocator fragmentation after ~170 sequential queries:
             # a fresh connection resets the block allocator; the query itself fits
             try:

@@ -60,16 +60,35 @@ object Bench {
     s(s.length / 2)
   }
 
-  /** 1 warm-up + up to 3 timed passes (1 for slow queries), median. Forces FULL
+  /** 1 warm-up + up to 3 timed passes (1 for slow queries). Forces FULL
    * evaluation through an all-column checksum — a bare count() lets Catalyst prune
-   * the kernel columns away and under-measures map-only operators. Returns (sec, rows). */
-  private def bench(spark: SparkSession, sfDir: String, name: String): (Double, Long) = {
+   * the kernel columns away and under-measures map-only operators. Returns
+   * (median sec, best-of-passes sec, rows): the median is the headline number,
+   * the best-of identifies host contention (a contended run shows best << median;
+   * VERDICT r3 #9 — the driver record must be self-identifying). */
+  private def bench(spark: SparkSession, sfDir: String, name: String): (Double, Double, Long) = {
     val fn = SparkEntry.queries(name)
     def run(): Long = lineage.Checkpoint.datasetChecksum(fn(spark, sfDir))._1
     val (warmT, rows) = time(run())
     val reps = if (warmT < 5.0) 3 else 1
     val times = (1 to reps).map(_ => time(run())._1)
-    (median(times), rows)
+    (median(times), times.min, rows)
+  }
+
+  /** Contention index fields for the provenance record: loadavg (1-minute) from
+   * /proc/loadavg and cumulative steal ticks from /proc/stat — a contended
+   * driver record (loadavg >> cores, or steal moving between rounds) is
+   * self-identifying without a quiet-window rerun. */
+  private def contention(): String = {
+    def readOr(path: String, default: String): String =
+      try Files.readString(Paths.get(path)) catch { case _: Exception => default }
+    val load = readOr("/proc/loadavg", "0 0 0").split("\\s+")
+    val load1 = if (load.nonEmpty) load(0) else "0"
+    val steal = readOr("/proc/stat", "").linesIterator
+      .find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+"))
+      .filter(_.length > 8).map(_(8)).getOrElse("0")
+    s""""loadavg1":$load1,"steal_ticks":$steal"""
   }
 
   /** The flagship scaling job (uncached, CPU-bound, ONE action so driver-side
@@ -132,13 +151,14 @@ object Bench {
     var spark = session(cpus)
     gen.Fixtures.ensure(spark, sfDir) // fixture generation excluded from timing
 
+    val contentionBefore = contention()
     val results =
       if (doHeadline) Headline.map { name =>
-        val (sec, rows) = bench(spark, sfDir, name)
-        (name, sec, rows)
-      } else Seq.empty[(String, Double, Long)]
+        val (sec, best, rows) = bench(spark, sfDir, name)
+        (name, sec, best, rows)
+      } else Seq.empty[(String, Double, Double, Long)]
     val totalSec = results.map(_._2).sum
-    val totalRows = results.map(_._3).sum
+    val totalRows = results.map(_._4).sum
     val throughput = if (totalSec > 0) totalRows / totalSec else 0.0
 
     // two-cluster-size evidence: identical job, identical input, N vs 4N threads.
@@ -223,14 +243,17 @@ object Bench {
       spark.stop()
     }
 
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val rs = results.map { case (k, _, r) => s""""$k":$r""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val bs = results.map { case (k, _, b, _) => s""""$k":$b""" }.mkString("{", ",", "}")
+    val rs = results.map { case (k, _, _, r) => s""""$k":$r""" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"tiles+join-rows/sec","value":$throughput,"unit":"rows/sec","total_sec":$totalSec,"total_rows":$totalRows,"queries":$qs,"rows":$rs,"scaling":$scalingJson,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"tiles+join-rows/sec","value":$throughput,"unit":"rows/sec","total_sec":$totalSec,"total_rows":$totalRows,"queries":$qs,"best_of":$bs,"rows":$rs,"scaling":$scalingJson,"sf":"$sfDir","cpus":$cpus}"""
     println(line)
-    // append-only history with provenance (reference Benchmark.java:286-301)
+    // append-only history with provenance + contention index (reference
+    // Benchmark.java:286-301; contention fields per VERDICT r3 #9 — loadavg and
+    // steal sampled before and after the run bracket the whole measurement)
     val hist = Paths.get("/root/repo/bench_history.jsonl")
-    val prov = s"""{"ts":"${java.time.Instant.now}","host":"${java.net.InetAddress.getLocalHost.getHostName}","cores":${Runtime.getRuntime.availableProcessors},"record":$line}"""
+    val prov = s"""{"ts":"${java.time.Instant.now}","host":"${java.net.InetAddress.getLocalHost.getHostName}","cores":${Runtime.getRuntime.availableProcessors},"pre":{$contentionBefore},"post":{${contention()}},"record":$line}"""
     Files.writeString(hist, prov + "\n", StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 }

@@ -278,6 +278,109 @@ object PipelineOracles {
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_ann_ivf_trained: ann.Ann.ivfTrainedCentroids unrolled — TrainIters
+   * rounds of (cosine argmax assignment -> integer-quantized per-dim mean
+   * update), then the annIvf search on the trained centers. Center values are
+   * CAST(sq AS DOUBLE)/1e6/CAST(n AS DOUBLE) on both engines (exact). */
+  val annIvfTrained: String = {
+    val C = ann.Ann.IvfCells; val NP = ann.Ann.IvfNProbe
+    val iters = (1 to ann.Ann.TrainIters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, centroid_id, va FROM (
+         |    SELECT d.vec_id, c.centroid_id, d.va,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${cosSql("d.va", "c.vb")} DESC, c.centroid_id ASC) AS rn
+         |    FROM ed d CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT centroid_id, u.j AS dim, count(*) AS n,
+         |    sum(CAST(floor(0.031415926535897934 + u.x * 1.0E6) AS BIGINT)) AS sq
+         |  FROM a$i, unnest(list_transform(va, (x, j) -> struct_pack(x := x, j := j))) AS t(u)
+         |  GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (
+         |  SELECT centroid_id,
+         |    list_transform(list_sort(list(struct_pack(dim := dim, c := c))), t -> t.c) AS vb
+         |  FROM (SELECT centroid_id, dim, CAST(sq AS DOUBLE) / 1.0E6 / CAST(n AS DOUBLE) AS c FROM m$i)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val cf = s"c${ann.Ann.TrainIters}"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, va AS vb FROM ed WHERE vec_id < $C),
+       |$iters,
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT a.vec_id, c.centroid_id,
+       |            row_number() OVER (PARTITION BY a.vec_id
+       |              ORDER BY ${cosSql("a.embedding", "c.vb")} DESC, c.centroid_id ASC) AS rn
+       |          FROM e a CROSS JOIN $cf c) WHERE rn = 1),
+       |pr AS (SELECT query_id, centroid_id FROM (
+       |         SELECT q.vec_id AS query_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.embedding", "c.vb")} DESC, c.centroid_id ASC) AS rn
+       |         FROM e q CROSS JOIN $cf c WHERE q.vec_id < 20) WHERE rn <= $NP),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM pr p JOIN asg a USING (centroid_id) WHERE a.vec_id != p.query_id),
+       |s AS (SELECT cd.query_id, cd.neighbor_id, ${cosSql("q.embedding", "n.embedding")} AS cos
+       |      FROM cand cd JOIN e q ON q.vec_id = cd.query_id JOIN e n ON n.vec_id = cd.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_r
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_ann_pq_trained: ann.Ann.pqTrainedCb unrolled (per-subspace L2 k-means
+   * with the same exact quantized mean updates), then the annPq ADC search on
+   * the trained codewords. The 8-term L2 chain is written left-associated to
+   * match the engine's aggregate fold. */
+  val annPqTrained: String = {
+    def l2(a: String, b: String) = (1 to 8)
+      .map(j => s"(($a[$j]) - ($b[$j])) * (($a[$j]) - ($b[$j]))").mkString(" + ")
+    val iters = (1 to ann.Ann.TrainIters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s, c, sv FROM (
+         |    SELECT b.vec_id, b.s, w.c, b.sv,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s
+         |        ORDER BY ${l2("b.sv", "w.cw")} ASC, w.c ASC) AS rn
+         |    FROM sub b JOIN k${i - 1} w USING (s)) WHERE rn = 1),
+         |n$i AS MATERIALIZED (
+         |  SELECT s, c, u.j AS dim, count(*) AS n,
+         |    sum(CAST(floor(0.031415926535897934 + u.x * 1.0E6) AS BIGINT)) AS sq
+         |  FROM p$i, unnest(list_transform(sv, (x, j) -> struct_pack(x := x, j := j))) AS t(u)
+         |  GROUP BY 1, 2, 3),
+         |k$i AS MATERIALIZED (
+         |  SELECT s, c,
+         |    list_transform(list_sort(list(struct_pack(dim := dim, cc := cc))), t -> t.cc) AS cw
+         |  FROM (SELECT s, c, dim, CAST(sq AS DOUBLE) / 1.0E6 / CAST(n AS DOUBLE) AS cc FROM n$i)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val kf = s"k${ann.Ann.TrainIters}"
+    val pivots = (0 to 7).map(s => s"max(CASE WHEN d.s = $s THEN d.d END) AS d$s").mkString(", ")
+    val adist = (0 to 7).map(s => s"d$s").mkString(" + ")
+    s"""WITH ss AS (SELECT unnest(range(8)) AS s),
+       |sub AS (SELECT e.vec_id, ss.s,
+       |          list_transform(e.embedding[ss.s * 8 + 1 : ss.s * 8 + 8], x -> x::DOUBLE) AS sv
+       |        FROM embeddings e, ss),
+       |k0 AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cw FROM sub WHERE vec_id < ${ann.Ann.PqK}),
+       |$iters,
+       |dists AS (
+       |  SELECT b.vec_id, b.s, w.c, ${l2("b.sv", "w.cw")} AS d
+       |  FROM sub b JOIN $kf w USING (s)),
+       |enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |adc AS (
+       |  SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id, $pivots
+       |  FROM enc n JOIN dists d ON d.s = n.s AND d.c = n.code AND d.vec_id < 20
+       |  WHERE n.vec_id != d.vec_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, ($adist) AS adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ($adist) ASC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT) AS adist_q
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   val annLsh: String = {
     val w = s"CASE WHEN ${h60("'lsh|' || b || '|' || i")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

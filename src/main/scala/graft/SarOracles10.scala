@@ -164,35 +164,102 @@ object SarOracles10 {
        |      FROM st)
        |$rollup""".stripMargin
 
-  /** MuLog: exp(boxcar(ln v)) over valid positive 3x3 neighbors (center-valid). */
-  val mulog: String =
-    s"""WITH px AS (
+  /** q_speckle_mulog: the reference MuLoG ADMM loop (MuLog.java:126-148), staged
+   * exactly as Kernels.mulogTile — per-tile clipped margin-3 halo buffers, per
+   * iteration an NLM denoise of (u - w) (patch SSD/count distances, exp(-d/h^2)
+   * weights over the clamped 5x5 search window, invalid cells participating at
+   * log-seed 0 — the reference quirk), a 5-step Newton proximal update and the
+   * Lagrange update w += v - u; finally exp(u). Double precision and 3
+   * iterations on BOTH engines (documented deviations from the reference's
+   * float32 x10). VV / bursts<=2 bounds the twin's cost. */
+  val mulog: String = {
+    val sp = ops.Speckle
+    val m = sp.MulogMargin
+    val tkeys = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
+    val ckeys = s"$tkeys, bx, by"
+    def newton(i: Int, src: String): String =
+      s"""nw${i}_1 AS MATERIALIZED (SELECT *, u0 - (${sp.MulogEnl} * (1.0 - exp(y - u0)) + ${sp.MulogRho} * (u0 - r)) / (${sp.MulogEnl} * exp(y - u0) + ${sp.MulogRho}) AS u1 FROM $src),
+         |nw${i}_2 AS MATERIALIZED (SELECT *, u1 - (${sp.MulogEnl} * (1.0 - exp(y - u1)) + ${sp.MulogRho} * (u1 - r)) / (${sp.MulogEnl} * exp(y - u1) + ${sp.MulogRho}) AS u2 FROM nw${i}_1),
+         |nw${i}_3 AS MATERIALIZED (SELECT *, u2 - (${sp.MulogEnl} * (1.0 - exp(y - u2)) + ${sp.MulogRho} * (u2 - r)) / (${sp.MulogEnl} * exp(y - u2) + ${sp.MulogRho}) AS u3 FROM nw${i}_2),
+         |nw${i}_4 AS MATERIALIZED (SELECT *, u3 - (${sp.MulogEnl} * (1.0 - exp(y - u3)) + ${sp.MulogRho} * (u3 - r)) / (${sp.MulogEnl} * exp(y - u3) + ${sp.MulogRho}) AS u4 FROM nw${i}_3),
+         |nw${i}_5 AS MATERIALIZED (SELECT *, u4 - (${sp.MulogEnl} * (1.0 - exp(y - u4)) + ${sp.MulogRho} * (u4 - r)) / (${sp.MulogEnl} * exp(y - u4) + ${sp.MulogRho}) AS u5 FROM nw${i}_4)""".stripMargin
+    def iter(i: Int): String = {
+      val src = if (i == 1) "st0" else s"st${i - 1}"
+      val cck = ckeys.split(", ").map(c => s"c.$c").mkString(", ")
+      val ack = ckeys.split(", ").map(c => s"a.$c").mkString(", ")
+      s"""in$i AS MATERIALIZED (SELECT $ckeys, invalid, y, u, w, u - w AS inp FROM $src),
+         |sh$i AS (
+         |  SELECT $cck, o.dx, o.dy,
+         |    (c.inp - n.inp) * (c.inp - n.inp) AS ds, n.inp AS sval
+         |  FROM in$i c CROSS JOIN offs o
+         |  LEFT JOIN in$i n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+         |    AND n.pol = c.pol AND n.burst_idx = c.burst_idx AND n.tile_y = c.tile_y
+         |    AND n.tile_x = c.tile_x AND n.bx = c.bx + o.dx AND n.by = c.by + o.dy),
+         |bxp$i AS (
+         |  SELECT *, sum(ds) OVER wx AS xds, count(ds) OVER wx AS xnc
+         |  FROM sh$i
+         |  WINDOW wx AS (PARTITION BY scene_id, subswath, pol, burst_idx, tile_y, tile_x, dx, dy, by
+         |                ORDER BY bx ROWS BETWEEN ${sp.MulogPatchR} PRECEDING AND ${sp.MulogPatchR} FOLLOWING)),
+         |pd$i AS (
+         |  SELECT *, sum(xds) OVER wy AS psum, CAST(sum(xnc) OVER wy AS BIGINT) AS pcnt
+         |  FROM bxp$i
+         |  WINDOW wy AS (PARTITION BY scene_id, subswath, pol, burst_idx, tile_y, tile_x, dx, dy, bx
+         |                ORDER BY by ROWS BETWEEN ${sp.MulogPatchR} PRECEDING AND ${sp.MulogPatchR} FOLLOWING)),
+         |nl$i AS MATERIALIZED (
+         |  SELECT $ckeys,
+         |    sum(exp(-(CASE WHEN pcnt > 0 THEN psum / pcnt ELSE 0.0 END) / ${sp.MulogH * sp.MulogH}) * sval)
+         |      FILTER (sval IS NOT NULL)
+         |    / sum(exp(-(CASE WHEN pcnt > 0 THEN psum / pcnt ELSE 0.0 END) / ${sp.MulogH * sp.MulogH}))
+         |      FILTER (sval IS NOT NULL) AS v
+         |  FROM pd$i GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+         |pv$i AS MATERIALIZED (
+         |  SELECT $ack, a.invalid, a.y, a.w, b.v, b.v + a.w AS r, b.v + a.w AS u0
+         |  FROM in$i a JOIN nl$i b USING (scene_id, subswath, pol, burst_idx, tile_y, tile_x, bx, by)),
+         |${newton(i, s"pv$i")},
+         |st$i AS MATERIALIZED (
+         |  SELECT $ckeys, invalid, y, u5 AS u, w + v - u5 AS w FROM nw${i}_5)""".stripMargin
+    }
+    val iters = (1 to sp.MulogIters).map(iter).mkString(",\n")
+    s"""WITH px0 AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
-       |  FROM ${fx("tiles")}),
-       |p2 AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  FROM ${fx("tiles")} WHERE subswath = 'IW1' AND pol = 'VV' AND burst_idx <= 2),
+       |p2 AS MATERIALIZED (
+       |  SELECT scene_id, subswath, pol, burst_idx,
        |         tile_x * $W + k % $W AS gx,
        |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
        |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
-       |  FROM px),
-       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
-       |st AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.gx, c.gy, c.v AS cp,
-       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0 AND n.v > 0) AS n,
-       |    coalesce(sum(CASE WHEN n.v <> -9999.0 AND n.v > 0 THEN floor(ln(n.v) * 1048576.0) / 1048576.0 END), 0) AS s1
-       |  FROM p2 c CROSS JOIN d
-       |  LEFT JOIN p2 n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.pol = c.pol AND n.burst_idx = c.burst_idx
-       |    AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
-       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |             CASE WHEN cp = -9999.0 THEN -9999.0
-       |                  WHEN n = 0 THEN -9999.0
-       |                  ELSE exp(s1 / n) END AS out
-       |      FROM st)
+       |  FROM px0),
+       |tk AS (SELECT DISTINCT scene_id, subswath, pol, burst_idx, tile_y, tile_x
+       |       FROM ${fx("tiles")} WHERE subswath = 'IW1' AND pol = 'VV' AND burst_idx <= 2),
+       |bb AS (SELECT CAST(a.range AS INT) AS bx, CAST(b.range AS INT) AS by
+       |       FROM range(${W + 2 * m}) a, range(${Layout.TileH + 2 * m}) b),
+       |buf AS MATERIALIZED (
+       |  SELECT t.scene_id, t.subswath, t.pol, t.burst_idx, t.tile_y, t.tile_x,
+       |         bb.bx, bb.by, p.v
+       |  FROM tk t CROSS JOIN bb
+       |  JOIN p2 p ON p.scene_id = t.scene_id AND p.subswath = t.subswath
+       |    AND p.pol = t.pol AND p.burst_idx = t.burst_idx
+       |    AND p.gx = t.tile_x * $W + bb.bx - $m
+       |    AND p.gy = t.tile_y * ${Layout.TileH} + bb.by - $m),
+       |offs AS (SELECT CAST(a.range AS INT) - ${sp.MulogSearchR} AS dx,
+       |                CAST(b.range AS INT) - ${sp.MulogSearchR} AS dy
+       |         FROM range(${2 * sp.MulogSearchR + 1}) a, range(${2 * sp.MulogSearchR + 1}) b),
+       |st0 AS MATERIALIZED (
+       |  SELECT $tkeys, bx, by,
+       |    (v = -9999.0 OR v <= 0.0) AS invalid,
+       |    CASE WHEN v = -9999.0 OR v <= 0.0 THEN 0.0 ELSE ln(v + 1e-10) END AS y,
+       |    CASE WHEN v = -9999.0 OR v <= 0.0 THEN 0.0 ELSE ln(v + 1e-10) END AS u,
+       |    0.0 AS w
+       |  FROM buf),
+       |$iters,
+       |o AS (
+       |  SELECT $tkeys,
+       |    CASE WHEN invalid THEN -9999.0 ELSE exp(u) END AS out
+       |  FROM st${sp.MulogIters}
+       |  WHERE bx >= $m AND bx < ${W + m} AND by >= $m AND by < ${Layout.TileH + m})
        |$rollup""".stripMargin
+  }
 
   /** Gabor 5x5 convolution; weight table inlined from the kernel's Scala doubles. */
   val gabor: String = {

@@ -329,6 +329,13 @@ object SarOraclesTc {
        |FROM terms GROUP BY 1, 2, 3, 4, 5""".stripMargin
   }
 
+  /** q_terrain_correction_srgr twin: the same resolved cells; the polynomial-
+   * SRGR recovery is a planted-truth boolean on the engine side (the q_warp_poly
+   * pattern), so the oracle emits the expected TRUE per cell. */
+  val srgrTc: String =
+    s"""WITH ${resolveCtes(useDem = true, ciMax = TerrainCorrection.GeoVarCiMax)}
+       |SELECT scene_id, ci, cj, subswath, burst_idx, TRUE AS ok_srgr FROM g9""".stripMargin
+
   /** q_update_georef (UpdateGeoRefOp.java:60-71, 315-318 twin): each resolved
    * cell scattered to its nearest source pixel; per-pixel quantized lat/lon sums. */
   val updateGeoRef: String = {

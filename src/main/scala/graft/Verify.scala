@@ -59,9 +59,11 @@ object Verify {
           pool.submit(new Runnable {
             def run(): Unit =
               try {
+                val t0 = System.nanoTime
                 val df = fn(s, sfDir)
                 df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
                   .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+                System.err.println(f"[verify] $name ${(System.nanoTime - t0) / 1e9}%.1fs")
               } catch {
                 case e: Throwable =>
                   System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -107,12 +107,16 @@ object Dedup {
     // count under-merges components whose diameter exceeds it). Labels only
     // DECREASE, so the overflow-proof DECIMAL(38) label sum is strictly
     // decreasing until the fixed point — one cheap agg action per round, no
-    // changed-row join. ClusterMaxRounds bounds a pathological input; each
-    // round's frame is persisted and the superseded one dropped (ADVICE r3).
+    // changed-row join. ClusterMaxRounds bounds a pathological input. Each
+    // round's frame is localCheckpoint'd: the eager checkpoint both caches it
+    // and TRUNCATES the logical plan — persist alone leaves an O(rounds)-deep
+    // lineage that Catalyst re-plans every round (O(rounds^2) driver work; on a
+    // multi-executor cluster the reliable variant is checkpoint() to dfs).
+    // Superseded blocks are reclaimed by the ContextCleaner when refs drop.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       df.select(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
-    var prevPersisted: org.apache.spark.sql.DataFrame = null
+    labels = labels.localCheckpoint()
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -121,10 +125,8 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .select(col("doc_a").as("doc_id"), col("label"))
       val next = labels.unionByName(nbr).groupBy("doc_id").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val s = labelSum(next)
-      if (prevPersisted != null) prevPersisted.unpersist()
-      prevPersisted = next
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -137,7 +139,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
       .localCheckpoint()
     edges.unpersist()
-    if (prevPersisted != null) prevPersisted.unpersist()
     clusters
   }
 

@@ -66,6 +66,24 @@ case class SpeckleFilterExpr(halo: Expression, enl: Expression, damping: Express
     copy(halo = c(0), enl = c(1), damping = c(2))
 }
 
+/** MuLoG ADMM filter over a clipped halo buffer (Kernels.mulogTile). */
+case class MulogExpr(halo: Expression, tileX: Expression, tileY: Expression,
+    w: Int, h: Int, margin: Int, tilesX: Int, tilesY: Int,
+    enl: Double, rho: Double, iters: Int, searchR: Int, patchR: Int, nlmH: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(halo, tileX, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.mulogTile(${args(0)}, $w, $h, $margin, ${args(1)}, ${args(2)}, " +
+      s"$tilesX, $tilesY, $enl, $rho, $iters, $searchR, $patchR, $nlmH)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.mulogTile(args(0).asInstanceOf[ArrayData], w, h, margin,
+      args(1).asInstanceOf[Int], args(2).asInstanceOf[Int], tilesX, tilesY,
+      enl, rho, iters, searchR, patchR, nlmH)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(halo = c(0), tileX = c(1), tileY = c(2))
+}
+
 /** Window moment struct-of-arrays (n, s1, s2, cp) from a halo. */
 case class WindowMomentsExpr(halo: Expression, w: Int, h: Int, haloM: Int, winR: Int)
     extends StaticKernelExpr {
@@ -852,6 +870,12 @@ object KernelExprs {
   def speckleFilter(halo: Column, mode: String, w: Int, h: Int, margin: Int,
       enl: Column, damping: Column): Column =
     toCol(SpeckleFilterExpr(toExpr(halo), toExpr(enl), toExpr(damping), mode, w, h, margin))
+
+  def mulog(halo: Column, tileX: Column, tileY: Column, w: Int, h: Int, margin: Int,
+      tilesX: Int, tilesY: Int, enl: Double, rho: Double, iters: Int,
+      searchR: Int, patchR: Int, nlmH: Double): Column =
+    toCol(MulogExpr(toExpr(halo), toExpr(tileX), toExpr(tileY), w, h, margin,
+      tilesX, tilesY, enl, rho, iters, searchR, patchR, nlmH))
 
   def haloStrip(arr: Column, role: Column, w: Int, h: Int, m: Int): Column =
     toCol(HaloStripExpr(toExpr(arr), toExpr(role), w, h, m))

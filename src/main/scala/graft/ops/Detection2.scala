@@ -227,8 +227,16 @@ object Detection2 {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.select(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
-    dets = dets.persist()
-    var prevPersisted = dets
+    // localCheckpoint (eager) BOTH caches the round's frame AND truncates the
+    // logical plan: persist alone leaves the lineage growing by one join per
+    // round, so Catalyst re-plans (and AQE re-renders the plan string of) an
+    // O(rounds)-deep tree every round — O(rounds^2) driver work that wedged the
+    // 40-round version for >20 min. With a truncated plan each round is a
+    // constant-size narrow shuffle. (On a multi-executor cluster the reliable
+    // variant is sc.setCheckpointDir + checkpoint(); local checkpointing is the
+    // single-JVM equivalent.) Superseded blocks are reclaimed by the
+    // ContextCleaner once the reference drops (Verify forces periodic GC).
+    dets = dets.localCheckpoint()
     var prevSum = labelSum(dets)
     var converged = prevSum == null // empty mask -> nothing to propagate
     var it = 0
@@ -242,24 +250,20 @@ object Detection2 {
         .withColumnRenamed("tgx", "gx").withColumnRenamed("tgy", "gy")
       dets = dets.drop("label").join(minl, keys ++ Seq("gx", "gy"))
         .withColumnRenamed("nl", "label")
-        .persist()
+        .localCheckpoint()
       val s = labelSum(dets)
-      prevPersisted.unpersist()
-      prevPersisted = dets
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
     // eagerly materialize the tiny per-label rollup, then drop the cached
     // label frame (block-manager hygiene in the long-lived Verify JVM)
-    val out = dets.groupBy((keys :+ "label").map(col): _*)
+    dets.groupBy((keys :+ "label").map(col): _*)
       .agg(count(lit(1)).as("n_px"),
         min("gx").as("min_gx"), max("gx").as("max_gx"),
         min("gy").as("min_gy"), max("gy").as("max_gy"))
       .where(col("n_px") >= minPx && col("n_px") <= maxPx)
       .localCheckpoint()
-    prevPersisted.unpersist()
-    out
   }
 
   /** Full CMOD5 wind-speed inversion (WindFieldEstimationOp.java:885-912 +

@@ -58,16 +58,21 @@ object Geocode {
    * SrgrPolyTol meters at probe samples (planted-recovery boolean, like
    * q_warp_poly).
    */
-  def srgrPolyQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val nS = 3 * Layout.SamplesPerBurst
-    val orbit0 = Fixtures.table(spark, sfDir, "orbit")
+  /** First orbit state vector per scene (the SRGR reference geometry). */
+  private[ops] def orbit0(spark: SparkSession, sfDir: String): DataFrame =
+    Fixtures.table(spark, sfDir, "orbit")
       .withColumn("rn", row_number().over(Window.partitionBy("scene_id").orderBy("t_sec")))
       .where(col("rn") === 1)
       .select(col("scene_id"), col("x").as("orb_x"), col("z").as("orb_z"))
+
+  /** Distributed degree-SrgrPolyDeg LS fit of ground range vs normalized slant
+   * index per scene: moments aggregate distributed, the tiny (deg+1)^2 system
+   * solves on the driver. Returns scene_id -> (n_samples, coefficients). */
+  private[ops] def srgrPolyFit(spark: SparkSession, sfDir: String): Seq[(String, Long, Seq[Double])] = {
+    val nS = 3 * Layout.SamplesPerBurst
     val samples = spark.range(0L, nS)
       .select(col("id").cast("int").as("s_idx"))
-      .join(broadcast(orbit0))
+      .join(broadcast(orbit0(spark, sfDir)))
       .withColumn("r0", expr("sqrt(orb_x * orb_x + orb_z * orb_z)"))
       .withColumn("slant", col("r0") + col("s_idx") * TerrainCorrection.DR)
       .withColumn("u", col("s_idx") / lit((nS - 1).toDouble))
@@ -80,15 +85,22 @@ object Geocode {
         (for (i <- 0 until nb) yield sum(expr(s"(${basis(i)}) * g")).as(s"b$i")) :+
         count(lit(1)).as("n_samples")
     val moments = samples.groupBy("scene_id").agg(momCols.head, momCols.tail: _*).collect()
-    val fits = moments.map { r =>
+    moments.toSeq.map { r =>
       val m = Array.tabulate(nb, nb)((i, j) =>
         r.getDouble(r.fieldIndex(s"m${math.min(i, j)}_${math.max(i, j)}")))
       val c = graft.geom.LinSolve.solve(m, Array.tabulate(nb)(i => r.getDouble(r.fieldIndex(s"b$i"))))
-      (r.getString(0), r.getLong(r.fieldIndex("n_samples")), c)
+      (r.getString(0), r.getLong(r.fieldIndex("n_samples")), c.toSeq)
     }
-    val fitted = fits.toSeq.toDF("scene_id", "n_samples", "c")
+  }
+
+  def srgrPolyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nS = 3 * Layout.SamplesPerBurst
+    val nb = SrgrPolyDeg + 1
+    val orbit0Df = orbit0(spark, sfDir)
+    val fitted = srgrPolyFit(spark, sfDir).toDF("scene_id", "n_samples", "c")
     val probeIdx = Seq(0, 95, 191, 287, 383)
-    fitted.join(broadcast(orbit0), Seq("scene_id"))
+    fitted.join(broadcast(orbit0Df), Seq("scene_id"))
       .select(col("scene_id"), col("n_samples"),
         probeIdx.map { si =>
           val u = si.toDouble / (nS - 1)

@@ -330,6 +330,42 @@ object TerrainCorrection {
   def ellipsoidRdQuery(spark: SparkSession, sfDir: String): DataFrame =
     rdGeocode(spark, sfDir, useDem = false, ciMax = GeoVarCiMax)
 
+  /** Maximum |poly ground range - true ground range| (m) for the composed gate;
+   * the fixture's ground mapping g = orb_x + sqrt(slant^2 - orb_z^2) is
+   * genuinely nonlinear, so the LINEAR slant shortcut misses by kilometres at
+   * far range and only the fitted polynomial passes. */
+  val SrgrTcTol = 30.0
+
+  /** Polynomial SRGR composed INTO the RD terrain-correction geometry
+   * (SARGeocoding.java:351-359 + RangeDopplerGeocodingOp.java:1592-1604,
+   * VERDICT r3 #6): each resolved cell's zero-Doppler slant range converts to a
+   * GROUND-range coordinate through the degree-5 LS-fitted SRGR polynomial
+   * (ops.Geocode.srgrPolyFit — the q_srgr_poly machinery), not the linear
+   * closed form. Gate: planted-recovery boolean per cell — the poly-resolved
+   * ground range within SrgrTcTol of the fixture's exact mapping (the
+   * established driver-fit gate pattern, q_warp_poly). */
+  def srgrTcQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nS = 3 * Layout.SamplesPerBurst
+    val coeffs = Geocode.srgrPolyFit(spark, sfDir)
+      .map { case (s, _, c) => (s, c) }.toDF("scene_id", "c")
+    val cells = resolveCells(spark, sfDir, useDem = true, ciMax = GeoVarCiMax)
+    val poly = (0 to Geocode.SrgrPolyDeg)
+      .map(k => s"c[$k]" + (if (k == 0) "" else " * " + Seq.fill(k)("u").mkString(" * ")))
+      .mkString(" + ")
+    cells
+      .join(broadcast(coeffs), Seq("scene_id"))
+      .join(broadcast(Geocode.orbit0(spark, sfDir)), Seq("scene_id"))
+      // normalized slant index in the FIT's geometry (the SRGR reference orbit's
+      // r0) — resolveCells' xf normalizes by the curved orbit's first SV instead
+      .withColumn("u", expr(
+        s"(slant - sqrt(orb_x * orb_x + orb_z * orb_z)) / $DR / ${(nS - 1).toDouble}"))
+      .withColumn("gr_poly", expr(poly))
+      .withColumn("gr_true", expr("orb_x + sqrt(slant * slant - orb_z * orb_z)"))
+      .select(col("scene_id"), col("ci"), col("cj"), col("subswath"), col("burst_idx"),
+        (abs(col("gr_poly") - col("gr_true")) <= SrgrTcTol).as("ok_srgr"))
+  }
+
   /** Secondary-orbit baseline offset (m) for Back-Geocoding: the secondary
    * acquisition's state vectors are the master's displaced by (Bx, 0, Bz). */
   val SecBx = 30.0
