@@ -259,24 +259,104 @@ object SarOracles4 {
 
   // -------------------------------------------------------------------------- IDAN
 
+  /** IDAN (IDAN.java:209-467): the reference's two-stage region growing, restated
+   * with 49-bit BIGINT window masks — 3x3-median seed, 8-connected growth at
+   * threshold50 via 16 fixed bitboard dilation rounds (materialized stages),
+   * stage-1 mean seed update, visited-but-rejected re-exam at threshold95, MMSE
+   * weight with sample (n-1) variance over a dyadically-quantized second moment.
+   * Mask arithmetic is integer-exact; every double expression tree is textually
+   * identical to the kernel's (Kernels.idanPixel). VV/bursts<=2 subset. */
   val idan: String = {
-    val t = 2.0 / math.sqrt(Speckle.Enl)
-    s"""WITH $pxCte,
-       |${dCte(3)},
-       |st AS (
+    val sigmaV = 1.0 / math.sqrt(Speckle.Enl)
+    val svs = sigmaV * sigmaV
+    val t50 = 2.0 / 3.0 * sigmaV
+    val t95 = 2.0 * sigmaV
+    val mask = (1L << 49) - 1
+    val cGt0 = (0 until 49).filter(_ % 7 > 0).map(1L << _).sum
+    val cLt6 = (0 until 49).filter(_ % 7 < 6).map(1L << _).sum
+    def dil8l(a: Long): Long =
+      (((a & cLt6) << 1) | ((a & cGt0) >> 1) | (a << 7) | (a >> 7) |
+        ((a & cGt0) >> 8) | ((a & cLt6) >> 6) | ((a & cGt0) << 6) | ((a & cLt6) << 8)) & mask
+    val seedMask = (1L << 24) | dil8l(1L << 24)
+    def dil8(e: String): String =
+      s"((((($e) & $cLt6) << 1) | ((($e) & $cGt0) >> 1) | (($e) << 7) | (($e) >> 7) | " +
+        s"((($e) & $cGt0) >> 8) | ((($e) & $cLt6) >> 6) | ((($e) & $cGt0) << 6) | " +
+        s"((($e) & $cLt6) << 8)) & $mask)"
+    val keys6 = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
+    val pxSub = pxCte.replace(s"FROM ${fx("tiles")})",
+      s"FROM ${fx("tiles")} WHERE pol = 'VV' AND burst_idx <= 2)")
+    val joinW = """w.scene_id = x.scene_id AND w.subswath = x.subswath
+      |    AND w.pol = x.pol AND w.burst_idx = x.burst_idx AND w.tile_y = x.tile_y
+      |    AND w.tile_x = x.tile_x AND w.gx = x.gx AND w.gy = x.gy""".stripMargin
+    val stages = (1 to 16).map { i =>
+      s"a$i AS MATERIALIZED (SELECT * EXCLUDE (an), (an | (${dil8("an")} & b1)) & $mask AS an FROM a${i - 1})"
+    }.mkString(",\n")
+    val inA2 = s"""(((x.an >> w.k) & 1) = 1 OR
+      |      (((x.bg >> w.k) & 1) = 1 AND abs((w.vk - x.new_seed) / x.new_seed) < $t95))""".stripMargin
+    s"""WITH $pxSub,
+       |d AS (SELECT dx.dx, dy.dy, (dy.dy + 3) * 7 + (dx.dx + 3) AS k
+       |      FROM (SELECT unnest(range(-3, 4)) AS dx) dx,
+       |           (SELECT unnest(range(-3, 4)) AS dy) dy),
+       |win AS MATERIALIZED (
        |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.gx, c.gy, c.v AS cp,
-       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0
-       |                     AND abs(n.v - c.v) <= $t * c.v) AS n,
-       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0 AND abs(n.v - c.v) <= $t * c.v), 0) AS s1
+       |    c.gx, c.gy, c.v AS cp, d.k,
+       |    (abs(d.dx) <= 1 AND abs(d.dy) <= 1) AS in3,
+       |    coalesce(n.v, -9999.0) AS vk
        |  FROM px c CROSS JOIN d
-       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy),
+       |sd AS MATERIALIZED (
+       |  SELECT $keys6, gx, gy, any_value(cp) AS cp,
+       |    CASE WHEN count(*) FILTER (in3 AND vk <> -9999.0) > 0
+       |         THEN list_sort(list(vk) FILTER (in3 AND vk <> -9999.0))[CAST(count(*) FILTER (in3 AND vk <> -9999.0) // 2 AS INT) + 1]
+       |    END AS seed
+       |  FROM win GROUP BY $keys6, gx, gy),
+       |a0 AS MATERIALIZED (
+       |  SELECT x.scene_id, x.subswath, x.pol, x.burst_idx, x.tile_y, x.tile_x,
+       |    x.gx, x.gy, any_value(x.cp) AS cp, any_value(x.seed) AS seed,
+       |    ($seedMask & coalesce(bit_or(CASE WHEN w.vk <> -9999.0 AND x.seed IS NOT NULL
+       |                       AND x.seed <> 0 AND abs((w.vk - x.seed) / x.seed) < $t50
+       |                  THEN 1::BIGINT << w.k END), 0)) AS an,
+       |    coalesce(bit_or(CASE WHEN w.vk <> -9999.0 AND x.seed IS NOT NULL
+       |                       AND x.seed <> 0 AND abs((w.vk - x.seed) / x.seed) < $t50
+       |                  THEN 1::BIGINT << w.k END), 0) AS b1
+       |  FROM sd x JOIN win w ON $joinW
+       |  GROUP BY x.scene_id, x.subswath, x.pol, x.burst_idx, x.tile_y, x.tile_x, x.gx, x.gy),
+       |$stages,
+       |s1s AS MATERIALIZED (
+       |  SELECT x.scene_id, x.subswath, x.pol, x.burst_idx, x.tile_y, x.tile_x,
+       |    x.gx, x.gy, any_value(x.cp) AS cp, any_value(x.seed) AS seed,
+       |    any_value(x.an) AS an,
+       |    count(*) FILTER (((x.an >> w.k) & 1) = 1) AS n1,
+       |    coalesce(sum(w.vk) FILTER (((x.an >> w.k) & 1) = 1), 0) AS s1a
+       |  FROM a16 x JOIN win w ON $joinW
+       |  GROUP BY x.scene_id, x.subswath, x.pol, x.burst_idx, x.tile_y, x.tile_x, x.gx, x.gy),
+       |ns AS (
+       |  SELECT *, CASE WHEN n1 > 0 THEN s1a / n1 ELSE seed END AS new_seed,
+       |    (($seedMask | ${dil8("an")}) & ~an) AS bg
+       |  FROM s1s),
+       |fs AS MATERIALIZED (
+       |  SELECT x.scene_id, x.subswath, x.pol, x.burst_idx, x.tile_y, x.tile_x,
+       |    x.gx, x.gy, any_value(x.cp) AS cp, any_value(x.seed) AS seed,
+       |    count(*) FILTER ($inA2) AS n2,
+       |    coalesce(sum(w.vk) FILTER ($inA2), 0) AS s1b,
+       |    coalesce(sum(CAST(floor(0.031415926535897934 + w.vk * w.vk * 1.0E6) AS BIGINT)) FILTER ($inA2), 0) AS s2q
+       |  FROM ns x JOIN win w ON $joinW
+       |  GROUP BY x.scene_id, x.subswath, x.pol, x.burst_idx, x.tile_y, x.tile_x, x.gx, x.gy),
+       |f2 AS (SELECT *, CASE WHEN n2 > 0 THEN s1b / n2 END AS meanY,
+       |              CAST(s2q AS DOUBLE) / 1.0E6 AS s2b FROM fs),
+       |f3 AS (SELECT *, CASE WHEN n2 > 1 THEN (s2b - n2 * meanY * meanY) / (n2 - 1)
+       |                      ELSE 0.0 END AS varY FROM f2),
+       |f4 AS (SELECT *, CASE WHEN varY = 0.0 THEN 0.0
+       |                      WHEN (varY - meanY * meanY * $svs) / (1.0 + $svs) < 0 THEN 0.0
+       |                      ELSE ((varY - meanY * meanY * $svs) / (1.0 + $svs)) / varY
+       |                 END AS bw FROM f3),
        |o AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  SELECT $keys6,
        |    CASE WHEN cp = -9999.0 THEN -9999.0
-       |         WHEN n <= 0 THEN -9999.0 ELSE s1 / n END AS out
-       |  FROM st)
+       |         WHEN seed IS NULL OR seed = 0.0 THEN cp
+       |         WHEN n2 <= 0 THEN cp
+       |         ELSE meanY + bw * (cp - meanY) END AS out
+       |  FROM f4)
        |$rollup""".stripMargin
   }
 

@@ -406,34 +406,128 @@ object Kernels {
     else cp * (1.0 - cu2 / (ci * ci)) + mean * (cu2 / (ci * ci))
   }
 
+  // 49-bit (7x7) bitboard layout for IDAN region growing: bit k = (dy+3)*7 + (dx+3)
+  private val IdanMask49: Long = (1L << 49) - 1
+  private val IdanColGt0: Long = (0 until 49).filter(_ % 7 > 0).map(1L << _).sum
+  private val IdanColLt6: Long = (0 until 49).filter(_ % 7 < 6).map(1L << _).sum
+  private val IdanCenterBit: Long = 1L << 24
+  private val IdanRounds = 16
+
+  /** One 8-connected dilation of a 49-bit window mask (bitboard shifts with column
+   * guards so col 0/6 cells do not wrap into the neighboring row). */
+  private def idanDil8(a: Long): Long =
+    (((a & IdanColLt6) << 1) | ((a & IdanColGt0) >> 1) |
+      (a << 7) | (a >> 7) |
+      ((a & IdanColGt0) >> 8) | ((a & IdanColLt6) >> 6) |
+      ((a & IdanColGt0) << 6) | ((a & IdanColLt6) << 8)) & IdanMask49
+
+  private val IdanSeedMask: Long = IdanCenterBit | idanDil8(IdanCenterBit)
+
   /**
-   * IDAN-style (Intensity-Driven Adaptive Neighborhood, reference IDAN.java): greedy
-   * region growing from the center seed — neighbors within the window join the region
-   * when |v - seed| <= t * seed (t = 2*cu, the 1-sigma speckle band); the filtered
-   * value is the region mean (deterministic BFS in (dy,dx) row-major ring order).
+   * IDAN (Intensity-Driven Adaptive Neighborhood, reference IDAN.java:209-467): the
+   * reference's TWO-STAGE region growing:
+   *  - seed = median of the valid 3x3 around the center (getInitialSeed,
+   *    IDAN.java:209-240: ascending sort, element [k/2]); seed no-data or 0 ->
+   *    single-pixel AN, filtered value = center (IDAN.java:261-264).
+   *  - stage 1: 8-connected growth from the center through pixels with
+   *    |(v - seed)/seed| < threshold50 = (2/3)*sigmaV (IDAN.java:268,324-333),
+   *    sigmaV = 1/sqrt(numLooks) (IDAN.java:62); the frontier starts at the center
+   *    even when the center itself is rejected (IDAN.java:330-336).
+   *  - seed update: mean over the stage-1 AN, else keep (IDAN.java:272-281).
+   *  - stage 2: visited-but-rejected pixels re-examined against the new seed with
+   *    threshold95 = 2*sigmaV (reExamBackgroundPixels, IDAN.java:283-289,396-417 —
+   *    NO validity re-check there, mirrored: a no-data sentinel always fails the
+   *    relative band test for a positive seed).
+   *  - filtered = meanY + b*(cp - meanY), b = MMSE weight over the final AN with
+   *    sample (n-1) variance (SpeckleFilter.computeMMSEWeight:418-431).
+   * Deviations (identical in the DuckDB twin, documented): growth is bounded to the
+   * 7x7 window (the reference bounds it by tile+margin with an anSize=50 pixel cap a
+   * 49-cell window cannot reach) and runs a FIXED 16 dilation rounds instead of
+   * iterating to frontier exhaustion (16 rounds reach any in-window 8-connected path
+   * of length <= 17). Reachability is a 49-bit mask with bitboard dilation and the
+   * second moment is dyadically quantized (the leeEnl idiom) — every arithmetic step
+   * is either integer-exact or the identical IEEE expression tree in both engines.
    */
   private def idanPixel(a: Array[Double], hw: Int, hh: Int, x: Int, y: Int, m: Int,
       cp: Double, enl: Double): Double = {
     if (isNd(cp)) return ND
-    val t = 2.0 / math.sqrt(enl)
-    var n = 0; var s1 = 0.0
-    var ring = 0
-    while (ring <= m) {
-      var dy = -ring
-      while (dy <= ring) {
-        var dx = -ring
-        while (dx <= ring) {
-          if (math.max(math.abs(dx), math.abs(dy)) == ring) {
-            val v = a((y + m + dy) * hw + (x + m + dx))
-            if (!isNd(v) && math.abs(v - cp) <= t * cp) { n += 1; s1 += v }
-          }
-          dx += 1
-        }
-        dy += 1
+    // the 49-bit layout requires the 7x7 window (margin 3) — the single call site
+    val sigmaV = 1.0 / math.sqrt(enl)
+    val svs = sigmaV * sigmaV
+    val t50 = 2.0 / 3.0 * sigmaV
+    val t95 = 2.0 * sigmaV
+    // window values in bit order k = (dy+3)*7 + (dx+3)
+    val w = new Array[Double](49)
+    var dy = -3
+    while (dy <= 3) {
+      var dx = -3
+      while (dx <= 3) {
+        w((dy + 3) * 7 + (dx + 3)) = a((y + m + dy) * hw + (x + m + dx))
+        dx += 1
       }
-      ring += 1
+      dy += 1
     }
-    if (n <= 0) ND else s1 / n
+    // seed: ascending-sorted valid 3x3, element [nv/2]
+    val s9 = new Array[Double](9)
+    var nv = 0
+    var j = 0
+    while (j < 9) {
+      val v = w((j / 3 + 2) * 7 + (j % 3 + 2))
+      if (!isNd(v)) { s9(nv) = v; nv += 1 }
+      j += 1
+    }
+    if (nv == 0) return cp
+    java.util.Arrays.sort(s9, 0, nv)
+    val seed = s9(nv / 2)
+    if (seed == 0.0) return cp
+    // stage-1 band mask (valid + threshold50 around the 3x3-median seed)
+    var b1 = 0L
+    var k = 0
+    while (k < 49) {
+      val v = w(k)
+      if (!isNd(v) && math.abs((v - seed) / seed) < t50) b1 |= 1L << k
+      k += 1
+    }
+    // stage 1: fixed-round bitboard dilation from the center
+    var an = IdanSeedMask & b1
+    var r = 0
+    while (r < IdanRounds) { an = (an | (idanDil8(an) & b1)) & IdanMask49; r += 1 }
+    // updated seed = stage-1 AN mean (exact: values are dyadic with few bits)
+    var n1 = 0; var s1a = 0.0
+    k = 0
+    while (k < 49) { if (((an >> k) & 1L) == 1L) { n1 += 1; s1a += w(k) }; k += 1 }
+    val newSeed = if (n1 > 0) s1a / n1 else seed
+    // stage 2: visited-but-rejected cells re-examined at threshold95
+    val bg = ((IdanSeedMask | idanDil8(an)) & IdanMask49) & ~an
+    var a2 = an
+    k = 0
+    while (k < 49) {
+      if (((bg >> k) & 1L) == 1L && math.abs((w(k) - newSeed) / newSeed) < t95)
+        a2 |= 1L << k
+      k += 1
+    }
+    // MMSE over the final AN
+    var n2 = 0; var s1b = 0.0; var s2q = 0L
+    k = 0
+    while (k < 49) {
+      if (((a2 >> k) & 1L) == 1L) {
+        val v = w(k)
+        n2 += 1; s1b += v
+        s2q += math.floor(0.031415926535897934 + v * v * 1.0e6).toLong
+      }
+      k += 1
+    }
+    if (n2 <= 0) return cp
+    val meanY = s1b / n2
+    val s2b = s2q.toDouble / 1.0e6
+    val varY = if (n2 > 1) (s2b - n2 * meanY * meanY) / (n2 - 1) else 0.0
+    val b =
+      if (varY == 0.0) 0.0
+      else {
+        val varX = (varY - meanY * meanY * svs) / (1.0 + svs)
+        if (varX < 0.0) 0.0 else varX / varY
+      }
+    meanY + b * (cp - meanY)
   }
 
   // ------------------------------------------------------------------ halo assembly

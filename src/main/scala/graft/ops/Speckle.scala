@@ -17,7 +17,8 @@ import graft.exprs.KernelExprs
  *    z98 point-target exclusion, 3x3 target-window MMSE prior, sigma-0.9
  *    range-restricted MMSE over the 7x7 window (numLooks-indexed table rows)
  *  - Refined Lee (RefinedLee.java): gradient-aligned half-window MMSE, 7x7
- *  - IDAN (IDAN.java): intensity-driven adaptive neighborhood mean
+ *  - IDAN (IDAN.java:209-467): two-stage 8-connected region growing (median seed,
+ *    threshold50 growth, threshold95 background re-exam) + MMSE weighting
  * ENL is a parameter (cu = 1/sqrt(enl)); `leeEnlEstimated` implements the
  * estimateENL = true path (SpeckleFilter.java:227-321) with a per-tile moment
  * estimate enl = m^2/var over the tile's valid pixels.
@@ -105,8 +106,18 @@ object Speckle {
     val haloed = Raster.withHaloMulti(tiles, Seq("v"), 3).withColumnRenamed("halo_v", "halo")
     Raster.rollup(filterOver(haloed, "refinedlee", 3))
   }
-  def idan(spark: SparkSession, sfDir: String): DataFrame =
-    filtered(spark, sfDir, "idan", margin = 3)
+  /** IDAN with the reference's full two-stage region growing (IDAN.java:209-467:
+   * 3x3-median seed, 8-connected growth at threshold50, background re-exam at
+   * threshold95, MMSE weighting — window-bounded 49-bit bitboard reachability,
+   * fixed 16 dilation rounds, identical in the DuckDB twin). VV/bursts<=2 subset:
+   * the twin re-joins the 49-cell window three times (band mask, stage-1 mean,
+   * stage-2 + MMSE moments) — full-set cost without extra signal. */
+  def idan(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiles = Raster.intensityTiles(spark, sfDir)
+      .where(col("pol") === "VV" && col("burst_idx") <= 2)
+    val haloed = Raster.withHaloMulti(tiles, Seq("v"), 3).withColumnRenamed("halo_v", "halo")
+    Raster.rollup(filterOver(haloed, "idan", 3))
+  }
 
   /** Lee with the ENL estimated from the data per tile (estimateENL = true,
    * SpeckleFilter.java:227-321): enl = mean^2 / variance over the tile's valid

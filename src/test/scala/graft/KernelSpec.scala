@@ -436,4 +436,79 @@ class KernelSpec extends AnyFunSuite {
       assert(got(y * W + x) == exp, s"($x,$y)")
     }
   }
+
+  /** Independent set-based restatement of the two-stage IDAN (IDAN.java:209-467):
+   * plain visited/frontier collections instead of the kernel's 49-bit bitboards,
+   * same window bound and the same fixed 16 dilation rounds. */
+  def idanOracle(halo: Array[Double], hw: Int, x: Int, y: Int, m: Int, enl: Double): Double = {
+    val cp = halo((y + m) * hw + (x + m))
+    if (isNd(cp)) return ND
+    val sigmaV = 1.0 / math.sqrt(enl); val svs = sigmaV * sigmaV
+    val t50 = 2.0 / 3.0 * sigmaV; val t95 = 2.0 * sigmaV
+    def v(dy: Int, dx: Int): Double = halo((y + m + dy) * hw + (x + m + dx))
+    val s9 = (for (dy <- -1 to 1; dx <- -1 to 1; w = v(dy, dx); if !isNd(w)) yield w).sorted
+    if (s9.isEmpty) return cp
+    val seed = s9(s9.length / 2)
+    if (seed == 0.0) return cp
+    def inB1(c: (Int, Int)): Boolean = {
+      val w = v(c._1, c._2); !isNd(w) && math.abs((w - seed) / seed) < t50
+    }
+    def n8(s: Set[(Int, Int)]): Set[(Int, Int)] = s.flatMap { case (dy, dx) =>
+      for (ey <- -1 to 1; ex <- -1 to 1; if (ey, ex) != (0, 0);
+           ny = dy + ey; nx = dx + ex; if math.abs(ny) <= 3 && math.abs(nx) <= 3)
+        yield (ny, nx)
+    }
+    val center = Set((0, 0))
+    var an = (center ++ n8(center)).filter(inB1)
+    for (_ <- 1 to 16) an = an ++ n8(an).filter(inB1)
+    // stage-1 mean in k ascending order (exact for the dyadic fixture grid anyway)
+    val anOrdered = an.toSeq.sortBy { case (dy, dx) => (dy + 3) * 7 + (dx + 3) }
+    val newSeed = if (an.nonEmpty) anOrdered.map(c => v(c._1, c._2)).sum / an.size else seed
+    val bg = (center ++ n8(center) ++ n8(an)) -- an
+    val a2 = an ++ bg.filter(c => math.abs((v(c._1, c._2) - newSeed) / newSeed) < t95)
+    if (a2.isEmpty) return cp
+    val vs = a2.toSeq.sortBy { case (dy, dx) => (dy + 3) * 7 + (dx + 3) }.map(c => v(c._1, c._2))
+    val n2 = vs.length
+    val meanY = vs.sum / n2
+    val s2b = vs.map(w => math.floor(0.031415926535897934 + w * w * 1.0e6).toLong).sum.toDouble / 1.0e6
+    val varY = if (n2 > 1) (s2b - n2 * meanY * meanY) / (n2 - 1) else 0.0
+    val b =
+      if (varY == 0.0) 0.0
+      else { val varX = (varY - meanY * meanY * svs) / (1.0 + svs); if (varX < 0.0) 0.0 else varX / varY }
+    meanY + b * (cp - meanY)
+  }
+
+  test("IDAN two-stage region growing matches the set-based restatement; barriers block growth") {
+    val m = 3; val enl = 16.0 // sigmaV 0.25 -> t50 = 1/6, t95 = 0.5
+    val hw = W + 2 * m
+    // random tiles: kernel == independent restatement, every pixel, bit-for-bit
+    for (seed <- 1L to 5L) {
+      val halo = tile(seed, hw * (H + 2 * m))
+      val got = Kernels.speckle(arr(halo), Kernels.MODE_IDAN, W, H, m, enl, 2.0).toDoubleArray()
+      for (y <- 0 until H; x <- 0 until W)
+        assert(got(y * W + x) == idanOracle(halo, hw, x, y, m, enl), s"($x,$y) seed=$seed")
+    }
+    // connectivity: an out-of-band ring (Chebyshev distance 2, value 100) isolates the
+    // in-band outer ring (distance 3, 1.0625): a non-connected in-band scan would
+    // average it in; true region growing must not reach it -> AN = the 3x3 of 1.0
+    val cx = 6; val cy = 5
+    def planted(barrier: Double): Array[Double] = {
+      val halo = Array.fill(hw * (H + 2 * m))(1.0)
+      for (dy <- -3 to 3; dx <- -3 to 3) {
+        val d = math.max(math.abs(dx), math.abs(dy))
+        if (d == 2) halo((cy + m + dy) * hw + (cx + m + dx)) = barrier
+        if (d == 3) halo((cy + m + dy) * hw + (cx + m + dx)) = 1.0625
+      }
+      halo
+    }
+    val blocked = Kernels.speckle(arr(planted(100.0)), Kernels.MODE_IDAN, W, H, m, enl, 2.0)
+      .toDoubleArray()(cy * W + cx)
+    assert(blocked == 1.0, "barrier ring must isolate the outer in-band island (AN = 3x3 of 1.0, var 0 -> mean)")
+    // two-stage re-exam: a 1.3125 ring fails threshold50 (0.3125 > 1/6) but passes
+    // threshold95 (< 0.5) against the stage-1 mean -> joins the AN in stage 2
+    val reexam = Kernels.speckle(arr(planted(1.3125)), Kernels.MODE_IDAN, W, H, m, enl, 2.0)
+      .toDoubleArray()(cy * W + cx)
+    assert(reexam == idanOracle(planted(1.3125), hw, cx, cy, m, enl))
+    assert(reexam > 1.0 && reexam < 1.3125, "stage-2 additions must pull the MMSE value off the 3x3 mean")
+  }
 }
