@@ -352,8 +352,10 @@ object SarOraclesTc {
   }
 
   /** q_gslc_tc (GSLCGeocodingOp.java:67-90, 208-220 phase-flattened branch twin):
-   * complex bilinear gather x dyadic-quantized phasor exp(-j 4 pi slant / lambda),
-   * phase range-reduced arithmetically before the trig (identical IEEE staging). */
+   * TOPS deramp per source corner BEFORE the bilinear combine (performDerampDemod,
+   * GSLCGeocodingOp.java:1949-1957, 2223-2250), then complex gather x
+   * dyadic-quantized phasor exp(-j 4 pi slant / lambda); both phases
+   * range-reduced arithmetically before the trig (identical IEEE staging). */
   val gslcTc: String = {
     val tc = TerrainCorrection
     val lambda = graft.ops.InSAR.Wavelength
@@ -364,11 +366,25 @@ object SarOraclesTc {
        |flt2 AS (
        |  SELECT *, floor(cos(phr) * 16384) / 16384 AS cq, floor(sin(phr) * 16384) / 16384 AS sq
        |  FROM flt),
-       |corners AS (
+       |corners0 AS (
        |  SELECT f.*, c.cy, c.cx,
        |    (CASE WHEN c.cy = 0 THEN 1.0 - wl ELSE wl END) * (CASE WHEN c.cx = 0 THEN 1.0 - wx ELSE wx END) AS w,
        |    l0 + c.cy AS line, x0 + c.cx AS samp
        |  FROM flt2 f CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)),
+       |crn1 AS (
+       |  SELECT c.*, b.burst_first_line_time + c.line * s.azimuth_time_interval AS ta,
+       |    b.doppler_rate, b.doppler_centroid, b.reference_time
+       |  FROM corners0 c
+       |  JOIN ${fx("bursts")} b ON b.scene_id = c.scene_id AND b.subswath = c.subswath
+       |    AND b.burst_idx = c.burst_idx
+       |  JOIN ${fx("scenes")} s ON s.scene_id = c.scene_id),
+       |crn2 AS (
+       |  SELECT *, phd - floor(phd / (2.0 * pi())) * (2.0 * pi()) AS phdr
+       |  FROM (SELECT *, -pi() * doppler_rate * (ta - reference_time) * (ta - reference_time)
+       |                  - 2.0 * pi() * doppler_centroid * ta AS phd FROM crn1)),
+       |corners AS (
+       |  SELECT *, floor(cos(phdr) * 16384) / 16384 AS cd, floor(sin(phdr) * 16384) / 16384 AS sd
+       |  FROM crn2),
        |px0 AS (
        |  SELECT scene_id, subswath, burst_idx, tile_y, tile_x,
        |         unnest(range(${Layout.TileW * Layout.TileH})) AS k,
@@ -384,9 +400,9 @@ object SarOraclesTc {
        |terms AS (
        |  SELECT c.scene_id, c.ci, c.cj, c.subswath, c.burst_idx,
        |    CASE WHEN p.bad THEN NULL
-       |         ELSE CAST(floor(0.031415926535897934 + c.w * (p.iv * c.cq + p.qv * c.sq) * 1E6) AS BIGINT) END AS re_q,
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * ((p.iv * c.cd - p.qv * c.sd) * c.cq + (p.qv * c.cd + p.iv * c.sd) * c.sq) * 1E6) AS BIGINT) END AS re_q,
        |    CASE WHEN p.bad THEN NULL
-       |         ELSE CAST(floor(0.031415926535897934 + c.w * (p.qv * c.cq - p.iv * c.sq) * 1E6) AS BIGINT) END AS im_q
+       |         ELSE CAST(floor(0.031415926535897934 + c.w * ((p.qv * c.cd + p.iv * c.sd) * c.cq - (p.iv * c.cd - p.qv * c.sd) * c.sq) * 1E6) AS BIGINT) END AS im_q
        |  FROM corners c
        |  JOIN px p ON p.scene_id = c.scene_id AND p.subswath = c.subswath
        |    AND p.burst_idx = c.burst_idx AND p.gx = c.samp AND p.gy = c.line)

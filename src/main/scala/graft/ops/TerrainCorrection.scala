@@ -513,12 +513,23 @@ object TerrainCorrection {
    * the full RD geometry with a COMPLEX bilinear gather, each gathered pixel
    * multiplied by exp(-j phi) with phi = 4 pi slant / lambda — removing the
    * geometric phase so the output complex cell holds the local scattering
-   * coefficient. phi is range-reduced arithmetically (ph - floor(ph / 2pi) * 2pi,
-   * exact IEEE ops on the bit-identical bisection slant) before the trig so both
-   * engines quantize the same phasor; per-corner terms are integer-quantized. */
+   * coefficient. The TOPS azimuth carrier is DERAMPED per source corner BEFORE
+   * the bilinear combine (performDerampDemod before resampling,
+   * GSLCGeocodingOp.java:1949-1957, 2223-2250: i' = i cos(phi_d) - q sin(phi_d),
+   * q' = q cos(phi_d) + i sin(phi_d)) — interpolating across the steep carrier
+   * would alias it; the output stays carrier-free (outputAzimuthCarrier = false,
+   * the OPERA-CSLC default, GSLCGeocodingOp.java:224-230). Both phases are
+   * range-reduced arithmetically (ph - floor(ph / 2pi) * 2pi, exact IEEE ops on
+   * bit-identical inputs) before the trig so both engines quantize the same
+   * phasors; per-corner terms are integer-quantized. */
   def gslcQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val lambda = InSAR.Wavelength
     val d = Raster.Dyadic; val dv = Raster.DyadicV
+    val bursts = Fixtures.table(spark, sfDir, "bursts")
+      .select("scene_id", "subswath", "burst_idx", "burst_first_line_time",
+        "doppler_rate", "doppler_centroid", "reference_time")
+    val scenesAz = Fixtures.table(spark, sfDir, "scenes")
+      .select("scene_id", "azimuth_time_interval")
     val resolved = resolveCells(spark, sfDir, useDem = true, ciMax = GeoVarCiMax)
       .withColumn("ph", expr(s"4.0D * pi() * slant / ${lambda}D"))
       .withColumn("phr", expr("ph - floor(ph / (2.0D * pi())) * (2.0D * pi())"))
@@ -535,7 +546,18 @@ object TerrainCorrection {
       .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
       .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
       .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
-      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w", "cq", "sq")
+      // TOPS deramp phase at the source corner's azimuth line (the deramp model
+      // the TOPSAR-DerampDemod gate pins, InSAR.derampQuery)
+      .join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
+      .join(broadcast(scenesAz), Seq("scene_id"))
+      .withColumn("ta", expr("burst_first_line_time + line * azimuth_time_interval"))
+      .withColumn("phd", expr("-pi() * doppler_rate * (ta - reference_time) * (ta - reference_time) " +
+        "- 2.0D * pi() * doppler_centroid * ta"))
+      .withColumn("phdr", expr("phd - floor(phd / (2.0D * pi())) * (2.0D * pi())"))
+      .withColumn("cd", expr(s"floor(cos(phdr) * $dv) / $dv"))
+      .withColumn("sd", expr(s"floor(sin(phdr) * $dv) / $dv"))
+      .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj",
+        "px", "w", "cq", "sq", "cd", "sd")
     val tiles = Fixtures.table(spark, sfDir, "tiles")
       .where(col("pol") === "VV")
       .select(col("scene_id"), col("subswath"), col("burst_idx"),
@@ -546,10 +568,14 @@ object TerrainCorrection {
       .withColumn("qv", expr(s"floor(element_at(q, px + 1) * $d) / $d"))
       .withColumn("bad", expr("element_at(i, px + 1) = -9999.0D or element_at(q, px + 1) = -9999.0D " +
         "or isnan(element_at(i, px + 1)) or isnan(element_at(q, px + 1))"))
+      // deramp the corner BEFORE the weighted combine (performDerampDemod,
+      // GSLCGeocodingOp.java:2245-2250)
+      .withColumn("iv2", expr("iv * cd - qv * sd"))
+      .withColumn("qv2", expr("qv * cd + iv * sd"))
       .withColumn("re_q", expr(
-        "if(bad, CAST(null AS BIGINT), CAST(floor(0.031415926535897934 + w * (iv * cq + qv * sq) * 1E6) AS BIGINT))"))
+        "if(bad, CAST(null AS BIGINT), CAST(floor(0.031415926535897934 + w * (iv2 * cq + qv2 * sq) * 1E6) AS BIGINT))"))
       .withColumn("im_q", expr(
-        "if(bad, CAST(null AS BIGINT), CAST(floor(0.031415926535897934 + w * (qv * cq - iv * sq) * 1E6) AS BIGINT))"))
+        "if(bad, CAST(null AS BIGINT), CAST(floor(0.031415926535897934 + w * (qv2 * cq - iv2 * sq) * 1E6) AS BIGINT))"))
       .groupBy("scene_id", "ci", "cj", "subswath", "burst_idx")
       .agg(count(col("re_q")).as("n_corners"),
         sum(col("re_q")).as("re_sum_q"), sum(col("im_q")).as("im_sum_q"))
