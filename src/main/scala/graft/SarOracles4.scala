@@ -94,8 +94,10 @@ object SarOracles4 {
   /** Lee Sigma at the reference defaults (sigma 0.9, numLooks 1, 7x7 filter window,
    * 3x3 target window; LeeSigma.java:134-233, 360-628): per-tile z98 point-target
    * threshold over the tile's valid halo cells (rank (int)(n*0.98)-1 clamped),
-   * order-independent seed test (documented deviation: no raster-scan cluster
-   * marking), target-window MMSE prior with etaV^2 = 1, sigma range
+   * tile-local point-target cluster marking (fired seeds + their > z98 3x3
+   * neighbors pass through; documented deviation: declarative closure instead of
+   * the reference's raster-scan-order suppression — Kernels.speckle pre-pass
+   * comment), target-window MMSE prior with etaV^2 = 1, sigma range
    * [0.084 prior, 3.941 prior], MMSE with etaVP^2 over the in-range 7x7 pixels.
    * VV / bursts<=2 subset (same kernel on every code path; full-set oracle cost). */
   val leeSigma: String = {
@@ -142,9 +144,21 @@ object SarOracles4 {
        |              + (greatest(((CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END) - (ts1 / tn) * (ts1 / tn) * 1.0) / (1.0 + 1.0), 0) / (CASE WHEN tn > 1 THEN (ts2 - tn * (ts1 / tn) * (ts1 / tn)) / (tn - 1) ELSE 0 END)) * cp
        |    END END AS prior
        |  FROM tw),
+       |fired AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy
+       |  FROM tw WHERE cp <> -9999.0 AND cp > z98 AND cluster > 5),
+       |mk AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(f.gx) > 0 AS marked
+       |  FROM tw c CROSS JOIN d1
+       |  LEFT JOIN fired f ON f.scene_id = c.scene_id AND f.subswath = c.subswath
+       |    AND f.pol = c.pol AND f.burst_idx = c.burst_idx AND f.tile_y = c.tile_y
+       |    AND f.tile_x = c.tile_x AND f.gx = c.gx + d1.dx AND f.gy = c.gy + d1.dy
+       |  WHERE c.cp <> -9999.0 AND c.cp > c.z98
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
        |fs AS (
        |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.cp, c.z98, c.tn, c.cluster, c.prior,
+       |    c.cp, c.z98, c.tn, c.cluster, c.prior, coalesce(m2.marked, FALSE) AS marked,
        |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0
        |                     AND n.v >= 0.084 * c.prior AND n.v <= 3.941 * c.prior) AS rn,
        |    coalesce(sum(n.v) FILTER (n.v <> -9999.0
@@ -152,8 +166,11 @@ object SarOracles4 {
        |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0
        |                     AND n.v >= 0.084 * c.prior AND n.v <= 3.941 * c.prior), 0) AS rs2
        |  FROM pr c CROSS JOIN d
+       |  LEFT JOIN mk m2 ON m2.scene_id = c.scene_id AND m2.subswath = c.subswath
+       |    AND m2.pol = c.pol AND m2.burst_idx = c.burst_idx AND m2.tile_y = c.tile_y
+       |    AND m2.tile_x = c.tile_x AND m2.gx = c.gx AND m2.gy = c.gy
        |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
        |r2 AS (
        |  SELECT *, CASE WHEN rn > 0 THEN rs1 / rn END AS rm,
        |         CASE WHEN rn > 1 THEN (rs2 - rn * (rs1 / rn) * (rs1 / rn)) / (rn - 1) ELSE 0 END AS rv
@@ -161,7 +178,7 @@ object SarOracles4 {
        |o AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |    CASE WHEN cp = -9999.0 THEN -9999.0
-       |         WHEN cp > z98 AND cluster > 5 THEN cp
+       |         WHEN marked THEN cp
        |         WHEN tn <= 0 THEN -9999.0
        |         WHEN rn <= 0 THEN cp
        |         WHEN rv <= 0 THEN rm

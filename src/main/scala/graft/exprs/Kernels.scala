@@ -99,6 +99,68 @@ object Kernels {
           valid(math.max(0, math.min(nv0 - 1, (nv0 * 0.98).toInt - 1)))
         }
       }
+    // Lee Sigma only: tile-local point-target CLUSTER MARKING (markClusterPixels,
+    // LeeSigma.java:585-604): a SEED is a tile pixel with v > z98 and more than
+    // targetSize(=5) bright valid cells in its halo-extended 3x3; every tile pixel
+    // > z98 within a seed's 3x3 passes through raw. DEVIATION (documented): the
+    // reference marks in raster-scan order and a marked pixel SKIPS its own seed
+    // test (checkPointTarget fast path, LeeSigma.java:424-427), so cells whose only
+    // seed was itself suppressed stay unmarked there; this declarative closure marks
+    // them too — order-independent and parallel-safe. Marks stay tile-local in both
+    // engines (the reference's isPointTarget spans its processing tile, :409).
+    val leeSigmaMarked: Array[Boolean] =
+      if (mode != MODE_LEE_SIGMA) null
+      else {
+        val fired = new Array[Boolean](w * h)
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            val c = a((yy + m) * hw + (xx + m))
+            if (!isNd(c) && c > z98) {
+              var cl = 0
+              var dy2 = -1
+              while (dy2 <= 1) {
+                var dx2 = -1
+                while (dx2 <= 1) {
+                  val v = a((yy + m + dy2) * hw + (xx + m + dx2))
+                  if (!isNd(v) && v > z98) cl += 1
+                  dx2 += 1
+                }
+                dy2 += 1
+              }
+              if (cl > 5) fired(yy * w + xx) = true
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        val mk = new Array[Boolean](w * h)
+        var y2 = 0
+        while (y2 < h) {
+          var x2 = 0
+          while (x2 < w) {
+            val c = a((y2 + m) * hw + (x2 + m))
+            if (!isNd(c) && c > z98) {
+              var hit = false
+              var dy2 = -1
+              while (dy2 <= 1 && !hit) {
+                var dx2 = -1
+                while (dx2 <= 1 && !hit) {
+                  val sy = y2 + dy2; val sx = x2 + dx2
+                  if (sy >= 0 && sy < h && sx >= 0 && sx < w && fired(sy * w + sx)) hit = true
+                  dx2 += 1
+                }
+                dy2 += 1
+              }
+              mk(y2 * w + x2) = hit
+            }
+            x2 += 1
+          }
+          y2 += 1
+        }
+        mk
+      }
     var y = 0
     while (y < h) {
       var x = 0
@@ -192,7 +254,7 @@ object Kernels {
               }
             }
           case MODE_LEE_SIGMA =>
-            leeSigmaPixel(a, hw, x, y, m, cp, enl, z98)
+            leeSigmaPixel(a, hw, x, y, m, cp, enl, z98, leeSigmaMarked(y * w + x))
           case MODE_REFINED_LEE =>
             refinedLeePixel(a, hw, x, y, m, cp, enl)
           case MODE_IDAN =>
@@ -270,13 +332,12 @@ object Kernels {
    * Lee Sigma at the reference DEFAULTS (SpeckleFilterOp.java:61-66 — sigma 0.9,
    * 7x7 filter window = margin 3, 3x3 target window, numLooks from `enl` clamped to
    * the 1..4 table rows of LeeSigma.java:134-233; etaV = 1/sqrt(numLooks) :103):
-   *  1. point-target exclusion: center > z98 and > targetSize(=5) of the 3x3 target
-   *     window above z98 -> passthrough (checkPointTarget, LeeSigma.java:557-604).
-   *     DEVIATION (documented): the reference also marks the cluster's other pixels
-   *     via raster-scan-order bookkeeping (markClusterPixels); we apply the seed
-   *     test independently per pixel so the operator is order-independent and
-   *     parallel-safe — only non-seed cluster members (> z98 but with <= 5 bright
-   *     target-window neighbors) differ.
+   *  1. point-target exclusion with CLUSTER MARKING (checkPointTarget +
+   *     markClusterPixels, LeeSigma.java:557-604): seeds (center > z98 with >
+   *     targetSize(=5) bright 3x3 cells) pass through raw, and so does every
+   *     > z98 tile pixel within a seed's 3x3 — the `marked` map is built by the
+   *     tile-level pre-pass in speckle() (declarative closure; the remaining
+   *     scan-order suppression difference is documented there).
    *  2. prior = MMSE over the 3x3 target window with etaV^2 (computeSigmaRange :606).
    *  3. sigma range [prior*I1, prior*I2]; MMSE with etaVP^2 over the in-range valid
    *     pixels of the 7x7 window; empty selection -> passthrough (:613-628).
@@ -285,13 +346,14 @@ object Kernels {
    *  applies only within halfSize of the image border).
    */
   private def leeSigmaPixel(a: Array[Double], hw: Int, x: Int, y: Int, m: Int,
-      cp: Double, enl: Double, z98: Double): Double = {
+      cp: Double, enl: Double, z98: Double, marked: Boolean): Double = {
     if (isNd(cp)) return ND
+    if (marked) return cp // point-target cluster passthrough (targetSize = 5, :67)
     val looks = math.max(1, math.min(4, math.round(enl).toInt))
     val (i1f, i2f, etaVP) = LeeSigma09(looks - 1)
     val etaV2 = 1.0 / looks
-    // 3x3 target window stats + bright-cluster count
-    var tn = 0; var ts1 = 0.0; var ts2 = 0.0; var cluster = 0
+    // 3x3 target window stats
+    var tn = 0; var ts1 = 0.0; var ts2 = 0.0
     var dy = -1
     while (dy <= 1) {
       var dx = -1
@@ -299,13 +361,11 @@ object Kernels {
         val v = a((y + m + dy) * hw + (x + m + dx))
         if (!isNd(v)) {
           tn += 1; ts1 += v; ts2 += v * v
-          if (v > z98) cluster += 1
         }
         dx += 1
       }
       dy += 1
     }
-    if (cp > z98 && cluster > 5) return cp // point target (targetSize = 5, :67)
     if (tn <= 0) return ND
     val tMean = ts1 / tn
     val tVar = if (tn > 1) (ts2 - tn * tMean * tMean) / (tn - 1) else 0.0

@@ -511,4 +511,18 @@ class KernelSpec extends AnyFunSuite {
     assert(reexam == idanOracle(planted(1.3125), hw, cx, cy, m, enl))
     assert(reexam > 1.0 && reexam < 1.3125, "stage-2 additions must pull the MMSE value off the 3x3 mean")
   }
+
+  test("Lee Sigma cluster marking: a fired seed's >z98 3x3 cohort passes through raw") {
+    // 3x2 bright block (6 cells of 50 on a 1.0 background): z98 = 1.0 (282 of 288
+    // halo cells are 1.0, the clamped 98th-percentile index lands below the block),
+    // the two block-middle cells see 6 > targetSize(5) bright 3x3 cells and FIRE;
+    // the four block corners see only 4 — non-seeds, but inside a seed's 3x3, so
+    // markClusterPixels (LeeSigma.java:585-604) passes them through raw too.
+    val m = 3; val hw = W + 2 * m
+    val halo = Array.fill(hw * (H + 2 * m))(1.0)
+    val bright = for (dx <- 0 to 2; dy <- 0 to 1) yield (5 + dx, 4 + dy)
+    bright.foreach { case (x, y) => halo((y + m) * hw + (x + m)) = 50.0 }
+    val out = Kernels.speckle(arr(halo), Kernels.MODE_LEE_SIGMA, W, H, m, 1.0, 2.0).toDoubleArray()
+    for ((x, y) <- bright) assert(out(y * W + x) == 50.0, s"($x,$y) must pass through raw")
+  }
 }
