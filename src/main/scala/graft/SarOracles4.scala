@@ -191,86 +191,118 @@ object SarOracles4 {
 
   // ------------------------------------------------------------------- Refined Lee
 
+  /** Refined Lee (RefinedLee.java:147-551 twin, the FULL reference algorithm):
+   * 9 overlapping 3x3 sub-area raw means, data-estimated noise variance (<=5
+   * smallest normalized variances of complete sub-areas), local-statistics
+   * fallback when the window has any no-data, else 4-gradient first-max edge
+   * direction refined to one of the 8 exact 28-pixel templates
+   * (getNonEdgeAreaPixelValues:435-525) and MMSE over the template. All (n-1)
+   * diff-form variances use per-term dyadic quantization (the kernel's qdev) so
+   * Long sums are exact and order-free; every double expression tree is
+   * textually identical to Kernels.refinedLeePixel. Masks live in aggregate
+   * FILTERs, not join conditions (a non-equi LEFT JOIN predicate forces DuckDB
+   * off the hash join). VV/bursts<=2 subset. */
   val refinedLee: String = {
-    val m = 3
-    val step = (2 * m + 1) / 3.0
-    def subSel(i: Int) = {
-      val sy = i / 3; val sx = i % 3
-      s"""coalesce(sum(nv) FILTER (nv <> -9999.0 AND sy = $sy AND sx = $sx), 0)
-         |  / greatest(1, count(*) FILTER (nv IS NOT NULL AND nv <> -9999.0
-         |      AND sy = $sy AND sx = $sx)) AS sub$i""".stripMargin
-    }
-    val subs = (0 until 9).map(subSel).mkString(",\n")
-    // VV / bursts<=2 subset (same kernel every code path; full-set oracle is too slow)
+    val off = "0.031415926535897934"
+    val keys6 = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
     val pxSub = pxCte.replace(s"FROM ${fx("tiles")})",
       s"FROM ${fx("tiles")} WHERE pol = 'VV' AND burst_idx <= 2)")
+    def jk(a: String, b: String) =
+      s"""$b.scene_id = $a.scene_id AND $b.subswath = $a.subswath
+         |    AND $b.pol = $a.pol AND $b.burst_idx = $a.burst_idx AND $b.tile_y = $a.tile_y
+         |    AND $b.tile_x = $a.tile_x AND $b.gx = $a.gx AND $b.gy = $a.gy""".stripMargin
+    val subAgg = (0 until 9).map { k =>
+      val j = k / 3; val i = k % 3
+      s"""    sum(vk) FILTER (wy BETWEEN ${2 * j} AND ${2 * j + 2} AND wx BETWEEN ${2 * i} AND ${2 * i + 2}) / 9.0 AS s$k,
+         |    count(*) FILTER (wy BETWEEN ${2 * j} AND ${2 * j + 2} AND wx BETWEEN ${2 * i} AND ${2 * i + 2} AND vk <> -9999.0) AS c$k""".stripMargin
+    }.mkString(",\n")
+    val qsubAgg = (0 until 9).map { k =>
+      val j = k / 3; val i = k % 3
+      s"""    coalesce(sum(CAST(floor($off + (w.vk - p.s$k) * (w.vk - p.s$k) * 1.0E6) AS BIGINT))
+         |      FILTER (w.wy BETWEEN ${2 * j} AND ${2 * j + 2} AND w.wx BETWEEN ${2 * i} AND ${2 * i + 2}), 0) AS q$k""".stripMargin
+    }.mkString(",\n")
+    val nvCols = (0 until 9).map { k =>
+      s"""    CASE WHEN c$k = 9 THEN
+         |      CASE WHEN s$k > 0 THEN CAST(q$k AS DOUBLE) / 1.0E6 / 8.0 / (s$k * s$k) ELSE 0.0 END
+         |    END AS nv$k""".stripMargin
+    }.mkString(",\n")
+    val inTmpl =
+      """(CASE p.d8 WHEN 0 THEN w.wx >= 3 WHEN 1 THEN w.wx >= w.wy WHEN 2 THEN w.wy <= 3
+        |      WHEN 3 THEN w.wx < 7 - w.wy WHEN 4 THEN w.wx <= 3 WHEN 5 THEN w.wx < w.wy + 1
+        |      WHEN 6 THEN w.wy >= 3 ELSE w.wx >= 6 - w.wy END)""".stripMargin
     s"""WITH $pxSub,
-       |${dCte(m)},
-       |jn AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    c.v AS cp, n.v AS nv,
-       |    least(2, CAST(floor((d.dy + $m) / $step) AS INT)) AS sy,
-       |    least(2, CAST(floor((d.dx + $m) / $step) AS INT)) AS sx
+       |${dCte(3)},
+       |win AS MATERIALIZED (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, c.v AS cp, d.dx + 3 AS wx, d.dy + 3 AS wy,
+       |    coalesce(n.v, -9999.0) AS vk
        |  FROM px c CROSS JOIN d
        |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy),
-       |sub AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
-       |    max(cp) AS cp,
-       |$subs
-       |  FROM jn
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |g AS (
-       |  SELECT *, abs(sub3 - sub5) AS g0, abs(sub1 - sub7) AS g1,
-       |         abs(sub0 - sub8) AS g2, abs(sub2 - sub6) AS g3
-       |  FROM sub),
-       |g2 AS (
-       |  SELECT *, CASE WHEN g0 = greatest(g0, g1, g2, g3) THEN 0
-       |                 WHEN g1 = greatest(g0, g1, g2, g3) THEN 1
-       |                 WHEN g2 = greatest(g0, g1, g2, g3) THEN 2 ELSE 3 END AS best
-       |  FROM g),
-       |g3 AS (
-       |  SELECT *, CASE best WHEN 0 THEN abs(sub3 - sub4) <= abs(sub5 - sub4)
-       |                      WHEN 1 THEN abs(sub1 - sub4) <= abs(sub7 - sub4)
-       |                      WHEN 2 THEN abs(sub0 - sub4) <= abs(sub8 - sub4)
-       |                      ELSE abs(sub2 - sub4) <= abs(sub6 - sub4) END AS keepa
-       |  FROM g2),
-       |hst AS (
-       |  -- the half-window direction mask lives in the aggregate FILTERs, NOT the
-       |  -- LEFT JOIN condition: a non-equi predicate on a LEFT JOIN forces DuckDB
-       |  -- off the hash join (this one CTE was 605 s of the 638 s oracle pass)
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.gx, c.gy, c.cp,
-       |    count(*) FILTER (n.v IS NOT NULL AND n.v <> -9999.0 AND (CASE c.best
-       |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
-       |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
-       |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
-       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)) AS n,
-       |    coalesce(sum(n.v) FILTER (n.v <> -9999.0 AND (CASE c.best
-       |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
-       |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
-       |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
-       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)), 0) AS s1,
-       |    coalesce(sum(n.v * n.v) FILTER (n.v <> -9999.0 AND (CASE c.best
-       |           WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
-       |           WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
-       |           WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
-       |           ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)), 0) AS s2
-       |  FROM g3 c CROSS JOIN d
-       |  LEFT JOIN px n ON $keysEq AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
-       |h2 AS (
-       |  SELECT *, CASE WHEN n > 0 THEN s1 / n END AS m,
-       |         CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) ELSE 0 END AS vr
-       |  FROM hst),
+       |p1 AS MATERIALIZED (
+       |  SELECT $keys6, gx, gy, any_value(cp) AS cp,
+       |    count(*) FILTER (vk <> -9999.0) AS cnt,
+       |    coalesce(sum(vk) FILTER (vk <> -9999.0), 0) AS sumv,
+       |$subAgg
+       |  FROM win GROUP BY $keys6, gx, gy),
+       |p1b AS (SELECT *, CASE WHEN cnt > 0 THEN sumv / cnt END AS meanv,
+       |    abs(s3 - s5) AS g0, abs(s2 - s6) AS g1, abs(s1 - s7) AS g2, abs(s0 - s8) AS g3
+       |  FROM p1),
+       |p1c AS (SELECT *, CASE WHEN g0 >= g1 AND g0 >= g2 AND g0 >= g3 THEN 0
+       |                       WHEN g1 >= g2 AND g1 >= g3 THEN 1
+       |                       WHEN g2 >= g3 THEN 2 ELSE 3 END AS dir FROM p1b),
+       |p1d AS (SELECT *, CASE dir
+       |    WHEN 0 THEN CASE WHEN abs(s3 - s4) < abs(s4 - s5) THEN 4 ELSE 0 END
+       |    WHEN 1 THEN CASE WHEN abs(s2 - s4) < abs(s4 - s6) THEN 1 ELSE 5 END
+       |    WHEN 2 THEN CASE WHEN abs(s1 - s4) < abs(s4 - s7) THEN 2 ELSE 6 END
+       |    ELSE CASE WHEN abs(s0 - s4) < abs(s4 - s8) THEN 3 ELSE 7 END END AS d8 FROM p1c),
+       |p2 AS MATERIALIZED (
+       |  SELECT w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy,
+       |    coalesce(sum(CAST(floor($off + (w.vk - p.meanv) * (w.vk - p.meanv) * 1.0E6) AS BIGINT))
+       |      FILTER (w.vk <> -9999.0), 0) AS qvarv,
+       |    sum(w.vk) FILTER ($inTmpl) / 28.0 AS meany28,
+       |$qsubAgg
+       |  FROM p1d p JOIN win w ON ${jk("p", "w")}
+       |  GROUP BY w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy),
+       |f1 AS (SELECT p.*, q.qvarv, q.meany28,
+       |    ${(0 until 9).map(k => s"q.q$k").mkString(", ")}
+       |  FROM p1d p JOIN p2 q ON ${jk("p", "q")}),
+       |f2 AS (SELECT *,
+       |$nvCols
+       |  FROM f1),
+       |f3 AS (SELECT *, list_sort(list_filter([${(0 until 9).map(k => s"nv$k").mkString(", ")}], z -> z IS NOT NULL)) AS lst FROM f2),
+       |f4 AS (SELECT *, len(lst) AS nnv, least(5, len(lst)) AS navg FROM f3),
+       |f5 AS MATERIALIZED (SELECT *, CASE WHEN nnv < 1 THEN 0.0
+       |    ELSE CAST(list_sum(list_transform(list_slice(lst, 1, navg),
+       |           z -> CAST(floor($off + z * 1.0E6) AS BIGINT))) AS DOUBLE) / 1.0E6 / navg
+       |  END AS sigmav FROM f4),
+       |p3 AS MATERIALIZED (
+       |  SELECT w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy,
+       |    coalesce(sum(CAST(floor($off + (w.vk - p.meany28) * (w.vk - p.meany28) * 1.0E6) AS BIGINT))
+       |      FILTER ($inTmpl), 0) AS qvar28
+       |  FROM f5 p JOIN win w ON ${jk("p", "w")}
+       |  GROUP BY w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy),
+       |f6 AS (SELECT p.*, q.qvar28 FROM f5 p JOIN p3 q ON ${jk("p", "q")}),
+       |f7 AS (SELECT *,
+       |    CASE WHEN cnt > 1 THEN CAST(qvarv AS DOUBLE) / 1.0E6 / (cnt - 1) ELSE 0.0 END AS varyl,
+       |    CAST(qvar28 AS DOUBLE) / 1.0E6 / 27.0 AS vary28
+       |  FROM f6),
        |o AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |  SELECT $keys6,
        |    CASE WHEN cp = -9999.0 THEN -9999.0
-       |         WHEN n <= 0 THEN -9999.0
-       |         WHEN m <= 0 OR vr <= 0 THEN m
-       |         WHEN sqrt(vr) / m < $cu THEN m
-       |         ELSE cp * (1 - $cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m)))
-       |              + m * ($cu2 / ((sqrt(vr) / m) * (sqrt(vr) / m))) END AS out
-       |  FROM h2)
+       |         WHEN cnt < 49 THEN
+       |           CASE WHEN cnt <= 0 THEN -9999.0
+       |                WHEN varyl = 0.0 THEN meanv
+       |                ELSE meanv + (CASE WHEN (varyl - meanv * meanv * sigmav) / (1.0 + sigmav) < 0
+       |                                   THEN 0.0
+       |                                   ELSE (varyl - meanv * meanv * sigmav) / (1.0 + sigmav)
+       |                              END) / varyl * (cp - meanv) END
+       |         WHEN vary28 = 0.0 THEN meany28
+       |         ELSE meany28 + (CASE WHEN (vary28 - meany28 * meany28 * sigmav) / (1.0 + sigmav) < 0
+       |                              THEN 0.0
+       |                              ELSE (vary28 - meany28 * meany28 * sigmav) / (1.0 + sigmav)
+       |                         END) / vary28 * (cp - meany28)
+       |    END AS out
+       |  FROM f7)
        |$rollup""".stripMargin
   }
 

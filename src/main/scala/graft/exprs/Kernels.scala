@@ -390,80 +390,166 @@ object Kernels {
     leeSigmaMmse(cp, rm, rv, etaVP * etaVP)
   }
 
+  /** Per-term dyadically-quantized squared deviation (the diff-form variance of
+   * SpeckleFilter.getVarianceValue, snapped so Long sums are exact/order-free in
+   * both engines — documented deviation: 1e-6 term quantization). */
+  @inline private def qdev(v: Double, mean: Double): Long =
+    math.floor(0.031415926535897934 + (v - mean) * (v - mean) * 1.0e6).toLong
+
   /**
-   * Refined Lee (reference RefinedLee.java): gradient-based edge-aligned window. The
-   * 8 directional sub-windows of the (2m+1)^2 window are scored by the gradient of the
-   * 3x3 sub-means; the MMSE filter then runs over the best-aligned half-window.
+   * Refined Lee (reference RefinedLee.java:147-551), the FULL reference algorithm:
+   *  - 9 OVERLAPPING 3x3 sub-areas at offsets (2j, 2i) in the 7x7 window, raw means
+   *    over all 9 cells (computeSubAreaMeans:340-362 — no validity check there; the
+   *    edge path only runs on fully-valid windows).
+   *  - noise variance ESTIMATED from the data (getLocalNoiseVarianceValue:383-426):
+   *    normalized sample variance var/mean^2 of each COMPLETE (9-valid) sub-area,
+   *    ascending sort, mean of the <= 5 smallest. No ENL parameter.
+   *  - any no-data in the window (numSamples < 49) -> LOCAL-STATISTICS path
+   *    (computePixelValueUsingLocalStatistics:178-208): MMSE over all valid window
+   *    pixels with the estimated noise variance.
+   *  - full window -> EDGE path: 4 gradients over the sub-means
+   *    (computeGradients:366-372, first max wins), direction refined to one of 8 by
+   *    center-adjacency (computePixelValueUsingEdgeDetection:380-427), then MMSE
+   *    over the reference's exact 28-pixel directional template
+   *    (getNonEdgeAreaPixelValues:435-525).
+   *  - out = meanY + b (cp - meanY), b = max(0, (varY - meanY^2 sigmaV)/(1+sigmaV))
+   *    / varY; varY == 0 -> meanY. Variances use the (n-1) diff form with per-term
+   *    dyadic quantization (qdev) so both engines sum exactly.
+   * `enl` is accepted but unused — the reference estimates noise from the data.
    */
   private def refinedLeePixel(a: Array[Double], hw: Int, x: Int, y: Int, m: Int,
       cp: Double, enl: Double): Double = {
     if (isNd(cp)) return ND
-    // 3x3 grid of sub-means over the window thirds
+    // window values in (wy, wx) 0..6 coords; the 7x7 template layout requires m = 3
+    val wv = new Array[Double](49)
+    var cnt = 0; var sumV = 0.0
+    var wy = 0
+    while (wy < 7) {
+      var wx = 0
+      while (wx < 7) {
+        val v = a((y + m + wy - 3) * hw + (x + m + wx - 3))
+        wv(wy * 7 + wx) = v
+        if (!isNd(v)) { cnt += 1; sumV += v }
+        wx += 1
+      }
+      wy += 1
+    }
+    // 9 overlapping 3x3 sub-areas: raw means + valid counts
     val sub = new Array[Double](9)
-    val subN = new Array[Int](9)
-    val step = (2 * m + 1) / 3.0
-    var dy = -m
-    while (dy <= m) {
-      var dx = -m
-      while (dx <= m) {
-        val v = a((y + m + dy) * hw + (x + m + dx))
-        if (!isNd(v)) {
-          val sy = math.min(2, ((dy + m) / step).toInt)
-          val sx = math.min(2, ((dx + m) / step).toInt)
-          sub(sy * 3 + sx) += v; subN(sy * 3 + sx) += 1
+    val subValid = new Array[Int](9)
+    var sj = 0
+    while (sj < 3) {
+      var si = 0
+      while (si < 3) {
+        var s = 0.0; var k9 = 0
+        var yy = 2 * sj
+        while (yy < 2 * sj + 3) {
+          var xx = 2 * si
+          while (xx < 2 * si + 3) {
+            val v = wv(yy * 7 + xx)
+            s += v
+            if (!isNd(v)) k9 += 1
+            xx += 1
+          }
+          yy += 1
         }
-        dx += 1
+        sub(sj * 3 + si) = s / 9.0
+        subValid(sj * 3 + si) = k9
+        si += 1
       }
-      dy += 1
+      sj += 1
     }
-    var i = 0
-    while (i < 9) { if (subN(i) > 0) sub(i) /= subN(i); i += 1 }
-    // gradient over the 4 axes through the center sub-mean; pick max |gradient|
-    // direction, then the half-plane whose outer sub-mean is closer to the center
-    val gAbs = Array(
-      math.abs(sub(3) - sub(5)), // horizontal (W - E)
-      math.abs(sub(1) - sub(7)), // vertical (N - S)
-      math.abs(sub(0) - sub(8)), // NW - SE
-      math.abs(sub(2) - sub(6))) // NE - SW
-    var best = 0
-    i = 1
-    while (i < 4) { if (gAbs(i) > gAbs(best)) best = i; i += 1 }
-    // half-plane selector: keep pixels on the side of the edge containing the center,
-    // i.e. the side whose sub-mean is closer to sub(4)
-    val (pa, pb) = best match {
-      case 0 => (3, 5)
-      case 1 => (1, 7)
-      case 2 => (0, 8)
-      case 3 => (2, 6)
-    }
-    val keepA = math.abs(sub(pa) - sub(4)) <= math.abs(sub(pb) - sub(4))
-    @inline def inHalf(dx: Int, dy: Int): Boolean = best match {
-      case 0 => if (keepA) dx <= 0 else dx >= 0
-      case 1 => if (keepA) dy <= 0 else dy >= 0
-      case 2 => if (keepA) dx + dy <= 0 else dx + dy >= 0
-      case 3 => if (keepA) dx - dy >= 0 else dx - dy <= 0
-    }
-    var n = 0; var s1 = 0.0; var s2 = 0.0
-    dy = -m
-    while (dy <= m) {
-      var dx = -m
-      while (dx <= m) {
-        if (inHalf(dx, dy)) {
-          val v = a((y + m + dy) * hw + (x + m + dx))
-          if (!isNd(v)) { n += 1; s1 += v; s2 += v * v }
-        }
-        dx += 1
+    // estimated noise variance: <=5 smallest normalized variances of complete areas
+    val nvs = new Array[Double](9)
+    var nNv = 0
+    var k = 0
+    while (k < 9) {
+      if (subValid(k) == 9) {
+        val mSub = sub(k)
+        if (mSub > 0) {
+          var qs = 0L
+          val j3 = k / 3; val i3 = k % 3
+          var yy = 2 * j3
+          while (yy < 2 * j3 + 3) {
+            var xx = 2 * i3
+            while (xx < 2 * i3 + 3) { qs += qdev(wv(yy * 7 + xx), mSub); xx += 1 }
+            yy += 1
+          }
+          nvs(nNv) = (qs.toDouble / 1.0e6 / 8.0) / (mSub * mSub)
+        } else nvs(nNv) = 0.0
+        nNv += 1
       }
-      dy += 1
+      k += 1
     }
-    if (n <= 0) return ND
-    val mean = s1 / n
-    val vr = if (n > 1) (s2 - n * mean * mean) / (n - 1) else 0.0
-    if (mean <= 0.0 || vr <= 0.0) return mean
-    val cu = 1.0 / math.sqrt(enl); val cu2 = cu * cu
-    val ci = math.sqrt(vr) / mean
-    if (ci < cu) mean
-    else cp * (1.0 - cu2 / (ci * ci)) + mean * (cu2 / (ci * ci))
+    val sigmaV =
+      if (nNv < 1) 0.0
+      else {
+        java.util.Arrays.sort(nvs, 0, nNv)
+        val navg = math.min(5, nNv)
+        var qs = 0L
+        var t = 0
+        while (t < navg) { qs += math.floor(0.031415926535897934 + nvs(t) * 1.0e6).toLong; t += 1 }
+        (qs.toDouble / 1.0e6) / navg
+      }
+    if (cnt < 49) {
+      // local-statistics fallback
+      if (cnt <= 0) return ND
+      val meanY = sumV / cnt
+      var qv = 0L
+      k = 0
+      while (k < 49) { val v = wv(k); if (!isNd(v)) qv += qdev(v, meanY); k += 1 }
+      val varY = if (cnt > 1) qv.toDouble / 1.0e6 / (cnt - 1) else 0.0
+      if (varY == 0.0) return meanY
+      var varX = (varY - meanY * meanY * sigmaV) / (1.0 + sigmaV)
+      if (varX < 0.0) varX = 0.0
+      return meanY + varX / varY * (cp - meanY)
+    }
+    // edge path: gradients (first max wins), direction refined by center adjacency
+    val g0 = math.abs(sub(3) - sub(5))
+    val g1 = math.abs(sub(2) - sub(6))
+    val g2 = math.abs(sub(1) - sub(7))
+    val g3 = math.abs(sub(0) - sub(8))
+    val dir =
+      if (g0 >= g1 && g0 >= g2 && g0 >= g3) 0
+      else if (g1 >= g2 && g1 >= g3) 1
+      else if (g2 >= g3) 2
+      else 3
+    val d = dir match {
+      case 0 => if (math.abs(sub(3) - sub(4)) < math.abs(sub(4) - sub(5))) 4 else 0
+      case 1 => if (math.abs(sub(2) - sub(4)) < math.abs(sub(4) - sub(6))) 1 else 5
+      case 2 => if (math.abs(sub(1) - sub(4)) < math.abs(sub(4) - sub(7))) 2 else 6
+      case 3 => if (math.abs(sub(0) - sub(4)) < math.abs(sub(4) - sub(8))) 3 else 7
+    }
+    @inline def inTmpl(wyT: Int, wxT: Int): Boolean = d match {
+      case 0 => wxT >= 3
+      case 1 => wxT >= wyT
+      case 2 => wyT <= 3
+      case 3 => wxT < 7 - wyT
+      case 4 => wxT <= 3
+      case 5 => wxT < wyT + 1
+      case 6 => wyT >= 3
+      case 7 => wxT >= 6 - wyT
+    }
+    var s28 = 0.0
+    var yy = 0
+    while (yy < 7) {
+      var xx = 0
+      while (xx < 7) { if (inTmpl(yy, xx)) s28 += wv(yy * 7 + xx); xx += 1 }
+      yy += 1
+    }
+    val meanY = s28 / 28.0
+    var qv28 = 0L
+    yy = 0
+    while (yy < 7) {
+      var xx = 0
+      while (xx < 7) { if (inTmpl(yy, xx)) qv28 += qdev(wv(yy * 7 + xx), meanY); xx += 1 }
+      yy += 1
+    }
+    val varY = qv28.toDouble / 1.0e6 / 27.0
+    if (varY == 0.0) return meanY
+    var varX = (varY - meanY * meanY * sigmaV) / (1.0 + sigmaV)
+    if (varX < 0.0) varX = 0.0
+    meanY + varX / varY * (cp - meanY)
   }
 
   // 49-bit (7x7) bitboard layout for IDAN region growing: bit k = (dy+3)*7 + (dx+3)

@@ -512,6 +512,30 @@ class KernelSpec extends AnyFunSuite {
     assert(reexam > 1.0 && reexam < 1.3125, "stage-2 additions must pull the MMSE value off the 3x3 mean")
   }
 
+  test("Refined Lee: vertical edge selects the uncontaminated 28-pixel template; no-data falls back to local statistics") {
+    // halo columns < 6 are 1.0, >= 6 are 9.0; for center (6,5) the 7x7 window spans
+    // tile cols 3..9 so sub-means give g0 = g1 = g3 = 8 (the FIRST max must win ->
+    // direction 0) and the refinement picks d = 0 (x >= 3, the all-9.0 side):
+    // meanY = 9, varY = 0 -> out = 9.0 exactly (RefinedLee.java:380-427 template path)
+    val m = 3; val hw = W + 2 * m
+    val halo = Array.tabulate(hw * (H + 2 * m)) { k => if (k % hw - m < 6) 1.0 else 9.0 }
+    val out = Kernels.speckle(arr(halo), Kernels.MODE_REFINED_LEE, W, H, m, 4.0, 2.0).toDoubleArray()
+    assert(out(5 * W + 6) == 9.0, "edge path must average only the bright-side template")
+    // poke one no-data cell into a NOISY window (checkerboard quarter-steps keep
+    // every sub-area variance > 0, so the estimated sigmaV > 0 and b < 1) ->
+    // numSamples < 49 -> local-statistics path (RefinedLee.java:151-152): an MMSE
+    // blend strictly between the window mean and the center value
+    val halo2 = Array.tabulate(hw * (H + 2 * m)) { k =>
+      val col = k % hw - m; val row = k / hw - m
+      (if (col < 6) 1.0 else 9.0) + 0.25 * ((col + row + 600) % 2)
+    }
+    halo2((5 + m - 2) * hw + (6 + m - 2)) = Kernels.ND
+    val out2 = Kernels.speckle(arr(halo2), Kernels.MODE_REFINED_LEE, W, H, m, 4.0, 2.0).toDoubleArray()
+    val cp2 = halo2((5 + m) * hw + (6 + m))
+    assert(out2(5 * W + 6) > 1.0 && out2(5 * W + 6) < cp2,
+      "local-statistics fallback must blend strictly toward the window mean")
+  }
+
   test("Lee Sigma cluster marking: a fired seed's >z98 3x3 cohort passes through raw") {
     // 3x2 bright block (6 cells of 50 on a 1.0 background): z98 = 1.0 (282 of 288
     // halo cells are 1.0, the clamped 98th-percentile index lands below the block),
