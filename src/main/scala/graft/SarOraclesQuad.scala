@@ -725,90 +725,119 @@ object SarOraclesQuad {
        |FROM st GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
-  /** q_pol_speckle_refined (rstb RefinedLee.java:226-321, 372-400 twin): span
-   * sub-means -> gradient direction -> closer half-plane; b from span stats with
-   * sigmaV^2 = 1/enl; the 9 T3 channels filtered with the shared half-plane and
-   * gain (identical staging to Kernels.polRefinedLee). The half-plane mask lives
-   * in aggregate FILTERs, not the LEFT JOIN condition (hash-join preserving — the
-   * lesson of the single-channel refinedLee oracle). */
+  /** q_pol_speckle_refined (rstb RefinedLee.java:226-608 twin, FULL reference
+   * algorithm): 9 overlapping stride-2 span sub-means, SIGNED 6-sub-mean
+   * gradients (first-|max| wins, +4 when positive), the exact 28-pixel
+   * directional template shared by b (from span stats) and all 9 T3 channels;
+   * windows with any no-data take the per-channel local-statistics path; varY
+   * == 0 -> 0.0 (the rstb quirk). (n-1) diff-form variances use per-term
+   * dyadic quantization; every double expression tree is textually identical
+   * to Kernels.polRefinedLee. Masks live in aggregate FILTERs (hash-join
+   * preserving). */
   val polRefinedLee: String = {
-    val m = ops.PolarimetryQuad.PolSpeckleM
-    val step = (2 * m + 1) / 3.0
-    val sigmaVSqr = 1.0 / ops.Speckle.Enl
-    def subSel(i: Int) = {
-      val sy = i / 3; val sx = i % 3
-      s"""coalesce(sum(n.sv) FILTER (n.valid AND sy = $sy AND sx = $sx), 0)
-         |  / greatest(1, count(*) FILTER (n.valid AND sy = $sy AND sx = $sx)) AS sub$i""".stripMargin
-    }
-    val subs = (0 until 9).map(subSel).mkString(",\n")
-    val halfMask =
-      s"""(CASE c.best
-         |  WHEN 0 THEN (CASE WHEN c.keepa THEN d.dx <= 0 ELSE d.dx >= 0 END)
-         |  WHEN 1 THEN (CASE WHEN c.keepa THEN d.dy <= 0 ELSE d.dy >= 0 END)
-         |  WHEN 2 THEN (CASE WHEN c.keepa THEN d.dx + d.dy <= 0 ELSE d.dx + d.dy >= 0 END)
-         |  ELSE (CASE WHEN c.keepa THEN d.dx - d.dy >= 0 ELSE d.dx - d.dy <= 0 END) END)""".stripMargin
-    val zSums = t3Chans.map(c =>
-      s"coalesce(sum(n.t$c) FILTER (n.valid AND $halfMask), 0) AS zs$c").mkString(",\n    ")
+    val svs = 1.0 / ops.Speckle.Enl
+    val onePlusSvs = 1.0 + svs
+    val off = "0.031415926535897934"
+    val keys8 = "scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy"
+    def jk(a: String, b: String) =
+      s"""$b.scene_id = $a.scene_id AND $b.subswath = $a.subswath
+         |    AND $b.pol = $a.pol AND $b.burst_idx = $a.burst_idx AND $b.tile_y = $a.tile_y
+         |    AND $b.tile_x = $a.tile_x AND $b.gx = $a.gx AND $b.gy = $a.gy""".stripMargin
+    val inTmpl =
+      """(CASE p.d8 WHEN 0 THEN w.wx >= 3 WHEN 1 THEN w.wx >= w.wy WHEN 2 THEN w.wy <= 3
+        |      WHEN 3 THEN w.wx < 7 - w.wy WHEN 4 THEN w.wx <= 3 WHEN 5 THEN w.wx < w.wy + 1
+        |      WHEN 6 THEN w.wy >= 3 ELSE w.wx >= 6 - w.wy END)""".stripMargin
+    val subAgg = (0 until 9).map { k =>
+      val j = k / 3; val i = k % 3
+      s"    sum(sv) FILTER (wy BETWEEN ${2 * j} AND ${2 * j + 2} AND wx BETWEEN ${2 * i} AND ${2 * i + 2}) / 9.0 AS s$k"
+    }.mkString(",\n")
+    val lsAgg = t3Chans.map(c =>
+      s"    coalesce(sum(t$c) FILTER (nv), 0) AS ls$c").mkString(",\n")
+    val ctCarry = t3Chans.map(c => s"any_value(ct$c) AS ct$c").mkString(", ")
+    val lmCols = t3Chans.map(c => s"ls$c / n AS lm$c").mkString(",\n    ")
+    // the quantized term is guarded INSIDE a CASE (not just FILTER): DuckDB
+    // evaluates aggregate arguments vector-wide before filtering, and the T3
+    // values of invalid cells are garbage large enough to overflow the BIGINT
+    val lqAgg = t3Chans.map(c =>
+      s"""    coalesce(sum(CASE WHEN w.nv
+         |      THEN CAST(floor($off + (w.t$c - p.lm$c) * (w.t$c - p.lm$c) * 1.0E6) AS BIGINT) END), 0) AS lq$c""".stripMargin).mkString(",\n")
+    val zmAgg = t3Chans.map(c =>
+      s"    sum(w.t$c) FILTER ($inTmpl) / 28.0 AS zm$c").mkString(",\n")
+    val lvCols = t3Chans.map(c =>
+      s"CASE WHEN n > 1 THEN CAST(lq$c AS DOUBLE) / 1.0E6 / (n - 1) ELSE 0.0 END AS lv$c")
+      .mkString(",\n    ")
+    val outCols = t3Chans.map { c =>
+      s"""    CASE WHEN n < 49 THEN
+         |      CASE WHEN lv$c = 0.0 THEN 0.0
+         |           ELSE lm$c + (CASE WHEN (lv$c - lm$c * lm$c * $svs) / $onePlusSvs < 0 THEN 0.0
+         |                             ELSE (lv$c - lm$c * lm$c * $svs) / $onePlusSvs
+         |                        END) / lv$c * (ct$c - lm$c) END
+         |    WHEN vary28 = 0.0 THEN 0.0
+         |    ELSE zm$c + b28 * (ct$c - zm$c) END AS o$c""".stripMargin
+    }.mkString(",\n")
     val outs = t3Chans.map(c =>
-      s"CAST(coalesce(sum(${q6(s"(zs$c / nh) + b * (ct$c - zs$c / nh)")}), 0) AS BIGINT) AS t${c}_q")
-      .mkString(",\n  ")
-    val cts = t3Chans.map(c => s"cc.t$c AS ct$c").mkString(", ")
+      s"CAST(coalesce(sum(${q6(s"o$c")}), 0) AS BIGINT) AS t${c}_q").mkString(",\n  ")
+    val winT = t3Chans.map(c => s"n.t$c AS t$c").mkString(", ")
+    val winCt = t3Chans.map(c => s"c.t$c AS ct$c").mkString(", ")
     s"""WITH ${t3Cte(ops.PolarimetryQuad.PolSpeckleMaxBurst)},
        |sp AS (SELECT *, t11 + t22 + t33 AS sv FROM t3),
-       |d AS (
-       |  SELECT a.dx, b.dy,
-       |    least(2, CAST(floor((b.dy + $m) / $step) AS INT)) AS sy,
-       |    least(2, CAST(floor((a.dx + $m) / $step) AS INT)) AS sx
-       |  FROM (SELECT unnest(range(-$m, ${m + 1})) AS dx) a,
-       |       (SELECT unnest(range(-$m, ${m + 1})) AS dy) b),
-       |sub AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |$subs
+       |d AS (SELECT a.dx, b.dy, a.dx + 3 AS wx, b.dy + 3 AS wy
+       |      FROM (SELECT unnest(range(-3, 4)) AS dx) a,
+       |           (SELECT unnest(range(-3, 4)) AS dy) b),
+       |win AS MATERIALIZED (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    c.gx, c.gy, d.wx, d.wy, coalesce(n.valid, FALSE) AS nv, n.sv AS sv,
+       |    $winT, $winCt
        |  FROM sp c CROSS JOIN d
        |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
        |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  WHERE c.valid
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |g AS (
-       |  SELECT *, abs(sub3 - sub5) AS g0, abs(sub1 - sub7) AS g1,
-       |         abs(sub0 - sub8) AS g2, abs(sub2 - sub6) AS g3
-       |  FROM sub),
-       |g2 AS (
-       |  SELECT *, CASE WHEN g0 = greatest(g0, g1, g2, g3) THEN 0
-       |                 WHEN g1 = greatest(g0, g1, g2, g3) THEN 1
-       |                 WHEN g2 = greatest(g0, g1, g2, g3) THEN 2 ELSE 3 END AS best
-       |  FROM g),
-       |g3 AS (
-       |  SELECT *, CASE best WHEN 0 THEN abs(sub3 - sub4) <= abs(sub5 - sub4)
-       |                      WHEN 1 THEN abs(sub1 - sub4) <= abs(sub7 - sub4)
-       |                      WHEN 2 THEN abs(sub0 - sub4) <= abs(sub8 - sub4)
-       |                      ELSE abs(sub2 - sub4) <= abs(sub6 - sub4) END AS keepa
-       |  FROM g2),
-       |hst AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
-       |    count(*) FILTER (n.valid AND $halfMask) AS nh,
-       |    coalesce(sum(n.sv) FILTER (n.valid AND $halfMask), 0) AS s1,
-       |    coalesce(sum(n.sv * n.sv) FILTER (n.valid AND $halfMask), 0) AS s2,
-       |    $zSums
-       |  FROM g3 c CROSS JOIN d
-       |  LEFT JOIN sp n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
-       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |h2 AS (
-       |  SELECT *, s1 / nh AS meany,
-       |    CASE WHEN nh > 1 THEN (s2 - nh * (s1 / nh) * (s1 / nh)) / (nh - 1) ELSE 0.0 END AS vary
-       |  FROM hst WHERE nh > 0),
-       |h3 AS (
-       |  SELECT *, CASE WHEN vary <= 0.0 THEN 0.0
-       |    ELSE (CASE WHEN (vary - meany * meany * $sigmaVSqr) / ${1.0 + sigmaVSqr} < 0.0 THEN 0.0
-       |          ELSE (vary - meany * meany * $sigmaVSqr) / ${1.0 + sigmaVSqr} END) / vary END AS b
-       |  FROM h2),
-       |oc AS (
-       |  SELECT h.*, $cts
-       |  FROM h3 h JOIN sp cc ON cc.scene_id = h.scene_id AND cc.subswath = h.subswath
-       |    AND cc.burst_idx = h.burst_idx AND cc.gx = h.gx AND cc.gy = h.gy)
+       |  WHERE c.valid),
+       |p1 AS MATERIALIZED (
+       |  SELECT $keys8, count(*) FILTER (nv) AS n, $ctCarry,
+       |$subAgg,
+       |$lsAgg
+       |  FROM win GROUP BY $keys8),
+       |p1b AS (SELECT *,
+       |    s2 + s5 + s8 - s0 - s3 - s6 AS g0,
+       |    s1 + s2 + s5 - s3 - s6 - s7 AS g1,
+       |    s0 + s1 + s2 - s6 - s7 - s8 AS g2,
+       |    s0 + s1 + s3 - s5 - s7 - s8 AS g3,
+       |    $lmCols
+       |  FROM p1),
+       |p1c AS (SELECT *, CASE WHEN abs(g0) >= abs(g1) AND abs(g0) >= abs(g2) AND abs(g0) >= abs(g3) THEN 0
+       |                       WHEN abs(g1) >= abs(g2) AND abs(g1) >= abs(g3) THEN 1
+       |                       WHEN abs(g2) >= abs(g3) THEN 2 ELSE 3 END AS dir FROM p1b),
+       |p1d AS (SELECT *, dir + CASE WHEN (CASE dir WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2 ELSE g3 END) > 0.0
+       |                             THEN 4 ELSE 0 END AS d8 FROM p1c),
+       |p2 AS MATERIALIZED (
+       |  SELECT w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy,
+       |    sum(w.sv) FILTER ($inTmpl) / 28.0 AS meany28,
+       |$zmAgg,
+       |$lqAgg
+       |  FROM p1d p JOIN win w ON ${jk("p", "w")}
+       |  GROUP BY w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy),
+       |f1 AS (SELECT p.*, ${(Seq("q.meany28") ++ t3Chans.map(c => s"q.zm$c") ++ t3Chans.map(c => s"q.lq$c")).mkString(", ")}
+       |  FROM p1d p JOIN p2 q ON ${jk("p", "q")}),
+       |p3 AS MATERIALIZED (
+       |  SELECT w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy,
+       |    coalesce(sum(CASE WHEN p.n = 49 AND $inTmpl
+       |      THEN CAST(floor($off + (w.sv - p.meany28) * (w.sv - p.meany28) * 1.0E6) AS BIGINT) END), 0) AS q28
+       |  FROM f1 p JOIN win w ON ${jk("p", "w")}
+       |  GROUP BY w.scene_id, w.subswath, w.pol, w.burst_idx, w.tile_y, w.tile_x, w.gx, w.gy),
+       |f2 AS (SELECT p.*, q.q28, CAST(q.q28 AS DOUBLE) / 1.0E6 / 27.0 AS vary28
+       |  FROM f1 p JOIN p3 q ON ${jk("p", "q")}),
+       |f2b AS (SELECT *,
+       |    $lvCols
+       |  FROM f2),
+       |f2c AS (SELECT *, CASE WHEN vary28 = 0.0 THEN 0.0
+       |    ELSE (CASE WHEN (vary28 - meany28 * meany28 * $svs) / $onePlusSvs < 0 THEN 0.0
+       |               ELSE (vary28 - meany28 * meany28 * $svs) / $onePlusSvs
+       |          END) / vary28 END AS b28 FROM f2b),
+       |f3 AS (SELECT *,
+       |$outCols
+       |  FROM f2c)
        |SELECT $keys, count(*) AS n_valid,
        |  $outs
-       |FROM oc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+       |FROM f3 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 }

@@ -2608,15 +2608,20 @@ object Kernels {
    */
   /**
    * Polarimetric Refined Lee speckle filter (reference rstb RefinedLee.java:
-   * 226-321, 372-400 — the operator's T3 path): per pixel, the edge direction
-   * and the filter gain b come from the SPAN image (t11+t22+t33); every one of
-   * the 9 T3 channels is then filtered with the SAME non-edge half-plane and
-   * gain: out_j = meanZ_j + b (z_j - meanZ_j), with
-   * b = varX / varY, varX = max(0, (varY - meanY^2 sigmaV^2) / (1 + sigmaV^2)),
-   * sigmaV^2 = 1/enl (RefinedLee.java:389-394). Sub-mean 3x3 grid, gradient
-   * direction and closer-half-plane selection share the staging of the
-   * single-channel refinedLeePixel (and the DuckDB twin restates it verbatim).
-   * Returns per-tile quantized sums (n + 9 channels, quantum 1e6).
+   * 226-608 — the operator's T3 path, FULL reference algorithm): per pixel,
+   * the edge direction and the filter gain b come from the SPAN image
+   * (t11+t22+t33) — 9 OVERLAPPING stride-2 3x3 sub-means (:452-470), SIGNED
+   * 6-sub-mean gradients with first-|max|-wins and +4 on a positive gradient
+   * (getDirection:478-516), then the reference's exact 28-pixel non-edge
+   * template (getNonEdgeAreaPixelValues:520-608); every one of the 9 T3
+   * channels is filtered with the SAME template and gain:
+   * out_j = meanZ_j + b (z_j - meanZ_j), b = varX / varY,
+   * varX = max(0, (varY - meanY^2 sigmaV^2) / (1 + sigmaV^2)), sigmaV^2 =
+   * 1/enl; varY == 0 -> 0.0 (the rstb quirk, :357,388). Windows with any
+   * no-data (n < 49) take the per-channel LOCAL-STATISTICS path (:329-363).
+   * Variances are (n-1) diff-form with per-term dyadic quantization (qdev) so
+   * both engines sum exactly. Returns per-tile quantized sums (n + 9 channels,
+   * quantum 1e6).
    */
   def polRefinedLee(hhI: ArrayData, hhQ: ArrayData, hvI: ArrayData, hvQ: ArrayData,
       vhI: ArrayData, vhQ: ArrayData, vvI: ArrayData, vvQ: ArrayData,
@@ -2640,7 +2645,6 @@ object Kernels {
       i += 1
     }
     val sigmaVSqr = 1.0 / enl
-    val step = (2 * m + 1) / 3.0
     val sums = new Array[Long](9)
     var nOut = 0L
     var y = 0
@@ -2649,77 +2653,144 @@ object Kernels {
       while (x < w) {
         val c0 = (y + m) * hw + (x + m)
         if (span(c0) != ND) {
-          // 3x3 sub-means of the span window (refinedLeePixel staging)
-          val sub = new Array[Double](9); val subN = new Array[Int](9)
-          var dy = -m
-          while (dy <= m) {
-            var dx = -m
-            while (dx <= m) {
-              val v = span((y + m + dy) * hw + (x + m + dx))
-              if (!isNd(v)) {
-                val sy = math.min(2, ((dy + m) / step).toInt)
-                val sx = math.min(2, ((dx + m) / step).toInt)
-                sub(sy * 3 + sx) += v; subN(sy * 3 + sx) += 1
-              }
-              dx += 1
-            }
-            dy += 1
+          nOut += 1
+          @inline def sidx(wyT: Int, wxT: Int): Int = (y + m + wyT - 3) * hw + (x + m + wxT - 3)
+          // valid count over the 7x7 span window (getLocalData's n)
+          var n = 0
+          var wy = 0
+          while (wy < 7) {
+            var wx = 0
+            while (wx < 7) { if (!isNd(span(sidx(wy, wx)))) n += 1; wx += 1 }
+            wy += 1
           }
-          i = 0
-          while (i < 9) { if (subN(i) > 0) sub(i) /= subN(i); i += 1 }
-          val gAbs = Array(
-            math.abs(sub(3) - sub(5)), math.abs(sub(1) - sub(7)),
-            math.abs(sub(0) - sub(8)), math.abs(sub(2) - sub(6)))
-          var best = 0
-          i = 1
-          while (i < 4) { if (gAbs(i) > gAbs(best)) best = i; i += 1 }
-          val (pa, pb) = best match {
-            case 0 => (3, 5); case 1 => (1, 7); case 2 => (0, 8); case 3 => (2, 6)
-          }
-          val keepA = math.abs(sub(pa) - sub(4)) <= math.abs(sub(pb) - sub(4))
-          @inline def inHalf(dx: Int, dy: Int): Boolean = best match {
-            case 0 => if (keepA) dx <= 0 else dx >= 0
-            case 1 => if (keepA) dy <= 0 else dy >= 0
-            case 2 => if (keepA) dx + dy <= 0 else dx + dy >= 0
-            case 3 => if (keepA) dx - dy >= 0 else dx - dy <= 0
-          }
-          // half-plane span stats + per-channel means in one pass
-          var nh = 0; var s1 = 0.0; var s2 = 0.0
-          val zs = new Array[Double](9)
-          dy = -m
-          while (dy <= m) {
-            var dx = -m
-            while (dx <= m) {
-              if (inHalf(dx, dy)) {
-                val idx = (y + m + dy) * hw + (x + m + dx)
-                val v = span(idx)
-                if (!isNd(v)) {
-                  nh += 1; s1 += v; s2 += v * v
-                  var j = 0
-                  while (j < 9) { zs(j) += t3(j)(idx); j += 1 }
-                }
-              }
-              dx += 1
-            }
-            dy += 1
-          }
-          if (nh > 0) {
-            val meanY = s1 / nh
-            val varY = if (nh > 1) (s2 - nh * meanY * meanY) / (nh - 1) else 0.0
-            val b =
-              if (varY <= 0.0) 0.0
-              else {
-                var varX = (varY - meanY * meanY * sigmaVSqr) / (1.0 + sigmaVSqr)
-                if (varX < 0.0) varX = 0.0
-                varX / varY
-              }
-            nOut += 1
+          if (n < 49) {
+            // per-channel LOCAL-STATISTICS path (refinedLeeFilterC3T3C4T4:329-332 +
+            // computePixelValueUsingLocalStatistics:348-363): valid-only mean, (k-1)
+            // diff-form variance (per-term quantized), varY == 0 -> 0.0 (the rstb
+            // quirk); k < 2 -> varY 0 in both engines (the reference would divide
+            // by zero there — documented guard)
             var j = 0
             while (j < 9) {
-              val meanZ = zs(j) / nh
-              val out = meanZ + b * (t3(j)(c0) - meanZ)
-              sums(j) += math.floor(0.031415926535897934 + out * 1.0e6).toLong
+              var s = 0.0; var k = 0
+              wy = 0
+              while (wy < 7) {
+                var wx = 0
+                while (wx < 7) {
+                  val idx = sidx(wy, wx)
+                  if (!isNd(span(idx))) { s += t3(j)(idx); k += 1 }
+                  wx += 1
+                }
+                wy += 1
+              }
+              val meanY = s / k
+              var qv = 0L
+              wy = 0
+              while (wy < 7) {
+                var wx = 0
+                while (wx < 7) {
+                  val idx = sidx(wy, wx)
+                  if (!isNd(span(idx))) qv += qdev(t3(j)(idx), meanY)
+                  wx += 1
+                }
+                wy += 1
+              }
+              val varY = if (k > 1) qv.toDouble / 1.0e6 / (k - 1) else 0.0
+              val out =
+                if (varY == 0.0) 0.0
+                else {
+                  var varX = (varY - meanY * meanY * sigmaVSqr) / (1.0 + sigmaVSqr)
+                  if (varX < 0.0) varX = 0.0
+                  meanY + varX / varY * (t3(j)(c0) - meanY)
+                }
+              sums(j) += q6l(out)
               j += 1
+            }
+          } else {
+            // EDGE path: 9 OVERLAPPING stride-2 3x3 sub-means of the span
+            // (computeSubAreaMeans:452-470, filterSize 7 -> subWindow 3 stride 2)
+            val sub = new Array[Double](9)
+            var sj = 0
+            while (sj < 3) {
+              var si = 0
+              while (si < 3) {
+                var s = 0.0
+                var yy = 2 * sj
+                while (yy < 2 * sj + 3) {
+                  var xx = 2 * si
+                  while (xx < 2 * si + 3) { s += span(sidx(yy, xx)); xx += 1 }
+                  yy += 1
+                }
+                sub(sj * 3 + si) = s / 9.0
+                si += 1
+              }
+              sj += 1
+            }
+            // SIGNED gradients (getDirection:478-516): first |max| wins, +4 if positive
+            val g = new Array[Double](4)
+            g(0) = sub(2) + sub(5) + sub(8) - sub(0) - sub(3) - sub(6)
+            g(1) = sub(1) + sub(2) + sub(5) - sub(3) - sub(6) - sub(7)
+            g(2) = sub(0) + sub(1) + sub(2) - sub(6) - sub(7) - sub(8)
+            g(3) = sub(0) + sub(1) + sub(3) - sub(5) - sub(7) - sub(8)
+            var dir = 0
+            var maxG = -1.0
+            var gi = 0
+            while (gi < 4) {
+              val ag = math.abs(g(gi))
+              if (maxG < ag) { maxG = ag; dir = gi }
+              gi += 1
+            }
+            val d = if (g(dir) > 0.0) dir + 4 else dir
+            // the reference's exact 28-pixel non-edge templates
+            // (getNonEdgeAreaPixelValues:520-608)
+            @inline def inTmpl(wyT: Int, wxT: Int): Boolean = d match {
+              case 0 => wxT >= 3
+              case 1 => wxT >= wyT
+              case 2 => wyT <= 3
+              case 3 => wxT < 7 - wyT
+              case 4 => wxT <= 3
+              case 5 => wxT < wyT + 1
+              case 6 => wyT >= 3
+              case 7 => wxT >= 6 - wyT
+            }
+            // b from the span template (computePixelValueUsingEdgeDetection:371-394);
+            // varY == 0 -> ALL channels 0.0 (the rstb quirk)
+            var s28 = 0.0
+            wy = 0
+            while (wy < 7) {
+              var wx = 0
+              while (wx < 7) { if (inTmpl(wy, wx)) s28 += span(sidx(wy, wx)); wx += 1 }
+              wy += 1
+            }
+            val meanY = s28 / 28.0
+            var q28 = 0L
+            wy = 0
+            while (wy < 7) {
+              var wx = 0
+              while (wx < 7) { if (inTmpl(wy, wx)) q28 += qdev(span(sidx(wy, wx)), meanY); wx += 1 }
+              wy += 1
+            }
+            val varY = q28.toDouble / 1.0e6 / 27.0
+            if (varY == 0.0) {
+              var j = 0
+              while (j < 9) { sums(j) += q6l(0.0); j += 1 }
+            } else {
+              var varX = (varY - meanY * meanY * sigmaVSqr) / (1.0 + sigmaVSqr)
+              if (varX < 0.0) varX = 0.0
+              val b = varX / varY
+              var j = 0
+              while (j < 9) {
+                var zs = 0.0
+                wy = 0
+                while (wy < 7) {
+                  var wx = 0
+                  while (wx < 7) { if (inTmpl(wy, wx)) zs += t3(j)(sidx(wy, wx)); wx += 1 }
+                  wy += 1
+                }
+                val meanZ = zs / 28.0
+                val out = meanZ + b * (t3(j)(c0) - meanZ)
+                sums(j) += q6l(out)
+                j += 1
+              }
             }
           }
         }

@@ -301,8 +301,10 @@ class KernelSpec extends AnyFunSuite {
     for (k <- 0 until h) assert(gi(k * w + 3) == 1.0 / (h * h))
   }
 
-  test("polRefinedLee reduces span variance and preserves T3 means on flat input") {
-    // flat (constant) channels: b -> varX = 0... but varY = 0 -> b = 0 -> out = meanZ = z
+  test("polRefinedLee: zero-variance span windows return 0.0 (the rstb quirk); noisy spans blend toward the template mean") {
+    // flat (constant) channels: full-valid window -> edge path, span varY == 0 ->
+    // computePixelValueUsingEdgeDetection returns 0.0 for EVERY channel (rstb
+    // RefinedLee.java:386-388 — not meanZ); all quantized sums are zero
     val w = 8; val h = 8; val m = 3; val n = (w + 2 * m) * (h + 2 * m)
     def const(v: Double) = Array.fill(n)(v)
     val row = Kernels.polRefinedLee(
@@ -310,12 +312,17 @@ class KernelSpec extends AnyFunSuite {
       arr(const(0.25)), arr(const(0.1)), arr(const(-0.5)), arr(const(0.3)),
       w, h, m, 16.0)
     assert(row.getLong(0) == (w * h).toLong)
-    // constant input: every filtered value equals the per-pixel T3 value
-    val t = new Array[Double](9)
-    val p1r = 1.0 + -0.5; val p1i = 0.5 + 0.3
-    t(0) = (p1r * p1r + p1i * p1i) / 2
-    val expT11 = math.floor(0.031415926535897934 + t(0) * 1.0e6).toLong * (w * h)
-    assert(row.getLong(1) == expT11)
+    for (j <- 1 to 9) assert(row.getLong(j) == 0L, s"channel $j must be 0 on a zero-variance span")
+    // checkerboard perturbation of HH -> span varY > 0 on every window -> the
+    // template-mean MMSE path runs and the T11 rollup lands strictly between
+    // the all-smoothing (b = 0) and passthrough (b = 1) extremes
+    val hhI = Array.tabulate(n)(k => 1.0 + 0.25 * ((k % (w + 2 * m) + k / (w + 2 * m)) % 2))
+    val row2 = Kernels.polRefinedLee(
+      arr(hhI), arr(const(0.5)), arr(const(0.25)), arr(const(0.1)),
+      arr(const(0.25)), arr(const(0.1)), arr(const(-0.5)), arr(const(0.3)),
+      w, h, m, 16.0)
+    assert(row2.getLong(0) == (w * h).toLong)
+    assert(row2.getLong(1) > 0L, "noisy span must produce nonzero filtered T11 sums")
   }
 
   test("complexCross equals the dyadic-snapped per-pixel formula") {
