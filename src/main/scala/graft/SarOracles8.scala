@@ -198,13 +198,75 @@ object SarOracles8 {
        |$rollup""".stripMargin
   }
 
-  val phaseToElevation: String =
+  /** PhaseToElevation twin — restates the FULL reference chain the engine runs
+   * (PhaseToElevationOp.java:454-521, 560-651, 655-668): per-column look-angle
+   * geometry, constant-offset baseline decomposition, DEM-seeded 2x2 LS
+   * reference solve from dyadically staged integer moments, then
+   * height = ref_h + alpha * (phase - ref_p) per pixel. */
+  val phaseToElevation: String = {
+    val spb = Layout.SamplesPerBurst
+    val tc = ops.TerrainCorrection
+    val bx = tc.SecBx; val bz = tc.SecBz
+    val alphaSql =
+      s"""(-(sr * sin_inc) / (2 * (2 * pi() / ${InSAR.Wavelength})
+         |  * (($bx * sx + $bz * sz) * sin(look - look_c) + ($bx * sz - $bz * sx) * cos(look - look_c))))""".stripMargin
     s"""WITH ${SarOracles2.crossCte},
-       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |             CASE WHEN cim = -9999.0 OR cre = -9999.0 THEN -9999.0
-       |                  ELSE atan2(cim, cre) / ${InSAR.Ktopo} END AS out
-       |      FROM cx)
+       |orb AS MATERIALIZED (
+       |  SELECT scene_id, x AS orb_x, z AS orb_z
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS rn FROM ${fx("orbit")})
+       |  WHERE rn = 1),
+       |cg AS MATERIALIZED (
+       |  SELECT o.scene_id, g.gxg, o.orb_x, o.orb_z,
+       |         sqrt(o.orb_x * o.orb_x + o.orb_z * o.orb_z) AS r0
+       |  FROM orb o, (SELECT unnest(range(${3 * spb})) AS gxg) g),
+       |cg2 AS MATERIALIZED (
+       |  SELECT *, r0 + gxg * ${tc.DR} AS sr FROM cg),
+       |cg3 AS MATERIALIZED (
+       |  SELECT *,
+       |    orb_x + sqrt(greatest(CAST(0 AS DOUBLE), sr * sr - orb_z * orb_z)) AS txg,
+       |    sqrt(greatest(CAST(0 AS DOUBLE), sr * sr - orb_z * orb_z)) / sr AS sin_inc
+       |  FROM cg2),
+       |cg4 AS MATERIALIZED (
+       |  SELECT *, acos((sr * sr + r0 * r0 - txg * txg) / (2 * sr * r0)) AS look,
+       |         (orb_x - txg) / sr AS sx, orb_z / sr AS sz
+       |  FROM cg3),
+       |lc AS MATERIALIZED (SELECT scene_id, look AS look_c FROM cg4 WHERE gxg = ${3 * spb / 2}),
+       |ac AS MATERIALIZED (
+       |  SELECT c.scene_id, c.gxg, $alphaSql AS alpha
+       |  FROM cg4 c JOIN lc USING (scene_id)),
+       |sd AS MATERIALIZED (
+       |  SELECT c.scene_id,
+       |    ((CAST(substring(c.subswath, 3, 1) AS INT) - 1) * $spb + c.gx) AS gxg,
+       |    atan2(c.cim, c.cre) AS phs,
+       |    (100.0 + 50.0 * sin((c.gx) / 40.0) + 40.0 * cos((c.gy) / 25.0)) AS hseed
+       |  FROM cx c
+       |  WHERE c.pol = 'VV' AND c.gx % ${Layout.TileW} = 0 AND c.gy % ${Layout.TileH} = 0
+       |    AND c.cim <> -9999.0 AND c.cre <> -9999.0),
+       |sm AS MATERIALIZED (
+       |  SELECT s.scene_id, count(*) AS d,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + (-(a.alpha * a.alpha)) * 1.0E6) AS BIGINT)) AS BIGINT) AS aq,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + a.alpha * 1.0E6) AS BIGINT)) AS BIGINT) AS bq,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + (a.alpha * (s.hseed - a.alpha * s.phs)) * 1.0E6) AS BIGINT)) AS BIGINT) AS eq,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + (s.hseed - a.alpha * s.phs) * 1.0E6) AS BIGINT)) AS BIGINT) AS fq
+       |  FROM sd s JOIN ac a ON a.scene_id = s.scene_id AND a.gxg = s.gxg
+       |  GROUP BY 1),
+       |rf AS MATERIALIZED (
+       |  SELECT *, (aq / 1.0E6) * d - (-(bq / 1.0E6)) * (bq / 1.0E6) AS denom FROM sm),
+       |rf2 AS MATERIALIZED (
+       |  SELECT scene_id,
+       |    ((aq / 1.0E6) * (fq / 1.0E6) - (-(bq / 1.0E6)) * (eq / 1.0E6)) / denom AS ref_h,
+       |    ((eq / 1.0E6) * d - (bq / 1.0E6) * (fq / 1.0E6)) / denom AS ref_p
+       |  FROM rf WHERE d > 0 AND denom <> 0),
+       |o AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
+       |    CASE WHEN c.cim = -9999.0 OR c.cre = -9999.0 THEN -9999.0
+       |         ELSE r.ref_h + a.alpha * (atan2(c.cim, c.cre) - r.ref_p) END AS out
+       |  FROM cx c
+       |  JOIN rf2 r ON r.scene_id = c.scene_id
+       |  JOIN ac a ON a.scene_id = c.scene_id
+       |    AND a.gxg = ((CAST(substring(c.subswath, 3, 1) AS INT) - 1) * $spb + c.gx))
        |$rollup""".stripMargin
+  }
 
   /** q_phase_to_height (jlinda Slant2Height.java:104-230 Schwabisch twin): the
    * per-gx degree-2 fit uses the SAME shared SQL text as the engine
@@ -267,9 +329,9 @@ object SarOracles8 {
        |    CASE WHEN e0.iv = -9999.0 OR e1.iv = -9999.0 OR e2.iv = -9999.0 THEN -9999.0
        |         ELSE atan2(sin($d01 - 0.5 * $d02), cos($d01 - 0.5 * $d02)) END AS out
        |  FROM e0c e0
-       |  JOIN e1c e1 ON e1.scene_id = e0.scene_id AND e1.subswath = e0.subswath
+       |  JOIN e1c e1 ON e1.scene_id = e0.scene_id AND e1.subswath = e0.subswath AND e1.pol = e0.pol
        |    AND e1.burst_idx = e0.burst_idx AND e1.tile_y = e0.tile_y AND e1.tile_x = e0.tile_x AND e1.k = e0.k
-       |  JOIN e2c e2 ON e2.scene_id = e0.scene_id AND e2.subswath = e0.subswath
+       |  JOIN e2c e2 ON e2.scene_id = e0.scene_id AND e2.subswath = e0.subswath AND e2.pol = e0.pol
        |    AND e2.burst_idx = e0.burst_idx AND e2.tile_y = e0.tile_y AND e2.tile_x = e0.tile_x AND e2.k = e0.k),
        |o AS (SELECT * FROM j)
        |$rollup""".stripMargin

@@ -483,7 +483,24 @@ object Fixtures {
     val phase = s"((2.0 * ($u2 - 0.5)) + epoch * (0.2 * ($u3 - 0.5)))"
     val iSql = s"if($u1 < 0.002, ${Layout.NoData}d, $amp * cos($phase))"
     val qSql = s"if($u1 < 0.002, ${Layout.NoData}d, $amp * sin($phase))"
-    spark.range(0, nKeys.toLong, 1, 16)
+    // VH twin (REACTIV's max-over-polarisations path, ReactivOp.java:557-577):
+    // lower amplitude, its own hash salts, and TWO deliberately distinct absence
+    // modes — (a) the whole polarisation missing at the LAST epoch (the reference's
+    // null dataBuffer -> pol skipped, :563-566) and (b) per-pixel no-data planted at
+    // ONE pseudo-random epoch (the reference's v == noDataValue -> whole epoch
+    // poisoned for the pixel, :569-571 return -9999) so the time=-1 recovery quirk
+    // (:334-345) is exercised by real fixture pixels, not only planted tests.
+    val u1h = s"(pmod(xxhash64(concat_ws('|', 'ha', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val u2h = s"(pmod(xxhash64(concat_ws('|', 'hp', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val u3h = s"(pmod(xxhash64(concat_ws('|', 'hr', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val u4h = s"(pmod(xxhash64(concat_ws('|', 'hv', scene_id, $gx, $gy)), 1000000) / 1e6)"
+    val epNd = s"(pmod(xxhash64(concat_ws('|', 'he', scene_id, $gx, $gy)), $StackEpochs))"
+    val ampH = s"((30.0 + 15.0 * $u1h) * (1.0 + 0.06 * epoch * $u4h))"
+    val phaseH = s"((2.0 * ($u2h - 0.5)) + epoch * (0.15 * ($u3h - 0.5)))"
+    val ndH = s"($u1h < 0.004 and $epNd = epoch)"
+    val iSqlH = s"if($ndH, ${Layout.NoData}d, $ampH * cos($phaseH))"
+    val qSqlH = s"if($ndH, ${Layout.NoData}d, $ampH * sin($phaseH))"
+    val base = spark.range(0, nKeys.toLong, 1, 16)
       .withColumn("tile_x", expr(s"CAST(id % ${Layout.TilesX} AS INT)"))
       .withColumn("tile_y", expr(s"CAST((id div ${Layout.TilesX}) % ${Layout.TilesY} AS INT)"))
       .withColumn("burst_idx", expr(s"CAST(1 + (id div $perBurst) % ${Layout.BurstsPerSubswath} AS INT)"))
@@ -492,9 +509,16 @@ object Fixtures {
         expr(s"CAST(id div ${perBurst * Layout.BurstsPerSubswath * StackEpochs} AS INT)")))
       .where(col("burst_idx") >= col("epoch") + 1) // varying extent per epoch
       .withColumn("subswath", lit("IW1"))
+    val vv = base
       .withColumn("pol", lit("VV"))
       .withColumn("i", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $iSql)"))
       .withColumn("q", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $qSql)"))
+    val vh = base
+      .where(col("epoch") < StackEpochs - 1) // VH acquisition missing at the last epoch
+      .withColumn("pol", lit("VH"))
+      .withColumn("i", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $iSqlH)"))
+      .withColumn("q", expr(s"transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k -> $qSqlH)"))
+    vv.unionByName(vh)
       .select("scene_id", "subswath", "pol", "epoch", "burst_idx", "tile_x", "tile_y", "i", "q")
       .write.mode("overwrite").parquet(path)
   }

@@ -115,11 +115,90 @@ object InSAR {
            |  if(ph = $ND, $ND, atan2(sin(ph - $f), cos(ph - $f))))""".stripMargin)))
   }
 
-  /** PhaseToElevation: elev = phase / Ktopo (the linear inversion of the topo model). */
-  def phaseToElevationQuery(spark: SparkSession, sfDir: String): DataFrame =
-    Raster.rollup(crossTiles(spark, sfDir)
+  /**
+   * PhaseToElevation — the FULL reference algorithm (PhaseToElevationOp.java:
+   * 454-521 computeTile, 560-651 getRefHeightAndPhase, 655-668 computeLookAngles):
+   * height = refHeight + alpha * (phase - refPhase) per pixel, with
+   * alpha = -slantRange * sin(inc) / (2 * waveNumber * (Bpar * sin(flatAngle)
+   *          + Bperp * cos(flatAngle))),
+   * flatAngle = lookAngle(x) - lookAngle(xc), lookAngle from the law of cosines
+   * acos((sr^2 + ht^2 - er^2) / (2 sr ht)) (:666 — er/ht are the frame-origin
+   * distances of target and sensor, exact in the fixture's local frame where the
+   * reference uses the geocentric WGS84 radii), and (refHeight, refPhase) the
+   * 2x2 least-squares solve over DEM-seeded pixels (:618-648 — seeds here are
+   * pixel 0 of every VV tile, heights from the analytic DEM surface the topo
+   * operators share). Bperp/Bpar decompose the fixture's constant secondary-
+   * orbit offset (TerrainCorrection.SecBx/SecBz — jlinda's baseline polynomial
+   * degenerates to constants for a constant-offset orbit) onto the per-column
+   * look direction. Per-seed LS terms are dyadically staged (1e-6) before the
+   * scene sum so both engines solve from identical integer moments.
+   */
+  def phaseToElevationQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val spb = Layout.SamplesPerBurst
+    val bx = TerrainCorrection.SecBx; val bz = TerrainCorrection.SecBz
+    val orbit0 = Fixtures.table(spark, sfDir, "orbit")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("scene_id").orderBy("t_sec")))
+      .where(col("rn") === 1)
+      .select(col("scene_id"), col("x").as("orb_x"), col("z").as("orb_z"))
+    // per-column look geometry (computeLookAngles; slantRangeTime/incidence TPG analogs)
+    val alphaSql =
+      s"""(-(sr * sin_inc) / (2 * (2 * pi() / $Wavelength)
+         |  * (($bx * sx + $bz * sz) * sin(look - look_c) + ($bx * sz - $bz * sx) * cos(look - look_c))))""".stripMargin
+    val colGeom = orbit0
+      .withColumn("gxg", explode(sequence(lit(0), lit(3 * spb - 1))))
+      .withColumn("r0", expr("sqrt(orb_x * orb_x + orb_z * orb_z)"))
+      .withColumn("sr", expr(s"r0 + gxg * ${TerrainCorrection.DR}"))
+      .withColumn("txg", expr("orb_x + sqrt(greatest(CAST(0 AS DOUBLE), sr * sr - orb_z * orb_z))"))
+      .withColumn("look", expr("acos((sr * sr + r0 * r0 - txg * txg) / (2 * sr * r0))"))
+      .withColumn("sin_inc", expr("sqrt(greatest(CAST(0 AS DOUBLE), sr * sr - orb_z * orb_z)) / sr"))
+      .withColumn("sx", expr("(orb_x - txg) / sr"))
+      .withColumn("sz", expr("orb_z / sr"))
+    val lookC = colGeom.where(col("gxg") === lit(3 * spb / 2))
+      .select(col("scene_id"), col("look").as("look_c"))
+    val alphaCol = colGeom.join(broadcast(lookC), Seq("scene_id"))
+      .withColumn("alpha", expr(alphaSql))
+      .select("scene_id", "gxg", "alpha")
+    val px = crossTiles(spark, sfDir)
+      .withColumn("gxg", expr(
+        s"(CAST(substring(subswath, 3, 1) AS INT) - 1) * $spb + tile_x * ${Layout.TileW}"))
+    // seeds: pixel 0 of every VV tile — height from the shared analytic DEM
+    // surface, phase from the interferogram (getRefHeightAndPhase:560-617)
+    val seeds = px.where(col("pol") === "VV")
+      .withColumn("phs", expr(s"if(element_at(cim, 1) = $ND or element_at(cre, 1) = $ND, " +
+        s"CAST(null AS DOUBLE), atan2(element_at(cim, 1), element_at(cre, 1)))"))
+      .where(col("phs").isNotNull)
+      .withColumn("gy0", expr(s"tile_y * ${Layout.TileH}"))
+      .withColumn("hseed", expr(hSql(s"tile_x * ${Layout.TileW}", "gy0")))
+      .join(broadcast(alphaCol), Seq("scene_id", "gxg"))
+      .select(col("scene_id"), col("alpha"), col("hseed"), col("phs"))
+    val q6 = "1.0E6"
+    val sums = seeds
+      .groupBy("scene_id")
+      .agg(count(lit(1)).as("d"),
+        sum(expr(s"CAST(floor(0.031415926535897934 + (-(alpha * alpha)) * $q6) AS BIGINT)")).as("aq"),
+        sum(expr(s"CAST(floor(0.031415926535897934 + alpha * $q6) AS BIGINT)")).as("bq"),
+        sum(expr(s"CAST(floor(0.031415926535897934 + (alpha * (hseed - alpha * phs)) * $q6) AS BIGINT)")).as("eq"),
+        sum(expr(s"CAST(floor(0.031415926535897934 + (hseed - alpha * phs) * $q6) AS BIGINT)")).as("fq"))
+      .withColumn("denom", expr(s"(aq / $q6) * d - (-(bq / $q6)) * (bq / $q6)"))
+      .where(col("d") > 0 && col("denom") =!= 0.0)
+      .withColumn("ref_h", expr(s"((aq / $q6) * (fq / $q6) - (-(bq / $q6)) * (eq / $q6)) / denom"))
+      .withColumn("ref_p", expr(s"((eq / $q6) * d - (bq / $q6) * (fq / $q6)) / denom"))
+      .select("scene_id", "ref_h", "ref_p")
+    // per-pixel height (computeTile:503-521); alpha varies per range COLUMN, so
+    // the tile's value array walks gxg + k % W through the broadcast column table
+    val perCol = alphaCol.groupBy("scene_id")
+      .agg(map_from_entries(collect_list(struct(col("gxg"), col("alpha")))).as("amap"))
+    Raster.rollup(px
+      .join(broadcast(sums), Seq("scene_id"))
+      .join(broadcast(perCol), Seq("scene_id"))
       .withColumn("out", expr(
-        s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a) / $Ktopo))")))
+        s"""zip_with(zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
+           |  sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
+           |  if(ph = $ND, $ND,
+           |    ref_h + element_at(amap, gxg + k % ${Layout.TileW}) * (ph - ref_p)))""".stripMargin))
+      .drop("cre", "cim", "p1", "p2", "amap"))
+  }
 
   /** PhaseToDisplacement: disp = -lambda/(4 pi) * phase (lambda = 0.055465763 m). */
   val Wavelength = 0.055465763

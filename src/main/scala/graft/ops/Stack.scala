@@ -87,20 +87,103 @@ object Stack {
            |      (acc.n * acc.sep - acc.se * acc.sph) / (acc.n * acc.see - acc.se * acc.se))))""".stripMargin))
       .drop("es"))
 
-  /** REACTIV-style temporal coefficient of variation of intensity. */
-  def reactivQuery(spark: SparkSession, sfDir: String): DataFrame =
-    Raster.rollup(collected(spark, sfDir)
-      .withColumn("out", expr(
+  /**
+   * REACTIV change detection — the FULL reference algorithm (ReactivOp.java:
+   * 258-392, 441-555; Koeniguer et al. "Colored visualization of multitemporal
+   * SAR data"): per pixel, epochs traversed in date order with vMax = the
+   * max intensity over the selected POLARISATIONS at that epoch (getMaxValue,
+   * :557-577); an epoch where any PRESENT pol reads no-data POISONS the pixel
+   * (time := -1, :334-337) but a LATER record-beating epoch re-validates it —
+   * the raster-scan recovery quirk; a pol absent at an epoch (null dataBuffer,
+   * :563-566 — the fixture's VH-less last epoch) is simply skipped. Outputs:
+   *  - hue  = 0.9 * (timeOfMax - timeMin) / (timeMax - timeMin)   (:375)
+   *  - sat  = clamp((maxPolCV - 0.2286) / (10 * 0.1616) + 0.25, 0, 1)  (:377-379)
+   *    with maxPolCV the max over pols of std/mean (computeMaxVarianceCoefficient,
+   *    divisors = numOfProducts, zero-mean pols skipped, all-skipped -> 0)
+   *  - val  = min(value / threshold, 1), value = 0.4 * (max + sumMax/numOfProducts)
+   *    (:382-385); threshold = mean + std of value over the scene (:520-552),
+   *    computed in a FIRST pass whose validity rule differs from the main pass —
+   *    a pixel is dropped at its FIRST poison epoch and never recovers
+   *    (invalid[], :492-500) — the reference's two-pass asymmetry, mirrored.
+   * Per-pixel running max folds use init max = 0 / time = 0 (the Java array
+   * defaults, so an all-nonpositive pixel emits hue 0 — reference quirk kept).
+   * value is dyadically staged (1e-2) before the scene aggregation so the
+   * threshold is an exact integer-sum derivation in both engines (documented
+   * deviation; v itself is already 2^-14 dyadic so per-pol sums are exact).
+   */
+  def reactivQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val E = Epochs.toDouble
+    val EM1 = (Epochs - 1).toDouble
+    val NEG = "-1.7976931348623157E308"
+    val pe = stackTiles(spark, sfDir)
+      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x", "epoch")
+      .agg(first(when(col("pol") === "VV", col("v")), ignoreNulls = true).as("vv"),
+        first(when(col("pol") === "VH", col("v")), ignoreNulls = true).as("vh"))
+    val folded = pe
+      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x")
+      .agg(sort_array(collect_list(struct(col("epoch"), col("vv"), col("vh")))).as("es"))
+      .withColumn("st", expr(
         s"""transform(sequence(0, ${N - 1}), k ->
-           |  aggregate(es, struct(0D AS n, 0D AS s1, 0D AS s2),
-           |    (acc, t) -> if(element_at(t.v, k + 1) = $ND, acc,
-           |      struct(acc.n + 1D AS n,
-           |             acc.s1 + element_at(t.v, k + 1) AS s1,
-           |             acc.s2 + element_at(t.v, k + 1) * element_at(t.v, k + 1) AS s2)),
-           |    acc -> if(acc.n < 2D or acc.s1 <= 0D, $ND,
-           |      sqrt(greatest(0D, acc.s2 / acc.n - (acc.s1 / acc.n) * (acc.s1 / acc.n)))
-           |        / (acc.s1 / acc.n))))""".stripMargin))
-      .drop("es"))
+           |  aggregate(es,
+           |    struct(CAST(0 AS DOUBLE) AS mx, CAST(0 AS DOUBLE) AS tm, true AS np,
+           |           CAST(0 AS DOUBLE) AS smax, CAST(0 AS DOUBLE) AS svv, CAST(0 AS DOUBLE) AS s2vv,
+           |           CAST(0 AS DOUBLE) AS svh, CAST(0 AS DOUBLE) AS s2vh),
+           |    (acc, t) -> if(
+           |      (t.vv IS NOT NULL AND element_at(t.vv, k + 1) = $ND)
+           |        OR (t.vh IS NOT NULL AND element_at(t.vh, k + 1) = $ND),
+           |      struct(acc.mx AS mx, CAST(-1 AS DOUBLE) AS tm, false AS np, acc.smax AS smax,
+           |             acc.svv AS svv, acc.s2vv AS s2vv, acc.svh AS svh, acc.s2vh AS s2vh),
+           |      struct(
+           |        if(acc.mx < greatest(coalesce(element_at(t.vv, k + 1), ${NEG}D), coalesce(element_at(t.vh, k + 1), ${NEG}D)),
+           |           greatest(coalesce(element_at(t.vv, k + 1), ${NEG}D), coalesce(element_at(t.vh, k + 1), ${NEG}D)), acc.mx) AS mx,
+           |        if(acc.mx < greatest(coalesce(element_at(t.vv, k + 1), ${NEG}D), coalesce(element_at(t.vh, k + 1), ${NEG}D)),
+           |           CAST(t.epoch AS DOUBLE), acc.tm) AS tm,
+           |        acc.np AS np,
+           |        acc.smax + greatest(coalesce(element_at(t.vv, k + 1), ${NEG}D), coalesce(element_at(t.vh, k + 1), ${NEG}D)) AS smax,
+           |        acc.svv + coalesce(element_at(t.vv, k + 1), CAST(0 AS DOUBLE)) AS svv,
+           |        acc.s2vv + coalesce(element_at(t.vv, k + 1) * element_at(t.vv, k + 1), CAST(0 AS DOUBLE)) AS s2vv,
+           |        acc.svh + coalesce(element_at(t.vh, k + 1), CAST(0 AS DOUBLE)) AS svh,
+           |        acc.s2vh + coalesce(element_at(t.vh, k + 1) * element_at(t.vh, k + 1), CAST(0 AS DOUBLE)) AS s2vh)),
+           |    acc -> struct(acc.mx AS mx, acc.tm AS tm, acc.np AS np,
+           |      0.4 * (acc.mx + acc.smax / ${E}) AS value0,
+           |      coalesce(greatest(
+           |        if(acc.svv / ${E} = CAST(0 AS DOUBLE), CAST(null AS DOUBLE),
+           |          sqrt(greatest(CAST(0 AS DOUBLE), acc.s2vv / ${E} - (acc.svv / ${E}) * (acc.svv / ${E}))) / (acc.svv / ${E})),
+           |        if(acc.svh / ${E} = CAST(0 AS DOUBLE), CAST(null AS DOUBLE),
+           |          sqrt(greatest(CAST(0 AS DOUBLE), acc.s2vh / ${E} - (acc.svh / ${E}) * (acc.svh / ${E}))) / (acc.svh / ${E}))),
+           |        CAST(0 AS DOUBLE)) AS maxvc)))""".stripMargin))
+      .drop("es")
+    // pass 1 (computeThreshold, :441-555): per-scene mean + std of the dyadically
+    // staged value over pixels never poisoned at ANY epoch
+    val thr = folded
+      .withColumn("tp", expr(
+        s"""aggregate(st, struct(0L AS n, 0L AS s, 0L AS s2),
+           |  (acc, p) -> if(NOT p.np, acc,
+           |    struct(acc.n + 1L AS n,
+           |      acc.s + CAST(floor(0.031415926535897934 + p.value0 * 1.0E2) AS BIGINT) AS s,
+           |      acc.s2 + CAST(floor(0.031415926535897934 + p.value0 * 1.0E2) AS BIGINT)
+           |             * CAST(floor(0.031415926535897934 + p.value0 * 1.0E2) AS BIGINT) AS s2)))""".stripMargin))
+      .groupBy("scene_id")
+      .agg(sum(expr("tp.n")).as("tn"), sum(expr("tp.s")).as("ts"), sum(expr("tp.s2")).as("ts2"))
+      .withColumn("threshold", expr(
+        """if(tn = 0, CAST(0 AS DOUBLE),
+          |  (ts / 1.0E2) / tn + sqrt(greatest(CAST(0 AS DOUBLE),
+          |    (ts2 / 1.0E4) / tn - ((ts / 1.0E2) / tn) * ((ts / 1.0E2) / tn))))""".stripMargin))
+      .select("scene_id", "threshold")
+    // pass 2: hue / saturation / normalized value per pixel, rolled up per tile
+    folded
+      .join(broadcast(thr), Seq("scene_id"))
+      .withColumn("rq", expr(
+        s"""aggregate(st, struct(0L AS n, 0L AS hq, 0L AS sq, 0L AS vq),
+           |  (acc, p) -> if(p.tm = CAST(-1 AS DOUBLE), acc,
+           |    struct(acc.n + 1L AS n,
+           |      acc.hq + CAST(floor(0.031415926535897934 + (0.9 * p.tm / ${EM1}) * 1.0E6) AS BIGINT) AS hq,
+           |      acc.sq + CAST(floor(0.031415926535897934 + least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), (p.maxvc - 0.2286) / (10.0 * 0.1616) + 0.25)) * 1.0E6) AS BIGINT) AS sq,
+           |      acc.vq + CAST(floor(0.031415926535897934 + if(threshold > CAST(0 AS DOUBLE) AND p.value0 < threshold, p.value0 / threshold, CAST(1 AS DOUBLE)) * 1.0E6) AS BIGINT) AS vq)))""".stripMargin))
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("tile_y"), col("tile_x"),
+        expr("rq.n").as("n_valid"), expr("rq.hq").as("hue_sum_q"),
+        expr("rq.sq").as("sat_sum_q"), expr("rq.vq").as("val_sum_q"))
+  }
 
   /** SliceAssembly: cumulative azimuth line offsets of time-sorted slices. */
   def sliceAssemblyQuery(spark: SparkSession, sfDir: String): DataFrame = {

@@ -156,22 +156,195 @@ object TerrainCorrection {
         expr("CAST(floor(0.031415926535897934 + t_zd * 1.0E4) AS BIGINT)").as("tzd_q"),
         expr("CAST(floor(0.031415926535897934 + slant * 1.0E2) AS BIGINT)").as("slant_q"))
 
+  /** TerrainFlatteningOp.java:164 — pixels whose simulated area is below
+   * threshold * aGamma are foreshortening/layover, written as no-data. */
+  val TfThreshold = 0.05
+
   /**
-   * Terrain-Flattening (reference TerrainFlatteningOp.java:72, 491-527): the gamma0
-   * normalization area is accumulated by SCATTER-ADD — every DEM facet contributes
-   * its illuminated area to the SAR pixel it maps to, i.e. groupBy(source pixel
-   * tile).sum(area). Reuses the TC geometry chain; area = facet area / sin(local
-   * incidence). Integer-quantized per facet before the (exact) sum.
+   * Terrain-Flattening — the FULL reference algorithm (TerrainFlatteningOp.java:
+   * 491-716, 1181-1226, 1301-1377; Small 2011 "Flattening Gamma"):
+   *
+   *  1. The DEM is traversed on an OVERSAMPLED grid (delta = demResolution /
+   *     overSamplingFactor, :613-616) — here the CellDeg target grid over the
+   *     0.05-deg DEM raster; the four facet-corner heights alt00/alt01/alt10/alt11
+   *     are RESAMPLED from the DEM at (lat, lon), (lat+d, lon), (lat, lon+d),
+   *     (lat+d, lon+d) (:649-658; the NEAREST_NEIGHBOUR selectedResampling
+   *     variant — corner height = DEM sample at the rounded raster index).
+   *  2. computeIlluminatedArea (:1301-1353): corner geodetic positions to 3-D
+   *     (the fixture's local tangent frame replaces geo2xyzWGS84), each corner
+   *     PROJECTED onto the plane perpendicular to the slant-range unit vector
+   *     s = normalize(sensorPos - earthPoint), then Heron's formula over the two
+   *     triangles (p00,p01,p10) and (p11,p01,p10) gives the illuminated gamma0
+   *     area; the UNPROJECTED corner triangles give the sigma0 area (outputSigma0
+   *     branch, :1349-1370). At zero Doppler the linear-ephemeris sensor sits at
+   *     (orb_x, ty, orb_z), so s_y = 0 and y-coordinates project unchanged.
+   *  3. saveIlluminationArea (:1181-1226): both areas scatter-add BILINEARLY into
+   *     the 4 SAR pixels around the facet's fractional (rangeIndex, azimuthIndex)
+   *     with weights (1-wa)(1-wr) / ... — each weighted contribution is
+   *     integer-quantized pre-sum so the distributed combine is exact.
+   *  4. outputNormalizedImage (:896-958): per pixel, simVal = accumulated gamma0
+   *     area; with aBeta = azimuthSpacing * rangeSpacing (:249) and aGamma =
+   *     aBeta / tan(incidenceAngle) (:937), pixels with simVal > threshold *
+   *     aGamma output gamma0 = beta0 / (simVal / aBeta); others are no-data
+   *     (foreshortening/layover guard). The per-pixel incidence angle TPG maps to
+   *     the fixture's flat-ground inverse tan(inc) = sqrt(slant^2 - orb_z^2) /
+   *     orb_z at the pixel's slant range.
+   *
+   * Gate output rolls up per tile: contributing-pixel count, exact quantized
+   * area sums, and the flattened-gamma0 sum over valid pixels. Only pixels with
+   * >= 1 facet contribution appear (the reference writes no-data elsewhere).
+   * Shadow detection (detectShadow, :665-706) is off by default in the reference
+   * and covered by the layover/shadow gates. Scale shape: distributed generated
+   * facet grid, broadcast dims, ONE pixel-keyed shuffle for the scatter-add, and
+   * the tile gather join broadcasts the aggregated (small, grid-bounded) side so
+   * tile arrays never shuffle — the rdGeocode discipline.
    */
-  def terrainFlatteningQuery(spark: SparkSession, sfDir: String): DataFrame =
-    resolvedTargets(spark, sfDir)
-      .withColumn("sin_inc", expr("abs(orb_x - tx_m) / slant"))
-      .where(col("sin_inc") > 0.0)
-      .withColumn("area", expr(
-        s"(${XMetersPerDeg * CellDeg} * ${YMetersPerDeg * CellDeg}) / sin_inc"))
-      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x")
+  def terrainFlatteningQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val scenes = Fixtures.table(spark, sfDir, "scenes")
+      .select("scene_id", "azimuth_time_interval", "lon0", "lat0")
+    val orbit0 = Fixtures.table(spark, sfDir, "orbit")
+      .withColumn("rn", row_number().over(Window.partitionBy("scene_id").orderBy("t_sec")))
+      .where(col("rn") === 1)
+      .select(col("scene_id"), col("t_sec").as("orb_t"), col("x").as("orb_x"),
+        col("y").as("orb_y"), col("z").as("orb_z"), col("vy").as("orb_vy"))
+    val dims = broadcast(scenes.join(orbit0, Seq("scene_id")))
+    val dem = Fixtures.table(spark, sfDir, "dem").select("scene_id", "lat_idx", "lon_idx", "height")
+    // one broadcast self-alias of the DEM per facet corner (inner joins = the
+    // reference's demNoDataValue corner guard, computeIlluminatedArea:1306-1312)
+    def corner(df: DataFrame, h: String, liCol: String, loCol: String): DataFrame =
+      df.join(broadcast(dem.select(col("scene_id").as("d_sid"), col("lat_idx").as("d_li"),
+          col("lon_idx").as("d_lo"), col("height").as(h))),
+        col("scene_id") === col("d_sid") && col(liCol) === col("d_li") && col(loCol) === col("d_lo"))
+        .drop("d_sid", "d_li", "d_lo")
+    val cells = spark.range(0L, GridNx.toLong * GridNy)
+      .select(expr(s"CAST(id div $GridNy AS INT)").as("ci"),
+        expr(s"CAST(id % $GridNy AS INT)").as("cj"))
+    val withCorners = corner(corner(corner(corner(
+      cells.join(dims)
+        .withColumn("lon", col("lon0") + (col("ci") + 0.5) * CellDeg)
+        .withColumn("lat", col("lat0") + (col("cj") + 0.5) * CellDeg)
+        // nearest-neighbour DEM resample indices for the 4 facet corners
+        .withColumn("li0", expr(s"CAST(round((lat - lat0) / $DemStep, 0) AS INT)"))
+        .withColumn("lo0", expr(s"CAST(round((lon - lon0) / $DemStep, 0) AS INT)"))
+        .withColumn("li1", expr(s"CAST(round((lat + $CellDeg - lat0) / $DemStep, 0) AS INT)"))
+        .withColumn("lo1", expr(s"CAST(round((lon + $CellDeg - lon0) / $DemStep, 0) AS INT)")),
+      "h00", "li0", "lo0"), "h01", "li1", "lo0"), "h10", "li0", "lo1"), "h11", "li1", "lo1")
+    val areas = withCorners
+      // facet-corner positions in the local tangent frame (t00 anchor at the cell
+      // centre; t01 one oversampled step in lat, t10 one step in lon — the
+      // reference's y-1 row / x+1 column, LocalGeometry:1404-1430)
+      .withColumn("tx0", (col("lon") - col("lon0")) * XMetersPerDeg)
+      .withColumn("ty0", (col("lat") - col("lat0")) * YMetersPerDeg)
+      .withColumn("tx1", col("tx0") + CellDeg * XMetersPerDeg)
+      .withColumn("ty1", col("ty0") + CellDeg * YMetersPerDeg)
+      .withColumn("slant", expr("sqrt((orb_x - tx0) * (orb_x - tx0) + (orb_z - h00) * (orb_z - h00))"))
+      // slant-range unit vector at the earthPoint (s_y = 0 at zero Doppler)
+      .withColumn("sx", expr("(orb_x - tx0) / slant"))
+      .withColumn("sz", expr("(orb_z - h00) / slant"))
+      // corners projected onto the plane perpendicular to s: p = T - (T . s) s;
+      // y passes through unchanged (s_y = 0)
+      .withColumn("q00", expr("tx0 * sx + h00 * sz"))
+      .withColumn("q01", expr("tx0 * sx + h01 * sz"))
+      .withColumn("q10", expr("tx1 * sx + h10 * sz"))
+      .withColumn("q11", expr("tx1 * sx + h11 * sz"))
+      .withColumn("p00x", expr("tx0 - q00 * sx")).withColumn("p00z", expr("h00 - q00 * sz"))
+      .withColumn("p01x", expr("tx0 - q01 * sx")).withColumn("p01z", expr("h01 - q01 * sz"))
+      .withColumn("p10x", expr("tx1 - q10 * sx")).withColumn("p10z", expr("h10 - q10 * sz"))
+      .withColumn("p11x", expr("tx1 - q11 * sx")).withColumn("p11z", expr("h11 - q11 * sz"))
+      // projected corner distances (p01/p11 carry ty1; p00/p10 carry ty0)
+      .withColumn("e0001", expr(heron3d("p00x", "ty0", "p00z", "p01x", "ty1", "p01z")))
+      .withColumn("e0010", expr(heron3d("p00x", "ty0", "p00z", "p10x", "ty0", "p10z")))
+      .withColumn("e1101", expr(heron3d("p11x", "ty1", "p11z", "p01x", "ty1", "p01z")))
+      .withColumn("e1110", expr(heron3d("p11x", "ty1", "p11z", "p10x", "ty0", "p10z")))
+      .withColumn("e1001", expr(heron3d("p10x", "ty0", "p10z", "p01x", "ty1", "p01z")))
+      .withColumn("gamma_area", expr(heronSum("e0001", "e0010", "e1101", "e1110", "e1001")))
+      // ground (unprojected) corner distances for the sigma0 area
+      .withColumn("g0001", expr(heron3d("tx0", "ty0", "h00", "tx0", "ty1", "h01")))
+      .withColumn("g0010", expr(heron3d("tx0", "ty0", "h00", "tx1", "ty0", "h10")))
+      .withColumn("g1101", expr(heron3d("tx1", "ty1", "h11", "tx0", "ty1", "h01")))
+      .withColumn("g1110", expr(heron3d("tx1", "ty1", "h11", "tx1", "ty0", "h10")))
+      .withColumn("g1001", expr(heron3d("tx1", "ty0", "h10", "tx0", "ty1", "h01")))
+      .withColumn("sigma_area", expr(heronSum("g0001", "g0010", "g1101", "g1110", "g1001")))
+    // fractional Range-Doppler indices at the facet anchor + burst ownership
+    val resolved = areas
+      .withColumn("r0", expr("sqrt(orb_x * orb_x + orb_z * orb_z)"))
+      .withColumn("t_zd", col("orb_t") + (col("ty0") - col("orb_y")) / col("orb_vy"))
+      .withColumn("xfg", expr(s"(slant - r0) / $DR"))
+      .where(col("xfg") >= 0 && col("xfg") < 3 * Layout.SamplesPerBurst - 1)
+      .withColumn("s0", expr("CAST(floor(xfg) AS INT)"))
+      .withColumn("x0", expr(s"CAST(s0 % ${Layout.SamplesPerBurst} AS INT)"))
+      .where(col("x0") < Layout.SamplesPerBurst - 1) // both range corners in one subswath
+      .withColumn("subswath", concat(lit("IW"), expr(s"s0 div ${Layout.SamplesPerBurst} + 1")))
+      .withColumn("wx", col("xfg") - expr("floor(xfg)"))
+      .join(broadcast(burstOwnership(spark, sfDir)), Seq("scene_id", "subswath"))
+      .where(col("t_zd") > col("own_from") && col("t_zd") <= col("own_to"))
+      .withColumn("lf", (col("t_zd") - col("burst_first_line_time")) / col("azimuth_time_interval"))
+      .where(col("lf") >= 0 && col("lf") < Layout.LinesPerBurst - 1)
+      .withColumn("l0", expr("CAST(floor(lf) AS INT)"))
+      .withColumn("wl", col("lf") - expr("floor(lf)"))
+    // bilinear 4-neighbour area scatter (saveIlluminationArea:1181-1226); each
+    // weighted contribution quantized pre-sum -> exact order-independent combine
+    val pxSums = resolved
+      .withColumn("cyx", expr("explode(array(struct(0 AS cy, 0 AS cx), struct(0 AS cy, 1 AS cx), " +
+        "struct(1 AS cy, 0 AS cx), struct(1 AS cy, 1 AS cx)))"))
+      .withColumn("line", col("l0") + col("cyx.cy"))
+      .withColumn("samp", col("x0") + col("cyx.cx"))
+      .withColumn("w", expr("(CASE WHEN cyx.cy = 0 THEN 1.0D - wl ELSE wl END) * " +
+        "(CASE WHEN cyx.cx = 0 THEN 1.0D - wx ELSE wx END)"))
+      .withColumn("tile_y", expr(s"line div ${Layout.TileH}"))
+      .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
+      .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
+      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x", "px")
       .agg(count(lit(1)).as("n_facets"),
-        sum(expr("CAST(floor(0.031415926535897934 + area * 1.0E2) AS BIGINT)")).as("area_sum_q"))
+        sum(expr("CAST(floor(0.031415926535897934 + w * gamma_area * 1.0E2) AS BIGINT)")).as("garea_q"),
+        sum(expr("CAST(floor(0.031415926535897934 + w * sigma_area * 1.0E2) AS BIGINT)")).as("sarea_q"))
+    // normalization (outputNormalizedImage:896-958): gamma0 = beta0 / (simVal/aBeta)
+    // where simVal > threshold * aBeta / tan(inc); beta0 from the source tiles via
+    // the rdGeocode gather discipline (broadcast the grid-bounded aggregate side)
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    val tiles = Fixtures.table(spark, sfDir, "tiles")
+      .where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+    tiles
+      .join(broadcast(pxSums.join(dims, Seq("scene_id"))),
+        Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+      .withColumn("pa", expr("element_at(i, px + 1)"))
+      .withColumn("pb", expr("element_at(q, px + 1)"))
+      .withColumn("sim_val", expr("garea_q / 1.0E2"))
+      .withColumn("a_beta", expr(s"orb_vy * azimuth_time_interval * $DR"))
+      .withColumn("slant_px", expr(
+        s"sqrt(orb_x * orb_x + orb_z * orb_z) + ((CAST(substring(subswath, 3, 1) AS INT) - 1) * ${Layout.SamplesPerBurst} + tile_x * ${Layout.TileW} + px % ${Layout.TileW}) * $DR"))
+      .withColumn("tan_inc", expr("sqrt(greatest(0D, slant_px * slant_px - orb_z * orb_z)) / orb_z"))
+      .withColumn("g0_q", expr(
+        s"""if(pa = -9999.0D or pb = -9999.0D or isnan(pa) or isnan(pb)
+           |   or sim_val <= $TfThreshold * a_beta / tan_inc, CAST(null AS BIGINT),
+           |  CAST(floor(0.031415926535897934 +
+           |    (floor(((floor(pa * $d) / $d) * (floor(pa * $d) / $d)
+           |      + (floor(pb * $d) / $d) * (floor(pb * $d) / $d)) * $dv) / $dv)
+           |    / (sim_val / a_beta) * 1.0E4) AS BIGINT))""".stripMargin))
+      .groupBy("scene_id", "subswath", "burst_idx", "tile_y", "tile_x")
+      .agg(count(lit(1)).as("n_px"), sum("n_facets").as("n_facets"),
+        sum("garea_q").as("garea_sum_q"), sum("sarea_q").as("sarea_sum_q"),
+        count("g0_q").as("n_flat"), sum("g0_q").as("flat_sum_q"))
+  }
+
+  /** Two-point 3-D distance (expression text shared verbatim with the DuckDB twin). */
+  private def heron3d(ax: String, ay: String, az: String, bx: String, by: String, bz: String): String =
+    s"sqrt(($ax - $bx) * ($ax - $bx) + ($ay - $by) * ($ay - $by) + ($az - $bz) * ($az - $bz))"
+
+  /** Heron two-triangle area over edges (00-01, 00-10, 11-01, 11-10, 10-01).
+   * CAST(0 AS DOUBLE) (not Spark's 0D suffix) — the text is shared verbatim with
+   * the DuckDB twin. */
+  private[graft] def heronSum(e0001: String, e0010: String, e1101: String, e1110: String, e1001: String): String =
+    s"""sqrt(greatest(CAST(0 AS DOUBLE), (0.5 * ($e0001 + $e0010 + $e1001))
+       |  * ((0.5 * ($e0001 + $e0010 + $e1001)) - $e0001)
+       |  * ((0.5 * ($e0001 + $e0010 + $e1001)) - $e0010)
+       |  * ((0.5 * ($e0001 + $e0010 + $e1001)) - $e1001)))
+       | + sqrt(greatest(CAST(0 AS DOUBLE), (0.5 * ($e1101 + $e1110 + $e1001))
+       |  * ((0.5 * ($e1101 + $e1110 + $e1001)) - $e1101)
+       |  * ((0.5 * ($e1101 + $e1110 + $e1001)) - $e1110)
+       |  * ((0.5 * ($e1101 + $e1110 + $e1001)) - $e1001)))""".stripMargin
 
   /**
    * SAR-Simulation (reference SARSimulationOp.java:95): simulate backscatter from the
