@@ -33,7 +33,46 @@ object SarOracles3 {
        |       max(CAST(floor(0.031415926535897934 + v * 1.0E6) AS BIGINT)) FILTER (v <> -9999.0) AS max_q
        |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
-  val undersample: String =
+  /** Undersample twin — the reference-DEFAULT kernel-filtering path
+   * (UndersamplingOp.java:105-114, 642-686): burst raster assembled row-major,
+   * per-target 3x3 all-ones lowpass over complex intensity at the fractional
+   * stride anchors; the 9 terms sum in the reference's (y, x) loop order with
+   * expression text identical to ops.Utility.undersampleQuery. */
+  val undersample: String = {
+    val u = Utility
+    val w = 1.0 / 9
+    val terms = (for (dy <- 0 to 2; dx <- 0 to 2) yield {
+      val li = s"list_extract(li, (y0 + $dy) * ${u.UsSrcW} + (x0 + $dx) + 1)"
+      val lq = s"list_extract(lq, (y0 + $dy) * ${u.UsSrcW} + (x0 + $dx) + 1)"
+      s"($li * $li + $lq * $lq) * $w"
+    }).mkString("(", " + ", ")")
+    s"""WITH uq0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k,
+       |         floor(unnest(i) * 4096) / 4096 AS iv, floor(unnest(q) * 4096) / 4096 AS qv
+       |  FROM ${fx("tiles")}),
+       |uq AS (
+       |  SELECT *, tile_x * $W + k % $W AS gx,
+       |         tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy
+       |  FROM uq0),
+       |rs AS MATERIALIZED (
+       |  SELECT scene_id, subswath, pol, burst_idx,
+       |         list(iv ORDER BY gy, gx) AS li, list(qv ORDER BY gy, gx) AS lq
+       |  FROM uq GROUP BY 1, 2, 3, 4),
+       |tg AS MATERIALIZED (
+       |  SELECT r.scene_id, r.subswath, r.pol, r.burst_idx, r.li, r.lq, g.t,
+       |    CAST(floor((g.t // ${u.UsTgtW}) * ${u.UsStepAz} + 0.5) AS INT) AS y0,
+       |    CAST(floor((g.t % ${u.UsTgtW}) * ${u.UsStepRg} + 0.5) AS INT) AS x0
+       |  FROM rs r, (SELECT unnest(range(${u.UsTgtW * u.UsTgtH})) AS t) g),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, 0 AS tile_y, 0 AS tile_x,
+       |         $terms AS out
+       |  FROM tg)
+       |${SarOracles.rollupSql(1.0)}""".stripMargin
+  }
+
+  /** Sub-Sampling undersample (the other reference method, UndersamplingOp.java:181-183). */
+  val undersampleSubsample: String =
     s"""WITH $pxCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, v AS out
        |      FROM px WHERE gx % 2 = 0 AND gy % 2 = 0)

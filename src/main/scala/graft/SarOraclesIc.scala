@@ -13,18 +13,61 @@ object SarOraclesIc {
   private def q6(e: String) = s"CAST(floor(0.031415926535897934 + ($e) * 1.0E6) AS BIGINT)"
   private val keys = "scene_id, subswath, pol, burst_idx, tile_y, tile_x"
 
+  /** q_iono twin — restates the FULL reference pipeline the compiled kernel runs
+   * (IonosphericCorrectionOp.java:289-480): raw split-spectrum estimate,
+   * coherence-threshold weights, separable weighted Gaussian as TWO lag/lead
+   * window passes (the 423a6e3 no-self-join discipline; zero padding = the
+   * coalesced out-of-partition lags), filtered = conv(w*d)/conv(w), corrected =
+   * wrap(phiF - filtered). Kernel weights are Double.toString literals of the
+   * SAME JVM Math.exp values the compiled kernel computes. */
   val iono: String = {
+    val sg = InSARCorrections.IonoSigma
+    val thr = InSARCorrections.IonoCohThr
+    val hw = (8 * sg + 1) / 2
+    val ker = (0 to 2 * hw).map { i => val r = i - hw; math.exp(-(r * r) / (2.0 * sg * sg)) }
+    def chain(v: String, part: String, ord: String): String =
+      (-hw to hw).map { r =>
+        val k = ker(r + hw)
+        if (r < 0) s"$k * coalesce(lag($v, ${-r}) OVER (PARTITION BY $part ORDER BY $ord), 0)"
+        else if (r == 0) s"$k * $v"
+        else s"$k * coalesce(lead($v, $r) OVER (PARTITION BY $part ORDER BY $ord), 0)"
+      }.mkString("(", " + ", ")")
     val phf = "atan2(cim, cre)"
-    val iono = InSARCorrections.ionoSql(
+    val iraw = InSARCorrections.ionoSql(
       InSARCorrections.phlSql(phf, "gx"), InSARCorrections.phhSql(phf, "gy"))
-    val corr = s"atan2(sin(($phf) - ($iono)), cos(($phf) - ($iono)))"
+    val kb = "scene_id, subswath, pol, burst_idx"
     s"""WITH ${SarOracles2.crossCte},
-       |v AS (SELECT *, cim <> -9999.0 AND cre <> -9999.0 AS vld FROM cx)
+       |r0 AS MATERIALIZED (
+       |  SELECT *, cim <> -9999.0 AND cre <> -9999.0 AS vld FROM cx),
+       |r1 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN vld THEN $phf ELSE 0 END AS phv,
+       |    CASE WHEN vld THEN
+       |      (CASE WHEN (0.2 + 0.8 * abs(sin(gx / 17.0) * cos(gy / 13.0))) < $thr THEN 0.0
+       |            ELSE (0.2 + 0.8 * abs(sin(gx / 17.0) * cos(gy / 13.0))) END)
+       |      ELSE 0.0 END AS wgt,
+       |    CASE WHEN vld THEN $iraw ELSE 0 END AS iraw
+       |  FROM r0),
+       |r2 AS MATERIALIZED (SELECT *, wgt * iraw AS wd FROM r1),
+       |xp AS MATERIALIZED (
+       |  SELECT *, ${chain("wd", s"$kb, gy", "gx")} AS xwd,
+       |            ${chain("wgt", s"$kb, gy", "gx")} AS xw
+       |  FROM r2),
+       |yp AS MATERIALIZED (
+       |  SELECT *, ${chain("xwd", s"$kb, gx", "gy")} AS cwd,
+       |            ${chain("xw", s"$kb, gx", "gy")} AS cw
+       |  FROM xp),
+       |fin AS MATERIALIZED (
+       |  SELECT *, vld AND cw <> 0.0 AS ok,
+       |    CASE WHEN vld AND cw <> 0.0 THEN cwd / cw ELSE 0 END AS filtered
+       |  FROM yp),
+       |fin2 AS MATERIALIZED (
+       |  SELECT *, atan2(sin(phv - filtered), cos(phv - filtered)) AS corr FROM fin)
        |SELECT $keys,
-       |  count(*) FILTER (vld) AS n_valid,
-       |  CAST(coalesce(sum(${q6(iono)}) FILTER (vld), 0) AS BIGINT) AS iono_sum_q,
-       |  CAST(coalesce(sum(${q6(corr)}) FILTER (vld), 0) AS BIGINT) AS corr_sum_q
-       |FROM v GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+       |  count(*) FILTER (ok) AS n_valid,
+       |  CAST(coalesce(sum(${q6("filtered")}) FILTER (ok), 0) AS BIGINT) AS iono_sum_q,
+       |  CAST(coalesce(sum(${q6("corr")}) FILTER (ok), 0) AS BIGINT) AS corr_sum_q
+       |FROM fin2 GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
   val tropo: String = {

@@ -394,6 +394,25 @@ case class RollupQExpr(arr: Expression, q: Double) extends StaticKernelExpr {
     copy(arr = c(0))
 }
 
+/** Full split-spectrum ionospheric correction over one burst raster (coherence
+ * threshold + separable weighted Gaussian + wrap(phiF - filtered)); per-tile
+ * (n, iono_q, corr_q) sums (IonosphericCorrectionOp.java:289-480). */
+case class IonoSmoothExpr(cre: Expression, cim: Expression, tilesX: Int, tilesY: Int,
+    tileW: Int, tileH: Int, sigma: Int, thr: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(cre, cim)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("iono_q", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("corr_q", ArrayType(LongType, containsNull = false), nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.ionoSmooth(${args(0)}, ${args(1)}, $tilesX, $tilesY, $tileW, $tileH, $sigma, ${thr}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.ionoSmooth(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      tilesX, tilesY, tileW, tileH, sigma, thr)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cre = c(0), cim = c(1))
+}
+
 /** 16-entry minhash signature from a doc's base-hash array (one compiled pass). */
 case class Minhash16Expr(hs: Expression) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(hs)
@@ -903,6 +922,10 @@ object KernelExprs {
   def minhash16(hs: Column): Column = toCol(Minhash16Expr(toExpr(hs)))
 
   def rollupQ(arr: Column, q: Double): Column = toCol(RollupQExpr(toExpr(arr), q))
+
+  def ionoSmooth(cre: Column, cim: Column, tilesX: Int, tilesY: Int,
+      tileW: Int, tileH: Int, sigma: Int, thr: Double): Column =
+    toCol(IonoSmoothExpr(toExpr(cre), toExpr(cim), tilesX, tilesY, tileW, tileH, sigma, thr))
 
   def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
 

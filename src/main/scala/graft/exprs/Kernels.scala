@@ -3930,4 +3930,128 @@ object Kernels {
     }
     InternalRow(cnt, s1, s2, s3, s4)
   }
+
+  // ------------------------------------------------- ionospheric correction (full)
+
+  /**
+   * Split-spectrum ionospheric correction — the FULL reference pipeline
+   * (IonosphericCorrectionOp.java:289-480): raw iono phase per pixel from the
+   * planted low/high sub-band screens (:329-331), coherence THRESHOLD mask
+   * (:342-346, coh < thr -> weight 0), separable weighted GAUSSIAN smoothing
+   * (filter:393-418 + convolveWithGaussian2D/1D:424-475 — conv(w*d)/conv(w),
+   * kernel exp(-r^2/(2 sigma^2)), size 8*sigma+1, zero padding = the
+   * BORDER_ZERO source extension :268), then corrected = wrap(phiF - filtered)
+   * (:351-354, 385). Zero normalization -> ND (the reference's 0/0 NaN,
+   * documented as the sentinel here). The burst raster arrives tile-major
+   * (sorted tile structs flattened); sums are per tile, 1e6-quantized.
+   * The fixture coherence surface is the analytic
+   * coh = 0.2 + 0.8 |sin(gx/17) cos(gy/13)| (restated verbatim in the oracle).
+   * Returns (n, iono_q, corr_q) Long arrays indexed by tile (tile-major).
+   */
+  def ionoSmooth(creD: ArrayData, cimD: ArrayData, tilesX: Int, tilesY: Int,
+      tileW: Int, tileH: Int, sigma: Int, thr: Double): InternalRow = {
+    val cre = creD.toDoubleArray(); val cim = cimD.toDoubleArray()
+    val w = tilesX * tileW; val h = tilesY * tileH
+    val tileSz = tileW * tileH; val nTiles = tilesX * tilesY
+    val phf = new Array[Double](w * h)
+    val valid = new Array[Boolean](w * h)
+    val wd = new Array[Double](w * h) // weight * raw iono
+    val wg = new Array[Double](w * h) // thresholded coherence weight
+    var t = 0
+    while (t < nTiles) {
+      var k = 0
+      while (k < tileSz) {
+        val gy = (t / tilesX) * tileH + k / tileW
+        val gx = (t % tilesX) * tileW + k % tileW
+        val p = gy * w + gx
+        val a = cre(t * tileSz + k); val b = cim(t * tileSz + k)
+        if (a != ND && b != ND) {
+          valid(p) = true
+          val ph = math.atan2(b, a)
+          phf(p) = ph
+          val phl = ph + 0.3 * math.sin(gx / 30.0)
+          val phh = ph - 0.2 * math.cos(gy / 45.0)
+          val iono = (5.37e9 * 5.44e9) / (5.405e9 * (5.44e9 * 5.44e9 - 5.37e9 * 5.37e9)) *
+            (phl * 5.44e9 - phh * 5.37e9)
+          val coh = 0.2 + 0.8 * math.abs(math.sin(gx / 17.0) * math.cos(gy / 13.0))
+          val wgt = if (coh < thr) 0.0 else coh
+          wg(p) = wgt
+          wd(p) = wgt * iono
+        }
+        k += 1
+      }
+      t += 1
+    }
+    // separable weighted Gaussian (x then y), zero-padded; ascending-r sums so
+    // the oracle's lag/lead chain walks the identical IEEE order
+    val hw = (8 * sigma + 1) / 2
+    val ker = Array.tabulate(2 * hw + 1)(i => {
+      val r = i - hw; math.exp(-(r * r) / (2.0 * sigma * sigma))
+    })
+    def convX(src: Array[Double]): Array[Double] = {
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0.0; var r = -hw
+          while (r <= hw) {
+            val xx = x + r
+            if (xx >= 0 && xx < w) s += ker(r + hw) * src(y * w + xx)
+            r += 1
+          }
+          out(y * w + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    def convY(src: Array[Double]): Array[Double] = {
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0.0; var r = -hw
+          while (r <= hw) {
+            val yy = y + r
+            if (yy >= 0 && yy < h) s += ker(r + hw) * src(yy * w + x)
+            r += 1
+          }
+          out(y * w + x) = s
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    val cwd = convY(convX(wd))
+    val cw = convY(convX(wg))
+    val n = new Array[Long](nTiles)
+    val ionoQ = new Array[Long](nTiles)
+    val corrQ = new Array[Long](nTiles)
+    t = 0
+    while (t < nTiles) {
+      var k = 0
+      while (k < tileSz) {
+        val gy = (t / tilesX) * tileH + k / tileW
+        val gx = (t % tilesX) * tileW + k % tileW
+        val p = gy * w + gx
+        if (valid(p) && cw(p) != 0.0) {
+          val filtered = cwd(p) / cw(p)
+          val d = phf(p) - filtered
+          val corr = math.atan2(math.sin(d), math.cos(d))
+          n(t) += 1
+          ionoQ(t) += q6l(filtered)
+          corrQ(t) += q6l(corr)
+        }
+        k += 1
+      }
+      t += 1
+    }
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(n),
+      UnsafeArrayData.fromPrimitiveArray(ionoQ),
+      UnsafeArrayData.fromPrimitiveArray(corrQ))
+  }
 }

@@ -35,7 +35,60 @@ object Utility {
         min(expr("CAST(floor(0.031415926535897934 + array_min(valid) * 1.0E6) AS BIGINT)")).as("min_q"),
         max(expr("CAST(floor(0.031415926535897934 + array_max(valid) * 1.0E6) AS BIGINT)")).as("max_q"))
 
+  /** Undersample target raster size (the reference default ratio 0.5:
+   * targetW = (int)(0.5 * srcW + 0.5), UndersamplingOp.java:329-330). */
+  val UsSrcW: Int = Layout.TilesX * Layout.TileW
+  val UsSrcH: Int = Layout.TilesY * Layout.TileH
+  val UsTgtW: Int = (0.5f * UsSrcW + 0.5f).toInt
+  val UsTgtH: Int = (0.5f * UsSrcH + 0.5f).toInt
+  /** moving-window steps (UndersamplingOp.java:356-357). */
+  val UsStepAz: Double = (UsSrcH - 3).toDouble / (UsTgtH - 1).toDouble
+  val UsStepRg: Double = (UsSrcW - 3).toDouble / (UsTgtW - 1).toDouble
+
+  /**
+   * Undersample — the reference's DEFAULT method, KERNEL FILTERING
+   * (UndersamplingOp.java:105-106 defaultValue = KERNEL_FILTERING, :110 LOW_PASS,
+   * :114 3x3, getFilteredValue:642-686): per target pixel (tx, ty), the source
+   * window anchors at x0 = (int)(tx * stepRange + 0.5), y0 likewise
+   * (:644-645), and the output is the kernel-weighted sum of the COMPLEX
+   * intensity i^2 + q^2 (:674-676) with weight = kernel/numPixels — the
+   * lop_3_3.ker all-ones kernel gives 1/9 everywhere (the reference divides the
+   * float kernel by float numPixels; here the weight is the double 1/9 — a
+   * documented deviation). The reference applies NO no-data guard in this path
+   * (raw buffer values enter the sum) — mirrored. The burst raster is assembled
+   * per burst (8 tiles, sorted tile-major) and all target pixels compute in one
+   * array pass; the 9 window terms sum in the reference's (y, x) loop order so
+   * both engines walk one IEEE chain. Sub-sampling (the other reference method,
+   * :181-183) stays as its own gate, q_undersample_subsample.
+   */
   def undersampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Raster.Dyadic
+    val w = 1.0 / 9
+    val terms = (for (dy <- 0 to 2; dx <- 0 to 2) yield {
+      val ti = s"CAST(((y0 + $dy) div ${Layout.TileH}) * ${Layout.TilesX} + ((x0 + $dx) div ${Layout.TileW}) + 1 AS INT)"
+      val px = s"CAST(((y0 + $dy) % ${Layout.TileH}) * ${Layout.TileW} + (x0 + $dx) % ${Layout.TileW} + 1 AS INT)"
+      s"(element_at(element_at(ts, $ti).iq, $px) * element_at(element_at(ts, $ti).iq, $px) + " +
+        s"element_at(element_at(ts, $ti).qq, $px) * element_at(element_at(ts, $ti).qq, $px)) * $w"
+    }).mkString("(", " + ", ")")
+    Fixtures.table(spark, sfDir, "tiles")
+      .withColumn("iq", expr(s"transform(i, x -> floor(x * $d) / $d)"))
+      .withColumn("qq", expr(s"transform(q, x -> floor(x * $d) / $d)"))
+      .groupBy("scene_id", "subswath", "pol", "burst_idx")
+      .agg(sort_array(collect_list(struct(col("tile_y"), col("tile_x"), col("iq"), col("qq")))).as("ts"))
+      .withColumn("out", expr(
+        s"""transform(sequence(0, ${UsTgtW * UsTgtH - 1}), t ->
+           |  aggregate(array(struct(
+           |      CAST(floor((t div $UsTgtW) * $UsStepAz + 0.5) AS INT) AS y0,
+           |      CAST(floor((t % $UsTgtW) * $UsStepRg + 0.5) AS INT) AS x0)),
+           |    CAST(0 AS DOUBLE),
+           |    (acc, c) -> acc + ${terms.replace("y0", "c.y0").replace("x0", "c.x0")}))""".stripMargin))
+      .withColumn("tile_y", lit(0)).withColumn("tile_x", lit(0))
+      .drop("ts", "iq", "qq")
+      .transform(Raster.rollup(_))
+  }
+
+  /** Sub-Sampling undersample (UndersamplingOp.java:181-183, 2x2 decimation). */
+  def undersampleSubsampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val w2 = Layout.TileW / 2
     val d = Raster.Dyadic; val dv = Raster.DyadicV
     // decimate the RAW i/q arrays and snap per kept pixel: referencing the derived
