@@ -92,6 +92,43 @@ object PipelineOracles {
        |FROM l${graft.dedup.Dedup.ClusterMaxRounds} GROUP BY 1""".stripMargin
   }
 
+  /** q_dedup_semantic twin — SemDeDup (cluster-scoped cosine dedup): the shared
+   * trained-centroid replay, nearest-centroid assignment, within-cluster
+   * tau-edge pairs, unrolled min-label propagation (full ClusterMaxRounds — the
+   * engine converges early at the same fixed point), keeper = min vec_id. */
+  val dedupSemantic: String = {
+    val tau = graft.dedup.Dedup.SemTau
+    val (centCtes, cf) = trainedCentroidCtes
+    val rounds = (1 to graft.dedup.Dedup.ClusterMaxRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT vec_id, min(label) AS label FROM (
+         |    SELECT vec_id, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT sedge.vec_a AS vec_id, l.label FROM sedge JOIN l${i - 1} l ON l.vec_id = sedge.vec_b)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $centCtes,
+       |asg AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
+       |          SELECT a.vec_id, c.centroid_id,
+       |            row_number() OVER (PARTITION BY a.vec_id
+       |              ORDER BY ${cosSql("a.embedding", "c.vb")} DESC, c.centroid_id ASC) AS rn
+       |          FROM e a CROSS JOIN $cf c) WHERE rn = 1),
+       |cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM asg x JOIN asg y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+       |spairs AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b FROM cand c
+       |  JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} > $tau),
+       |sedge AS MATERIALIZED (SELECT vec_a, vec_b FROM spairs UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM spairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT vec_a AS vec_id, vec_a AS label FROM sedge),
+       |$rounds
+       |SELECT l.label AS keeper_vec, count(*) AS n_members, max(l.vec_id) AS max_vec,
+       |       any_value(k.centroid_id) AS centroid_id
+       |FROM l${graft.dedup.Dedup.ClusterMaxRounds} l
+       |JOIN asg k ON k.vec_id = l.label
+       |GROUP BY 1""".stripMargin
+  }
+
   val minhashPairs: String =
     s"""WITH $augCte,
        |${shingleCtes("aug")},
@@ -282,8 +319,10 @@ object PipelineOracles {
    * rounds of (cosine argmax assignment -> integer-quantized per-dim mean
    * update), then the annIvf search on the trained centers. Center values are
    * CAST(sq AS DOUBLE)/1e6/CAST(n AS DOUBLE) on both engines (exact). */
-  val annIvfTrained: String = {
-    val C = ann.Ann.IvfCells; val NP = ann.Ann.IvfNProbe
+  /** Shared trained-centroid CTE block (the engine's ivfTrainedCentroids k-means
+   * replayed as unrolled materialized iterations; final centroids in `cN`). */
+  private def trainedCentroidCtes: (String, String) = {
+    val C = ann.Ann.IvfCells
     val iters = (1 to ann.Ann.TrainIters).map { i =>
       s"""a$i AS MATERIALIZED (
          |  SELECT vec_id, centroid_id, va FROM (
@@ -302,11 +341,18 @@ object PipelineOracles {
          |  FROM (SELECT centroid_id, dim, CAST(sq AS DOUBLE) / 1.0E6 / CAST(n AS DOUBLE) AS c FROM m$i)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    val cf = s"c${ann.Ann.TrainIters}"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM e),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, va AS vb FROM ed WHERE vec_id < $C),
-       |$iters,
+    val block =
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM e),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, va AS vb FROM ed WHERE vec_id < $C),
+         |$iters""".stripMargin
+    (block, s"c${ann.Ann.TrainIters}")
+  }
+
+  val annIvfTrained: String = {
+    val NP = ann.Ann.IvfNProbe
+    val (centCtes, cf) = trainedCentroidCtes
+    s"""WITH $centCtes,
        |asg AS (SELECT vec_id, centroid_id FROM (
        |          SELECT a.vec_id, c.centroid_id,
        |            row_number() OVER (PARTITION BY a.vec_id

@@ -142,6 +142,77 @@ object Dedup {
     clusters
   }
 
+  /** SemDeDup cosine threshold (the fixture's near-dup band; the paper tunes
+   * per-corpus — Abbas et al. 2023, arXiv:2303.09540 §3). */
+  val SemTau = 0.4
+
+  /**
+   * SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): pairwise cosine search is
+   * SCOPED to k-means clusters — the 100-TB path; the global all-pairs join
+   * (q_cosine_pairs) stays as the correctness baseline. Clusters come from the
+   * trained IVF centroids (ann.Ann.ivfTrainedCentroids — the same quantized
+   * k-means both engines replay); duplicate groups are connected components of
+   * the within-cluster tau-edge graph (the convergence-checked min-label
+   * propagation of dedupClustersQuery); keeper = min vec_id per group.
+   * Plan shape: centroids broadcast, ONE centroid-key shuffle for the
+   * within-cluster pair join (pair count ~ sum of cluster sizes squared, never
+   * corpus squared), then the bounded label-propagation rounds.
+   */
+  def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.ann.Ann.emb(spark, dir)
+    val cent = graft.ann.Ann.ivfTrainedCentroids(spark, dir)
+      .select(col("centroid_id"), col("cv").as("vb"))
+    val assign = e.select(col("vec_id"), col("embedding").as("va"))
+      .join(broadcast(cent))
+      .withColumn("ccos", expr(graft.ann.Ann.cosSql))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val av = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val bv = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val pairs = assign.as("x")
+      .join(assign.as("y"), col("x.centroid_id") === col("y.centroid_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .join(av, Seq("vec_a")).join(bv, Seq("vec_b"))
+      .withColumn("cos", expr(graft.ann.Ann.cosSql))
+      .where(col("cos") > SemTau)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("vec_a").as("vec_id")).distinct()
+      .withColumn("label", col("vec_id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.select(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < ClusterMaxRounds) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("vec_id", "vec_b"), Seq("vec_b"))
+        .select(col("vec_a").as("vec_id"), col("label"))
+      val next = labels.unionByName(nbr).groupBy("vec_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    val clusters = labels.groupBy(col("label").as("keeper_vec"))
+      .agg(count(lit(1)).as("n_members"), max("vec_id").as("max_vec"))
+      .join(assign.withColumnRenamed("vec_id", "keeper_vec"), Seq("keeper_vec"))
+      .localCheckpoint()
+    edges.unpersist()
+    clusters
+  }
+
   def minhashPairsQuery(spark: SparkSession, dir: String): DataFrame = {
     val d = augmented(spark, dir)
     val sigs = minhashSignatures(d)

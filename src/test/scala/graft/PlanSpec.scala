@@ -139,4 +139,44 @@ class PlanSpec extends AnyFunSuite {
     assert(Seq((Option.empty[Double], 1.0)).toDF("lon", "lat")
       .select(CellId.cellId(col("lon"), col("lat"))).head().isNullAt(0))
   }
+
+  test("terrain flattening gather broadcasts the aggregated side (tile arrays never shuffle)") {
+    val p = plan(ops.TerrainCorrection.terrainFlatteningQuery(spark, sf))
+    // the tiles join must be a broadcast of the grid-bounded pixel-sum side; a
+    // sort-merge here would shuffle every tile array at 100-TB scale
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("iono smoothing adds only the burst-assembly shuffle over the interferogram join") {
+    val p = plan(ops.InSARCorrections.ionoQuery(spark, sf))
+    // crossTiles' master x secondary join costs 2 exchanges; the kernel adds
+    // exactly one more (the groupBy(burst) raster assembly) — nothing per-pixel
+    val exchanges = ShuffleRe.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("kernel-filtering undersample is one burst-assembly shuffle, no cartesian") {
+    val p = plan(ops.Utility.undersampleQuery(spark, sf))
+    val exchanges = ShuffleRe.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <= 1 shuffle, got $exchanges\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("REACTIV joins the scene threshold by broadcast (stack arrays never re-shuffle for it)") {
+    val p = plan(ops.Stack.reactivQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("phase-to-elevation broadcasts the reference solve and the alpha column map") {
+    val p = plan(ops.InSAR.phaseToElevationQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only sort-merges allowed are crossTiles' master x secondary pair join
+    // in each of the two passes (main + seed solve — the reference's two-pass
+    // shape); the solve + alpha joins must broadcast (arrays never re-shuffle)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 2, p.take(2000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(2000))
+  }
 }
