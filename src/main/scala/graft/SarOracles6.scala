@@ -115,45 +115,145 @@ object SarOracles6 {
        |$rollup""".stripMargin
   }
 
-  /** Goldstein: direct two-pass 2-D DFT, |F|^alpha weighting, two-pass inverse. */
-  val goldstein: String =
+  /** q_goldstein twin — the FULL reference block pipeline the compiled kernel
+   * runs (GoldsteinFilterOp.java:330-826): 75%-overlap 64x64 blocks, Baran-2003
+   * adaptive alpha from the dyadic-staged analytic coherence surface, 3x3
+   * valid-bin magnitude smoothing ^alpha, triangular accumulation. The FFTs are
+   * the kernel's OWN radix-2 butterflies replayed VERBATIM — the bit-reversal
+   * table and every per-stage twiddle constant are interpolated as literals of
+   * the same JVM Math.cos/sin values the kernel computes, so the two engines
+   * agree bit-for-bit (no FFT-vs-DFT low-bit drift, the ADVICE r3 flaky class). */
+  val goldstein: String = {
+    import graft.exprs.Kernels
+    val F = Kernels.GoldFft
+    val rW = Layout.TilesX * Layout.TileW
+    val rH = Layout.TilesY * Layout.TileH
+    val half2 = F / 2
+    def dlit(v: Double) = { val s = v.toString; if (s.contains("E") || s.contains("e")) s else s + "E0" }
+    def dlist(a: Array[Double]) = a.map(dlit).mkString("[", ", ", "]")
+    val brL = Kernels.bitRev(F).mkString("[", ", ", "]")
+    val tws = Kernels.twiddles(F)
+    def origins(max: Int): Array[Int] = {
+      if (max <= 0) Array(0)
+      else {
+        val n0 = max / Kernels.GoldStep + 1
+        val base = Array.tabulate(n0)(_ * Kernels.GoldStep)
+        if (base(n0 - 1) < max) base :+ max else base
+      }
+    }
+    val xsL = origins(rW - F).mkString("[", ", ", "]")
+    val ysL = origins(rH - F).mkString("[", ", ", "]")
+    val K = "scene_id, subswath, pol, burst_idx, x0, y0"
+    /** one FFT pass over UNNESTED rows (bit-rev permute join + log2(F) window-
+     * function butterfly stages). `along` is the transform axis ("c" for row
+     * FFTs, "r" for column FFTs — no physical transpose, just the partition
+     * key); `other` the perpendicular coordinate. Each stage's lag/lead runs
+     * with a CONSTANT offset (len/2) inside one sorted window pass. */
+    def fftPass(inName: String, prefix: String, along: String, other: String,
+        inverse: Boolean): (String, String) = {
+      val sb = new StringBuilder
+      var cur = inName
+      val perm = s"${prefix}p"
+      sb.append(
+        s"""$perm AS MATERIALIZED (
+           |  SELECT p.scene_id, p.subswath, p.pol, p.burst_idx, p.x0, p.y0, p.r, p.c,
+           |    q.re AS re, q.im AS im
+           |  FROM $cur p JOIN (SELECT unnest(range($F)) AS dst, unnest($brL) AS src) m ON p.$along = m.dst
+           |  JOIN $cur q ON q.scene_id = p.scene_id AND q.subswath = p.subswath AND q.pol = p.pol
+           |    AND q.burst_idx = p.burst_idx AND q.x0 = p.x0 AND q.y0 = p.y0
+           |    AND q.$other = p.$other AND q.$along = m.src),\n""".stripMargin)
+      cur = perm
+      tws.zipWithIndex.foreach { case ((len, wr, wi0), si) =>
+        val wi = if (inverse) wi0.map(x => -x) else wi0
+        val h = len / 2
+        val wrL = dlist(wr); val wiL = dlist(wi)
+        val nm = s"$prefix$si"
+        val win = s"OVER (PARTITION BY $K, $other ORDER BY $along)"
+        sb.append(
+          s"""$nm AS MATERIALIZED (
+             |  SELECT $K, r, c,
+             |    CASE WHEN ($along % $len) < $h
+             |      THEN re + (($wrL)[($along % $len) + 1] * lead(re, $h) $win - ($wiL)[($along % $len) + 1] * lead(im, $h) $win)
+             |      ELSE lag(re, $h) $win - (($wrL)[($along % $len) - $h + 1] * re - ($wiL)[($along % $len) - $h + 1] * im) END AS re,
+             |    CASE WHEN ($along % $len) < $h
+             |      THEN im + (($wrL)[($along % $len) + 1] * lead(im, $h) $win + ($wiL)[($along % $len) + 1] * lead(re, $h) $win)
+             |      ELSE lag(im, $h) $win - (($wrL)[($along % $len) - $h + 1] * im + ($wiL)[($along % $len) - $h + 1] * re) END AS im
+             |  FROM $cur),\n""".stripMargin)
+        cur = nm
+      }
+      (sb.toString, cur)
+    }
+    val (fr, frLast) = fftPass("b0", "fr", "c", "r", inverse = false)
+    val (fc, fcLast) = fftPass(frLast, "fc", "r", "c", inverse = false)
+    val (ic, icLast) = fftPass("mul", "ic", "r", "c", inverse = true)
+    val (ir, irLast) = fftPass(icLast, "ir", "c", "r", inverse = true)
     s"""WITH ${SarOracles2.crossCte},
-       |z AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |    CAST(gy % $W AS INT) AS ly, CAST(gx % $W AS INT) AS lx,
-       |    CASE WHEN cre = -9999.0 THEN 0 ELSE cre END AS zr,
-       |    CASE WHEN cim = -9999.0 THEN 0 ELSE cim END AS zi
+       |gz AS MATERIALIZED (
+       |  SELECT scene_id, subswath, pol, burst_idx, gy, gx,
+       |    cre <> -9999.0 AND cim <> -9999.0 AS vld,
+       |    CASE WHEN cre <> -9999.0 AND cim <> -9999.0 THEN cre ELSE 0 END AS re,
+       |    CASE WHEN cre <> -9999.0 AND cim <> -9999.0 THEN cim ELSE 0 END AS im,
+       |    CAST(floor(0.031415926535897934 + (0.2 + 0.8 * abs(sin(gx / 17.0) * cos(gy / 13.0))) * 1.0E6) AS BIGINT) AS cohq
        |  FROM cx WHERE pol = 'VV' AND burst_idx <= 2),
-       |uu AS (SELECT unnest(range($W)) AS u),
-       |rd AS (
-       |  SELECT z.scene_id, z.subswath, z.pol, z.burst_idx, z.tile_y, z.tile_x, z.ly, uu.u AS v,
-       |    sum(zr * cos(2 * pi() * uu.u * lx / $W) + zi * sin(2 * pi() * uu.u * lx / $W)) AS rr,
-       |    sum(zi * cos(2 * pi() * uu.u * lx / $W) - zr * sin(2 * pi() * uu.u * lx / $W)) AS ri
-       |  FROM z CROSS JOIN uu GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |cd AS (
-       |  SELECT rd.scene_id, rd.subswath, rd.pol, rd.burst_idx, rd.tile_y, rd.tile_x, uu.u AS fu, rd.v,
-       |    sum(rr * cos(2 * pi() * uu.u * ly / $W) + ri * sin(2 * pi() * uu.u * ly / $W)) AS fr,
-       |    sum(ri * cos(2 * pi() * uu.u * ly / $W) - rr * sin(2 * pi() * uu.u * ly / $W)) AS fi
-       |  FROM rd CROSS JOIN uu GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |wgt AS (
-       |  SELECT *, pow(sqrt(fr * fr + fi * fi), ${Spectral.GoldsteinAlpha}) AS wt FROM cd),
-       |wg AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, fu, v,
-       |    fr * wt AS fr, fi * wt AS fi
-       |  FROM wgt),
-       |icd AS (
-       |  SELECT wg.scene_id, wg.subswath, wg.pol, wg.burst_idx, wg.tile_y, wg.tile_x, uu.u AS ly, wg.v,
-       |    sum(fr * cos(2 * pi() * wg.fu * uu.u / $W) - fi * sin(2 * pi() * wg.fu * uu.u / $W)) AS gr,
-       |    sum(fi * cos(2 * pi() * wg.fu * uu.u / $W) + fr * sin(2 * pi() * wg.fu * uu.u / $W)) AS gi
-       |  FROM wg CROSS JOIN uu GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |ird AS (
-       |  SELECT icd.scene_id, icd.subswath, icd.pol, icd.burst_idx, icd.tile_y, icd.tile_x, icd.ly, uu.u AS lx,
-       |    sum(gr * cos(2 * pi() * icd.v * uu.u / $W) - gi * sin(2 * pi() * icd.v * uu.u / $W)) / $N AS zr2,
-       |    sum(gi * cos(2 * pi() * icd.v * uu.u / $W) + gr * sin(2 * pi() * icd.v * uu.u / $W)) / $N AS zi2
-       |  FROM icd CROSS JOIN uu GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |o AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
-       |    atan2(zi2, zr2) AS out
-       |  FROM ird)
-       |$rollup""".stripMargin
+       |bdef AS (SELECT x.x0, y.y0 FROM (SELECT unnest($xsL) AS x0) x, (SELECT unnest($ysL) AS y0) y),
+       |bpx AS MATERIALIZED (
+       |  SELECT g.scene_id, g.subswath, g.pol, g.burst_idx, b.x0, b.y0,
+       |         g.gy - b.y0 AS r, g.gx - b.x0 AS c, g.re, g.im, g.vld, g.cohq
+       |  FROM gz g JOIN bdef b ON g.gx >= b.x0 AND g.gx < b.x0 + $F AND g.gy >= b.y0 AND g.gy < b.y0 + $F),
+       |alf AS MATERIALIZED (
+       |  SELECT $K, bool_or(vld) AS anyv, sum(cohq) AS cs, count(*) AS cn
+       |  FROM bpx GROUP BY 1, 2, 3, 4, 5, 6),
+       |alf2 AS MATERIALIZED (
+       |  SELECT $K,
+       |    CASE WHEN cn = 0 THEN ${Spectral.GoldsteinAlpha}
+       |         WHEN 1.0 - (cs / 1.0E6) / cn < ${Spectral.GoldsteinAlphaMin} THEN ${Spectral.GoldsteinAlphaMin}
+       |         WHEN 1.0 - (cs / 1.0E6) / cn > ${Spectral.GoldsteinAlphaMax} THEN ${Spectral.GoldsteinAlphaMax}
+       |         ELSE 1.0 - (cs / 1.0E6) / cn END AS alpha
+       |  FROM alf WHERE anyv),
+       |b0 AS MATERIALIZED (
+       |  SELECT b.scene_id, b.subswath, b.pol, b.burst_idx, b.x0, b.y0, b.r, b.c, b.re, b.im
+       |  FROM bpx b JOIN alf2 a USING (scene_id, subswath, pol, burst_idx, x0, y0)),
+       |$fr
+       |$fc
+       |sp AS MATERIALIZED (
+       |  SELECT $K, r, c, re, im, sqrt(re * re + im * im) AS pw FROM $fcLast),
+       |h1 AS MATERIALIZED (
+       |  SELECT s.*, a.alpha,
+       |    (CASE WHEN lag(pw) OVER wv IS NOT NULL AND lag(pw) OVER wv <> 0 THEN lag(pw) OVER wv ELSE 0 END
+       |     + CASE WHEN pw <> 0 THEN pw ELSE 0 END
+       |     + CASE WHEN lead(pw) OVER wv IS NOT NULL AND lead(pw) OVER wv <> 0 THEN lead(pw) OVER wv ELSE 0 END) AS hs,
+       |    (CASE WHEN lag(pw) OVER wv IS NOT NULL AND lag(pw) OVER wv <> 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN pw <> 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN lead(pw) OVER wv IS NOT NULL AND lead(pw) OVER wv <> 0 THEN 1 ELSE 0 END) AS hc
+       |  FROM sp s JOIN alf2 a USING (scene_id, subswath, pol, burst_idx, x0, y0)
+       |  WINDOW wv AS (PARTITION BY s.scene_id, s.subswath, s.pol, s.burst_idx, s.x0, s.y0, s.c ORDER BY s.r)),
+       |mul AS MATERIALIZED (
+       |  SELECT $K, r, c,
+       |    re * (CASE WHEN (coalesce(lag(hc) OVER wh, 0) + hc + coalesce(lead(hc) OVER wh, 0)) <> 0
+       |          THEN pow((coalesce(lag(hs) OVER wh, 0) + hs + coalesce(lead(hs) OVER wh, 0))
+       |                   / (coalesce(lag(hc) OVER wh, 0) + hc + coalesce(lead(hc) OVER wh, 0)), alpha)
+       |          ELSE 0 END) AS re,
+       |    im * (CASE WHEN (coalesce(lag(hc) OVER wh, 0) + hc + coalesce(lead(hc) OVER wh, 0)) <> 0
+       |          THEN pow((coalesce(lag(hs) OVER wh, 0) + hs + coalesce(lead(hs) OVER wh, 0))
+       |                   / (coalesce(lag(hc) OVER wh, 0) + hc + coalesce(lead(hc) OVER wh, 0)), alpha)
+       |          ELSE 0 END) AS im
+       |  FROM h1
+       |  WINDOW wh AS (PARTITION BY $K, r ORDER BY c)),
+       |$ic
+       |$ir
+       |fx2 AS MATERIALIZED (SELECT $K, r, c, re, im FROM $irLast),
+       |acc AS MATERIALIZED (
+       |  SELECT f.scene_id, f.subswath, f.pol, f.burst_idx, f.y0 + f.r AS gy, f.x0 + f.c AS gx,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + (((1.0 - abs(f.c - $half2 + 0.5) / $half2) * (1.0 - abs(f.r - $half2 + 0.5) / $half2)) * (f.re / ${F * F}.0)) * 1.0E2) AS BIGINT)) AS BIGINT) AS qre,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + (((1.0 - abs(f.c - $half2 + 0.5) / $half2) * (1.0 - abs(f.r - $half2 + 0.5) / $half2)) * (f.im / ${F * F}.0)) * 1.0E2) AS BIGINT)) AS BIGINT) AS qim
+       |  FROM fx2 f JOIN gz g ON g.scene_id = f.scene_id AND g.subswath = f.subswath
+       |    AND g.pol = f.pol AND g.burst_idx = f.burst_idx
+       |    AND g.gy = f.y0 + f.r AND g.gx = f.x0 + f.c AND g.vld
+       |  GROUP BY 1, 2, 3, 4, 5, 6)
+       |SELECT scene_id, subswath, pol, burst_idx,
+       |  CAST(gy // ${Layout.TileH} AS INT) AS tile_y, CAST(gx // ${Layout.TileW} AS INT) AS tile_x,
+       |  count(*) AS n_valid,
+       |  CAST(sum(CAST(floor(0.031415926535897934 + atan2(qim / 1.0E2, qre / 1.0E2) * 1.0E6) AS BIGINT)) AS BIGINT) AS phase_sum_q
+       |FROM acc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
 }

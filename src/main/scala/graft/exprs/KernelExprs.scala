@@ -413,6 +413,25 @@ case class IonoSmoothExpr(cre: Expression, cim: Expression, tilesX: Int, tilesY:
     copy(cre = c(0), cim = c(1))
 }
 
+/** Full Goldstein block pipeline over one burst raster (75%-overlap 64x64 FFT
+ * blocks, adaptive alpha, smoothed-magnitude^alpha, triangular accumulation);
+ * per-tile (n, phase_q) sums (GoldsteinFilterOp.java:330-826). */
+case class GoldsteinFullExpr(cre: Expression, cim: Expression, tilesX: Int, tilesY: Int,
+    tileW: Int, tileH: Int, alphaMin: Double, alphaMax: Double, alphaDef: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(cre, cim)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("ph_q", ArrayType(LongType, containsNull = false), nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.goldsteinFull(${args(0)}, ${args(1)}, $tilesX, $tilesY, $tileW, $tileH, ${alphaMin}D, ${alphaMax}D, ${alphaDef}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.goldsteinFull(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      tilesX, tilesY, tileW, tileH, alphaMin, alphaMax, alphaDef)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cre = c(0), cim = c(1))
+}
+
 /** 16-entry minhash signature from a doc's base-hash array (one compiled pass). */
 case class Minhash16Expr(hs: Expression) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(hs)
@@ -926,6 +945,11 @@ object KernelExprs {
   def ionoSmooth(cre: Column, cim: Column, tilesX: Int, tilesY: Int,
       tileW: Int, tileH: Int, sigma: Int, thr: Double): Column =
     toCol(IonoSmoothExpr(toExpr(cre), toExpr(cim), tilesX, tilesY, tileW, tileH, sigma, thr))
+
+  def goldsteinFull(cre: Column, cim: Column, tilesX: Int, tilesY: Int,
+      tileW: Int, tileH: Int, alphaMin: Double, alphaMax: Double, alphaDef: Double): Column =
+    toCol(GoldsteinFullExpr(toExpr(cre), toExpr(cim), tilesX, tilesY, tileW, tileH,
+      alphaMin, alphaMax, alphaDef))
 
   def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
 

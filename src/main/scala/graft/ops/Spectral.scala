@@ -77,12 +77,37 @@ object Spectral {
       .select("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x", "out"))
   }
 
-  /** Goldstein phase filtering of the (tiles, tiles_sec) interferogram, bursts 1-2
-   * (the oracle's direct 2-D DFT bounds the verification subset). */
-  def goldsteinQuery(spark: SparkSession, sfDir: String): DataFrame =
-    Raster.rollup(InSAR.crossTiles(spark, sfDir)
+  /** Goldstein adaptive-alpha clamp bounds (GoldsteinFilterOp.java:72-78). */
+  val GoldsteinAlphaMin = 0.2
+  val GoldsteinAlphaMax = 1.0
+
+  /**
+   * Goldstein phase filtering — the FULL reference block pipeline
+   * (GoldsteinFilterOp.java:330-826, replacing the round-3 per-tile fixed-alpha
+   * single-FFT form): the burst interferogram raster is assembled per burst
+   * (one groupBy shuffle) and the compiled kernel runs 64x64 FFT blocks at 75%
+   * overlap with Baran-2003 adaptive alpha, 3x3 valid-bin magnitude smoothing,
+   * and triangular-weighted accumulation (Kernels.goldsteinFull — in-house
+   * deterministic radix-2 FFT whose butterflies the DuckDB twin replays
+   * bit-for-bit). Subset: VV, bursts 1-2 (bounds the twin's staged-FFT cost).
+   */
+  def goldsteinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tilesX = Layout.TilesX; val tilesY = Layout.TilesY
+    InSAR.crossTiles(spark, sfDir)
       .where(col("pol") === "VV" && col("burst_idx") <= 2)
-      .withColumn("out", KernelExprs.goldstein(col("cre"), col("cim"),
-        Layout.TileW, Layout.TileH, GoldsteinAlpha))
-      .drop("cre", "cim", "p1", "p2"))
+      .groupBy("scene_id", "subswath", "pol", "burst_idx")
+      .agg(sort_array(collect_list(struct(col("tile_y"), col("tile_x"),
+        col("cre"), col("cim")))).as("ts"))
+      .withColumn("cre_r", expr("flatten(transform(ts, t -> t.cre))"))
+      .withColumn("cim_r", expr("flatten(transform(ts, t -> t.cim))"))
+      .withColumn("r", KernelExprs.goldsteinFull(col("cre_r"), col("cim_r"),
+        tilesX, tilesY, Layout.TileW, Layout.TileH,
+        GoldsteinAlphaMin, GoldsteinAlphaMax, GoldsteinAlpha))
+      .withColumn("ti", explode(sequence(lit(0), lit(tilesX * tilesY - 1))))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        expr(s"CAST(ti div $tilesX AS INT)").as("tile_y"),
+        expr(s"CAST(ti % $tilesX AS INT)").as("tile_x"),
+        expr("element_at(r.n, ti + 1)").as("n_valid"),
+        expr("element_at(r.ph_q, ti + 1)").as("phase_sum_q"))
+  }
 }

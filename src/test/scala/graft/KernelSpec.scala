@@ -556,4 +556,53 @@ class KernelSpec extends AnyFunSuite {
     val out = Kernels.speckle(arr(halo), Kernels.MODE_LEE_SIGMA, W, H, m, 1.0, 2.0).toDoubleArray()
     for ((x, y) <- bright) assert(out(y * W + x) == 50.0, s"($x,$y) must pass through raw")
   }
+
+  test("in-house radix-2 FFT (the Goldstein butterfly sequence) matches commons-math") {
+    import org.apache.commons.math3.transform.{DftNormalization, FastFourierTransformer, TransformType}
+    val n = Kernels.GoldFft
+    val r = new scala.util.Random(77)
+    val re = Array.fill(n)(r.nextDouble() * 200 - 100)
+    val im = Array.fill(n)(r.nextDouble() * 200 - 100)
+    val br = Kernels.bitRev(n); val tw = Kernels.twiddles(n)
+    val gr = re.clone; val gi = im.clone
+    Kernels.fftOne(gr, gi, 0, n, br, tw, inverse = false)
+    val t = new FastFourierTransformer(DftNormalization.STANDARD)
+    val exp = t.transform(re.zip(im).map { case (a, b) =>
+      new org.apache.commons.math3.complex.Complex(a, b) }, TransformType.FORWARD)
+    var i = 0
+    while (i < n) {
+      assert(math.abs(gr(i) - exp(i).getReal) < 1e-8, s"re bin $i: ${gr(i)} vs ${exp(i).getReal}")
+      assert(math.abs(gi(i) - exp(i).getImaginary) < 1e-8, s"im bin $i")
+      i += 1
+    }
+    // unscaled inverse round-trip: ifft(fft(x)) = n * x (complexInverse(_, false))
+    Kernels.fftOne(gr, gi, 0, n, br, tw, inverse = true)
+    i = 0
+    while (i < n) {
+      assert(math.abs(gr(i) / n - re(i)) < 1e-9, s"roundtrip re $i")
+      assert(math.abs(gi(i) / n - im(i)) < 1e-9, s"roundtrip im $i")
+      i += 1
+    }
+  }
+
+  test("goldsteinFull preserves a constant-phase interferogram (DC-only spectrum)") {
+    // a noise-free constant-phase interferogram concentrates the whole spectrum
+    // at DC; smoothing^alpha rescales but cannot move the phase, and the
+    // triangular block blend of identical phases stays that phase
+    val tilesX = 4; val tilesY = 2; val tw = 32; val th = 32
+    val phi = 0.73
+    val n = tilesX * tilesY * tw * th
+    val cre = Array.fill(n)(40.0 * math.cos(phi))
+    val cim = Array.fill(n)(40.0 * math.sin(phi))
+    val row = Kernels.goldsteinFull(arr(cre), arr(cim), tilesX, tilesY, tw, th, 0.2, 1.0, 0.5)
+    val nArr = row.getArray(0).toLongArray()
+    val phArr = row.getArray(1).toLongArray()
+    var t = 0
+    while (t < tilesX * tilesY) {
+      assert(nArr(t) == tw * th, s"tile $t: ${nArr(t)} valid")
+      val meanPhase = phArr(t).toDouble / 1e6 / nArr(t)
+      assert(math.abs(meanPhase - phi) < 1e-4, s"tile $t: mean phase $meanPhase vs $phi")
+      t += 1
+    }
+  }
 }

@@ -164,6 +164,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("goldstein adds only the burst-assembly shuffle over the interferogram join") {
+    val p = plan(ops.Spectral.goldsteinQuery(spark, sf))
+    val exchanges = ShuffleRe.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("REACTIV joins the scene threshold by broadcast (stack arrays never re-shuffle for it)") {
     val p = plan(ops.Stack.reactivQuery(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
