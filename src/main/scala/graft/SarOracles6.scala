@@ -44,38 +44,243 @@ object SarOracles6 {
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, out FROM o1)
        |$rollup""".stripMargin
 
-  /** Dirichlet kernel for cutoff kc: h(d) = (1 + 2 sum_{k=1..kc} cos(2 pi k d / W)) / W. */
-  private def dirichlet(dExpr: String): String = {
-    val terms = (1 to Spectral.BandKc)
-      .map(k => s"cos(2 * pi() * $k * ($dExpr) / $W)").mkString(" + ")
-    s"(1.0 + 2.0 * ($terms)) / $W"
+
+  /** q_bandpass_range twin — the FULL jlinda adaptive range filter the compiled
+   * kernel runs (RangeFilter.java:104-230): interferometric row spectra via the
+   * kernel's bit-exact radix-2 FFT (window lag/lead stages), floor-staged
+   * integer power, 15-row window sums, first-max fringe shift per line
+   * (negative folding + filter flip), the shifted/narrowed Hamming x inverse
+   * Hamming per (line, bin) as closed-form expressions, applied to the master
+   * row spectra and inverse-transformed. */
+  val bandpassRange: String = {
+    import graft.exprs.Kernels
+    val Fw = Layout.TilesX * Layout.TileW
+    val alpha = Kernels.RfAlpha
+    val rsr = Kernels.RfRsr; val rbw = Kernels.RfRbw
+    val firstLine = (Kernels.RfNlMean - 1) / 2
+    val lastLine = Layout.TilesY * Layout.TileH - 1 - firstLine
+    def dlit(v: Double) = { val s = v.toString; if (s.contains("E") || s.contains("e")) s else s + "E0" }
+    def dlist(a: Array[Double]) = a.map(dlit).mkString("[", ", ", "]")
+    val brL = Kernels.bitRev(Fw).mkString("[", ", ", "]")
+    val tws = Kernels.twiddles(Fw)
+    val K2 = "scene_id, subswath, pol, burst_idx"
+    def fftPassRg(inName: String, prefix: String, inverse: Boolean): (String, String) = {
+      val sb = new StringBuilder
+      var cur = inName
+      val perm = s"${prefix}p"
+      sb.append(
+        s"""$perm AS MATERIALIZED (
+           |  SELECT p.scene_id, p.subswath, p.pol, p.burst_idx, p.gy, p.gx,
+           |    q.re AS re, q.im AS im
+           |  FROM $cur p JOIN (SELECT unnest(range($Fw)) AS dst, unnest($brL) AS src) m ON p.gx = m.dst
+           |  JOIN $cur q ON q.scene_id = p.scene_id AND q.subswath = p.subswath AND q.pol = p.pol
+           |    AND q.burst_idx = p.burst_idx AND q.gy = p.gy AND q.gx = m.src),\n""".stripMargin)
+      cur = perm
+      tws.zipWithIndex.foreach { case ((len, wr, wi0), si) =>
+        val wi = if (inverse) wi0.map(x => -x) else wi0
+        val h = len / 2
+        val wrL = dlist(wr); val wiL = dlist(wi)
+        val nm = s"$prefix$si"
+        val win = s"OVER (PARTITION BY $K2, gy ORDER BY gx)"
+        sb.append(
+          s"""$nm AS MATERIALIZED (
+             |  SELECT $K2, gy, gx,
+             |    CASE WHEN (gx % $len) < $h
+             |      THEN re + (($wrL)[(gx % $len) + 1] * lead(re, $h) $win - ($wiL)[(gx % $len) + 1] * lead(im, $h) $win)
+             |      ELSE lag(re, $h) $win - (($wrL)[(gx % $len) - $h + 1] * re - ($wiL)[(gx % $len) - $h + 1] * im) END AS re,
+             |    CASE WHEN (gx % $len) < $h
+             |      THEN im + (($wrL)[(gx % $len) + 1] * lead(im, $h) $win + ($wiL)[(gx % $len) + 1] * lead(re, $h) $win)
+             |      ELSE lag(im, $h) $win - (($wrL)[(gx % $len) - $h + 1] * im + ($wiL)[(gx % $len) - $h + 1] * re) END AS im
+             |  FROM $cur),\n""".stripMargin)
+        cur = nm
+      }
+      (sb.toString, cur)
+    }
+    val (xf, xfLast) = fftPassRg("xz", "rx", inverse = false)
+    val (mf, mfLast) = fftPassRg("mz", "rm", inverse = false)
+    val (ri, riLast) = fftPassRg("app", "rv", inverse = true)
+    def ham(f: String, brW: String) =
+      s"CASE WHEN abs(($f) / ($brW)) < 0.5 THEN $alpha + (1 - $alpha) * cos((2 * pi() / $rsr) * ($f)) ELSE 0 END"
+    val df = s"($rsr / $Fw)"
+    s"""WITH ${SarOracles2.crossCte},
+       |mz0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")} WHERE pol = 'VV' AND burst_idx <= 2),
+       |mz1 AS MATERIALIZED (
+       |  SELECT scene_id, subswath, pol, burst_idx,
+       |    tile_x * $W + k % $W AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |    CASE WHEN isnan(iv0) THEN -9999.0 ELSE floor(iv0 * 4096) / 4096 END AS iq,
+       |    CASE WHEN isnan(qv0) THEN -9999.0 ELSE floor(qv0 * 4096) / 4096 END AS qq
+       |  FROM mz0),
+       |mz AS MATERIALIZED (
+       |  SELECT $K2, gx, gy, iq <> -9999.0 AND qq <> -9999.0 AS vld,
+       |    CASE WHEN iq <> -9999.0 AND qq <> -9999.0 THEN iq ELSE 0 END AS re,
+       |    CASE WHEN iq <> -9999.0 AND qq <> -9999.0 THEN qq ELSE 0 END AS im
+       |  FROM mz1),
+       |xz AS MATERIALIZED (
+       |  SELECT $K2, gx, gy,
+       |    CASE WHEN cre <> -9999.0 AND cim <> -9999.0 THEN cre ELSE 0 END AS re,
+       |    CASE WHEN cre <> -9999.0 AND cim <> -9999.0 THEN cim ELSE 0 END AS im
+       |  FROM cx WHERE pol = 'VV' AND burst_idx <= 2),
+       |$xf
+       |pw AS MATERIALIZED (
+       |  SELECT $K2, gy, gx, CAST(floor(re * re + im * im) AS BIGINT) AS pq FROM $xfLast),
+       |sm15 AS MATERIALIZED (
+       |  SELECT $K2, gy, gx,
+       |    sum(pq) OVER (PARTITION BY $K2, gx ORDER BY gy
+       |                  ROWS BETWEEN $firstLine PRECEDING AND $firstLine FOLLOWING) AS s
+       |  FROM pw),
+       |ln AS MATERIALIZED (
+       |  SELECT $K2, gy, gx AS bestk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY $K2, gy ORDER BY s DESC, gx ASC) AS rn FROM sm15)
+       |  WHERE rn = 1 AND gy BETWEEN $firstLine AND $lastLine),
+       |sh AS MATERIALIZED (
+       |  SELECT $K2, gy,
+       |    CASE WHEN bestk > ${Fw / 2} THEN $Fw - bestk ELSE bestk END AS shift,
+       |    bestk > ${Fw / 2} AS neg
+       |  FROM ln),
+       |$mf
+       |app AS MATERIALIZED (
+       |  SELECT f.scene_id, f.subswath, f.pol, f.burst_idx, f.gy, f.gx,
+       |    f.re * fv.fv AS re, f.im * fv.fv AS im
+       |  FROM $mfLast f
+       |  JOIN sh s ON s.scene_id = f.scene_id AND s.subswath = f.subswath
+       |    AND s.burst_idx = f.burst_idx AND s.gy = f.gy
+       |  CROSS JOIN LATERAL (
+       |    SELECT CASE WHEN (${ham(s"(-$rsr / 2 + (CASE WHEN s.neg THEN (($Fw - 1 - f.gx) + ${(Fw + 1) / 2}) % $Fw ELSE (f.gx + ${(Fw + 1) / 2}) % $Fw END) * $df)", rbw.toString)}) <> 0
+       |      THEN (${ham(s"(-$rsr / 2 + (CASE WHEN s.neg THEN (($Fw - 1 - f.gx) + ${(Fw + 1) / 2}) % $Fw ELSE (f.gx + ${(Fw + 1) / 2}) % $Fw END) * $df) - 0.5 * s.shift * $df", s"$rbw - s.shift * $df")})
+       |           * (1.0 / (${ham(s"(-$rsr / 2 + (CASE WHEN s.neg THEN (($Fw - 1 - f.gx) + ${(Fw + 1) / 2}) % $Fw ELSE (f.gx + ${(Fw + 1) / 2}) % $Fw END) * $df)", rbw.toString)}))
+       |      ELSE 0 END AS fv) fv),
+       |$ri
+       |fin AS MATERIALIZED (
+       |  SELECT $K2, gy, gx, re / $Fw AS re, im / $Fw AS im FROM $riLast)
+       |SELECT f.scene_id, f.subswath, f.pol, f.burst_idx,
+       |  CAST(f.gy // ${Layout.TileH} AS INT) AS tile_y, CAST(f.gx // $W AS INT) AS tile_x,
+       |  count(*) AS n_valid,
+       |  CAST(sum(CAST(floor(0.031415926535897934 + f.re * 1.0E2) AS BIGINT)) AS BIGINT) AS re_sum_q,
+       |  CAST(sum(CAST(floor(0.031415926535897934 + f.im * 1.0E2) AS BIGINT)) AS BIGINT) AS im_sum_q
+       |FROM fin f JOIN mz g ON g.scene_id = f.scene_id AND g.subswath = f.subswath
+       |  AND g.pol = f.pol AND g.burst_idx = f.burst_idx AND g.gy = f.gy AND g.gx = f.gx AND g.vld
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
-  val bandpassRange: String =
-    s"""WITH $smCte,
-       |o1 AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.ly, c.lx,
-       |    sum(s.x * ${dirichlet("((c.lx - s.lx) % 32 + 32) % 32")}) AS out
-       |  FROM sm2 c JOIN sm2 s ON s.scene_id = c.scene_id AND s.subswath = c.subswath
-       |    AND s.pol = c.pol AND s.burst_idx = c.burst_idx
-       |    AND s.tile_y = c.tile_y AND s.tile_x = c.tile_x AND s.ly = c.ly
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, out FROM o1)
-       |$rollup""".stripMargin
-
-  val bandpassAzimuth: String =
-    s"""WITH $smCte,
-       |o1 AS (
-       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x,
-       |    c.ly, c.lx,
-       |    sum(s.x * ${dirichlet("((c.ly - s.ly) % 32 + 32) % 32")}) AS out
-       |  FROM sm2 c JOIN sm2 s ON s.scene_id = c.scene_id AND s.subswath = c.subswath
-       |    AND s.pol = c.pol AND s.burst_idx = c.burst_idx
-       |    AND s.tile_y = c.tile_y AND s.tile_x = c.tile_x AND s.lx = c.lx
-       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-       |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, out FROM o1)
-       |$rollup""".stripMargin
+  /** q_bandpass_azimuth twin — the FULL jlinda const-fDC azimuth filter the
+   * compiled kernel runs (AzimuthFilter.java:130-157): the per-burst filter
+   * vector (inverse Hamming at fDC_m, narrowed Hamming at fDC_mean, circular
+   * shifts, ifftshift) built as list expressions, then per-column FFT ->
+   * multiply -> unscaled-inverse/64 with the kernel's OWN radix-2 butterflies
+   * replayed verbatim as window lag/lead stages (bit-exact cross-engine). */
+  val bandpassAzimuth: String = {
+    import graft.exprs.Kernels
+    val H = Layout.TilesY * Layout.TileH
+    val abw = Spectral.AzBw; val alpha = Spectral.AzHammingAlpha
+    val off = Spectral.AzFdcSlaveOffset
+    def dlit(v: Double) = { val s = v.toString; if (s.contains("E") || s.contains("e")) s else s + "E0" }
+    def dlist(a: Array[Double]) = a.map(dlit).mkString("[", ", ", "]")
+    val brL = Kernels.bitRev(H).mkString("[", ", ", "]")
+    val tws = Kernels.twiddles(H)
+    val K2 = "scene_id, subswath, pol, burst_idx"
+    def fftPassAz(inName: String, prefix: String, inverse: Boolean): (String, String) = {
+      val sb = new StringBuilder
+      var cur = inName
+      val perm = s"${prefix}p"
+      sb.append(
+        s"""$perm AS MATERIALIZED (
+           |  SELECT p.scene_id, p.subswath, p.pol, p.burst_idx, p.gy, p.gx,
+           |    q.re AS re, q.im AS im
+           |  FROM $cur p JOIN (SELECT unnest(range($H)) AS dst, unnest($brL) AS src) m ON p.gy = m.dst
+           |  JOIN $cur q ON q.scene_id = p.scene_id AND q.subswath = p.subswath AND q.pol = p.pol
+           |    AND q.burst_idx = p.burst_idx AND q.gx = p.gx AND q.gy = m.src),\n""".stripMargin)
+      cur = perm
+      tws.zipWithIndex.foreach { case ((len, wr, wi0), si) =>
+        val wi = if (inverse) wi0.map(x => -x) else wi0
+        val h = len / 2
+        val wrL = dlist(wr); val wiL = dlist(wi)
+        val nm = s"$prefix$si"
+        val win = s"OVER (PARTITION BY $K2, gx ORDER BY gy)"
+        sb.append(
+          s"""$nm AS MATERIALIZED (
+             |  SELECT $K2, gy, gx,
+             |    CASE WHEN (gy % $len) < $h
+             |      THEN re + (($wrL)[(gy % $len) + 1] * lead(re, $h) $win - ($wiL)[(gy % $len) + 1] * lead(im, $h) $win)
+             |      ELSE lag(re, $h) $win - (($wrL)[(gy % $len) - $h + 1] * re - ($wiL)[(gy % $len) - $h + 1] * im) END AS re,
+             |    CASE WHEN (gy % $len) < $h
+             |      THEN im + (($wrL)[(gy % $len) + 1] * lead(im, $h) $win + ($wiL)[(gy % $len) + 1] * lead(re, $h) $win)
+             |      ELSE lag(im, $h) $win - (($wrL)[(gy % $len) - $h + 1] * im + ($wiL)[(gy % $len) - $h + 1] * re) END AS im
+             |  FROM $cur),\n""".stripMargin)
+        cur = nm
+      }
+      (sb.toString, cur)
+    }
+    val (ff, ffLast) = fftPassAz("tz", "af", inverse = false)
+    val (fi, fiLast) = fftPassAz("mz", "ai", inverse = true)
+    def ham(f: String, brW: String) =
+      s"CASE WHEN abs(($f) / ($brW)) < 0.5 THEN $alpha + (1 - $alpha) * cos((2 * pi() / prf) * ($f)) ELSE 0 END"
+    s"""WITH tz0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx("tiles")} WHERE pol = 'VV' AND burst_idx <= 2),
+       |tz1 AS MATERIALIZED (
+       |  SELECT scene_id, subswath, pol, burst_idx,
+       |    tile_x * $W + k % $W AS gx,
+       |    tile_y * ${Layout.TileH} + CAST(k // $W AS INT) AS gy,
+       |    CASE WHEN isnan(iv0) THEN -9999.0 ELSE floor(iv0 * 4096) / 4096 END AS iq,
+       |    CASE WHEN isnan(qv0) THEN -9999.0 ELSE floor(qv0 * 4096) / 4096 END AS qq
+       |  FROM tz0),
+       |tz AS MATERIALIZED (
+       |  SELECT $K2, gx, gy, iq <> -9999.0 AND qq <> -9999.0 AS vld,
+       |    CASE WHEN iq <> -9999.0 AND qq <> -9999.0 THEN iq ELSE 0 END AS re,
+       |    CASE WHEN iq <> -9999.0 AND qq <> -9999.0 THEN qq ELSE 0 END AS im
+       |  FROM tz1),
+       |dims AS MATERIALIZED (
+       |  SELECT b.scene_id, b.subswath, b.burst_idx, b.doppler_centroid AS fdcm,
+       |         b.doppler_centroid + $off AS fdcs, 1.0 / s.azimuth_time_interval AS prf
+       |  FROM ${fx("bursts")} b JOIN ${fx("scenes")} s USING (scene_id)
+       |  WHERE b.burst_idx <= 2),
+       |fv0 AS MATERIALIZED (
+       |  SELECT d.*, g.fidx, -prf / 2 + g.fidx * (prf / $H) AS freq,
+       |    0.5 * (fdcm + fdcs) AS fdcmean
+       |  FROM dims d, (SELECT unnest(range($H)) AS fidx) g),
+       |fv1 AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN ${ham("freq", abw.toString)} <> 0 THEN 1.0 / (${ham("freq", abw.toString)}) ELSE 0 END AS invv,
+       |    ${ham("freq", s"greatest(1.0, 2.0 * (0.5 * $abw - abs(fdcm - fdcmean)))")} AS nhm,
+       |    CAST(floor($H * fdcm / prf + 0.5) AS INT) AS m1,
+       |    CAST(floor($H * fdcmean / prf + 0.5) AS INT) AS m2
+       |  FROM fv0),
+       |fvl AS MATERIALIZED (
+       |  SELECT scene_id, subswath, burst_idx,
+       |    list(invv ORDER BY fidx) AS linv, list(nhm ORDER BY fidx) AS lnh,
+       |    any_value(m1) AS m1, any_value(m2) AS m2
+       |  FROM fv1 GROUP BY 1, 2, 3),
+       |flt AS MATERIALIZED (
+       |  SELECT scene_id, subswath, burst_idx,
+       |    list_transform(range($H), i ->
+       |      lnh[((((i + ${(H + 1) / 2}) % $H) - m2) % $H + $H) % $H + 1]
+       |      * linv[((((i + ${(H + 1) / 2}) % $H) - m1) % $H + $H) % $H + 1]) AS lflt
+       |  FROM fvl),
+       |$ff
+       |mz AS MATERIALIZED (
+       |  SELECT f.scene_id, f.subswath, f.pol, f.burst_idx, f.gy, f.gx,
+       |    f.re * t.lflt[f.gy + 1] AS re, f.im * t.lflt[f.gy + 1] AS im
+       |  FROM $ffLast f JOIN flt t ON t.scene_id = f.scene_id AND t.subswath = f.subswath
+       |    AND t.burst_idx = f.burst_idx),
+       |$fi
+       |fin AS MATERIALIZED (
+       |  SELECT f.scene_id, f.subswath, f.pol, f.burst_idx, f.gy, f.gx,
+       |    f.re / $H AS re, f.im / $H AS im
+       |  FROM $fiLast f)
+       |SELECT f.scene_id, f.subswath, f.pol, f.burst_idx,
+       |  CAST(f.gy // ${Layout.TileH} AS INT) AS tile_y, CAST(f.gx // $W AS INT) AS tile_x,
+       |  count(*) AS n_valid,
+       |  CAST(sum(CAST(floor(0.031415926535897934 + f.re * 1.0E2) AS BIGINT)) AS BIGINT) AS re_sum_q,
+       |  CAST(sum(CAST(floor(0.031415926535897934 + f.im * 1.0E2) AS BIGINT)) AS BIGINT) AS im_sum_q
+       |FROM fin f JOIN tz g ON g.scene_id = f.scene_id AND g.subswath = f.subswath
+       |  AND g.pol = f.pol AND g.burst_idx = f.burst_idx AND g.gy = f.gy AND g.gx = f.gx AND g.vld
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
 
   /** Azimuth-Spectrum: the deramp-only rotation (phi = -pi kt (ta - t_ref)^2)
    * restated pixel-wise, dyadic-quantized exactly as the engine stages it, then a

@@ -432,6 +432,48 @@ case class GoldsteinFullExpr(cre: Expression, cim: Expression, tilesX: Int, tile
     copy(cre = c(0), cim = c(1))
 }
 
+/** jlinda const-fDC azimuth filter over one burst raster (inverse-Hamming
+ * de-weight at fDC_m, new-Hamming re-weight at fDC_mean, per-column FFT);
+ * per-tile (n, re_q, im_q) sums (AzimuthFilter.java:130-157). */
+case class AzFilterExpr(cre: Expression, cim: Expression, fdcM: Expression,
+    fdcS: Expression, prf: Expression, tilesX: Int, tilesY: Int, tileW: Int, tileH: Int,
+    abw: Double, alpha: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(cre, cim, fdcM, fdcS, prf)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("re_q", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("im_q", ArrayType(LongType, containsNull = false), nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.azFilter(${args(0)}, ${args(1)}, $tilesX, $tilesY, $tileW, $tileH, ${args(2)}, ${args(3)}, ${args(4)}, ${abw}D, ${alpha}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.azFilter(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      tilesX, tilesY, tileW, tileH, args(2).asInstanceOf[Double], args(3).asInstanceOf[Double],
+      args(4).asInstanceOf[Double], abw, alpha)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cre = c(0), cim = c(1), fdcM = c(2), fdcS = c(3), prf = c(4))
+}
+
+/** jlinda adaptive range filter over one burst raster pair (fringe shift from
+ * the 15-row-mean interferometric spectrum peak, shifted/narrowed Hamming x
+ * inverse Hamming per line, applied to the master rows); per-tile (n, re_q,
+ * im_q) sums (RangeFilter.java:104-230). */
+case class RangeFilterExpr(mre: Expression, mim: Expression, xre: Expression,
+    xim: Expression, tilesX: Int, tilesY: Int, tileW: Int, tileH: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(mre, mim, xre, xim)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("re_q", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("im_q", ArrayType(LongType, containsNull = false), nullable = false)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.rangeFilter(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, $tilesX, $tilesY, $tileW, $tileH)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.rangeFilter(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[ArrayData], tilesX, tilesY, tileW, tileH)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(mre = c(0), mim = c(1), xre = c(2), xim = c(3))
+}
+
 /** 16-entry minhash signature from a doc's base-hash array (one compiled pass). */
 case class Minhash16Expr(hs: Expression) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(hs)
@@ -950,6 +992,16 @@ object KernelExprs {
       tileW: Int, tileH: Int, alphaMin: Double, alphaMax: Double, alphaDef: Double): Column =
     toCol(GoldsteinFullExpr(toExpr(cre), toExpr(cim), tilesX, tilesY, tileW, tileH,
       alphaMin, alphaMax, alphaDef))
+
+  def azFilter(cre: Column, cim: Column, fdcM: Column, fdcS: Column, prf: Column,
+      tilesX: Int, tilesY: Int, tileW: Int, tileH: Int, abw: Double, alpha: Double): Column =
+    toCol(AzFilterExpr(toExpr(cre), toExpr(cim), toExpr(fdcM), toExpr(fdcS), toExpr(prf),
+      tilesX, tilesY, tileW, tileH, abw, alpha))
+
+  def rangeFilter(mre: Column, mim: Column, xre: Column, xim: Column,
+      tilesX: Int, tilesY: Int, tileW: Int, tileH: Int): Column =
+    toCol(RangeFilterExpr(toExpr(mre), toExpr(mim), toExpr(xre), toExpr(xim),
+      tilesX, tilesY, tileW, tileH))
 
   def t3Sums(chs: Seq[Column]): Column = toCol(T3SumsExpr(chs.map(toExpr)))
 

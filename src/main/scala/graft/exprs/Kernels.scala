@@ -4184,6 +4184,262 @@ object Kernels {
   @inline private def q2l(v: Double): Long =
     math.floor(0.031415926535897934 + v * 1.0e2).toLong
 
+  // ------------------------------------------------- jlinda range filter (full)
+
+  /** Range-filter defaults (RangeFilter.java:32-34) + fixture spectral
+   * constants (RSR/RBW in the fixture's MHz analog). */
+  val RfNlMean = 15
+  val RfAlpha = 0.75
+  val RfRsr = 100.0
+  val RfRbw = 70.0
+
+  /**
+   * Range filter — the jlinda adaptive fringe-frequency algorithm
+   * (RangeFilter.java:104-230): per row, the interferometric spectrum power
+   * |FFT(master * conj(slave))|^2 is averaged over nlMean=15 rows, the peak bin
+   * gives the fringe SHIFT (first-max argmax; shifts above fftLength/2 fold
+   * negative and FLIP the final filter), and each output line's filter is the
+   * Hamming window re-centered by 0.5*shift*deltaF with bandwidth
+   * RBW - shift*deltaF, de-weighted by the inverse Hamming of the original RBW
+   * (defineFilterVector:184-199), ifftshifted, then applied to the MASTER row
+   * spectra (applyFilterMaster:218-225, unscaled-inverse/nCols). Only output
+   * lines [ (nlMean-1)/2, nRows - (nlMean+1)/2 ] carry a filter (the walking-
+   * mean support); other rows are unfiltered and excluded from the gate sums.
+   * Deviations shared verbatim with the DuckDB twin: FRESH 15-row integer sums
+   * instead of the reference's walking update (value-equal up to float
+   * association — the power terms are floor-staged to BIGINT first), and the
+   * reference's SNR-below-threshold branch is mirrored as the no-op it
+   * literally is (lastShift is reassigned from the current line's fold before
+   * the test, :140-157 — only the notFiltered counter observes it).
+   * Returns per-tile (n, re_q, im_q) sums of the filtered master signal.
+   */
+  def rangeFilter(mreD: ArrayData, mimD: ArrayData, xreD: ArrayData, ximD: ArrayData,
+      tilesX: Int, tilesY: Int, tileW: Int, tileH: Int): InternalRow = {
+    val mre0 = mreD.toDoubleArray(); val mim0 = mimD.toDoubleArray()
+    val xre0 = xreD.toDoubleArray(); val xim0 = ximD.toDoubleArray()
+    val w = tilesX * tileW; val h = tilesY * tileH
+    val tileSz = tileW * tileH; val nTiles = tilesX * tilesY
+    val br = bitRev(w); val tw = twiddles(w)
+    val mre = new Array[Double](w * h); val mim = new Array[Double](w * h)
+    val xre = new Array[Double](w * h); val xim = new Array[Double](w * h)
+    val mask = new Array[Boolean](w * h)
+    var t = 0
+    while (t < nTiles) {
+      var k = 0
+      while (k < tileSz) {
+        val gy = (t / tilesX) * tileH + k / tileW
+        val gx = (t % tilesX) * tileW + k % tileW
+        val p = gy * w + gx
+        val a = mre0(t * tileSz + k); val b = mim0(t * tileSz + k)
+        val validM = a != ND && b != ND
+        mask(p) = validM
+        mre(p) = if (validM) a else 0.0
+        mim(p) = if (validM) b else 0.0
+        val c = xre0(t * tileSz + k); val d = xim0(t * tileSz + k)
+        val validX = c != ND && d != ND
+        xre(p) = if (validX) c else 0.0
+        xim(p) = if (validX) d else 0.0
+        k += 1
+      }
+      t += 1
+    }
+    // 1. per-row interferometric power, floor-staged to exact integers
+    val rowRe = new Array[Double](w); val rowIm = new Array[Double](w)
+    val pq = Array.ofDim[Long](h, w)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { rowRe(c) = xre(r * w + c); rowIm(c) = xim(r * w + c); c += 1 }
+      fftOne(rowRe, rowIm, 0, w, br, tw, inverse = false)
+      c = 0
+      while (c < w) {
+        pq(r)(c) = math.floor(rowRe(c) * rowRe(c) + rowIm(c) * rowIm(c)).toLong
+        c += 1
+      }
+      r += 1
+    }
+    // 2. per-line fringe shift from the fresh 15-row mean (exact integer sums)
+    val firstLine = (RfNlMean - 1) / 2
+    val lastLine = h - 1 - firstLine
+    val deltaF = RfRsr / w
+    val shiftArr = new Array[Int](h); val negArr = new Array[Boolean](h)
+    r = firstLine
+    while (r <= lastLine) {
+      var best = Long.MinValue; var bestK = 0; var total = 0L
+      var c = 0
+      while (c < w) {
+        var s = 0L
+        var j = r - firstLine
+        while (j <= r + firstLine) { s += pq(j)(c); j += 1 }
+        total += s
+        if (s > best) { best = s; bestK = c }
+        c += 1
+      }
+      var shift = bestK
+      var neg = false
+      if (shift > w / 2) { shift = w - shift; neg = true }
+      shiftArr(r) = shift; negArr(r) = neg
+      r += 1
+    }
+    // 3. per-line filter vector: shifted/narrowed Hamming x inverse Hamming,
+    // ifftshift, fliplr on negative shifts; apply to the master row spectra
+    def ham(f: Double, brW: Double): Double =
+      if (math.abs(f / brW) < 0.5) RfAlpha + (1 - RfAlpha) * math.cos((2 * math.Pi / RfRsr) * f)
+      else 0.0
+    val start = (w + 1) / 2
+    r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) { rowRe(c) = mre(r * w + c); rowIm(c) = mim(r * w + c); c += 1 }
+      fftOne(rowRe, rowIm, 0, w, br, tw, inverse = false)
+      if (r >= firstLine && r <= lastLine) {
+        val shift = shiftArr(r); val neg = negArr(r)
+        c = 0
+        while (c < w) {
+          val j = if (neg) ((w - 1 - c) + start) % w else (c + start) % w
+          val f = -RfRsr / 2 + j * deltaF
+          val hv = ham(f - 0.5 * shift * deltaF, RfRbw - shift * deltaF)
+          val iv = ham(f, RfRbw)
+          val fv = if (iv != 0.0) hv * (1.0 / iv) else 0.0
+          rowRe(c) *= fv; rowIm(c) *= fv
+          c += 1
+        }
+      } else {
+        c = 0
+        while (c < w) { rowRe(c) = 0.0; rowIm(c) = 0.0; c += 1 }
+      }
+      fftOne(rowRe, rowIm, 0, w, br, tw, inverse = true)
+      c = 0
+      while (c < w) { mre(r * w + c) = rowRe(c) / w; mim(r * w + c) = rowIm(c) / w; c += 1 }
+      r += 1
+    }
+    val n = new Array[Long](nTiles)
+    val reQ = new Array[Long](nTiles); val imQ = new Array[Long](nTiles)
+    t = 0
+    while (t < nTiles) {
+      var k = 0
+      while (k < tileSz) {
+        val gy = (t / tilesX) * tileH + k / tileW
+        val gx = (t % tilesX) * tileW + k % tileW
+        val p = gy * w + gx
+        if (mask(p) && gy >= firstLine && gy <= lastLine) {
+          n(t) += 1
+          reQ(t) += q2l(mre(p))
+          imQ(t) += q2l(mim(p))
+        }
+        k += 1
+      }
+      t += 1
+    }
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(n),
+      UnsafeArrayData.fromPrimitiveArray(reQ), UnsafeArrayData.fromPrimitiveArray(imQ))
+  }
+
+  // ------------------------------------------------- jlinda azimuth filter (full)
+
+  /**
+   * Azimuth filter — the jlinda CONST-fDC branch in full (AzimuthFilter.java:
+   * 130-157 defineConstFilter + 91 deltaF + 258-263 defineFrequencyAxis;
+   * WeightWindows.hamming/inverseHamming:56-111; LinearAlgebraUtils.
+   * wshift_inplace:242-266; SpectralUtils.ifftshift:198-212): the master
+   * spectrum is DE-weighted by the inverse Hamming centered at the master
+   * Doppler centroid, re-weighted by a NEW Hamming of bandwidth
+   * ABW_new = max(1, 2(ABW/2 - |fDC_m - fDC_mean|)) centered at the mean
+   * centroid fDC_mean = (fDC_m + fDC_s)/2, the filter vector ifftshifted, and
+   * each azimuth column filtered FFT -> multiply -> unscaled-inverse/nRows.
+   * Deviations, both documented and replayed identically by the DuckDB twin:
+   * floor(x + 0.5) stands in for Math.rint in the two wshift amounts (identical
+   * everywhere except exact half-integers, which the fixture's centroids never
+   * produce), no-data samples enter the FFT as zero (jlinda has no no-data
+   * concept; the gate sums only source-valid pixels), and the slave centroid is
+   * the master's plus the fixture's constant offset (a constant-offset
+   * acquisition pair — the const-fDC branch's own assumption). The FFT is the
+   * deterministic radix-2 above (bit-exact cross-engine). Returns per-tile
+   * (n, re_q, im_q) sums of the filtered complex signal.
+   */
+  def azFilter(creD: ArrayData, cimD: ArrayData, tilesX: Int, tilesY: Int,
+      tileW: Int, tileH: Int, fdcM: Double, fdcS: Double, prf: Double,
+      abw: Double, alpha: Double): InternalRow = {
+    val cre = creD.toDoubleArray(); val cim = cimD.toDoubleArray()
+    val w = tilesX * tileW; val h = tilesY * tileH
+    val tileSz = tileW * tileH; val nTiles = tilesX * tilesY
+    val br = bitRev(h); val tw = twiddles(h)
+    val re = new Array[Double](w * h); val im = new Array[Double](w * h)
+    val mask = new Array[Boolean](w * h)
+    var t = 0
+    while (t < nTiles) {
+      var k = 0
+      while (k < tileSz) {
+        val gy = (t / tilesX) * tileH + k / tileW
+        val gx = (t % tilesX) * tileW + k % tileW
+        val p = gy * w + gx
+        val a = cre(t * tileSz + k); val b = cim(t * tileSz + k)
+        val valid = a != ND && b != ND
+        mask(p) = valid
+        re(p) = if (valid) a else 0.0
+        im(p) = if (valid) b else 0.0
+        k += 1
+      }
+      t += 1
+    }
+    // filter vector over the azimuth frequency axis [-prf/2 : prf/nRows : ...)
+    val deltaF = prf / h
+    def ham(f: Double, brW: Double): Double =
+      if (math.abs(f / brW) < 0.5) alpha + (1 - alpha) * math.cos((2 * math.Pi / prf) * f)
+      else 0.0
+    val freq = Array.tabulate(h)(i => -prf / 2 + i * deltaF)
+    val inv = freq.map { f => val v = ham(f, abw); if (v != 0.0) 1.0 / v else 0.0 }
+    val fdcMean = 0.5 * (fdcM + fdcS)
+    val abwNew = math.max(1.0, 2.0 * (0.5 * abw - math.abs(fdcM - fdcMean)))
+    val newHam = freq.map(f => ham(f, abwNew))
+    val m1 = math.floor(h * fdcM / prf + 0.5).toInt // wshift(-m1): right-shift by m1
+    val m2 = math.floor(h * fdcMean / prf + 0.5).toInt
+    def rshift(v: Array[Double], m: Int): Array[Double] =
+      Array.tabulate(h)(i => v(((i - m) % h + h) % h))
+    val filt0 = rshift(newHam, m2).zip(rshift(inv, m1)).map { case (a, b) => a * b }
+    // ifftshift: out[i] = v[(i + ceil(n/2)) mod n]
+    val start = (h + 1) / 2
+    val filt = Array.tabulate(h)(i => filt0((i + start) % h))
+    // per azimuth column: FFT -> multiply -> inverse, scaled 1/nRows
+    val colRe = new Array[Double](h); val colIm = new Array[Double](h)
+    var c = 0
+    while (c < w) {
+      var r = 0
+      while (r < h) { colRe(r) = re(r * w + c); colIm(r) = im(r * w + c); r += 1 }
+      fftOne(colRe, colIm, 0, h, br, tw, inverse = false)
+      r = 0
+      while (r < h) { colRe(r) *= filt(r); colIm(r) *= filt(r); r += 1 }
+      fftOne(colRe, colIm, 0, h, br, tw, inverse = true)
+      r = 0
+      while (r < h) {
+        re(r * w + c) = colRe(r) / h
+        im(r * w + c) = colIm(r) / h
+        r += 1
+      }
+      c += 1
+    }
+    val n = new Array[Long](nTiles)
+    val reQ = new Array[Long](nTiles); val imQ = new Array[Long](nTiles)
+    t = 0
+    while (t < nTiles) {
+      var k = 0
+      while (k < tileSz) {
+        val gy = (t / tilesX) * tileH + k / tileW
+        val gx = (t % tilesX) * tileW + k % tileW
+        val p = gy * w + gx
+        if (mask(p)) {
+          n(t) += 1
+          reQ(t) += q2l(re(p))
+          imQ(t) += q2l(im(p))
+        }
+        k += 1
+      }
+      t += 1
+    }
+    InternalRow(UnsafeArrayData.fromPrimitiveArray(n),
+      UnsafeArrayData.fromPrimitiveArray(reQ), UnsafeArrayData.fromPrimitiveArray(imQ))
+  }
+
   /** In-place square transpose of a row-major n x n array. */
   private def transpose(a: Array[Double], n: Int): Unit = {
     var r = 0

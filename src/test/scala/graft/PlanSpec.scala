@@ -171,6 +171,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("jlinda azimuth/range filters add only burst-assembly shuffles (kernels run map-side)") {
+    val pa = plan(ops.Spectral.bandpassAzimuthQuery(spark, sf))
+    assert(ShuffleRe.findAllIn(pa).length <= 1, pa.take(2000))
+    assert(!pa.contains("CartesianProduct"))
+    val pr = plan(ops.Spectral.bandpassRangeQuery(spark, sf))
+    // master assembly + crossTiles join (2) + cross assembly + the pair join
+    assert(ShuffleRe.findAllIn(pr).length <= 5, pr.take(2000))
+    assert(!pr.contains("CartesianProduct"))
+  }
+
   test("REACTIV joins the scene threshold by broadcast (stack arrays never re-shuffle for it)") {
     val p = plan(ops.Stack.reactivQuery(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
