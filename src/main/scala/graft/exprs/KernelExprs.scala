@@ -559,32 +559,6 @@ case class OversampleExpr(arr: Expression, w: Int, h: Int) extends StaticKernelE
     copy(arr = c(0))
 }
 
-/** Ideal band-pass filter along range (axis 0) or azimuth (axis 1). */
-case class BandpassExpr(arr: Expression, w: Int, h: Int, kc: Int, axis: Int)
-    extends StaticKernelExpr {
-  override def children: Seq[Expression] = Seq(arr)
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override protected def javaCall(args: Seq[String]): String =
-    s"graft.exprs.Kernels.bandpass(${args.head}, $w, $h, $kc, $axis)"
-  override protected def kernelEval(args: IndexedSeq[Any]): Any =
-    Kernels.bandpass(args(0).asInstanceOf[ArrayData], w, h, kc, axis)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(arr = c(0))
-}
-
-/** Goldstein phase filter over a complex interferogram tile. */
-case class GoldsteinExpr(cre: Expression, cim: Expression, w: Int, h: Int, alpha: Double)
-    extends StaticKernelExpr {
-  override def children: Seq[Expression] = Seq(cre, cim)
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override protected def javaCall(args: Seq[String]): String =
-    s"graft.exprs.Kernels.goldstein(${args(0)}, ${args(1)}, $w, $h, ${alpha}D)"
-  override protected def kernelEval(args: IndexedSeq[Any]): Any =
-    Kernels.goldstein(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData], w, h, alpha)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(cre = c(0), cim = c(1))
-}
-
 /** WSS deburst overlap-strip fold: flat (n, pk, pki, av) x ov rows. */
 case class WssOverlapExpr(va: Expression, ia: Expression, vb: Expression, ib: Expression,
     tileX: Expression, w: Int, h: Int, ov: Int, margin: Int, wTotal: Int, q: Double)
@@ -1054,12 +1028,6 @@ object KernelExprs {
 
   def oversample(arr: Column, w: Int, h: Int): Column =
     toCol(OversampleExpr(toExpr(arr), w, h))
-
-  def bandpass(arr: Column, w: Int, h: Int, kc: Int, axis: Int): Column =
-    toCol(BandpassExpr(toExpr(arr), w, h, kc, axis))
-
-  def goldstein(cre: Column, cim: Column, w: Int, h: Int, alpha: Double): Column =
-    toCol(GoldsteinExpr(toExpr(cre), toExpr(cim), w, h, alpha))
 
   def azSpectrum(di: Column, dq: Column, w: Int, h: Int): Column =
     toCol(AzSpectrumExpr(toExpr(di), toExpr(dq), w, h))

@@ -1249,78 +1249,6 @@ object Kernels {
   }
 
   /**
-   * Ideal low-pass band filter along one axis (reference BandPassFilterOp /
-   * RangeFilterOp / AzimuthFilterOp family): zero all DFT bins with |k| > kc.
-   * axis 0 = range (rows), 1 = azimuth (columns). Equivalent to circular
-   * convolution with the Dirichlet kernel (the oracle form).
-   */
-  def bandpass(arrD: ArrayData, w: Int, h: Int, kc: Int, axis: Int): ArrayData = {
-    val a = arrD.toDoubleArray()
-    val out = new Array[Double](w * h)
-    if (axis == 0) {
-      val zero = new Array[Double](w)
-      var y = 0
-      while (y < h) {
-        val row = java.util.Arrays.copyOfRange(a, y * w, (y + 1) * w)
-        val (fr, fi) = fft1d(row, zero, inverse = false)
-        var k = kc + 1
-        while (k < w - kc) { fr(k) = 0.0; fi(k) = 0.0; k += 1 }
-        val (or_, _) = fft1d(fr, fi, inverse = true)
-        var x = 0
-        while (x < w) { out(y * w + x) = or_(x); x += 1 }
-        y += 1
-      }
-    } else {
-      val zero = new Array[Double](h)
-      var x = 0
-      while (x < w) {
-        val colA = new Array[Double](h)
-        var y = 0
-        while (y < h) { colA(y) = a(y * w + x); y += 1 }
-        val (fr, fi) = fft1d(colA, zero, inverse = false)
-        var k = kc + 1
-        while (k < h - kc) { fr(k) = 0.0; fi(k) = 0.0; k += 1 }
-        val (or_, _) = fft1d(fr, fi, inverse = true)
-        y = 0
-        while (y < h) { out(y * w + x) = or_(y); y += 1 }
-        x += 1
-      }
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
-
-  /**
-   * Goldstein phase filter (reference GoldsteinFilterOp.java:48): Z = FFT2D of the
-   * complex interferogram tile, Z' = Z * |Z|^alpha, filtered phase = arg(IFFT2D(Z')).
-   * No-data pixels enter the FFT as 0 (and the output phase is computed everywhere).
-   */
-  def goldstein(creD: ArrayData, cimD: ArrayData, w: Int, h: Int, alpha: Double): ArrayData = {
-    require(w == h, "goldstein expects square tiles")
-    val cre = creD.toDoubleArray(); val cim = cimD.toDoubleArray()
-    val n = w
-    val re = new Array[Double](n * n); val im = new Array[Double](n * n)
-    var i = 0
-    while (i < n * n) {
-      re(i) = if (isNd(cre(i))) 0.0 else cre(i)
-      im(i) = if (isNd(cim(i))) 0.0 else cim(i)
-      i += 1
-    }
-    fft2d(re, im, n, inverse = false)
-    i = 0
-    while (i < n * n) {
-      val mag = math.sqrt(re(i) * re(i) + im(i) * im(i))
-      val wgt = math.pow(mag, alpha)
-      re(i) *= wgt; im(i) *= wgt
-      i += 1
-    }
-    fft2d(re, im, n, inverse = true)
-    val out = new Array[Double](n * n)
-    i = 0
-    while (i < n * n) { out(i) = math.atan2(im(i), re(i)); i += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
-
-  /**
    * WSS deburst overlap-strip fold (reference DeburstWSSOp.java:43 ownership
    * rules): for each of the ov overlap rows j between burst b (last ov rows,
    * offset w*(h-ov)) and burst b+1 (first ov rows), fold the margin-valid

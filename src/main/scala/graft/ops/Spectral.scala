@@ -7,17 +7,17 @@ import graft.gen.Fixtures
 import graft.model.Layout
 
 /**
- * FFT-domain operators (reference OversamplingOp.java:46, BandPassFilterOp /
- * RangeFilterOp / AzimuthFilterOp, GoldsteinFilterOp.java:48). Each kernel is a
- * native expression running real FFTs (commons-math3) per tile row — one static
- * call per tile inside whole-stage codegen; the DuckDB oracles restate the SAME
- * transforms in closed form (periodic-sinc interpolation kernel, Dirichlet
- * convolution, direct 2-D DFT), so the FFT path is verified against an
- * independent derivation.
+ * FFT-domain operators (reference OversamplingOp.java:46, jlinda RangeFilter /
+ * AzimuthFilter, GoldsteinFilterOp.java:330-826). Oversampling and the azimuth
+ * spectrum run commons-math FFTs verified against independent closed-form
+ * oracles (periodic-sinc interpolation, direct DFT with dyadic-staged inputs);
+ * the Goldstein block pipeline and the two jlinda filters run the in-house
+ * deterministic radix-2 FFT whose butterflies the DuckDB twins replay verbatim
+ * (bit-exact cross-engine). One compiled static call per burst raster inside
+ * whole-stage codegen.
  */
 object Spectral {
 
-  val BandKc = 6 // band-pass cutoff bin
   val GoldsteinAlpha = 0.5
 
   /** smooth (no-data-free) single-band tiles for the 1-D spectral ops. */
