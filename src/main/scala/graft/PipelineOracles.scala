@@ -597,4 +597,59 @@ object PipelineOracles {
        |  min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us,
        |  count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_sum_c
        |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** q_contamination: benchmark (doc_id % 41 = 0) 3-gram overlap per corpus doc.
+   * Same shingle CTEs as minhash; hit_frac is one quantized division. */
+  val contamination: String =
+    s"""WITH ${shingleCtes("documents")},
+       |hb AS (SELECT doc_id, ${h60("g")} AS h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM hb WHERE doc_id % 41 = 0)
+       |SELECT c.doc_id, count(*) AS n_shingles, count(b.h) AS n_hits,
+       |  CAST(floor(0.031415926535897934 + count(b.h) * 1.0E6 / count(*)) AS BIGINT) AS hit_frac_q,
+       |  CAST(count(b.h) >= 2 AS BIGINT) AS contaminated
+       |FROM (SELECT doc_id, h FROM hb WHERE doc_id % 41 != 0) c
+       |LEFT JOIN bench b ON c.h = b.h
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_quality_repetition: Gopher-style top-word / duplicate-bigram mass per doc. */
+  val repetition: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws
+       |           FROM documents),
+       |base AS (SELECT doc_id, len(ws) AS n_words,
+       |    list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS top_word_count,
+       |    len(ws) - 1 AS n_bigrams,
+       |    len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))) AS n_distinct_bigrams
+       |  FROM w WHERE len(ws) >= 2),
+       |fr AS (SELECT *,
+       |    CAST(floor(0.031415926535897934 + top_word_count * 1.0E6 / n_words) AS BIGINT) AS top_word_frac_q,
+       |    CAST(floor(0.031415926535897934 + (n_bigrams - n_distinct_bigrams) * 1.0E6 / n_bigrams) AS BIGINT) AS dup_bigram_frac_q
+       |  FROM base)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(top_word_count AS INT) AS top_word_count,
+       |  CAST(n_bigrams AS INT) AS n_bigrams, CAST(n_distinct_bigrams AS INT) AS n_distinct_bigrams,
+       |  top_word_frac_q, dup_bigram_frac_q,
+       |  CAST(top_word_frac_q <= 200000 AND dup_bigram_frac_q <= 200000 AS BIGINT) AS quality_pass
+       |FROM fr ORDER BY doc_id""".stripMargin
+
+  /** q_domain_mix: temperature-0.5 (sqrt) domain re-weighting with deterministic
+   * h60-grid sampling; thresholds on the 2^20 grid, every non-integer step one
+   * correctly-rounded double op in the same order as the Spark side. */
+  val domainMix: String =
+    s"""WITH w AS (SELECT doc_id, source,
+       |    len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS n_words
+       |  FROM documents),
+       |per AS (SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS tok_sum
+       |        FROM w GROUP BY 1),
+       |perq AS (SELECT *, CAST(floor(sqrt(CAST(tok_sum AS DOUBLE)) * 1048576.0) AS BIGINT) AS sq FROM per),
+       |gtot AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS tok_total, CAST(sum(sq) AS BIGINT) AS sq_total FROM perq),
+       |thr AS (SELECT source,
+       |    CAST(least(1048576.0, floor(CAST(tok_total AS DOUBLE) * 576460752303423488.0 /
+       |      (CAST(sq_total AS DOUBLE) * CAST(sq AS DOUBLE)))) AS BIGINT) AS keep_thr
+       |  FROM perq, gtot),
+       |kept AS (SELECT w.source, w.n_words, t.keep_thr,
+       |    CAST((${h60("CAST(doc_id AS VARCHAR)")} % 1048576) < t.keep_thr AS BIGINT) AS keep
+       |  FROM w JOIN thr t ON w.source = t.source)
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS tok_sum,
+       |  max(keep_thr) AS keep_thr, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_words * keep) AS BIGINT) AS kept_tok
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a production training-data pipeline runs beyond
+ * dedup/quality/lang-id: benchmark-contamination detection, repetition-based
+ * quality rules (the Gopher-style rep filters), and temperature-based domain
+ * mixing with deterministic hash sampling.
+ *
+ * Exactness discipline (shared with the rest of the gate surface): every
+ * fraction is a single-division double quantized through the usual
+ * floor(pi-nudge + x * 1e6) grid; sqrt and one-multiply/one-divide chains are
+ * correctly-rounded IEEE ops evaluated in textually identical order in the
+ * DuckDB twin, so results are bit-exact cross-engine. All sums are BIGINT.
+ *
+ * Scale posture:
+ *  - contamination: the benchmark n-gram set is tiny vs the corpus (eval sets
+ *    are ~10^5 docs vs 10^12), so it broadcasts; the corpus side is one
+ *    map-side explode + broadcast-hash left join + per-doc agg — no big
+ *    shuffle beyond the doc_id rollup (map-side partial combine).
+ *  - repetition: pure per-row higher-order expressions (no explode, no
+ *    shuffle); O(words * distinct_words) per row inside codegen.
+ *  - domain mix: per-source agg (20..10^4 rows) -> broadcast of per-source
+ *    thresholds back onto the doc stream; the only wide shuffle is the
+ *    per-source partial-aggregated rollup.
+ */
+object Curation {
+
+  import graft.dedup.Dedup.{docs, h60, withShingles}
+
+  /** Quantize a double expression onto the shared 1e-6 grid. */
+  private def q6(e: String): String =
+    s"CAST(floor(0.031415926535897934 + $e) AS BIGINT)"
+
+  /**
+   * Benchmark-contamination detection: docs with doc_id % 41 = 0 act as the
+   * held-out eval set; every other doc is scored by how many of its distinct
+   * 3-word shingles appear anywhere in the benchmark set (13-gram in
+   * production; 3-gram here because fixture docs are ~40 words). A doc with
+   * >= 2 benchmark shingles is flagged contaminated — the standard
+   * train-set decontamination pass before an LLM run.
+   */
+  def contaminationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .withColumn("h", expr(h60("g")))
+      .select("doc_id", "h")
+    val bench = sh.where(col("doc_id") % 41 === 0).select("h").distinct()
+      .withColumn("hit", lit(1))
+    sh.where(col("doc_id") % 41 =!= 0)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count("hit").as("n_hits"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_hits"),
+        expr(q6("n_hits * 1.0E6 / n_shingles")).as("hit_frac_q"),
+        expr("CAST(n_hits >= 2 AS BIGINT)").as("contaminated"))
+  }
+
+  /**
+   * Repetition-based quality rules (Gopher-style): most-frequent-word mass and
+   * duplicate-bigram mass per document, each as a quantized fraction, plus the
+   * pass flag at the 20% thresholds. Pure per-row expressions — at 10^12 docs
+   * this runs entirely map-side inside whole-stage codegen.
+   */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .where(size(col("ws")) >= 2)
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))")
+          .as("top_word_count"),
+        (size(col("ws")) - 1).as("n_bigrams"),
+        expr("size(array_distinct(transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))))")
+          .as("n_distinct_bigrams"))
+      .select(
+        col("doc_id"), col("n_words"), col("top_word_count"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        expr(q6("top_word_count * 1.0E6 / n_words")).as("top_word_frac_q"),
+        expr(q6("(n_bigrams - n_distinct_bigrams) * 1.0E6 / n_bigrams")).as("dup_bigram_frac_q"))
+      .withColumn("quality_pass",
+        expr("CAST(top_word_frac_q <= 200000 AND dup_bigram_frac_q <= 200000 AS BIGINT)"))
+
+  /**
+   * Temperature-based domain mixing: per-source token mass is re-weighted to
+   * sqrt(tokens) (temperature 0.5 — sqrt, not pow, because IEEE sqrt is
+   * correctly rounded and therefore bit-identical cross-engine), targeting a
+   * global 50% token budget. Each source gets a keep threshold on a 2^20 hash
+   * grid; docs are kept when h60(doc_id) mod 2^20 falls under it —
+   * deterministic, reproducible sampling with no RNG state.
+   *
+   * thr_s = min(2^20, floor(T * 2^59 / (S_q * sq_s))) where sq_s =
+   * floor(sqrt(tok_s) * 2^20), S_q = sum(sq_s), T = sum(tok_s): the integer
+   * form of p_s = 0.5 * T / (sum_s sqrt(tok_s) * sqrt(tok_s)) scaled onto the
+   * grid. Every non-integer step is one correctly-rounded double op.
+   */
+  def domainMixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_words"))
+    val per = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tok_sum"))
+      .withColumn("sq", expr("CAST(floor(sqrt(CAST(tok_sum AS DOUBLE)) * 1048576.0) AS BIGINT)"))
+    val glob = per.agg(sum("tok_sum").as("tok_total"), sum("sq").as("sq_total"))
+    val thr = per.crossJoin(broadcast(glob))
+      .withColumn("keep_thr", expr(
+        "CAST(least(1048576.0, floor(CAST(tok_total AS DOUBLE) * 576460752303423488.0 / " +
+          "(CAST(sq_total AS DOUBLE) * CAST(sq AS DOUBLE)))) AS BIGINT)"))
+      .select("source", "keep_thr")
+    d.join(broadcast(thr), Seq("source"))
+      .withColumn("keep",
+        expr(s"CAST((${h60("CAST(doc_id AS STRING)")} % 1048576) < keep_thr AS BIGINT)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("tok_sum"),
+        max("keep_thr").as("keep_thr"),
+        sum("keep").as("n_kept"),
+        sum(expr("n_words * keep")).as("kept_tok"))
+  }
+}

@@ -269,4 +269,92 @@ class PipelineSpec extends AnyFunSuite {
     // the same miss class at k=11k clusters / 100M embeddings)
     assert(recall >= 0.2, s"cluster-scoped recall $recall below floor (exact pairs: ${exact.size})")
   }
+
+  // --- Curation ops: independent Scala recomputation of each query on the fixture ---
+
+  private def scalaWords(t: String): Array[String] =
+    if (t == null) Array.empty else t.toLowerCase.split(" ", -1)
+
+  private def scalaH60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  test("contamination: benchmark shingle overlap matches direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.contaminationQuery(spark, sf)
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val ws = scalaWords(t)
+      if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bench = raw.filter(_._1 % 41 == 0).flatMap(x => sh(x._2)).toSet
+    val expected = raw
+      .filter(x => x._1 % 41 != 0 && sh(x._2).nonEmpty)
+      .map { case (id, t) =>
+        val s = sh(t); val hits = s.count(bench.contains).toLong
+        id -> ((s.size.toLong, hits, if (hits >= 2) 1L else 0L))
+      }.toMap
+    assert(out == expected)
+    // the bench side itself never appears in the scored output
+    assert(out.keys.forall(_ % 41 != 0))
+  }
+
+  test("repetition rules: top-word / dup-bigram fractions match direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.repetitionQuery(spark, sf)
+      .select("doc_id", "top_word_count", "n_distinct_bigrams", "top_word_frac_q", "dup_bigram_frac_q", "quality_pass")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    val expected = raw.flatMap { case (id, t) =>
+      val ws = scalaWords(t).filter(_.nonEmpty)
+      if (ws.length < 2) None else {
+        val top = ws.groupBy(identity).values.map(_.length).max
+        val nb = ws.length - 1
+        val ndb = ws.sliding(2).map(_.mkString(" ")).toSet.size
+        val twf = math.floor(0.031415926535897934 + top.toDouble * 1.0e6 / ws.length).toLong
+        val dbf = math.floor(0.031415926535897934 + (nb - ndb).toDouble * 1.0e6 / nb).toLong
+        Some(id -> ((id, top, ndb, twf, dbf, if (twf <= 200000 && dbf <= 200000) 1L else 0L)))
+      }
+    }.toMap
+    assert(out.size == expected.size)
+    expected.foreach { case (id, (_, top, ndb, twf, dbf, pass)) =>
+      val g = out(id)
+      assert((g._2, g._3, g._4, g._5, g._6) == ((top, ndb, twf, dbf, pass)), s"doc $id")
+    }
+  }
+
+  test("domain mix: sqrt-temperature thresholds and kept masses match direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.domainMixQuery(spark, sf)
+      .select("source", "n_docs", "tok_sum", "keep_thr", "n_kept", "kept_tok")
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, t) => (id, src, scalaWords(t).count(_.nonEmpty).toLong) }
+    val per = raw.groupBy(_._2).map { case (src, rows) =>
+      src -> ((rows.length.toLong, rows.map(_._3).sum))
+    }
+    val sq = per.map { case (src, (_, tok)) =>
+      src -> math.floor(math.sqrt(tok.toDouble) * 1048576.0).toLong
+    }
+    val tokTotal = per.values.map(_._2).sum
+    val sqTotal = sq.values.sum
+    per.foreach { case (src, (nDocs, tok)) =>
+      val thr = math.min(1048576.0,
+        math.floor(tokTotal.toDouble * 576460752303423488.0 / (sqTotal.toDouble * sq(src).toDouble))).toLong
+      val keep = raw.filter(_._2 == src).map { case (id, _, nw) =>
+        (if (scalaH60(id.toString) % 1048576L < thr) 1L else 0L, nw)
+      }
+      val g = out(src)
+      assert((g._2, g._3, g._4, g._5, g._6) ==
+        ((nDocs, tok, thr, keep.map(_._1).sum, keep.collect { case (1L, nw) => nw }.sum)), s"source $src")
+    }
+    // the sampler actually downsamples: at least one source is below threshold 2^20
+    assert(out.values.exists(_._4 < 1048576L))
+  }
 }
