@@ -652,4 +652,103 @@ object PipelineOracles {
        |  max(keep_thr) AS keep_thr, CAST(sum(keep) AS BIGINT) AS n_kept,
        |  CAST(sum(n_words * keep) AS BIGINT) AS kept_tok
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_substring_dup_mass: per-doc token mass covered by corpus-duplicated
+   * 8-gram spans (positional hashes -> multiplicity >= 2 -> interval union). */
+  val substringDupMass: String =
+    s"""WITH $augCte,
+       |w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws FROM aug),
+       |b AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words, ws FROM w WHERE len(ws) >= 8),
+       |p AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS i, ws FROM b),
+       |g AS (SELECT doc_id, i, ${h60("array_to_string(ws[i+1:i+8], ' ')")} AS h FROM p),
+       |dh AS (SELECT h FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |dp AS (SELECT g.doc_id, g.i FROM g JOIN dh USING (h)),
+       |iv AS (SELECT doc_id, i, lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nx FROM dp),
+       |per AS (SELECT doc_id, count(*) AS n_dup_pos,
+       |        CAST(sum(least(8, coalesce(nx - i, 8))) AS BIGINT) AS dup_mass FROM iv GROUP BY 1),
+       |fin AS (SELECT b.doc_id, b.n_words,
+       |    coalesce(per.n_dup_pos, 0) AS n_dup_pos, coalesce(per.dup_mass, 0) AS dup_mass
+       |  FROM b LEFT JOIN per USING (doc_id))
+       |SELECT doc_id, n_words, n_dup_pos, dup_mass,
+       |  CAST(floor(0.031415926535897934 + dup_mass * 1.0E6 / n_words) AS BIGINT) AS dup_frac_q,
+       |  CAST(CAST(floor(0.031415926535897934 + dup_mass * 1.0E6 / n_words) AS BIGINT) >= 500000 AS BIGINT) AS dup_heavy
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** q_incremental_dedup: new batch (augmented copies, doc_id >= 10^6) probed
+   * against the prior snapshot's exact md5 index and LSH band-bucket index. */
+  val incrementalDedup: String =
+    s"""WITH $augCte,
+       |${shingleCtes("aug")},
+       |$sigCtes,
+       |bk AS (SELECT doc_id, b, CASE ${(0 until 4).map(b => s"WHEN b = $b THEN ${bandExpr(b)}").mkString(" ")} END AS bucket
+       |       FROM sig, (SELECT unnest(range(4)) AS b)),
+       |oldb AS (SELECT DISTINCT b, bucket FROM bk WHERE doc_id < 1000000),
+       |near AS (SELECT n.doc_id,
+       |    CAST(sum(CASE WHEN o.bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_band_hits
+       |  FROM (SELECT * FROM bk WHERE doc_id >= 1000000) n
+       |  LEFT JOIN oldb o ON n.b = o.b AND n.bucket = o.bucket GROUP BY 1),
+       |oldm AS (SELECT DISTINCT md5(text) AS m FROM aug WHERE doc_id < 1000000),
+       |ex AS (SELECT nd.doc_id, CASE WHEN om.m IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS matched_exact
+       |       FROM (SELECT doc_id, md5(text) AS m FROM aug WHERE doc_id >= 1000000) nd
+       |       LEFT JOIN oldm om ON nd.m = om.m)
+       |SELECT ex.doc_id, ex.matched_exact,
+       |  coalesce(nr.n_band_hits, 0) AS n_band_hits,
+       |  CAST(coalesce(nr.n_band_hits, 0) >= 1 AS BIGINT) AS matched_near,
+       |  CAST(ex.matched_exact = 0 AND coalesce(nr.n_band_hits, 0) = 0 AS BIGINT) AS is_new_content
+       |FROM ex LEFT JOIN near nr ON ex.doc_id = nr.doc_id ORDER BY 1""".stripMargin
+
+  /** q_perplexity_filter: self-trained unigram LM, integer-bit token costs
+   * (floor-log2 via length(bin(x)) - 1, no floating log), corpus-mean keep rule
+   * by integer cross-multiplication. */
+  val perplexity: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w != '')) AS w
+       |              FROM documents),
+       |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens, count(*) AS v_size FROM vocab),
+       |costs AS (SELECT w, CAST(length(bin((t_tokens + v_size) // (c + 1))) - 1 AS BIGINT) AS cost_bits
+       |          FROM vocab, tot),
+       |per AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(cost_bits) AS BIGINT) AS total_bits
+       |        FROM toks JOIN costs USING (w) GROUP BY 1),
+       |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS g_tokens, CAST(sum(total_bits) AS BIGINT) AS g_bits FROM per)
+       |SELECT doc_id, n_tokens, total_bits,
+       |  CAST(floor(0.031415926535897934 + total_bits * 1.0E6 / n_tokens) AS BIGINT) AS avg_bits_q,
+       |  CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT) AS keep
+       |FROM per, g ORDER BY doc_id""".stripMargin
+
+  /** q_seq_packing: concat-and-chunk packing manifest — window cumsum per source
+   * stream, 512-piece chunks, per-sequence docs/tokens/boundary counts. */
+  val seqPacking: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(list_sum(list_transform(list_filter(string_split(lower(text), ' '), w -> w != ''),
+       |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (SELECT *, CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM d WHERE tok >= 1),
+       |s AS (SELECT *, cum - tok AS start_off,
+       |    (cum - tok) // 512 AS seq_first, (cum - 1) // 512 AS seq_last FROM c),
+       |x AS (SELECT source, doc_id, tok, start_off, cum, seq_first, seq_last,
+       |    unnest(range(seq_first, seq_last + 1)) AS seq_idx FROM s)
+       |SELECT source, seq_idx, count(*) AS n_docs,
+       |  CAST(sum(least(cum, (seq_idx + 1) * 512) - greatest(start_off, seq_idx * 512)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(seq_last > seq_first AS BIGINT)) AS BIGINT) AS n_boundary_docs
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_importance_weights: DSIR-shaped hashed-unigram (4096-bucket) target/corpus
+   * affinity ratios on the 2^20 integer grid; resample rule by cross-multiplication. */
+  val importance: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    ${h60("w")} % 4096 AS b
+       |  FROM (SELECT doc_id, lang, unnest(list_filter(string_split(lower(text), ' '), w -> w != '')) AS w
+       |        FROM documents)),
+       |alls AS (SELECT b, count(*) AS c_all FROM toks GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY 1),
+       |bk AS (SELECT b, ((coalesce(c_tgt, 0) + 1) * 1048576) // (c_all + 1) AS ratio_q
+       |       FROM alls LEFT JOIN tgt USING (b)),
+       |per AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(ratio_q) AS BIGINT) AS weight_sum
+       |        FROM toks JOIN bk USING (b) GROUP BY 1),
+       |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS g_tokens, CAST(sum(weight_sum) AS BIGINT) AS g_weight FROM per)
+       |SELECT doc_id, n_tokens, weight_sum, weight_sum // n_tokens AS avg_ratio_q,
+       |  CAST(weight_sum * g_tokens >= g_weight * n_tokens AS BIGINT) AS resampled
+       |FROM per, g ORDER BY doc_id""".stripMargin
 }

@@ -310,4 +310,45 @@ object Dedup {
         expr("size(array_union(sa, sb))").as("n_union"),
         expr("round(size(array_intersect(sa, sb)) / size(array_union(sa, sb)), 6)").as("jaccard"))
   }
+
+  /**
+   * Incremental dedup — the production mode: each new crawl batch is deduped
+   * against the ACCUMULATED corpus index, not re-clustered from scratch. The
+   * prior snapshot here is the base corpus (doc_id < 10^6); the new batch is
+   * the augmented copies (doc_id >= 10^6 — exact copies of every 7th doc,
+   * drop-last-word near-copies of every 5th). Two index probes per new doc:
+   * an exact md5 membership test and a MinHash band-bucket hit count.
+   *
+   * Scale: both old-index frames are what a real pipeline materializes as
+   * bucketed tables (text_md5; (band_idx, band_hash)); the probes are
+   * equi-joins on those keys, so a 10^12-doc accumulated index never
+   * re-shuffles — only the (much smaller) new batch does. Band hashes are
+   * md5-uniform, so no hot buckets.
+   */
+  def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    val newDocs = aug.where(col("doc_id") >= 1000000)
+    // exact probe: prior snapshot's text-hash index
+    val oldMd5 = aug.where(col("doc_id") < 1000000)
+      .select(md5(col("text")).as("text_md5")).distinct()
+      .withColumn("m", lit(1L))
+    val exact = newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(oldMd5, Seq("text_md5"), "left")
+      .select(col("doc_id"), coalesce(col("m"), lit(0L)).as("matched_exact"))
+    // near probe: prior snapshot's LSH band index
+    val sigs = minhashSignatures(aug)
+    def bands(df: DataFrame): DataFrame = (0 until Bands).map(b =>
+      df.select(col("doc_id"), lit(b).as("band_idx"), col(s"band_$b").as("bh")))
+      .reduce(_ unionByName _)
+    val oldBands = bands(sigs.where(col("doc_id") < 1000000))
+      .select("band_idx", "bh").distinct().withColumn("hit", lit(1L))
+    val near = bands(sigs.where(col("doc_id") >= 1000000))
+      .join(oldBands, Seq("band_idx", "bh"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("hit"), lit(0L))).as("n_band_hits"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("matched_exact"),
+        coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"))
+      .withColumn("matched_near", expr("CAST(n_band_hits >= 1 AS BIGINT)"))
+      .withColumn("is_new_content", expr("CAST(matched_exact = 0 AND n_band_hits = 0 AS BIGINT)"))
+  }
 }

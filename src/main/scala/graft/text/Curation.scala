@@ -123,4 +123,117 @@ object Curation {
         sum("keep").as("n_kept"),
         sum(expr("n_words * keep")).as("kept_tok"))
   }
+
+  /**
+   * CCNet-shaped perplexity filtering with a unigram LM trained on the corpus
+   * itself, scored in INTEGER BITS so the gate is bit-exact cross-engine:
+   * cost(w) = floor(log2((T + V) / (c_w + 1))) via length(bin(x)) - 1 on the
+   * integer-divided add-one-smoothed ratio (T = corpus tokens, V = vocab size;
+   * no ln/log2 doubles anywhere — floating log is only 1-ulp-accurate and
+   * flips quantization floors across engines). A doc is kept when its mean
+   * token cost is at most the corpus mean (cross-multiplied integers: no
+   * division). CCNet buckets by LM perplexity percentile; corpus-mean is the
+   * same head/tail split without an order statistic.
+   *
+   * Scale: the vocab aggregation and the token->vocab join both key on the
+   * word (map-side partial combine + one hash shuffle each); the vocab frame
+   * is broadcast here (fixture vocab ~10^3) — at a 10^12-doc corpus cap it to
+   * the top-K words plus an OOV cost floor and the broadcast still holds.
+   * Cross-multiplies stay under 2^63 up to ~10^14 corpus bits.
+   */
+  def perplexityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum("c").as("t_tokens"), count(lit(1)).as("v_size"))
+    val costs = vocab.crossJoin(broadcast(totals))
+      .withColumn("cost_bits", expr("CAST(length(bin((t_tokens + v_size) div (c + 1))) - 1 AS BIGINT)"))
+      .select("w", "cost_bits")
+    val perDoc = toks.join(broadcast(costs), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("cost_bits").as("total_bits"))
+    val g = perDoc.agg(sum("n_tokens").as("g_tokens"), sum("total_bits").as("g_bits"))
+    perDoc.crossJoin(broadcast(g))
+      .select(
+        col("doc_id"), col("n_tokens"), col("total_bits"),
+        expr(q6("total_bits * 1.0E6 / n_tokens")).as("avg_bits_q"),
+        expr("CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT)").as("keep"))
+  }
+
+  /** Training sequence length for concat-and-chunk packing (fixture-sized). */
+  val SeqLen = 512L
+
+  /**
+   * GPT-style concat-and-chunk sequence packing: documents are concatenated in
+   * doc_id order within each source stream and cut every SeqLen BPE-ish pieces
+   * (ceil(len/4) per word, the tokenCountQuery estimator). Output is the
+   * per-sequence manifest a training loader consumes: docs touched, tokens
+   * landing in the sequence (= SeqLen except each stream's tail), and how many
+   * of its docs straddle a chunk boundary.
+   *
+   * The running offset is one window cumsum partitioned by source — the only
+   * shuffle; a doc spanning k chunks expands to k rows via sequence(), all
+   * integer arithmetic. At 10^12 docs the stream key becomes (source, shard)
+   * with per-shard chunking — same plan, bounded partitions.
+   */
+  def seqPackingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(ws, 0L, (a, w) -> a + CAST(ceil(length(w) / 4.0) AS BIGINT))").as("tok"))
+      .where(col("tok") >= 1)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.withColumn("cum", sum("tok").over(win))
+      .withColumn("start_off", col("cum") - col("tok"))
+      .withColumn("seq_first", expr(s"start_off div $SeqLen"))
+      .withColumn("seq_last", expr(s"(cum - 1) div $SeqLen"))
+      .select(col("source"), col("doc_id"), col("tok"), col("start_off"),
+        col("cum"), col("seq_first"), col("seq_last"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_idx"))
+      .withColumn("tok_in_seq", expr(
+        s"least(cum, (seq_idx + 1) * $SeqLen) - greatest(start_off, seq_idx * $SeqLen)"))
+      .groupBy("source", "seq_idx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok_in_seq").as("n_tokens"),
+        sum(expr("CAST(seq_last > seq_first AS BIGINT)")).as("n_boundary_docs"))
+  }
+
+  /**
+   * DSIR-shaped importance weighting: hashed unigram features (h60(word) mod
+   * 4096 buckets), target domain = the corpus' lang='en' slice, per-token
+   * affinity ratio_q = ((c_tgt + 1) * 2^20) div (c_all + 1) — the add-one
+   * target/corpus probability ratio on an integer grid instead of the paper's
+   * log-ratio (floating log breaks cross-engine exactness; monotone in the
+   * same direction). A doc is resampled in when its mean affinity beats the
+   * corpus mean (cross-multiplied integers).
+   *
+   * Scale: bucket table is fixed 4096 rows -> broadcast; both count passes are
+   * map-side-combined hash aggregations; the per-doc rollup is the one wide
+   * shuffle. The cross-multiply is BIGINT-safe to ~10^13 corpus tokens;
+   * beyond that compare on DECIMAL(38) partials.
+   */
+  def importanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .withColumn("b", expr(s"${h60("w")} % 4096"))
+    val all = toks.groupBy("b").agg(count(lit(1)).as("c_all"))
+    val tgt = toks.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("c_tgt"))
+    val buckets = all.join(tgt, Seq("b"), "left")
+      .withColumn("ratio_q", expr("((coalesce(c_tgt, 0L) + 1) * 1048576) div (c_all + 1)"))
+      .select("b", "ratio_q")
+    val perDoc = toks.join(broadcast(buckets), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("ratio_q").as("weight_sum"))
+    val g = perDoc.agg(sum("n_tokens").as("g_tokens"), sum("weight_sum").as("g_weight"))
+    perDoc.crossJoin(broadcast(g))
+      .select(
+        col("doc_id"), col("n_tokens"), col("weight_sum"),
+        expr("weight_sum div n_tokens").as("avg_ratio_q"),
+        expr("CAST(weight_sum * g_tokens >= g_weight * n_tokens AS BIGINT)").as("resampled"))
+  }
 }

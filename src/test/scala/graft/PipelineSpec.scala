@@ -357,4 +357,143 @@ class PipelineSpec extends AnyFunSuite {
     // the sampler actually downsamples: at least one source is below threshold 2^20
     assert(out.values.exists(_._4 < 1048576L))
   }
+
+  test("perplexity filter: integer-bit unigram LM costs match direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.perplexityQuery(spark, sf)
+      .select("doc_id", "n_tokens", "total_bits", "avg_bits_q", "keep")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> scalaWords(t).filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+    val vocab = raw.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val t = vocab.values.sum; val v = vocab.size.toLong
+    def bits(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros((t + v) / (vocab(w) + 1L))
+    val per = raw.map { case (id, ws) => id -> ((ws.length.toLong, ws.map(bits).sum)) }
+    val gTok = per.map(_._2._1).sum; val gBits = per.map(_._2._2).sum
+    assert(out.size == per.length)
+    per.foreach { case (id, (n, tb)) =>
+      val avg = math.floor(0.031415926535897934 + tb.toDouble * 1.0e6 / n).toLong
+      val keep = if (tb * gTok <= gBits * n) 1L else 0L
+      assert(out(id) == ((id, n, tb, avg, keep)), s"doc $id")
+    }
+    // the keep rule splits the corpus (neither all-keep nor all-drop)
+    val kept = out.values.count(_._5 == 1L)
+    assert(kept > 0 && kept < out.size)
+  }
+
+  test("sequence packing: concat-and-chunk manifest matches direct recomputation") {
+    import graft.text.Curation
+    val L = Curation.SeqLen
+    val out = Curation.seqPackingQuery(spark, sf)
+      .select("source", "seq_idx", "n_docs", "n_tokens", "n_boundary_docs")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, txt) =>
+        (id, src, scalaWords(txt).filter(_.nonEmpty).map(w => (w.length + 3) / 4).map(_.toLong).sum)
+      }
+      .filter(_._3 >= 1)
+    val expected = scala.collection.mutable.Map[(String, Long), (Long, Long, Long)]()
+    raw.groupBy(_._2).foreach { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (_, _, tok) =>
+        val start = cum; cum += tok
+        val sf0 = start / L; val sl = (cum - 1) / L
+        (sf0 to sl).foreach { s =>
+          val tin = math.min(cum, (s + 1) * L) - math.max(start, s * L)
+          val (a, b, c) = expected.getOrElse((src, s), (0L, 0L, 0L))
+          expected((src, s)) = (a + 1, b + tin, c + (if (sl > sf0) 1L else 0L))
+        }
+      }
+    }
+    assert(out == expected.toMap)
+    // every chunk except each stream's tail is exactly full
+    val tails = expected.keys.groupBy(_._1).map { case (src, ks) => src -> ks.map(_._2).max }
+    out.foreach { case ((src, s), (_, nTok, _)) =>
+      if (s != tails(src)) assert(nTok == L, s"chunk ($src, $s) not full: $nTok")
+    }
+  }
+
+  test("importance weights: hashed-feature affinity ratios match direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.importanceQuery(spark, sf)
+      .select("doc_id", "n_tokens", "weight_sum", "avg_ratio_q", "resampled")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, lang, t) => (id, lang, scalaWords(t).filter(_.nonEmpty).map(w => scalaH60(w) % 4096L)) }
+      .filter(_._3.nonEmpty)
+    val cAll = raw.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val cTgt = raw.filter(_._2 == "en").flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    def ratio(b: Long): Long = ((cTgt.getOrElse(b, 0L) + 1L) * 1048576L) / (cAll(b) + 1L)
+    val per = raw.map { case (id, _, bs) => id -> ((bs.length.toLong, bs.map(ratio).sum)) }
+    val gTok = per.map(_._2._1).sum; val gW = per.map(_._2._2).sum
+    assert(out.size == per.length)
+    per.foreach { case (id, (n, w)) =>
+      val resampled = if (w * gTok >= gW * n) 1L else 0L
+      assert(out(id) == ((id, n, w, w / n, resampled)), s"doc $id")
+    }
+    // the resampler separates target-affine docs from the rest
+    val in = out.values.count(_._5 == 1L)
+    assert(in > 0 && in < out.size)
+  }
+
+  test("substring dup mass: interval-union coverage matches direct recomputation; planted copies are fully covered") {
+    import graft.dedup.Substring
+    val K = Substring.SubK
+    val out = Substring.dupMassQuery(spark, sf)
+      .select("doc_id", "n_words", "n_dup_pos", "dup_mass", "dup_frac_q", "dup_heavy")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val base = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    val aug = base ++
+      base.filter(_._1 % 7 == 0).map { case (id, t) => (id + 1000000L, t) } ++
+      base.filter { case (id, t) => id % 5 == 0 && t != null && t.split(" ", -1).length >= 4 }
+        .map { case (id, t) => (id + 2000000L, t.split(" ", -1).dropRight(1).mkString(" ")) }
+    val docsW = aug.map { case (id, t) => id -> scalaWords(t).filter(_.nonEmpty) }
+      .filter(_._2.length >= K)
+    val grams = docsW.flatMap { case (id, ws) =>
+      ws.sliding(K).zipWithIndex.map { case (g, i) => (id, i, scalaH60(g.mkString(" "))) }
+    }
+    val mult = grams.groupBy(_._3).map { case (h, xs) => h -> xs.length }
+    val expected = docsW.map { case (id, ws) =>
+      val dupPos = grams.filter(g => g._1 == id && mult(g._3) >= 2).map(_._2).sorted
+      val mass = dupPos.zipAll(dupPos.drop(1).map(Some(_)), -1, None).collect {
+        case (p, Some(nx)) if p >= 0 => math.min(K, nx - p).toLong
+        case (p, None) if p >= 0 => K.toLong
+      }.sum
+      val frac = math.floor(0.031415926535897934 + mass.toDouble * 1.0e6 / ws.length).toLong
+      id -> ((id, ws.length, dupPos.length.toLong, mass, frac, if (frac >= 500000) 1L else 0L))
+    }.toMap
+    assert(out.size == expected.size)
+    expected.foreach { case (id, e) => assert(out(id) == e, s"doc $id") }
+    // every planted exact copy (and its original) is fully covered
+    docsW.map(_._1).filter(id => id >= 1000000L && id < 2000000L).foreach { id =>
+      assert(out(id)._5 == 1000000L && out(id)._6 == 1L, s"planted copy $id not fully covered")
+      assert(out(id - 1000000L)._5 == 1000000L, s"original ${id - 1000000L} not fully covered")
+    }
+  }
+
+  test("incremental dedup: planted copies hit the prior snapshot's exact and LSH band indexes") {
+    import graft.dedup.Dedup
+    val out = Dedup.incrementalDedupQuery(spark, sf)
+      .select("doc_id", "matched_exact", "n_band_hits", "matched_near", "is_new_content")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val base = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    val nExact = base.count(_._1 % 7 == 0)
+    val nearIds = base.filter { case (id, t) => id % 5 == 0 && t != null && t.split(" ", -1).length >= 4 }
+      .map(_._1 + 2000000L)
+    assert(out.size == nExact + nearIds.length)
+    // exact copies: identical text -> md5 hit; identical signature -> all 4 bands hit
+    out.filterKeys(id => id >= 1000000L && id < 2000000L).foreach { case (id, r) =>
+      assert(r._2 == 1L && r._3 == 4L && r._4 == 1L && r._5 == 0L, s"exact copy $id: $r")
+    }
+    // near copies: never exact (unless the truncation equals some base text), LSH recalls most
+    val nearRows = nearIds.flatMap(out.get)
+    val nearHit = nearRows.count(_._4 == 1L)
+    assert(nearHit.toDouble / math.max(1, nearRows.length) >= 0.8,
+      s"LSH recall on drop-last-word copies: $nearHit/${nearRows.length}")
+    // flag algebra holds everywhere
+    out.values.foreach { r => assert(r._5 == (if (r._2 == 0L && r._3 == 0L) 1L else 0L)) }
+  }
 }

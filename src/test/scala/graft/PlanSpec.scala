@@ -196,4 +196,39 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin".r.findAllIn(p).length <= 2, p.take(2000))
     assert(!p.contains("ShuffledHashJoin"), p.take(2000))
   }
+
+  test("perplexity filter broadcasts the vocab cost table and global totals onto tokens") {
+    val p = plan(text.Curation.perplexityQuery(spark, sf))
+    // token->cost join and the two 1-row totals joins all broadcast; the only
+    // wide exchanges are the vocab count and the per-doc rollup
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("importance weights broadcast the 4096-bucket ratio table (token side never re-shuffles for it)") {
+    val p = plan(text.Curation.importanceQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("substring dup mass shuffles on the span hash + doc window only (no cartesian)") {
+    val p = plan(dedup.Substring.dupMassQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // multiplicity pass has map-side partial aggregation before the hash shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("incremental dedup probes the prior indexes by equi-join (no cartesian, no pixel/doc blowup)") {
+    val p = plan(dedup.Dedup.incrementalDedupQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("sequence packing is one source-key window shuffle plus the rollup") {
+    val p = plan(text.Curation.seqPackingQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
+    // window cumsum shuffles on source; the final rollup hashes (source, seq_idx) —
+    // with map-side partial aggregation in between
+    assert(ShuffleRe.findAllIn(p).length <= 2, p.take(2000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+  }
 }
