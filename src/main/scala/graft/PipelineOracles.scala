@@ -653,6 +653,24 @@ object PipelineOracles {
        |  CAST(sum(n_words * keep) AS BIGINT) AS kept_tok
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_emb_quantize: int8 scalar quantization — per-vector absmax scale,
+   * floor-based codes (round() tie-breaks differ across engines), quantized
+   * reconstruction error; all per-row list ops. */
+  val embQuantize: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS mx FROM e),
+       |c AS (SELECT vec_id, ve, mx,
+       |    list_transform(ve, x -> CASE WHEN mx = CAST(0 AS DOUBLE) THEN CAST(0 AS BIGINT)
+       |                                 ELSE CAST(floor(x * 127.0 / mx) AS BIGINT) END) AS codes
+       |  FROM m)
+       |SELECT vec_id, CAST(len(ve) AS INT) AS n_dims,
+       |  CAST(floor(0.031415926535897934 + mx * 1.0E6) AS BIGINT) AS mx_q,
+       |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       |  CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS code_l2,
+       |  CAST(list_sum(list_transform(range(len(ve)), i ->
+       |    CAST(floor(abs(ve[i+1] - CAST(codes[i+1] AS DOUBLE) * mx / 127.0) * 1.0E9) AS BIGINT))) AS BIGINT) AS err_sum_q
+       |FROM c ORDER BY vec_id""".stripMargin
+
   /** q_substring_dup_mass: per-doc token mass covered by corpus-duplicated
    * 8-gram spans (positional hashes -> multiplicity >= 2 -> interval union). */
   val substringDupMass: String =

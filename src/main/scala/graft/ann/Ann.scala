@@ -363,4 +363,28 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         expr("CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT)").as("adist_q"))
   }
+
+  /**
+   * Int8 scalar quantization of the embedding column — the storage-compression
+   * path complementing PQ (4 B/dim float32 -> 1 B/dim): per-vector absmax
+   * scale, codes = floor(x * 127 / mx) (floor, not round — round() ties break
+   * differently across engines; floor is bit-exact), plus the quantized
+   * reconstruction-error mass. Entirely per-row expressions inside whole-stage
+   * codegen — zero shuffle at any corpus size (the PlanSpec pin).
+   */
+  def quantizeQuery(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("ve", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mx", expr(
+        "aggregate(ve, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("codes", expr(
+        "transform(ve, x -> IF(mx = CAST(0 AS DOUBLE), 0L, CAST(floor(x * 127.0 / mx) AS BIGINT)))"))
+      .select(
+        col("vec_id"), size(col("ve")).as("n_dims"),
+        expr("CAST(floor(0.031415926535897934 + mx * 1.0E6) AS BIGINT)").as("mx_q"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c * c)").as("code_l2"),
+        expr("aggregate(zip_with(ve, codes, (x, c) -> " +
+          "CAST(floor(abs(x - CAST(c AS DOUBLE) * mx / 127.0) * 1.0E9) AS BIGINT)), 0L, (a, t) -> a + t)")
+          .as("err_sum_q"))
 }

@@ -496,4 +496,44 @@ class PipelineSpec extends AnyFunSuite {
     // flag algebra holds everywhere
     out.values.foreach { r => assert(r._5 == (if (r._2 == 0L && r._3 == 0L) 1L else 0L)) }
   }
+
+  test("int8 quantization: codes and error mass match direct recomputation; top-k survives") {
+    import graft.ann.Ann
+    val out = Ann.quantizeQuery(spark, sf)
+      .select("vec_id", "n_dims", "mx_q", "code_sum", "code_l2", "err_sum_q")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Ann.emb(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def codesOf(ef: Array[Float]): (Array[Double], Double, Array[Long]) = {
+      val ve = ef.map(_.toDouble)
+      val mx = ve.map(math.abs).foldLeft(0.0)(math.max)
+      (ve, mx, ve.map(x => if (mx == 0.0) 0L else math.floor(x * 127.0 / mx).toLong))
+    }
+    raw.foreach { case (id, ef) =>
+      val (ve, mx, codes) = codesOf(ef)
+      val errQ = ve.zip(codes).map { case (x, c) =>
+        math.floor(math.abs(x - c.toDouble * mx / 127.0) * 1.0e9).toLong
+      }.sum
+      val mxQ = math.floor(0.031415926535897934 + mx * 1.0e6).toLong
+      assert(out(id) == ((id, ve.length, mxQ, codes.sum, codes.map(c => c * c).sum, errQ)), s"vec $id")
+    }
+    // per-vector scales cancel in cosine, so int8 search = cosine over code vectors;
+    // the quantized top-10 must keep most of the float top-10 (the storage tradeoff)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.max(1e-300, math.sqrt(na) * math.sqrt(nb))
+    }
+    val floats = raw.map { case (id, ef) => id -> ef.map(_.toDouble) }.toMap
+    val quants = raw.map { case (id, ef) => id -> codesOf(ef)._3.map(_.toDouble) }.toMap
+    val overlaps = (0L until 20L).map { q =>
+      def top10(m: Map[Long, Array[Double]]): Set[Long] =
+        m.keys.filter(_ != q).toSeq
+          .sortBy(id => (-cos(m(q), m(id)), id)).take(10).toSet
+      (top10(floats) intersect top10(quants)).size
+    }
+    val mean = overlaps.sum.toDouble / (10.0 * overlaps.length)
+    assert(mean >= 0.7, s"int8 top-10 overlap $mean below floor")
+  }
 }

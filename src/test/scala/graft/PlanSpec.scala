@@ -211,6 +211,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("int8 embedding quantization runs entirely map-side (zero exchange)") {
+    val p = plan(ann.Ann.quantizeQuery(spark, sf))
+    assert(ShuffleRe.findFirstIn(p).isEmpty, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("substring dup mass shuffles on the span hash + doc window only (no cartesian)") {
     val p = plan(dedup.Substring.dupMassQuery(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
