@@ -32,7 +32,11 @@ object PipelineRunner {
       "calibration" -> (() => ops.Calibration.sigma0Query(spark, sfDir)),
       "speckle_lee" -> (() => ops.Speckle.lee(spark, sfDir)),
       "terrain_correction" -> (() => ops.TerrainCorrection.query(spark, sfDir)),
-      "mosaic" -> (() => ops.Geocode.mosaicQuery(spark, sfDir)))
+      "mosaic" -> (() => ops.Geocode.mosaicQuery(spark, sfDir)),
+      // corpus-curation leg: dedup keepers -> quality/repetition -> packing manifest
+      "dedup_clusters" -> (() => dedup.Dedup.dedupClustersQuery(spark, sfDir)),
+      "corpus_filter" -> (() => text.TextAnalysis.corpusFilterQuery(spark, sfDir)),
+      "seq_packing" -> (() => text.Curation.seqPackingQuery(spark, sfDir)))
 
     stages.foreach { case (name, f) =>
       val t0 = System.nanoTime()
