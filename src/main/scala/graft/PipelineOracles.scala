@@ -653,6 +653,34 @@ object PipelineOracles {
        |  CAST(sum(n_words * keep) AS BIGINT) AS kept_tok
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_vocab_stats: per-source type/token/hapax/top-10-mass audit, ppm ratios
+   * by integer division. */
+  val vocabStats: String =
+    s"""WITH wc AS (SELECT source, w, count(*) AS cnt
+       |  FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+       |        FROM documents) GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rn FROM wc),
+       |agg AS (SELECT source, count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |    CAST(sum(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10_mass
+       |  FROM r GROUP BY 1)
+       |SELECT source, n_types, n_tokens, n_hapax, top10_mass,
+       |  (n_types * 1000000) // n_tokens AS ttr_ppm,
+       |  (top10_mass * 1000000) // n_tokens AS top10_ppm,
+       |  (n_hapax * 1000000) // n_types AS hapax_ppm
+       |FROM agg ORDER BY source""".stripMargin
+
+  /** q_dedup_agreement: full outer join of the MinHash near-dup pair set
+   * (jaccard >= 0.5) and the embedding-cosine pair set (tau 0.4). */
+  val dedupAgreement: String =
+    s"""WITH lex AS (SELECT doc_a AS a, doc_b AS b, CAST(1 AS BIGINT) AS lexical
+       |  FROM ($minhashPairs) WHERE jaccard >= 0.5),
+       |sem AS (SELECT vec_a AS a, vec_b AS b, CAST(1 AS BIGINT) AS semantic
+       |  FROM ($cosinePairs))
+       |SELECT a, b, coalesce(lexical, 0) AS lexical, coalesce(semantic, 0) AS semantic,
+       |  coalesce(lexical, 0) * coalesce(semantic, 0) AS both
+       |FROM lex FULL OUTER JOIN sem USING (a, b) ORDER BY a, b""".stripMargin
+
   /** q_emb_quantize: int8 scalar quantization — per-vector absmax scale,
    * floor-based codes (round() tie-breaks differ across engines), quantized
    * reconstruction error; all per-row list ops. */

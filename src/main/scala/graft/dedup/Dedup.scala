@@ -325,6 +325,28 @@ object Dedup {
    * re-shuffles — only the (much smaller) new batch does. Band hashes are
    * md5-uniform, so no hot buckets.
    */
+  /**
+   * Lexical-vs-semantic dedup agreement audit: the full outer join of the
+   * MinHash-LSH near-dup pair set (jaccard >= 0.5, over the augmented corpus)
+   * and the embedding-cosine pair set (tau = SemTau, base corpus vec ids).
+   * A production pipeline runs both families; this measures how differently
+   * they cut (lexical catches copies, semantic catches paraphrase-like
+   * cluster-mates — the two sets barely overlap, which IS the finding).
+   * Pair frames are already reduced (duplicate fraction, not corpus), so the
+   * audit join is tiny at any scale.
+   */
+  def dedupAgreementQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lex = minhashPairsQuery(spark, dir).where(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("lexical"))
+    val sem = graft.ann.Ann.cosinePairsQuery(spark, dir, SemTau)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), lit(1L).as("semantic"))
+    lex.join(sem, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("lexical"), lit(0L)).as("lexical"),
+        coalesce(col("semantic"), lit(0L)).as("semantic"))
+      .withColumn("both", expr("lexical * semantic"))
+  }
+
   def incrementalDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     val aug = augmented(spark, dir)
     val newDocs = aug.where(col("doc_id") >= 1000000)

@@ -106,4 +106,33 @@ object TextAnalysis {
         sum(expr("CAST(floor(0.031415926535897934 + stopword_ratio * 1.0E6) AS BIGINT)"))
           .as("stop_ratio_sum_q"))
   }
+
+  /**
+   * Per-source vocabulary statistics (the Zipf/Heaps audit a corpus report
+   * ships): type and token counts, hapax legomena, top-10-word mass, and their
+   * parts-per-million ratios — all integer division, so the twin is exact.
+   *
+   * Scale: one (source, word) hash aggregation with map-side combine; the
+   * top-10 rank is a per-source window over the TYPE frame (types per source
+   * ~10^7 even at web scale — a bounded partition, unlike the doc stream).
+   */
+  def vocabStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val wc = docs(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    wc.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("cnt"), asc("w"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("cnt").as("n_tokens"),
+        sum(expr("CAST(cnt = 1 AS BIGINT)")).as("n_hapax"),
+        sum(expr("IF(rn <= 10, cnt, 0L)")).as("top10_mass"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"), col("top10_mass"),
+        expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+        expr("(top10_mass * 1000000) div n_tokens").as("top10_ppm"),
+        expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
+  }
 }

@@ -536,4 +536,50 @@ class PipelineSpec extends AnyFunSuite {
     val mean = overlaps.sum.toDouble / (10.0 * overlaps.length)
     assert(mean >= 0.7, s"int8 top-10 overlap $mean below floor")
   }
+
+  test("vocab stats: type/token/hapax/top-10 masses match direct recomputation") {
+    import graft.text.TextAnalysis
+    val out = TextAnalysis.vocabStatsQuery(spark, sf)
+      .select("source", "n_types", "n_tokens", "n_hapax", "top10_mass", "ttr_ppm", "top10_ppm", "hapax_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("source", "text").as[(String, String)].collect()
+    val bySrc = raw.groupBy(_._1).map { case (src, docs) =>
+      src -> docs.flatMap(d => scalaWords(d._2).filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    }
+    assert(out.size == bySrc.size)
+    bySrc.foreach { case (src, wc) =>
+      val nTypes = wc.size.toLong
+      val nTokens = wc.values.sum
+      val hapax = wc.values.count(_ == 1L).toLong
+      val top10 = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(10).map(_._2).sum
+      assert(out(src) == ((src, nTypes, nTokens, hapax, top10,
+        nTypes * 1000000L / nTokens, top10 * 1000000L / nTokens, hapax * 1000000L / nTypes)), s"source $src")
+    }
+  }
+
+  test("dedup agreement: the audit reconciles both pair sets and they genuinely differ") {
+    import graft.dedup.Dedup
+    val out = Dedup.dedupAgreementQuery(spark, sf)
+      .select("a", "b", "lexical", "semantic", "both")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val lexSet = Dedup.minhashPairsQuery(spark, sf).where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val semSet = ann.Ann.cosinePairsQuery(spark, sf, Dedup.SemTau)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out.length == (lexSet ++ semSet).size)
+    out.foreach { case (a, b, l, s, both) =>
+      assert(l == (if (lexSet((a, b))) 1L else 0L) && s == (if (semSet((a, b))) 1L else 0L)
+        && both == l * s, s"pair ($a, $b)")
+    }
+    // the two dedup families cut differently — each contributes pairs the other misses
+    assert(out.exists(r => r._3 == 1L && r._4 == 0L), "no lexical-only pairs")
+    assert(out.exists(r => r._3 == 0L && r._4 == 1L), "no semantic-only pairs")
+    // planted exact copies (>= 3 words) always land on the lexical side
+    val texts = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    texts.filter { case (id, t) => id % 7 == 0 && scalaWords(t).count(_.nonEmpty) >= 3 }
+      .foreach { case (id, _) =>
+        assert(lexSet((id, id + 1000000L)), s"planted copy pair ($id, ${id + 1000000L}) missing")
+      }
+  }
 }
