@@ -761,24 +761,25 @@ object PipelineOracles {
        |  CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT) AS keep
        |FROM per, g ORDER BY doc_id""".stripMargin
 
-  /** q_seq_packing: concat-and-chunk packing manifest — window cumsum per source
-   * stream, 512-piece chunks, per-sequence docs/tokens/boundary counts. */
+  /** q_seq_packing: concat-and-chunk packing manifest — window cumsum per
+   * (source, shard) stream (shard = doc_id // 2^40, one shard at fixture ids),
+   * 512-piece chunks, per-sequence docs/tokens/boundary counts. */
   val seqPacking: String =
-    s"""WITH d AS (SELECT doc_id, source,
+    s"""WITH d AS (SELECT doc_id, source, doc_id // 1099511627776 AS shard,
        |    CAST(list_sum(list_transform(list_filter(string_split(lower(text), ' '), w -> w != ''),
        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS tok
        |  FROM documents),
-       |c AS (SELECT *, CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |c AS (SELECT *, CAST(sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
        |  FROM d WHERE tok >= 1),
        |s AS (SELECT *, cum - tok AS start_off,
        |    (cum - tok) // 512 AS seq_first, (cum - 1) // 512 AS seq_last FROM c),
-       |x AS (SELECT source, doc_id, tok, start_off, cum, seq_first, seq_last,
+       |x AS (SELECT source, shard, doc_id, tok, start_off, cum, seq_first, seq_last,
        |    unnest(range(seq_first, seq_last + 1)) AS seq_idx FROM s)
-       |SELECT source, seq_idx, count(*) AS n_docs,
+       |SELECT source, shard, seq_idx, count(*) AS n_docs,
        |  CAST(sum(least(cum, (seq_idx + 1) * 512) - greatest(start_off, seq_idx * 512)) AS BIGINT) AS n_tokens,
        |  CAST(sum(CAST(seq_last > seq_first AS BIGINT)) AS BIGINT) AS n_boundary_docs
-       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** q_importance_weights: DSIR-shaped hashed-unigram (4096-bucket) target/corpus
    * affinity ratios on the 2^20 integer grid; resample rule by cross-multiplication. */

@@ -172,30 +172,36 @@ object Curation {
    * landing in the sequence (= SeqLen except each stream's tail), and how many
    * of its docs straddle a chunk boundary.
    *
-   * The running offset is one window cumsum partitioned by source — the only
-   * shuffle; a doc spanning k chunks expands to k rows via sequence(), all
-   * integer arithmetic. At 10^12 docs the stream key becomes (source, shard)
-   * with per-shard chunking — same plan, bounded partitions.
+   * The running offset is one window cumsum partitioned by the REAL stream key
+   * (source, shard): each shard of `shardSize` consecutive doc_ids packs
+   * independently (exactly how production shards concat-and-chunk across
+   * writers), so no window partition ever exceeds shardSize rows regardless of
+   * corpus size or source skew. The gate runs with one shard (shardSize 2^40
+   * >> fixture ids, shard = 0 everywhere); the multi-shard semantics are
+   * pinned by PipelineSpec at shardSize 64. A doc spanning k chunks expands to
+   * k rows via sequence(), all integer arithmetic.
    */
-  def seqPackingQuery(spark: SparkSession, dir: String): DataFrame = {
+  def seqPackingQuery(spark: SparkSession, dir: String,
+      shardSize: Long = 1L << 40): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
       .select(col("doc_id"), col("source"),
+        expr(s"doc_id div ${shardSize}L").as("shard"),
         expr("aggregate(ws, 0L, (a, w) -> a + CAST(ceil(length(w) / 4.0) AS BIGINT))").as("tok"))
       .where(col("tok") >= 1)
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
+      .partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     d.withColumn("cum", sum("tok").over(win))
       .withColumn("start_off", col("cum") - col("tok"))
       .withColumn("seq_first", expr(s"start_off div $SeqLen"))
       .withColumn("seq_last", expr(s"(cum - 1) div $SeqLen"))
-      .select(col("source"), col("doc_id"), col("tok"), col("start_off"),
+      .select(col("source"), col("shard"), col("doc_id"), col("tok"), col("start_off"),
         col("cum"), col("seq_first"), col("seq_last"),
         explode(expr("sequence(seq_first, seq_last)")).as("seq_idx"))
       .withColumn("tok_in_seq", expr(
         s"least(cum, (seq_idx + 1) * $SeqLen) - greatest(start_off, seq_idx * $SeqLen)"))
-      .groupBy("source", "seq_idx")
+      .groupBy("source", "shard", "seq_idx")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("tok_in_seq").as("n_tokens"),

@@ -382,36 +382,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept > 0 && kept < out.size)
   }
 
-  test("sequence packing: concat-and-chunk manifest matches direct recomputation") {
+  test("sequence packing: concat-and-chunk manifest matches direct recomputation (1 shard and 64-doc shards)") {
     import graft.text.Curation
     val L = Curation.SeqLen
-    val out = Curation.seqPackingQuery(spark, sf)
-      .select("source", "seq_idx", "n_docs", "n_tokens", "n_boundary_docs")
-      .as[(String, Long, Long, Long, Long)].collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     val raw = Dedup.docs(spark, sf).select("doc_id", "source", "text")
       .as[(Long, String, String)].collect()
       .map { case (id, src, txt) =>
         (id, src, scalaWords(txt).filter(_.nonEmpty).map(w => (w.length + 3) / 4).map(_.toLong).sum)
       }
       .filter(_._3 >= 1)
-    val expected = scala.collection.mutable.Map[(String, Long), (Long, Long, Long)]()
-    raw.groupBy(_._2).foreach { case (src, ds) =>
-      var cum = 0L
-      ds.sortBy(_._1).foreach { case (_, _, tok) =>
-        val start = cum; cum += tok
-        val sf0 = start / L; val sl = (cum - 1) / L
-        (sf0 to sl).foreach { s =>
-          val tin = math.min(cum, (s + 1) * L) - math.max(start, s * L)
-          val (a, b, c) = expected.getOrElse((src, s), (0L, 0L, 0L))
-          expected((src, s)) = (a + 1, b + tin, c + (if (sl > sf0) 1L else 0L))
+    def expectedFor(shardSize: Long): Map[(String, Long, Long), (Long, Long, Long)] = {
+      val m = scala.collection.mutable.Map[(String, Long, Long), (Long, Long, Long)]()
+      raw.groupBy(d => (d._2, d._1 / shardSize)).foreach { case ((src, shard), ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).foreach { case (_, _, tok) =>
+          val start = cum; cum += tok
+          val sf0 = start / L; val sl = (cum - 1) / L
+          (sf0 to sl).foreach { s =>
+            val tin = math.min(cum, (s + 1) * L) - math.max(start, s * L)
+            val (a, b, c) = m.getOrElse((src, shard, s), (0L, 0L, 0L))
+            m((src, shard, s)) = (a + 1, b + tin, c + (if (sl > sf0) 1L else 0L))
+          }
         }
       }
+      m.toMap
     }
-    assert(out == expected.toMap)
+    def outFor(shardSize: Long): Map[(String, Long, Long), (Long, Long, Long)] =
+      Curation.seqPackingQuery(spark, sf, shardSize)
+        .select("source", "shard", "seq_idx", "n_docs", "n_tokens", "n_boundary_docs")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    // gate shape: one shard covers all fixture ids
+    val exp1 = expectedFor(1L << 40)
+    assert(outFor(1L << 40) == exp1)
+    assert(exp1.keys.forall(_._2 == 0L))
+    // scale shape: shards pack independently (the bounded-window-partition guarantee)
+    val exp64 = expectedFor(64L)
+    assert(outFor(64L) == exp64)
+    assert(exp64.keys.map(_._2).toSet.size > 1, "shardSize 64 should produce multiple shards")
     // every chunk except each stream's tail is exactly full
-    val tails = expected.keys.groupBy(_._1).map { case (src, ks) => src -> ks.map(_._2).max }
-    out.foreach { case ((src, s), (_, nTok, _)) =>
-      if (s != tails(src)) assert(nTok == L, s"chunk ($src, $s) not full: $nTok")
+    val tails = exp1.keys.groupBy(k => (k._1, k._2)).map { case (sk, ks) => sk -> ks.map(_._3).max }
+    exp1.foreach { case ((src, shard, s), (_, nTok, _)) =>
+      if (s != tails((src, shard))) assert(nTok == L, s"chunk ($src, $shard, $s) not full: $nTok")
     }
   }
 
