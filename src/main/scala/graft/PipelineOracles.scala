@@ -653,6 +653,27 @@ object PipelineOracles {
        |  CAST(sum(n_words * keep) AS BIGINT) AS kept_tok
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_pii_scrub: deterministic planted email/URL detection + redaction
+   * (regexes are escape-free char classes, identical in Java regex and RE2;
+   * DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all). */
+  val piiScrub: String = {
+    import graft.text.Curation.{EmailRe, UrlRe}
+    s"""WITH a AS (SELECT doc_id,
+       |    text || (CASE WHEN doc_id % 13 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)
+       |         || (CASE WHEN doc_id % 17 = 0 THEN ' https://site' || CAST(doc_id AS VARCHAR) || '.example/path' ELSE '' END) AS aug_text
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, aug_text,
+       |    regexp_replace(regexp_replace(aug_text, '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g') AS redacted
+       |  FROM a)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug_text, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug_text, '$UrlRe')) AS INT) AS n_urls,
+       |  CAST(length(aug_text) AS INT) AS len_before,
+       |  CAST(length(redacted) AS INT) AS len_after,
+       |  CAST(regexp_matches(aug_text, '$EmailRe') OR regexp_matches(aug_text, '$UrlRe') AS BIGINT) AS has_pii
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** q_vocab_stats: per-source type/token/hapax/top-10-mass audit, ppm ratios
    * by integer division. */
   val vocabStats: String =

@@ -209,6 +209,37 @@ object Curation {
   }
 
   /**
+   * PII scrubbing — the redaction pass every training pipeline runs before
+   * the tokenizer. The synthetic corpus carries no PII, so the query PLANTS it
+   * deterministically (the same device as Dedup.augmented): an email for every
+   * 13th doc and a URL for every 17th, then detects and redacts with the same
+   * regexes on both engines (plain char-class patterns — identical semantics
+   * in Java regex and RE2). Pure per-row regexp expressions: zero shuffle at
+   * any corpus size.
+   */
+  /** Char-class dot ([.]) instead of an escaped dot: Spark SQL string literals
+   * eat single backslashes while DuckDB's do not — [.] is escape-free and
+   * means the same in Java regex and RE2. */
+  val EmailRe = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  val UrlRe = "https://[a-z0-9./]+"
+
+  def piiScrubQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(col("text").isNotNull)
+      .withColumn("aug_text", expr(
+        "concat(text, IF(doc_id % 13 = 0, concat(' user', CAST(doc_id AS STRING), '@example.com'), ''), " +
+          "IF(doc_id % 17 = 0, concat(' https://site', CAST(doc_id AS STRING), '.example/path'), ''))"))
+      .withColumn("redacted", expr(
+        s"regexp_replace(regexp_replace(aug_text, '$UrlRe', '<URL>'), '$EmailRe', '<EMAIL>')"))
+      .select(
+        col("doc_id"),
+        expr(s"size(regexp_extract_all(aug_text, '$EmailRe', 0))").as("n_emails"),
+        expr(s"size(regexp_extract_all(aug_text, '$UrlRe', 0))").as("n_urls"),
+        length(col("aug_text")).as("len_before"),
+        length(col("redacted")).as("len_after"),
+        expr(s"CAST(aug_text rlike '$EmailRe' OR aug_text rlike '$UrlRe' AS BIGINT)").as("has_pii"))
+
+  /**
    * DSIR-shaped importance weighting: hashed unigram features (h60(word) mod
    * 4096 buckets), target domain = the corpus' lang='en' slice, per-token
    * affinity ratio_q = ((c_tgt + 1) * 2^20) div (c_all + 1) — the add-one

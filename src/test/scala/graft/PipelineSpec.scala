@@ -549,6 +549,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.7, s"int8 top-10 overlap $mean below floor")
   }
 
+  test("pii scrub: planted emails/URLs are detected and redacted exactly") {
+    import graft.text.Curation
+    val out = Curation.piiScrubQuery(spark, sf)
+      .select("doc_id", "n_emails", "n_urls", "len_before", "len_after", "has_pii")
+      .as[(Long, Int, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    assert(out.size == raw.length)
+    raw.foreach { case (id, t) =>
+      val email = if (id % 13 == 0) s" user$id@example.com" else ""
+      val url = if (id % 17 == 0) s" https://site$id.example/path" else ""
+      val augLen = t.length + email.length + url.length
+      val redLen = t.length +
+        (if (email.nonEmpty) " <EMAIL>".length else 0) + (if (url.nonEmpty) " <URL>".length else 0)
+      val (ne, nu) = (if (id % 13 == 0) 1 else 0, if (id % 17 == 0) 1 else 0)
+      assert(out(id) == ((id, ne, nu, augLen, redLen, if (ne + nu > 0) 1L else 0L)), s"doc $id")
+    }
+    // the corpus itself carries no PII: only planted docs flag
+    assert(out.values.count(_._6 == 1L) ==
+      raw.count { case (id, _) => id % 13 == 0 || id % 17 == 0 })
+  }
+
   test("vocab stats: type/token/hapax/top-10 masses match direct recomputation") {
     import graft.text.TextAnalysis
     val out = TextAnalysis.vocabStatsQuery(spark, sf)

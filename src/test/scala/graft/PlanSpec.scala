@@ -211,6 +211,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("pii scrub runs entirely map-side (zero exchange)") {
+    val p = plan(text.Curation.piiScrubQuery(spark, sf))
+    assert(ShuffleRe.findFirstIn(p).isEmpty, p.take(2000))
+  }
+
   test("int8 embedding quantization runs entirely map-side (zero exchange)") {
     val p = plan(ann.Ann.quantizeQuery(spark, sf))
     assert(ShuffleRe.findFirstIn(p).isEmpty, p.take(2000))
