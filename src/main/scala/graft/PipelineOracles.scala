@@ -653,6 +653,55 @@ object PipelineOracles {
        |  CAST(sum(n_words * keep) AS BIGINT) AS kept_tok
        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared 8-round BPE training chain (see text.Bpe): vocab histogram ->
+   * char symbols -> per round [pair counts -> deterministic argmax -> greedy
+   * fuse via run-parity windows]. Every stage materialized; all ties integer/
+   * lexicographic, so the chain is exact. */
+  private def bpeCtes: String = {
+    def r(i: Int): String = {
+      val src = s"s${i - 1}"
+      s"""wn$i AS (SELECT *, row_number() OVER win AS idx, lead(sym) OVER win AS nxt
+         |  FROM $src WINDOW win AS (PARTITION BY w ORDER BY pos)),
+         |pr$i AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM wn$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |bst$i AS MATERIALIZED (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |cd$i AS (SELECT t.*, (t.sym = s.a AND t.nxt = s.b) AS is_cand, s.b AS bb
+         |  FROM wn$i t CROSS JOIN bst$i s),
+         |pk$i AS (SELECT *, CASE WHEN is_cand THEN idx - row_number() OVER (PARTITION BY w, is_cand ORDER BY idx) END AS grp FROM cd$i),
+         |pk2$i AS (SELECT *, CASE WHEN is_cand THEN row_number() OVER (PARTITION BY w, grp ORDER BY idx) END AS crank FROM pk$i),
+         |pk3$i AS (SELECT *, coalesce(is_cand AND (crank % 2 = 1), false) AS picked FROM pk2$i),
+         |s$i AS MATERIALIZED (SELECT w, wc, pos, CASE WHEN picked THEN sym || bb ELSE sym END AS sym
+         |  FROM (SELECT *, coalesce(lag(picked) OVER (PARTITION BY w ORDER BY pos), false) AS prev_picked FROM pk3$i)
+         |  WHERE NOT prev_picked)""".stripMargin
+    }
+    s"""wcnt AS MATERIALIZED (SELECT w, count(*) AS wc
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w FROM documents)
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, wc, CAST(i AS INT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+       |  FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS i FROM wcnt)),
+       |${(1 to text.Bpe.Rounds).map(r).mkString(",\n")}""".stripMargin
+  }
+
+  /** q_bpe_merges: the learned merge table. */
+  val bpeMerges: String =
+    s"""WITH $bpeCtes
+       |${(1 to text.Bpe.Rounds).map(i =>
+            s"SELECT CAST($i AS INT) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM bst$i")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** q_bpe_tokens: per-doc token counts under the trained tokenizer (join of
+   * the per-word piece table back onto the token stream) + the ceil(len/4)
+   * estimator for comparison. */
+  val bpeTokens: String =
+    s"""WITH $bpeCtes,
+       |pieces AS (SELECT w, count(*) AS pieces FROM s${text.Bpe.Rounds} GROUP BY 1),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+       |        FROM documents)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(pieces) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(CAST(ceil(length(w) / 4.0) AS BIGINT)) AS BIGINT) AS n_est_tokens
+       |FROM tok JOIN pieces USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_pii_scrub: deterministic planted email/URL detection + redaction
    * (regexes are escape-free char classes, identical in Java regex and RE2;
    * DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all). */

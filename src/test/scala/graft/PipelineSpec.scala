@@ -549,6 +549,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.7, s"int8 top-10 overlap $mean below floor")
   }
 
+  test("BPE training matches a classic sequential implementation (merges + applied token counts)") {
+    import graft.text.Bpe
+    // classic BPE: word histogram -> char symbols -> argmax-pair merge rounds
+    // with a SEQUENTIAL left-to-right fuse (independent of the engine's
+    // declarative run-parity window formulation)
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    val hist = raw.flatMap(d => scalaWords(d._2).filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def fuse(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var segs = hist.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
+    val expMerges = (1 to Bpe.Rounds).map { r =>
+      val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+      segs.values.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => pairCnt(p) = pairCnt.getOrElse(p, 0L) + c)
+      }
+      val ((a, b), cnt) = pairCnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      segs = segs.map { case (w, (syms, c)) => w -> (fuse(syms, a, b), c) }
+      (r, a, b, cnt)
+    }
+    val gotMerges = Bpe.mergesQuery(spark, sf)
+      .select("round", "sym_a", "sym_b", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotMerges == expMerges, s"merge tables differ:\n got $gotMerges\n exp $expMerges")
+    // applied: per-doc piece counts under the trained tokenizer
+    val pieceOf = segs.map { case (w, (syms, _)) => w -> syms.length.toLong }
+    val gotTok = Bpe.tokensQuery(spark, sf)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expTok = raw.map { case (id, t) => id -> scalaWords(t).filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+      .map { case (id, ws) => id -> ((ws.length.toLong, ws.map(pieceOf).sum)) }.toMap
+    assert(gotTok == expTok)
+    // the trained tokenizer genuinely compresses vs per-char segmentation
+    val charTotal = raw.flatMap(d => scalaWords(d._2).filter(_.nonEmpty)).map(_.length.toLong).sum
+    assert(gotTok.values.map(_._2).sum < charTotal)
+  }
+
   test("pii scrub: planted emails/URLs are detected and redacted exactly") {
     import graft.text.Curation
     val out = Curation.piiScrubQuery(spark, sf)

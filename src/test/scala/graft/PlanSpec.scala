@@ -211,6 +211,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("BPE apply broadcasts the per-word piece table onto the token stream") {
+    val p = plan(text.Bpe.tokensQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("pii scrub runs entirely map-side (zero exchange)") {
     val p = plan(text.Curation.piiScrubQuery(spark, sf))
     assert(ShuffleRe.findFirstIn(p).isEmpty, p.take(2000))
