@@ -831,6 +831,32 @@ object PipelineOracles {
        |  CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT) AS keep
        |FROM per, g ORDER BY doc_id""".stripMargin
 
+  /** q_perplexity_bigram: bigram LM with add-one smoothing, integer-bit costs
+   * (first token priced by the unigram model), corpus-mean keep rule. */
+  val perplexityBigram: String =
+    s"""WITH base AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+       |  FROM documents),
+       |b1 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 1),
+       |uni AS MATERIALIZED (SELECT w, count(*) AS cu
+       |  FROM (SELECT unnest(ws) AS w FROM b1) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t_tokens, count(*) AS v_size FROM uni),
+       |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM b1)),
+       |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |bcost AS (SELECT g.doc_id,
+       |    CAST(length(bin((u.cu + t.v_size) // (b.cb + 1))) - 1 AS BIGINT) AS bits
+       |  FROM bg g JOIN bi b USING (w1, w2) JOIN uni u ON u.w = g.w1, tot t),
+       |fcost AS (SELECT d.doc_id,
+       |    CAST(length(bin((t.t_tokens + t.v_size) // (u.cu + 1))) - 1 AS BIGINT) AS bits
+       |  FROM (SELECT doc_id, ws[1] AS w FROM b1) d JOIN uni u USING (w), tot t),
+       |per AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS total_bits
+       |  FROM (SELECT * FROM fcost UNION ALL SELECT * FROM bcost) GROUP BY 1),
+       |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS g_tokens, CAST(sum(total_bits) AS BIGINT) AS g_bits FROM per)
+       |SELECT doc_id, n_tokens, total_bits,
+       |  CAST(floor(0.031415926535897934 + total_bits * 1.0E6 / n_tokens) AS BIGINT) AS avg_bits_q,
+       |  CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT) AS keep
+       |FROM per, g ORDER BY doc_id""".stripMargin
+
   /** q_seq_packing: concat-and-chunk packing manifest — window cumsum per
    * (source, shard) stream (shard = doc_id // 2^40, one shard at fixture ids),
    * 512-piece chunks, per-sequence docs/tokens/boundary counts. */

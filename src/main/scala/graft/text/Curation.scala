@@ -161,6 +161,52 @@ object Curation {
         expr("CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT)").as("keep"))
   }
 
+  /**
+   * Bigram-LM perplexity (the real n-gram path beyond perplexityQuery's
+   * unigram): token cost in integer bits — first token priced by the unigram
+   * model, every following token by p(w_i | w_{i-1}) with add-one smoothing:
+   * cost = floor(log2((c(prev) + V) / (c(prev, w) + 1))), all integer via
+   * length(bin(x)) - 1. Keep rule = at-most-corpus-mean bits/token by integer
+   * cross-multiplication, as in the unigram gate.
+   *
+   * Scale: bigrams derive array-side (no window over the doc stream); the
+   * bigram-count join keys the one wide shuffle; unigram counts and the 1-row
+   * totals broadcast.
+   */
+  def perplexityBigramQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .where(size(col("ws")) >= 1)
+      .select(col("doc_id"), col("ws"))
+    val uni = base.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum("cu").as("t_tokens"), count(lit(1)).as("v_size"))
+    val bigrams = base.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val bigCost = bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu"))), Seq("w1"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        expr("CAST(length(bin((cu + v_size) div (cb + 1))) - 1 AS BIGINT)").as("bits"))
+    val firstCost = base
+      .select(col("doc_id"), expr("element_at(ws, 1)").as("w"))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        expr("CAST(length(bin((t_tokens + v_size) div (cu + 1))) - 1 AS BIGINT)").as("bits"))
+    val perDoc = firstCost.unionByName(bigCost)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("total_bits"))
+    val g = perDoc.agg(sum("n_tokens").as("g_tokens"), sum("total_bits").as("g_bits"))
+    perDoc.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        expr(q6("total_bits * 1.0E6 / n_tokens")).as("avg_bits_q"),
+        expr("CAST(total_bits * g_tokens <= g_bits * n_tokens AS BIGINT)").as("keep"))
+  }
+
   /** Training sequence length for concat-and-chunk packing (fixture-sized). */
   val SeqLen = 512L
 

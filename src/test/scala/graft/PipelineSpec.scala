@@ -382,6 +382,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept > 0 && kept < out.size)
   }
 
+  test("bigram perplexity: integer-bit LM costs match direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.perplexityBigramQuery(spark, sf)
+      .select("doc_id", "n_tokens", "total_bits", "avg_bits_q", "keep")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> scalaWords(t).filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+    val uni = raw.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val bi = raw.flatMap(d => d._2.zip(d._2.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val t = uni.values.sum; val v = uni.size.toLong
+    def lg2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val per = raw.map { case (id, ws) =>
+      val first = lg2((t + v) / (uni(ws.head) + 1L))
+      val rest = ws.zip(ws.drop(1)).map { case (p, w) => lg2((uni(p) + v) / (bi((p, w)) + 1L)) }
+      id -> ((ws.length.toLong, first + rest.sum))
+    }
+    val gTok = per.map(_._2._1).sum; val gBits = per.map(_._2._2).sum
+    assert(out.size == per.length)
+    per.foreach { case (id, (n, tb)) =>
+      val avg = math.floor(0.031415926535897934 + tb.toDouble * 1.0e6 / n).toLong
+      assert(out(id) == ((id, n, tb, avg, if (tb * gTok <= gBits * n) 1L else 0L)), s"doc $id")
+    }
+    // the keep rule splits the corpus (synthetic text has near-unique
+    // continuations, so unlike natural language the bigram model does NOT
+    // compress vs unigram here — the split, not compression, is the invariant)
+    val kept = out.values.count(_._5 == 1L)
+    assert(kept > 0 && kept < out.size)
+  }
+
   test("sequence packing: concat-and-chunk manifest matches direct recomputation (1 shard and 64-doc shards)") {
     import graft.text.Curation
     val L = Curation.SeqLen
