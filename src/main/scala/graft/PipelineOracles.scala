@@ -751,6 +751,42 @@ object PipelineOracles {
        |  coalesce(lexical, 0) * coalesce(semantic, 0) AS both
        |FROM lex FULL OUTER JOIN sem USING (a, b) ORDER BY a, b""".stripMargin
 
+  /** q_ann_truncate: full-vector vs first-16-dims cosine top-10 overlap. */
+  val annTruncate: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+       |fullr AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, neighbor_id) AS rf
+       |  FROM (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosf
+       |        FROM q JOIN c ON query_id != neighbor_id)),
+       |trunc AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cost DESC, neighbor_id) AS rt
+       |  FROM (SELECT query_id, neighbor_id, ${cosSql("qe[1:16]", "ce[1:16]")} AS cost
+       |        FROM q JOIN c ON query_id != neighbor_id))
+       |SELECT f.query_id, count(*) AS n_overlap, (count(*) * 1000000) // 10 AS recall_ppm
+       |FROM (SELECT * FROM fullr WHERE rf <= 10) f
+       |JOIN (SELECT * FROM trunc WHERE rt <= 10) t USING (query_id, neighbor_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_knn_classify: majority label of the 10 exact nearest neighbors
+   * (ties: votes desc, label asc). */
+  val knnClassify: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS va, label AS true_label
+       |           FROM embeddings WHERE vec_id < 100),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS vb, label AS nb_label FROM embeddings),
+       |top AS (SELECT * FROM (
+       |    SELECT query_id, true_label, nb_label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+       |    FROM (SELECT query_id, true_label, neighbor_id, nb_label, ${cosSql("va", "vb")} AS cs
+       |          FROM q JOIN c ON query_id != neighbor_id))
+       |  WHERE rank <= 10),
+       |votes AS (SELECT query_id, true_label, nb_label, count(*) AS votes FROM top GROUP BY 1, 2, 3),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nb_label) AS vrank
+       |         FROM votes)
+       |SELECT query_id, true_label, nb_label AS predicted_label, votes,
+       |  CAST(true_label = nb_label AS BIGINT) AS correct
+       |FROM best WHERE vrank = 1 ORDER BY query_id""".stripMargin
+
   /** q_emb_quantize: int8 scalar quantization — per-vector absmax scale,
    * floor-based codes (round() tie-breaks differ across engines), quantized
    * reconstruction error; all per-row list ops. */

@@ -365,6 +365,66 @@ object Ann {
   }
 
   /**
+   * Dimension-truncation recall audit (the Matryoshka question): how much of
+   * the full-vector cosine top-k survives when only the first `dims`
+   * dimensions are searched — the storage/recall tradeoff an embedding store
+   * quantifies before truncating. Exact small-N baseline (the cartesian is the
+   * documented correctness twin of the LSH/IVF scale paths); both rank sets
+   * use the same deterministic tie-break, so the overlap is integer-exact.
+   */
+  def truncateRecallQuery(spark: SparkSession, dir: String,
+      dims: Int = 16, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    def ranked(sliceDims: Option[Int], rankName: String): DataFrame = {
+      val (va, vb) = sliceDims match {
+        case Some(d) => (s"slice(qe, 1, $d)", s"slice(ce, 1, $d)")
+        case None => ("qe", "ce")
+      }
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr(cosSql.replace("va", va).replace("vb", vb)))
+        .withColumn(rankName, row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+        .where(col(rankName) <= k)
+        .select("query_id", "neighbor_id")
+    }
+    ranked(None, "rf")
+      .join(ranked(Some(dims), "rt"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        expr(s"(n_overlap * 1000000) div $k").as("recall_ppm"))
+  }
+
+  /**
+   * kNN label classification — the standard embedding-quality eval: each query
+   * vector is classified by the majority label of its 10 exact-cosine nearest
+   * neighbors (ties: higher count, then smaller label). Exact baseline shape;
+   * the scale path swaps the cartesian for the IVF/LSH candidate join.
+   */
+  def knnClassifyQuery(spark: SparkSession, dir: String,
+      nQueries: Int = 100, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"), col("label").as("true_label"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"), col("label").as("nb_label"))
+    val top = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(cosSql))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .where(col("rank") <= k)
+    top.groupBy("query_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("votes"), asc("nb_label"))))
+      .where(col("vrank") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nb_label").as("predicted_label"), col("votes"),
+        expr("CAST(true_label = nb_label AS BIGINT)").as("correct"))
+  }
+
+  /**
    * Int8 scalar quantization of the embedding column — the storage-compression
    * path complementing PQ (4 B/dim float32 -> 1 B/dim): per-vector absmax
    * scale, codes = floor(x * 127 / mx) (floor, not round — round() ties break

@@ -647,6 +647,41 @@ class PipelineSpec extends AnyFunSuite {
       raw.count { case (id, _) => id % 13 == 0 || id % 17 == 0 })
   }
 
+  test("ann truncate recall + knn classify match direct recomputation") {
+    import graft.ann.Ann
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val raw = Ann.emb(spark, sf).select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val vecs = raw.map { case (id, e, _) => id -> e.map(_.toDouble) }.toMap
+    val labels = raw.map { case (id, _, l) => id -> l }.toMap
+    def top10(q: Long, dims: Int): Seq[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (-cosD(vecs(q).take(dims), vecs(id).take(dims)), id)).take(10)
+    // truncate recall
+    val gotTr = Ann.truncateRecallQuery(spark, sf)
+      .select("query_id", "n_overlap", "recall_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L until 20L).foreach { q =>
+      val ov = (top10(q, 64).toSet intersect top10(q, 16).toSet).size.toLong
+      if (ov == 0L) assert(!gotTr.contains(q))
+      else assert(gotTr(q) == ((ov, ov * 1000000L / 10L)), s"query $q")
+    }
+    // knn classify
+    val gotKnn = Ann.knnClassifyQuery(spark, sf)
+      .select("query_id", "true_label", "predicted_label", "votes", "correct")
+      .as[(Long, Int, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(gotKnn.size == 100)
+    (0L until 100L).foreach { q =>
+      val votes = top10(q, 64).map(labels).groupBy(identity).map { case (l, xs) => l -> xs.length }
+      val (pl, pv) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      assert(gotKnn(q) == ((q, labels(q), pl, pv.toLong, if (labels(q) == pl) 1L else 0L)), s"query $q")
+    }
+  }
+
   test("vocab stats: type/token/hapax/top-10 masses match direct recomputation") {
     import graft.text.TextAnalysis
     val out = TextAnalysis.vocabStatsQuery(spark, sf)
