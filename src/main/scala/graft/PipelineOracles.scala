@@ -930,4 +930,105 @@ object PipelineOracles {
        |SELECT doc_id, n_tokens, weight_sum, weight_sum // n_tokens AS avg_ratio_q,
        |  CAST(weight_sum * g_tokens >= g_weight * n_tokens AS BIGINT) AS resampled
        |FROM per, g ORDER BY doc_id""".stripMargin
+
+  /** q_corpus_split: deterministic hash split (96/2/2) on the 2^20 grid,
+   * per-(source, split) doc/token/char rollup. */
+  val corpusSplit: String =
+    s"""WITH d AS (SELECT source, n_chars,
+       |    ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 1048576 AS bucket,
+       |    len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS n_tokens
+       |  FROM documents)
+       |SELECT source,
+       |  CASE WHEN bucket < 1006633 THEN 'train' WHEN bucket < 1027604 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_bm25: BM25 (k1=1.2, b=0.75) top-5 per query doc; idf = un-logged
+   * Robertson odds ratio on the 2^20 integer grid (see Retrieval.bm25Query's
+   * scaladoc for why not floating log / floor-log2 here); per-term
+   * contributions dyadically quantized to BIGINT BEFORE the per-doc sum; the
+   * tf-saturation chain shares Retrieval.bm25Query's exact expression tree. */
+  val bm25: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w != '') AS ws FROM documents),
+      |dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+      |words AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+      |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM words GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+      |dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT query_id, w, df FROM (
+      |    SELECT t.doc_id AS query_id, t.w, f.df,
+      |      row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.w) AS tr
+      |    FROM tf t JOIN dft f USING (w)
+      |    WHERE t.doc_id < 5)
+      |  WHERE tr <= 3),
+      |sc AS (SELECT q.query_id, t.doc_id,
+      |    CAST(floor(0.031415926535897934 + CAST((((s.n_docs - q.df) * 2 + 1) * 1048576) // (q.df * 2 + 1) AS DOUBLE) * (CAST(t.tf AS DOUBLE) * 2.2 / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))) AS BIGINT) AS contrib
+      |  FROM tf t JOIN qt q USING (w), stats s),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_q,
+      |        count(*) AS n_terms_hit FROM sc GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score_q, n_terms_hit FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+      |  FROM agg)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Source-keyed shingle-hash CTEs (per-doc distinctness is irrelevant to the
+   * downstream idempotent max/min/distinct consumers). */
+  private val srcHashCtes: String =
+    s"""w AS (SELECT source, string_split(lower(text), ' ') AS ws FROM documents),
+       |sidx AS (SELECT source, unnest(range(len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 3),
+       |sg AS (SELECT source, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g FROM sidx),
+       |hb AS (SELECT source, ${h60("g")} AS h FROM sg)""".stripMargin
+
+  /** q_hll_distinct: 64-register HyperLogLog per source vs exact distinct;
+   * raw_scaled = sum(2^(56 - M_j)) is exact BIGINT, the alpha-division is the
+   * single float op (literal shared with Sketches.HllAlphaC). */
+  val hllDistinct: String =
+    s"""WITH $srcHashCtes,
+       |r AS (SELECT source, CAST(h % 64 AS INT) AS j, h // 64 AS wv FROM hb),
+       |rr AS (SELECT source, j, CASE WHEN wv = 0 THEN 55 ELSE 55 - length(bin(wv)) END AS rho FROM r),
+       |mx AS (SELECT source, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM hb),
+       |grid AS (SELECT source, CAST(unnest(range(64)) AS INT) AS j FROM srcs),
+       |filled AS (SELECT g.source, g.j, coalesce(m.mj, 0) AS mj
+       |           FROM grid g LEFT JOIN mx m ON g.source = m.source AND g.j = m.j),
+       |rw AS (SELECT source,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(56 - mj AS INT)) AS BIGINT) AS raw_scaled,
+       |         CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+       |       FROM filled GROUP BY 1),
+       |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM hb GROUP BY 1),
+       |e AS (SELECT rw.source, ex.n_exact, rw.n_zero_regs, rw.raw_scaled,
+       |        CAST(floor(${graft.sketch.Sketches.HllAlphaC} / CAST(raw_scaled AS DOUBLE)) AS BIGINT) AS est
+       |      FROM rw JOIN ex USING (source))
+       |SELECT source, n_exact, n_zero_regs, raw_scaled, est,
+       |  (abs(est - n_exact) * 1000000) // n_exact AS err_ppm
+       |FROM e ORDER BY source""".stripMargin
+
+  /** q_source_overlap: 64-slot source MinHash Jaccard estimate vs exact
+   * intersection/union; mixing constants inlined from Sketches.MixA/B/C. */
+  val sourceOverlap: String = {
+    import graft.sketch.Sketches.{MixA, MixB, MixC, Slots}
+    val consts = (0 until Slots)
+      .map(k => s"($k, ${MixA(k)}, ${MixB(k)}, ${MixC(k)})").mkString(", ")
+    s"""WITH $srcHashCtes,
+       |mc(k, ma, mb, mct) AS (SELECT * FROM (VALUES $consts) t(k, ma, mb, mct)),
+       |sig AS (SELECT source, k,
+       |          min((((h >> 30) * ma) + ((h & 1073741823) * mb) + mct) & ${graft.exprs.Kernels.MinhashMask}) AS mh
+       |        FROM hb, mc GROUP BY 1, 2),
+       |est AS (SELECT a.source AS src_a, b.source AS src_b,
+       |          CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |        FROM sig a JOIN sig b ON a.k = b.k AND a.source < b.source GROUP BY 1, 2),
+       |ds AS (SELECT DISTINCT source, h FROM hb),
+       |cnt AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       |          FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+       |pairs AS (SELECT e.src_a, e.src_b, e.n_match, (e.n_match * 1000000) // 64 AS jacc_est_ppm,
+       |            coalesce(i.n_inter, 0) AS n_inter,
+       |            ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union
+       |          FROM est e LEFT JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+       |          JOIN cnt ca ON e.src_a = ca.source JOIN cnt cb ON e.src_b = cb.source)
+       |SELECT src_a, src_b, n_match, jacc_est_ppm, n_inter, n_union,
+       |  (n_inter * 1000000) // n_union AS jacc_exact_ppm
+       |FROM pairs ORDER BY src_a, src_b""".stripMargin
+  }
 }

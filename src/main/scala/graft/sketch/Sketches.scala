@@ -1,0 +1,134 @@
+package graft.sketch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/**
+ * Distributed sketch operators over the `documents` corpus — the cardinality /
+ * set-overlap estimators a 100 TB pipeline runs where exact distinct counts or
+ * pairwise set intersections would be a full-shuffle job:
+ *
+ *  - HyperLogLog distinct-shingle estimation per source (m = 64 registers).
+ *    At scale the register frame is (n_sources x 64) rows produced by one
+ *    map-side-combined groupBy max — the raw item stream never shuffles more
+ *    than its (source, register) partial maxima. The exact countDistinct
+ *    column next to it is the fixture-scale audit (itself scalable: one
+ *    hash-keyed distinct).
+ *  - Source-level MinHash signatures (64 slots from ONE md5 per shingle via
+ *    the exact integer universal-hash family shared with doc-level MinHash in
+ *    [[graft.exprs.Kernels.minhash16]]) and the pairwise Jaccard matrix
+ *    between sources they estimate. Exact intersection/union per pair ride
+ *    along as the audit columns; at 10^4 sources the signature frame is
+ *    (n_sources x 64) rows and the pair matrix never touches the corpus.
+ *
+ * Everything is integer arithmetic except the single final HLL division
+ * (alpha * m^2 * 2^56 / raw_scaled) — one correctly-rounded IEEE op on a
+ * bit-identical BIGINT, so the DuckDB twin is bit-exact. The HLL small-range
+ * linear-counting correction (E <= 2.5m with empty registers) is deliberately
+ * omitted: it needs ln(), and per-source fixture cardinality (~900 distinct
+ * shingles) sits far above the m=64 correction band; documented here and in
+ * the gate.
+ */
+object Sketches {
+
+  val Registers = 64 // HLL m
+  val Slots = 64 // source-level minhash slots
+
+  /** alpha_64 * m^2 * 2^56 as one double literal (computed once, the identical
+   * decimal rendering is inlined into the DuckDB twin). */
+  val HllAlphaC: Double =
+    (0.7213 / (1.0 + 1.079 / Registers)) * Registers * Registers * math.pow(2.0, 56.0)
+
+  /** The 64-slot universal-hash family: same generator formulas as
+   * Kernels.MinhashA/B/C but tabulated to 64 (every intermediate < 2^62). */
+  val MixA: Array[Long] = Array.tabulate(Slots)(k => ((2654435761L * (2 * k + 1)) & 0x3FFFFFFEL) | 1L)
+  val MixB: Array[Long] = Array.tabulate(Slots)(k => ((2246822519L * (2 * k + 3)) & 0x3FFFFFFEL) | 1L)
+  val MixC: Array[Long] = Array.tabulate(Slots)(k => (1181783497276652981L * (k + 1)) & graft.exprs.Kernels.MinhashMask)
+
+  /** (source, h) 60-bit shingle-hash stream (not distinct — HLL max is idempotent). */
+  private def sourceShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.withShingles(Dedup.docs(spark, dir).select("source", "text"))
+      .select(col("source"), explode(col("shingles")).as("g"))
+      .withColumn("h", expr(Dedup.h60("g")))
+      .select("source", "h")
+
+  /**
+   * q_hll_distinct: per-source HLL cardinality estimate vs the exact distinct
+   * shingle-hash count. Register index = h % 64; rank = leading zeros of the
+   * remaining 54-bit word + 1 (w = 0 -> 55), i.e. 55 - floorlog2(w) via the
+   * engine-shared `length(bin(w))` idiom. raw_scaled = sum(2^(56 - M_j)) is an
+   * exact BIGINT (max 64 * 2^56 = 2^62), so the only float op is the final
+   * alpha-division.
+   */
+  def hllDistinctQuery(spark: SparkSession, dir: String): DataFrame = {
+    val h = sourceShingleHashes(spark, dir)
+    val regs = h
+      .select(col("source"),
+        expr("CAST(h % 64 AS INT)").as("j"),
+        expr("h div 64").as("wv"))
+      .withColumn("rho", expr("IF(wv = 0, 55, 55 - length(bin(wv)))"))
+      .groupBy("source", "j").agg(max("rho").as("mj"))
+    val filled = h.select("source").distinct()
+      .select(col("source"), explode(expr("sequence(0, 63)")).as("j"))
+      .join(regs, Seq("source", "j"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+    val raw = filled.groupBy("source").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - mj)")).as("raw_scaled"),
+      sum(expr("CAST(mj = 0 AS BIGINT)")).as("n_zero_regs"))
+    val exact = h.groupBy("source").agg(countDistinct(col("h")).as("n_exact"))
+    raw.join(exact, Seq("source"))
+      // HllAlphaC ~ 2.09E20: Double.toString already carries the exponent, so
+      // the literal parses as DOUBLE (not DECIMAL) in both engines as-is.
+      .withColumn("est", expr(
+        s"CAST(floor($HllAlphaC / CAST(raw_scaled AS DOUBLE)) AS BIGINT)"))
+      .select(col("source"), col("n_exact"), col("n_zero_regs"), col("raw_scaled"),
+        col("est"),
+        expr("(abs(est - n_exact) * 1000000) div n_exact").as("err_ppm"))
+  }
+
+  /** Per-source 64-slot MinHash signature rows (source, k, mh). */
+  def sourceSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val mc = {
+      import spark.implicits._
+      (0 until Slots).map(k => (k, MixA(k), MixB(k), MixC(k))).toDF("k", "ma", "mb", "mct")
+    }
+    sourceShingleHashes(spark, dir)
+      .crossJoin(broadcast(mc))
+      .withColumn("v", expr(
+        s"(shiftright(h, 30) * ma + (h & 1073741823) * mb + mct) & ${graft.exprs.Kernels.MinhashMask}"))
+      .groupBy("source", "k").agg(min("v").as("mh"))
+  }
+
+  /**
+   * q_source_overlap: pairwise source-overlap matrix — MinHash slot-agreement
+   * estimate (n_match/64 in ppm) next to the exact Jaccard (intersection via
+   * one hash-keyed equi-join of the distinct per-source shingle sets). The
+   * estimate path is what survives 10^4 sources x 10^12 docs; the exact
+   * columns are the audit.
+   */
+  def sourceOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sourceSignatures(spark, dir)
+    val est = sig.select(col("source").as("src_a"), col("k"), col("mh").as("mh_a"))
+      .join(sig.select(col("source").as("src_b"), col("k"), col("mh").as("mh_b")), Seq("k"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(expr("CAST(mh_a = mh_b AS BIGINT)")).as("n_match"))
+      .withColumn("jacc_est_ppm", expr("(n_match * 1000000) div 64"))
+    val ds = sourceShingleHashes(spark, dir).distinct()
+    val counts = ds.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ds.select(col("source").as("src_a"), col("h"))
+      .join(ds.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    est
+      .join(counts.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(counts.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", expr("n_a + n_b - n_inter"))
+      .select(col("src_a"), col("src_b"), col("n_match"), col("jacc_est_ppm"),
+        col("n_inter"), col("n_union"),
+        expr("(n_inter * 1000000) div n_union").as("jacc_exact_ppm"))
+  }
+}

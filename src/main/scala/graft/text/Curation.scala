@@ -319,4 +319,28 @@ object Curation {
         expr("weight_sum div n_tokens").as("avg_ratio_q"),
         expr("CAST(weight_sum * g_tokens >= g_weight * n_tokens AS BIGINT)").as("resampled"))
   }
+
+  /**
+   * q_corpus_split: deterministic hash-based train/val/test split (96/2/2) —
+   * the content-independent assignment every training run needs to be
+   * reproducible across reshards and incremental corpus additions: bucket =
+   * h60('split:' || doc_id) on the 2^20 grid, thresholds 1006633 (0.96) and
+   * 1027604 (0.98). Reported as the per-(source, split) doc/token/char
+   * rollup a data card quotes.
+   *
+   * Scale: the split column is one per-row md5 (no shuffle); the rollup keys
+   * on (source, split) — at most 3x sources rows out of a map-side-combined
+   * aggregation. Assignment is stable under any repartitioning because it
+   * hashes the doc id, not the row position.
+   */
+  def corpusSplitQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", expr(s"${h60("concat('split:', CAST(doc_id AS STRING))")} % 1048576"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 1006633 THEN 'train' WHEN bucket < 1027604 THEN 'val' ELSE 'test' END"))
+      .withColumn("n_tokens", expr("size(filter(split(lower(text), ' '), w -> w != ''))"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars_sum"))
 }

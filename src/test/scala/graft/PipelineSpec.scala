@@ -727,4 +727,129 @@ class PipelineSpec extends AnyFunSuite {
         assert(lexSet((id, id + 1000000L)), s"planted copy pair ($id, ${id + 1000000L}) missing")
       }
   }
+
+  test("corpus split: hash assignment and rollup match direct recomputation") {
+    import graft.text.Curation
+    val out = Curation.corpusSplitQuery(spark, sf)
+      .select("source", "split", "n_docs", "n_tokens", "n_chars_sum")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val expected = raw.groupBy { case (id, _, src, _) =>
+      val b = scalaH60(s"split:$id") % 1048576L
+      (src, if (b < 1006633L) "train" else if (b < 1027604L) "val" else "test")
+    }.map { case (k, rows) =>
+      k -> ((rows.length.toLong,
+        rows.map(r => scalaWords(r._2).count(_.nonEmpty).toLong).sum,
+        rows.map(_._4).sum))
+    }
+    assert(out == expected)
+    // all three splits exist somewhere and doc mass is ~96/2/2
+    val bySplit = expected.groupBy(_._1._2).view.mapValues(_.values.map(_._1).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits seen: ${bySplit.keySet}")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("bm25: scoring chain and top-5 match direct recomputation") {
+    import graft.text.Retrieval
+    val out = Retrieval.bm25Query(spark, sf)
+      .select("query_id", "rank", "doc_id", "score_q", "n_terms_hit")
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+    val toks = raw.map { case (id, t) => id -> scalaWords(t).filter(_.nonEmpty) }
+    val tf = toks.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (id, ws.length.toLong, w, g.length.toLong) }
+    }
+    val nDocs = raw.length.toLong
+    val sumDl = toks.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val dfm = tf.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val qterms = tf.filter(_._1 < 5).groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.map(r => (dfm(r._3), r._3)).distinct.sorted.take(3).map(t => (qid, t._2, t._1))
+    }
+    val scored = qterms.flatMap { case (qid, w, dfw) =>
+      val idfQ = (((nDocs - dfw) * 2 + 1) * 1048576L) / (dfw * 2 + 1)
+      tf.filter(_._3 == w).map { case (did, dl, _, tfv) =>
+        val x = idfQ.toDouble * (tfv.toDouble * 2.2 /
+          (tfv.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+        ((qid, did), math.floor(0.031415926535897934 + x).toLong)
+      }
+    }.groupBy(_._1).map { case (k, vs) => (k._1, k._2, vs.map(_._2).sum, vs.length.toLong) }
+    val expected = scored.groupBy(_._1).flatMap { case (qid, rows) =>
+      rows.toSeq.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case (r, i) => (qid, i + 1) -> ((r._2, r._3, r._4)) }
+    }
+    assert(out == expected)
+  }
+
+  private def scalaShingleHashes(raw: Seq[(String, String)]): Seq[(String, Long)] =
+    raw.flatMap { case (src, t) =>
+      val ws = scalaWords(t)
+      if (ws.length < 3) Seq.empty
+      else ws.sliding(3).map(g => src -> scalaH60(g.mkString(" "))).toSeq
+    }
+
+  test("hll distinct: registers, raw sum, and estimate match direct recomputation") {
+    import graft.sketch.Sketches
+    val out = Sketches.hllDistinctQuery(spark, sf)
+      .select("source", "n_exact", "n_zero_regs", "raw_scaled", "est", "err_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val raw = Dedup.docs(spark, sf).select("source", "text").as[(String, String)].collect()
+    val hashes = scalaShingleHashes(raw.toIndexedSeq)
+    val expected = hashes.groupBy(_._1).map { case (src, hs) =>
+      val regs = Array.fill(64)(0L)
+      hs.foreach { case (_, h) =>
+        val j = (h % 64).toInt; val w = h / 64
+        val rho = if (w == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val rawScaled = regs.map(m => 1L << (56 - m)).sum
+      val nZero = regs.count(_ == 0L).toLong
+      val est = math.floor(Sketches.HllAlphaC / rawScaled.toDouble).toLong
+      val nExact = hs.map(_._2).distinct.length.toLong
+      src -> ((nExact, nZero, rawScaled, est, math.abs(est - nExact) * 1000000L / nExact))
+    }
+    assert(out == expected)
+    // statistical sanity: m=64 stderr is ~13%; every source within 5 sigma
+    out.values.foreach { case (_, _, _, _, errPpm) =>
+      assert(errPpm < 650000L, s"HLL error $errPpm ppm beyond 5x stderr")
+    }
+  }
+
+  test("source overlap: signatures, match counts, and exact jaccard match recomputation") {
+    import graft.sketch.Sketches
+    val out = Sketches.sourceOverlapQuery(spark, sf)
+      .select("src_a", "src_b", "n_match", "jacc_est_ppm", "n_inter", "n_union", "jacc_exact_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    val raw = Dedup.docs(spark, sf).select("source", "text").as[(String, String)].collect()
+    val hashes = scalaShingleHashes(raw.toIndexedSeq)
+    val sets = hashes.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sigs = sets.map { case (src, hs) =>
+      src -> Array.tabulate(Sketches.Slots) { k =>
+        hs.iterator.map { h =>
+          ((h >>> 30) * Sketches.MixA(k) + (h & 0x3FFFFFFFL) * Sketches.MixB(k) +
+            Sketches.MixC(k)) & graft.exprs.Kernels.MinhashMask
+        }.min
+      }
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = srcs(i); b = srcs(j)
+    } yield {
+      val nMatch = (0 until Sketches.Slots).count(k => sigs(a)(k) == sigs(b)(k)).toLong
+      val inter = (sets(a) & sets(b)).size.toLong
+      val union = sets(a).size.toLong + sets(b).size.toLong - inter
+      (a, b) -> ((nMatch, nMatch * 1000000L / 64L, inter, union, inter * 1000000L / union))
+    }).toMap
+    assert(out == expected)
+    // the estimate tracks the exact jaccard: corpus-wide mean absolute error
+    // within the 64-slot binomial band (stderr ~ sqrt(J(1-J)/64) <= 62500 ppm)
+    val mae = expected.values.map(v => math.abs(v._2 - v._5)).sum / expected.size
+    assert(mae < 125000L, s"minhash overlap MAE $mae ppm out of band")
+  }
 }

@@ -248,4 +248,34 @@ class PlanSpec extends AnyFunSuite {
     assert(ShuffleRe.findAllIn(p).length <= 2, p.take(2000))
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("corpus split is one map-side hash pass plus the (source, split) rollup shuffle") {
+    val p = plan(text.Curation.corpusSplitQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
+    assert(ShuffleRe.findAllIn(p).length <= 1, p.take(2000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("bm25 broadcasts query terms and corpus scalars onto the postings (no cartesian)") {
+    val p = plan(text.Retrieval.bm25Query(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // posting-list tf agg + df agg + score rollup + two windows, all map-side combined;
+    // the corpus stream itself is never joined doc-x-doc
+    assert(!p.contains("SortMergeJoin") ||
+      !plan(text.Retrieval.postings(spark, sf)).contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("hll sketch reduces to (source, register) partial maxima before any shuffle") {
+    val p = plan(sketch.Sketches.hllDistinctQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_max") || p.contains("partial_count"), p.take(2000))
+  }
+
+  test("source overlap mixes slots via a broadcast constants frame (corpus never self-joins raw)") {
+    val p = plan(sketch.Sketches.sourceOverlapQuery(spark, sf))
+    // the 64-row constants frame broadcasts; pair joins operate on reduced frames only
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_min"), p.take(2000))
+  }
 }
