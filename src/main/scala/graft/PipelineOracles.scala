@@ -1031,4 +1031,81 @@ object PipelineOracles {
        |  (n_inter * 1000000) // n_union AS jacc_exact_ppm
        |FROM pairs ORDER BY src_a, src_b""".stripMargin
   }
+
+  /** q_heavy_hitters: Count-Min sketch (4 x 32) over corpus word counts,
+   * audited vs exact counts for the top-20 words (mix rows 0..3). */
+  val heavyHitters: String = {
+    import graft.sketch.Sketches.{MixA, MixB, MixC, CmDepth, CmWidth}
+    val consts = (0 until CmDepth)
+      .map(r => s"($r, ${MixA(r)}, ${MixB(r)}, ${MixC(r)})").mkString(", ")
+    s"""WITH wc AS (SELECT w, count(*) AS c_exact FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+       |    FROM documents) GROUP BY 1),
+       |wh AS (SELECT w, c_exact, ${h60("w")} AS h FROM wc),
+       |mc(r, ma, mb, mct) AS (SELECT * FROM (VALUES $consts) t(r, ma, mb, mct)),
+       |wb AS (SELECT w, c_exact, r,
+       |         ((((h >> 30) * ma) + ((h & 1073741823) * mb) + mct) & ${graft.exprs.Kernels.MinhashMask}) % $CmWidth AS b
+       |       FROM wh, mc),
+       |cms AS (SELECT r, b, CAST(sum(c_exact) AS BIGINT) AS bucket_cnt FROM wb GROUP BY 1, 2),
+       |est AS (SELECT w, c_exact, min(bucket_cnt) AS c_est FROM wb JOIN cms USING (r, b) GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY c_exact DESC, w) AS rk FROM est)
+       |SELECT w, rk, c_exact, c_est, c_est - c_exact AS overestimate
+       |FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin
+  }
+
+  /** q_quantile_tokens: per-source p50/p90/p99 token-length quantiles by the
+   * value-histogram cumsum + integer cross-multiplied rank rule. */
+  val quantileTokens: String =
+    """WITH dlt AS (SELECT source,
+      |    len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS dl FROM documents),
+      |hist AS (SELECT source, dl, count(*) AS cnt FROM dlt GROUP BY 1, 2),
+      |cumh AS (SELECT source, dl,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dl
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM hist),
+      |n AS (SELECT source, count(*) AS n_docs FROM dlt GROUP BY 1),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q)
+      |SELECT c.source, qs.q AS q, min(c.dl) AS v, max(n.n_docs) AS n_docs
+      |FROM cumh c JOIN n ON c.source = n.source CROSS JOIN qs
+      |WHERE c.cum * 100 >= qs.q * n.n_docs
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_bloom_membership: per-source Bloom filter (16384 bits, k = 3, mix rows
+   * 4..6) over distinct shingle hashes; src0's shingles probed against every
+   * source's filter. */
+  val bloomMembership: String = {
+    import graft.sketch.Sketches.{MixA, MixB, MixC, BloomK, BloomBits}
+    val consts = (0 until BloomK)
+      .map(i => s"($i, ${MixA(i + 4)}, ${MixB(i + 4)}, ${MixC(i + 4)})").mkString(", ")
+    s"""WITH $srcHashCtes,
+       |ds AS (SELECT DISTINCT source, h FROM hb),
+       |bp(i, ma, mb, mct) AS (SELECT * FROM (VALUES $consts) t(i, ma, mb, mct)),
+       |pos AS (SELECT source,
+       |          ((((h >> 30) * ma) + ((h & 1073741823) * mb) + mct) & ${graft.exprs.Kernels.MinhashMask}) % $BloomBits AS p
+       |        FROM ds, bp),
+       |flt AS (SELECT source, CAST(p // 32 AS INT) AS w_idx,
+       |          CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS BIGINT) AS bits
+       |        FROM pos GROUP BY 1, 2),
+       |ppos AS (SELECT h, CAST(p // 32 AS INT) AS w_idx,
+       |           (CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS m
+       |         FROM (SELECT h,
+       |             ((((h >> 30) * ma) + ((h & 1073741823) * mb) + mct) & ${graft.exprs.Kernels.MinhashMask}) % $BloomBits AS p
+       |           FROM (SELECT h FROM ds WHERE source = 'src0') pr, bp)),
+       |srcs AS (SELECT DISTINCT source AS tgt FROM ds),
+       |tested AS (SELECT s.tgt, p.h,
+       |    CAST(sum(CASE WHEN (coalesce(f.bits, 0) & p.m) = p.m THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
+       |  FROM ppos p CROSS JOIN srcs s
+       |  LEFT JOIN flt f ON f.source = s.tgt AND f.w_idx = p.w_idx
+       |  GROUP BY 1, 2),
+       |tp AS (SELECT tgt, h, CASE WHEN n_bits_set = $BloomK THEN 1 ELSE 0 END AS pass FROM tested),
+       |tj AS (SELECT tp.tgt, tp.h, tp.pass,
+       |         CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS member
+       |       FROM tp LEFT JOIN ds d ON d.source = tp.tgt AND d.h = tp.h)
+       |SELECT tgt AS source, count(*) AS n_probes,
+       |  CAST(sum(member) AS BIGINT) AS n_member,
+       |  CAST(sum(pass) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  CAST(sum(CASE WHEN pass = 0 AND member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+       |  (CAST(sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS fp_ppm
+       |FROM tj GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -131,4 +131,135 @@ object Sketches {
         col("n_inter"), col("n_union"),
         expr("(n_inter * 1000000) div n_union").as("jacc_exact_ppm"))
   }
+
+  val CmDepth = 4
+  val CmWidth = 32 // fixture width: small enough that rows collide, so the
+  // min-over-depth recovery is actually exercised; production is 2^20+
+
+  /** Count-Min row hash: mix row r of the universal family, folded to CmWidth. */
+  private def cmBucketSql(r: Int): String =
+    s"((shiftright(h, 30) * ${MixA(r)} + (h & 1073741823) * ${MixB(r)} + ${MixC(r)}) " +
+      s"& ${graft.exprs.Kernels.MinhashMask}) % $CmWidth"
+
+  /**
+   * q_heavy_hitters: Count-Min sketch (depth 4 x width 32) over the corpus
+   * word counts, audited against the exact counts for the top-20 words. The
+   * batch-CMS plan is the scalable one: the token stream reduces to the exact
+   * word-count frame first (ONE map-side-combined shuffle — the same wc any
+   * pipeline already runs), then the tiny distinct-word frame scatters into
+   * the 4 x 32 counter table; estimates = min over the 4 rows. Pure integers;
+   * the CMS overestimate-only invariant (est >= exact, equality iff no
+   * colliding mass) is pinned in the spec.
+   */
+  def heavyHittersQuery(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Dedup.docs(spark, dir).select("text")
+      .select(explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_exact"))
+      .withColumn("h", expr(Dedup.h60("w")))
+    val cms = (0 until CmDepth).map { r =>
+      wc.select(lit(r).as("r"), expr(cmBucketSql(r)).as("b"), col("c_exact"))
+    }.reduce(_ unionByName _)
+      .groupBy("r", "b").agg(sum("c_exact").as("bucket_cnt"))
+    val withBuckets = wc.select(
+      (col("w") +: col("c_exact") +:
+        (0 until CmDepth).map(r => expr(cmBucketSql(r)).as(s"b_$r"))): _*)
+    val est = (0 until CmDepth).map { r =>
+      withBuckets.select(col("w"), col("c_exact"), lit(r).as("r"), col(s"b_$r").as("b"))
+    }.reduce(_ unionByName _)
+      .join(cms, Seq("r", "b"))
+      .groupBy("w", "c_exact").agg(min("bucket_cnt").as("c_est"))
+    est
+      .withColumn("rk", row_number().over(Window.orderBy(desc("c_exact"), asc("w"))))
+      .where(col("rk") <= topK)
+      .select(col("w"), col("rk"), col("c_exact"), col("c_est"),
+        expr("c_est - c_exact").as("overestimate"))
+  }
+
+  /**
+   * q_quantile_tokens: per-source token-length quantiles (p50/p90/p99) by the
+   * distributed value-histogram method — the exact-quantile plan for integer
+   * columns at any scale: one (source, dl) histogram shuffle (cardinality =
+   * sources x distinct lengths, tiny), a per-source cumulative window over
+   * THAT frame only, and the integer cross-multiplied rank rule
+   * v_q = min { v : cum(v) * 100 >= q * n } (no float percentile, no sort of
+   * the raw data). This is quantile_disc semantics, restated identically in
+   * the DuckDB twin.
+   */
+  def quantileTokensQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = Dedup.docs(spark, dir).select(col("source"),
+      expr("size(filter(split(lower(text), ' '), w -> w != ''))").as("dl"))
+    val hist = dl.groupBy("source", "dl").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("dl")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = dl.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    hist.join(n, Seq("source"))
+      .select(col("source"), col("dl"), col("cum"), col("n_docs"),
+        explode(expr("array(50, 90, 99)")).as("q"))
+      .where(expr("cum * 100 >= q * n_docs"))
+      .groupBy("source", "q")
+      .agg(min("dl").as("v"), max("n_docs").as("n_docs"))
+  }
+
+  val BloomBits = 16384
+  val BloomK = 3
+
+  /** Bloom bit position i (i < BloomK) for hash column h: mix rows 4..6. */
+  private def bloomPosSql(i: Int): String =
+    s"((shiftright(h, 30) * ${MixA(i + 4)} + (h & 1073741823) * ${MixB(i + 4)} + ${MixC(i + 4)}) " +
+      s"& ${graft.exprs.Kernels.MinhashMask}) % $BloomBits"
+
+  /**
+   * q_bloom_membership: per-source Bloom filter (m = 16384 bits as 512 OR-
+   * aggregated 32-bit words — bit 63 of a 64-bit shift overflows DuckDB's
+   * signed `<<`, so words stay at 32 bits in both engines — k = 3) over the distinct shingle-hash sets, then
+   * the probe pass every pipeline runs: src0's distinct shingles probed
+   * against EVERY source's filter, reporting true members, filter passes, and
+   * false positives. The filter frame is tiny (sources x 256 words) and
+   * broadcasts onto the probe stream — the standard "pre-filter a 100 TB
+   * stream against a set" plan where the exact set would not fit. No false
+   * negatives ever (every member passes — spec-pinned); FP rate at fixture
+   * load (~1400 keys in 16384 bits) is the documented few-percent band.
+   */
+  def bloomMembershipQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ds = sourceShingleHashes(spark, dir).distinct()
+    val positions = (0 until BloomK).map { i =>
+      ds.select(col("source"), expr(bloomPosSql(i)).as("p"))
+    }.reduce(_ unionByName _)
+    val filters = positions
+      .select(col("source"), expr("CAST(p div 32 AS INT)").as("w_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+      .groupBy("source", "w_idx").agg(expr("bit_or(m)").as("bits"))
+    val probes = ds.where(col("source") === "src0").select(col("h"))
+    val probePos = (0 until BloomK).map { i =>
+      probes.select(col("h"), expr(bloomPosSql(i)).as("p"))
+    }.reduce(_ unionByName _)
+      .select(col("h"), expr("CAST(p div 32 AS INT)").as("w_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+    // every probe position must be tested against every source's filter even
+    // when that filter word carries no set bits (absent row = bits 0), so the
+    // probe grid is (positions x sources) with the filter LEFT-joined on.
+    val srcs = ds.select(col("source").as("tgt")).distinct()
+    val tested = probePos
+      .crossJoin(broadcast(srcs))
+      .join(broadcast(filters.withColumnRenamed("source", "tgt")), Seq("tgt", "w_idx"), "left")
+      .withColumn("bits", coalesce(col("bits"), lit(0L)))
+      .groupBy("tgt", "h")
+      .agg(sum(expr("CAST((bits & m) = m AS BIGINT)")).as("n_bits_set"))
+      .withColumn("pass", expr(s"CAST(n_bits_set = $BloomK AS BIGINT)"))
+    val truth = ds.select(col("source").as("tgt"), col("h"), lit(1L).as("member"))
+    tested.join(truth, Seq("tgt", "h"), "left")
+      .withColumn("member", coalesce(col("member"), lit(0L)))
+      .groupBy("tgt")
+      .agg(count(lit(1)).as("n_probes"),
+        sum("member").as("n_member"),
+        sum("pass").as("n_pass"),
+        sum(expr("CAST(pass = 1 AND member = 0 AS BIGINT)")).as("n_false_pos"),
+        sum(expr("CAST(pass = 0 AND member = 1 AS BIGINT)")).as("n_false_neg"))
+      .select(col("tgt").as("source"), col("n_probes"), col("n_member"),
+        col("n_pass"), col("n_false_pos"), col("n_false_neg"),
+        expr("(n_false_pos * 1000000) div n_probes").as("fp_ppm"))
+  }
 }

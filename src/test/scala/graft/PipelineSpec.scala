@@ -852,4 +852,89 @@ class PipelineSpec extends AnyFunSuite {
     val mae = expected.values.map(v => math.abs(v._2 - v._5)).sum / expected.size
     assert(mae < 125000L, s"minhash overlap MAE $mae ppm out of band")
   }
+
+  private def scalaMix(h: Long, k: Int): Long = {
+    import graft.sketch.Sketches.{MixA, MixB, MixC}
+    ((h >>> 30) * MixA(k) + (h & 0x3FFFFFFFL) * MixB(k) + MixC(k)) &
+      graft.exprs.Kernels.MinhashMask
+  }
+
+  test("count-min heavy hitters: table, estimates, and overestimate invariant match") {
+    import graft.sketch.Sketches
+    val out = Sketches.heavyHittersQuery(spark, sf)
+      .select("w", "rk", "c_exact", "c_est", "overestimate")
+      .as[(String, Int, Long, Long, Long)].collect()
+    val raw = Dedup.docs(spark, sf).select("text").as[String].collect()
+    val wc = raw.flatMap(t => scalaWords(t).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val buckets = (w: String, r: Int) => (scalaMix(scalaH60(w), r) % Sketches.CmWidth).toInt
+    val cms = Array.ofDim[Long](Sketches.CmDepth, Sketches.CmWidth)
+    wc.foreach { case (w, c) => (0 until Sketches.CmDepth).foreach(r => cms(r)(buckets(w, r)) += c) }
+    val est = wc.map { case (w, c) =>
+      w -> ((c, (0 until Sketches.CmDepth).map(r => cms(r)(buckets(w, r))).min))
+    }
+    val expected = est.toSeq.sortBy { case (w, (c, _)) => (-c, w) }.take(20).zipWithIndex
+      .map { case ((w, (c, e)), i) => (w, i + 1, c, e, e - c) }.toSet
+    assert(out.toSet == expected)
+    // CMS never underestimates
+    out.foreach { case (w, _, _, _, over) => assert(over >= 0L, s"word $w underestimated") }
+    // with 31 words in 4x32 buckets, min-over-depth recovers at least one exact count
+    assert(out.exists(_._5 == 0L), "no word recovered exactly — sketch wiring suspect")
+  }
+
+  test("token quantiles: histogram rank rule matches a direct sorted percentile") {
+    import graft.sketch.Sketches
+    val out = Sketches.quantileTokensQuery(spark, sf)
+      .select("source", "q", "v", "n_docs")
+      .as[(String, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val raw = Dedup.docs(spark, sf).select("source", "text").as[(String, String)].collect()
+    val bySrc = raw.groupBy(_._1).view
+      .mapValues(_.map(r => scalaWords(r._2).count(_.nonEmpty)).sorted).toMap
+    val expected = (for {
+      (src, dls) <- bySrc; q <- Seq(50, 90, 99)
+    } yield {
+      // smallest v with cum(v) * 100 >= q * n == the element at 0-based index
+      // ceil(q * n / 100) - 1 of the sorted list
+      val idx = (q * dls.length + 99) / 100 - 1
+      (src, q) -> ((dls(idx), dls.length.toLong))
+    }).toMap
+    assert(out == expected)
+  }
+
+  test("bloom membership: filters, probes, and the no-false-negative invariant match") {
+    import graft.sketch.Sketches
+    val out = Sketches.bloomMembershipQuery(spark, sf)
+      .select("source", "n_probes", "n_member", "n_pass", "n_false_pos", "n_false_neg", "fp_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val raw = Dedup.docs(spark, sf).select("source", "text").as[(String, String)].collect()
+    val sets = scalaShingleHashes(raw.toIndexedSeq).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val posOf = (h: Long, i: Int) => (scalaMix(h, i + 4) % Sketches.BloomBits).toInt
+    val filters = sets.map { case (src, hs) =>
+      val bits = new java.util.BitSet(Sketches.BloomBits)
+      hs.foreach(h => (0 until Sketches.BloomK).foreach(i => bits.set(posOf(h, i))))
+      src -> bits
+    }
+    val probes = sets("src0")
+    val expected = sets.keys.map { tgt =>
+      val f = filters(tgt)
+      val results = probes.toSeq.map { h =>
+        val pass = (0 until Sketches.BloomK).forall(i => f.get(posOf(h, i)))
+        val member = sets(tgt)(h)
+        (pass, member)
+      }
+      val nPass = results.count(_._1).toLong
+      val nMember = results.count(_._2).toLong
+      val nFp = results.count(r => r._1 && !r._2).toLong
+      val nFn = results.count(r => !r._1 && r._2).toLong
+      tgt -> ((probes.size.toLong, nMember, nPass, nFp, nFn, nFp * 1000000L / probes.size))
+    }.toMap
+    assert(out == expected)
+    // a Bloom filter never false-negatives
+    out.foreach { case (src, (_, _, _, _, fn, _)) => assert(fn == 0L, s"false negative vs $src") }
+    // self-probe: every src0 shingle is a member of src0's own filter
+    assert(out("src0")._2 == out("src0")._1 && out("src0")._5 == 0L)
+  }
 }

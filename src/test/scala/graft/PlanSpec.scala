@@ -278,4 +278,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("partial_min"), p.take(2000))
   }
+
+  test("count-min reduces tokens to the word-count frame before any sketch scatter") {
+    val p = plan(sketch.Sketches.heavyHittersQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the token stream hits exactly one wide shuffle (the wc), map-side combined
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("token quantiles shuffle the (source, dl) histogram only — never sort raw docs") {
+    val p = plan(sketch.Sketches.quantileTokensQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("bloom membership broadcasts the filter words onto the probe stream") {
+    val p = plan(sketch.Sketches.bloomMembershipQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
