@@ -1004,6 +1004,65 @@ object PipelineOracles {
        |  (abs(est - n_exact) * 1000000) // n_exact AS err_ppm
        |FROM e ORDER BY source""".stripMargin
 
+  /** q_asof_join: DuckDB's NATIVE ASOF JOIN as the independent physical
+   * derivation of the engine's union-tag + window as-of (purchase -> most
+   * recent click at-or-before, per user). */
+  val asofJoin: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events WHERE event_type IN ('click', 'purchase')),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+      |  c.event_id AS click_id, c.ts_us AS click_ts_us, p.ts_us - c.ts_us AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY 1""".stripMargin
+
+  /** q_pagerank: 8 unrolled fixed-point PageRank rounds over the symmetrized
+   * jaccard>=0.5 MinHash pair graph (2^40 integer grid, floor divisions —
+   * bit-exact vs the engine's iterate). */
+  val pagerank: String = {
+    val Scale = 1099511627776L
+    val roundCtes = (1 to 8).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT d.doc_a, d.deg,
+         |    ((15 * $Scale) // (100 * nn.n)) + (85 * coalesce(s.s, 0)) // 100 AS r
+         |  FROM deg d CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.doc_b AS doc_a, CAST(sum(p.r // p.deg) AS BIGINT) AS s
+         |             FROM r${k - 1} p JOIN ed e ON p.doc_a = e.doc_a GROUP BY 1) s
+         |    ON d.doc_a = s.doc_a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (SELECT doc_a, doc_b FROM ($minhashPairs) WHERE jaccard >= 0.5),
+       |ed AS MATERIALIZED (SELECT doc_a, doc_b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+       |deg AS MATERIALIZED (SELECT doc_a, count(*) AS deg FROM ed GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT d.doc_a, d.deg, ($Scale // nn.n) AS r FROM deg d CROSS JOIN nn),
+       |$roundCtes
+       |SELECT doc_a AS doc_id, deg, r AS pr_q FROM r8 ORDER BY 1""".stripMargin
+  }
+
+  /** q_hll_users: the same 64-register HLL keyed by event_type over
+   * h60('u:' || user_id) — the batch leg of the streaming sketch. */
+  val hllUsers: String =
+    s"""WITH hb AS (SELECT event_type, ${h60("'u:' || CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |r AS (SELECT event_type, CAST(h % 64 AS INT) AS j, h // 64 AS wv FROM hb),
+       |rr AS (SELECT event_type, j, CASE WHEN wv = 0 THEN 55 ELSE 55 - length(bin(wv)) END AS rho FROM r),
+       |mx AS (SELECT event_type, j, max(rho) AS mj FROM rr GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT event_type FROM hb),
+       |grid AS (SELECT event_type, CAST(unnest(range(64)) AS INT) AS j FROM srcs),
+       |filled AS (SELECT g.event_type, g.j, coalesce(m.mj, 0) AS mj
+       |           FROM grid g LEFT JOIN mx m ON g.event_type = m.event_type AND g.j = m.j),
+       |rw AS (SELECT event_type,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(56 - mj AS INT)) AS BIGINT) AS raw_scaled,
+       |         CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+       |       FROM filled GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT h) AS n_exact FROM hb GROUP BY 1),
+       |e AS (SELECT rw.event_type, ex.n_exact, rw.n_zero_regs, rw.raw_scaled,
+       |        CAST(floor(${graft.sketch.Sketches.HllAlphaC} / CAST(raw_scaled AS DOUBLE)) AS BIGINT) AS est
+       |      FROM rw JOIN ex USING (event_type))
+       |SELECT event_type, n_exact, n_zero_regs, raw_scaled, est,
+       |  (abs(est - n_exact) * 1000000) // n_exact AS err_ppm
+       |FROM e ORDER BY event_type""".stripMargin
+
   /** q_source_overlap: 64-slot source MinHash Jaccard estimate vs exact
    * intersection/union; mixing constants inlined from Sketches.MixA/B/C. */
   val sourceOverlap: String = {

@@ -232,6 +232,49 @@ object Dedup {
         expr("round(size(array_intersect(sa, sb)) / size(array_union(sa, sb)), 6)").as("jaccard"))
   }
 
+  /**
+   * q_pagerank: 8 damped PageRank rounds over the near-duplicate pair graph
+   * (MinHash pairs with jaccard >= 0.5, symmetrized) — the canonical iterative
+   * graph pass beyond connected components; on a dedup graph the stationary
+   * mass identifies template/boilerplate hubs. Pure fixed-point integers on
+   * the 2^40 grid so the 8-round unrolled DuckDB twin is bit-exact: r_0 =
+   * S div n; r_{k+1} = (15 * S) div (100 * n) + (85 * sum_in(r_k div deg)) div
+   * 100 (floor losses mean mass is not exactly conserved — documented; the
+   * ordering signal is what the operator ships). Each round is one small join
+   * + rollup over the REDUCED node/edge frames (never the corpus);
+   * localCheckpoint between rounds stops O(rounds^2) replanning, same as the
+   * connected-components iterate.
+   */
+  def pagerankQuery(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val Scale = 1099511627776L // 2^40
+    val pairs = minhashPairsQuery(spark, dir).where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(nn))
+      .withColumn("r", expr(s"${Scale}L div n_nodes"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sums = ranks.select(col("doc_a"), expr("r div deg").as("c"))
+        .join(edges, Seq("doc_a"))
+        .groupBy(col("doc_b").as("doc_a")).agg(sum("c").as("s"))
+      ranks = deg.crossJoin(broadcast(nn))
+        .join(sums, Seq("doc_a"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .withColumn("r", expr(s"(15 * ${Scale}L) div (100 * n_nodes) + (85 * s) div 100"))
+        .select("doc_a", "deg", "n_nodes", "r")
+        .localCheckpoint()
+    }
+    val out = ranks.select(col("doc_a").as("doc_id"), col("deg"), col("r").as("pr_q"))
+    edges.unpersist()
+    out
+  }
+
   /** 60-bit SimHash signature per doc (token-level, +-1 votes per bit). Integer-exact. */
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

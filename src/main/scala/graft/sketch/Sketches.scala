@@ -61,31 +61,51 @@ object Sketches {
    * exact BIGINT (max 64 * 2^56 = 2^62), so the only float op is the final
    * alpha-division.
    */
-  def hllDistinctQuery(spark: SparkSession, dir: String): DataFrame = {
-    val h = sourceShingleHashes(spark, dir)
+  def hllDistinctQuery(spark: SparkSession, dir: String): DataFrame =
+    hllRollup(sourceShingleHashes(spark, dir), "source")
+
+  /** The generic HLL rollup over a (key, h) frame: registers -> raw harmonic
+   * sum (exact BIGINT) -> estimate + exact-distinct audit. Shared by the
+   * per-source shingle gate, the per-event-type user gate, and the streaming
+   * twin's batch reference. */
+  def hllRollup(h: DataFrame, key: String): DataFrame = {
     val regs = h
-      .select(col("source"),
+      .select(col(key),
         expr("CAST(h % 64 AS INT)").as("j"),
         expr("h div 64").as("wv"))
       .withColumn("rho", expr("IF(wv = 0, 55, 55 - length(bin(wv)))"))
-      .groupBy("source", "j").agg(max("rho").as("mj"))
-    val filled = h.select("source").distinct()
-      .select(col("source"), explode(expr("sequence(0, 63)")).as("j"))
-      .join(regs, Seq("source", "j"), "left")
+      .groupBy(key, "j").agg(max("rho").as("mj"))
+    val filled = h.select(key).distinct()
+      .select(col(key), explode(expr("sequence(0, 63)")).as("j"))
+      .join(regs, Seq(key, "j"), "left")
       .withColumn("mj", coalesce(col("mj"), lit(0)))
-    val raw = filled.groupBy("source").agg(
+    val raw = filled.groupBy(key).agg(
       sum(expr("shiftleft(CAST(1 AS BIGINT), 56 - mj)")).as("raw_scaled"),
       sum(expr("CAST(mj = 0 AS BIGINT)")).as("n_zero_regs"))
-    val exact = h.groupBy("source").agg(countDistinct(col("h")).as("n_exact"))
-    raw.join(exact, Seq("source"))
+    val exact = h.groupBy(key).agg(countDistinct(col("h")).as("n_exact"))
+    raw.join(exact, Seq(key))
       // HllAlphaC ~ 2.09E20: Double.toString already carries the exponent, so
       // the literal parses as DOUBLE (not DECIMAL) in both engines as-is.
       .withColumn("est", expr(
         s"CAST(floor($HllAlphaC / CAST(raw_scaled AS DOUBLE)) AS BIGINT)"))
-      .select(col("source"), col("n_exact"), col("n_zero_regs"), col("raw_scaled"),
+      .select(col(key), col("n_exact"), col("n_zero_regs"), col("raw_scaled"),
         col("est"),
         expr("(abs(est - n_exact) * 1000000) div n_exact").as("err_ppm"))
   }
+
+  /**
+   * q_hll_users: distinct users per event type by the same 64-register HLL —
+   * the streaming-native cardinality every event pipeline tracks. The batch
+   * leg is this gate; [[graft.streaming.HllStream]] runs the identical
+   * register semantics incrementally in mapGroupsWithState, and the spec
+   * pins stream register-state == this batch rollup.
+   */
+  def hllUsersQuery(spark: SparkSession, dir: String): DataFrame =
+    hllRollup(
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          expr(Dedup.h60("concat('u:', CAST(user_id AS STRING))")).as("h")),
+      "event_type")
 
   /** Per-source 64-slot MinHash signature rows (source, k, mh). */
   def sourceSignatures(spark: SparkSession, dir: String): DataFrame = {

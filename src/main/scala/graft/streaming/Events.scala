@@ -51,4 +51,39 @@ object Events {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
   }
+
+  /**
+   * q_asof_join: attribution as-of join — each purchase matched to the user's
+   * most recent click at-or-before it (the temporal join Spark has no native
+   * operator for; the reference engine's products/orbits join the same way by
+   * time). Implemented scale-safely as union-tag + one per-user window pass
+   * with `last(_, ignoreNulls)`: NO range-join row blowup, one user_id shuffle,
+   * O(events) at any scale. At equal timestamps the click sorts before the
+   * purchase (inclusive >= semantics, matching DuckDB's native ASOF JOIN in
+   * the oracle — a genuinely independent physical derivation); ties between
+   * distinct clicks at one (user, ts) would be broken by event_id here but are
+   * engine-arbitrary in the oracle's ASOF — the fixture has none (asserted in
+   * the spec).
+   */
+  def asofJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(event_type = 'purchase' AS INT)").as("is_probe"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts_us"), asc("is_probe"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e
+      .withColumn("click_id",
+        last(when(col("is_probe") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("is_probe") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .where(col("is_probe") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"), col("click_id"),
+        col("click_ts").as("click_ts_us"),
+        expr("ts_us - click_ts").as("gap_us"))
+  }
 }

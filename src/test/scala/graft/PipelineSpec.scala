@@ -937,4 +937,89 @@ class PipelineSpec extends AnyFunSuite {
     // self-probe: every src0 shingle is a member of src0's own filter
     assert(out("src0")._2 == out("src0")._1 && out("src0")._5 == 0L)
   }
+
+  test("as-of join: window implementation equals a direct per-user temporal scan") {
+    import graft.streaming.Events
+    val out = Events.asofJoinQuery(spark, sf)
+      .select("purchase_id", "user_id", "purchase_ts_us", "click_id", "click_ts_us", "gap_us")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    // determinism precondition for the DuckDB ASOF oracle: no two clicks of one
+    // user share a timestamp
+    val clicks = ev.filter(_._4 == "click")
+    assert(clicks.groupBy(c => (c._2, c._3)).forall(_._2.length == 1),
+      "fixture grew (user, ts) click ties — ASOF oracle would be nondeterministic")
+    val clicksByUser = clicks.groupBy(_._2).view.mapValues(_.sortBy(_._3)).toMap
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, uid, ts, _) =>
+      val prior = clicksByUser.getOrElse(uid, Array.empty[(Long, Long, Long, String)])
+        .filter(_._3 <= ts)
+      val best = if (prior.isEmpty) None else Some(prior.maxBy(c => (c._3, c._1)))
+      pid -> ((uid, ts, best.map(_._1), best.map(_._3), best.map(b => ts - b._3)))
+    }.toMap
+    assert(out == expected)
+    // both match shapes occur on the fixture
+    assert(out.values.exists(_._3.isEmpty), "no unmatched purchase (left semantics untested)")
+    assert(out.values.exists(_._3.nonEmpty), "no matched purchase")
+  }
+
+  test("pagerank: fixed-point iterate equals a direct 8-round recomputation") {
+    val out = Dedup.pagerankQuery(spark, sf)
+      .select("doc_id", "deg", "pr_q").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val Scale = 1099511627776L
+    val pairs = Dedup.minhashPairsQuery(spark, sf).where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val outEdges = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = outEdges.keys.toSeq.sorted
+    val n = nodes.length.toLong
+    var r = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 8) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      nodes.foreach { u =>
+        val share = r(u) / outEdges(u).length
+        outEdges(u).foreach(v => contrib(v) += share)
+      }
+      r = nodes.map(u => u -> ((15L * Scale) / (100L * n) + (85L * contrib(u)) / 100L)).toMap
+    }
+    val expected = nodes.map(u => u -> ((outEdges(u).length.toLong, r(u)))).toMap
+    assert(out == expected)
+    // every node keeps at least the damping floor of rank mass
+    val floor = (15L * Scale) / (100L * n)
+    out.values.foreach { case (_, pr) => assert(pr >= floor) }
+  }
+
+  test("streaming HLL (mapGroupsWithState) converges to the batch register rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.HllStream
+    // the real fixture events, replayed through a MemoryStream in 3 micro-batches
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "user_id").as[(String, Long)].collect()
+    val chunks = events.grouped(math.max(1, events.length / 3 + 1)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val src = in.toDF().toDF("event_type", "user_id").as[HllStream.EvIn]
+    val q = HllStream.streaming(src)
+      .writeStream.outputMode("update").format("memory").queryName("hll_out").start()
+    chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    // registers only grow, so raw_scaled is non-increasing and est non-decreasing:
+    // the final state per key is the min/max across the per-batch emissions
+    val streamed = spark.table("hll_out")
+      .groupBy("event_type")
+      .agg(min("raw_scaled").as("raw_scaled"), max("est").as("est"),
+        min("n_zero_regs").as("n_zero_regs"))
+      .select("event_type", "raw_scaled", "est", "n_zero_regs")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = HllStream.batch(spark, sf)
+      .map(o => (o.event_type, o.raw_scaled, o.est, o.n_zero_regs)).collect().toSet
+    assert(streamed == batch)
+    // and the per-key state stayed bounded: one 64-register row per event type
+    assert(streamed.size == events.map(_._1).distinct.length)
+  }
 }

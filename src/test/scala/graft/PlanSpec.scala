@@ -297,4 +297,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("as-of join is one user-key window pass — NO join operator, no range blowup") {
+    val p = plan(streaming.Events.asofJoinQuery(spark, sf))
+    assert(!p.contains("Join"), p.take(2000)) // union-tag + window, join-free by design
+    assert(ShuffleRe.findAllIn(p).length <= 1, p.take(2000))
+    assert(p.contains("PushedFilters"), p.take(2000)) // event_type IN pushed to the scan
+  }
+
+  test("pagerank rounds join the reduced node/edge frames only (no cartesian on data)") {
+    val p = plan(dedup.Dedup.pagerankQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
