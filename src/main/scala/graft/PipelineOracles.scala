@@ -1017,6 +1017,24 @@ object PipelineOracles {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
       |ORDER BY 1""".stripMargin
 
+  /** q_range_join: all clicks within the 1-hour attribution window per
+   * purchase (plain inequality join), per-purchase rollup. */
+  val rangeJoin: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |           FROM events WHERE event_type IN ('click', 'purchase')),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us
+      |      FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts_us AS click_ts_us
+      |      FROM e WHERE event_type = 'click')
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+      |  count(c.click_id) AS n_clicks_1h,
+      |  min(p.purchase_ts_us - c.click_ts_us) AS min_gap_us,
+      |  CAST(sum(p.purchase_ts_us - c.click_ts_us) AS BIGINT) AS sum_gap_us
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c.click_ts_us <= p.purchase_ts_us
+      |  AND c.click_ts_us > p.purchase_ts_us - 3600000000
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   /** q_pagerank: 8 unrolled fixed-point PageRank rounds over the symmetrized
    * jaccard>=0.5 MinHash pair graph (2^40 integer grid, floor divisions —
    * bit-exact vs the engine's iterate). */

@@ -65,6 +65,75 @@ object Events {
    * engine-arbitrary in the oracle's ASOF — the fixture has none (asserted in
    * the spec).
    */
+  /** The 1-hour attribution window, in microseconds. */
+  val AttributionUs: Long = 3600L * 1000000
+
+  /** Shared range-join pair transform: every (purchase, click) of one user with
+   * click_ts in (purchase_ts - 1h, purchase_ts]; left outer so unattributed
+   * purchases survive with NULL click columns. An equi-join on user_id with the
+   * time band as a residual filter — per-user fan-out is bounded by the window,
+   * so the shuffled volume is O(events), not a range-join blowup. */
+  def rangeJoinPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts_us").as("click_ts_us"))
+    val p = purchases.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("ts_us").as("purchase_ts_us"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("click_ts_us") <= col("purchase_ts_us") &&
+        col("click_ts_us") > col("purchase_ts_us") - AttributionUs,
+      "left_outer")
+      .select(col("purchase_id"), p("user_id"), col("purchase_ts_us"),
+        col("click_id"), col("click_ts_us"))
+  }
+
+  private def typedEvents(spark: SparkSession, dir: String, tpe: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === tpe)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+
+  /**
+   * q_range_join: the interval/range join the as-of join's top-1 semantics sit
+   * on — ALL clicks within the 1-hour attribution window per purchase, rolled
+   * up per purchase (n_clicks_1h, min/sum gap). The DuckDB oracle states it as
+   * a plain inequality join. [[streamingRangeJoin]] runs the identical pair
+   * semantics as a watermarked stream-stream LEFT OUTER join; the spec pins
+   * stream pairs == batch pairs.
+   */
+  def rangeJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinPairs(typedEvents(spark, dir, "click"), typedEvents(spark, dir, "purchase"))
+      .groupBy("purchase_id", "user_id", "purchase_ts_us")
+      .agg(count(col("click_id")).as("n_clicks_1h"),
+        min(expr("purchase_ts_us - click_ts_us")).as("min_gap_us"),
+        sum(expr("purchase_ts_us - click_ts_us")).as("sum_gap_us"))
+
+  /**
+   * Streaming twin: a watermarked stream-stream LEFT OUTER join — click state
+   * is evictable once the watermark passes its ts + 1h (the join's time bound
+   * makes state bounded at any scale); unmatched purchases emit after the
+   * watermark closes their window. Same pair schema as [[rangeJoinPairs]].
+   */
+  def streamingRangeJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("click_ts", col("ts").cast("timestamp"))
+      .withWatermark("click_ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("click_ts"), expr("unix_micros(click_ts)").as("click_ts_us"))
+    val p = purchases
+      .withColumn("purchase_ts", col("ts").cast("timestamp"))
+      .withWatermark("purchase_ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("purchase_ts"), expr("unix_micros(purchase_ts)").as("purchase_ts_us"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") > col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("click_id"), col("click_ts_us"))
+  }
+
   def asofJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = spark.read.parquet(s"$dir/events.parquet")

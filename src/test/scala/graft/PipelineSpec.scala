@@ -967,6 +967,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.exists(_._3.nonEmpty), "no matched purchase")
   }
 
+  test("stream-stream range join (left outer, watermarked) equals the batch pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import graft.streaming.Events
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"), col("event_type"))
+      .as[(Long, Long, Timestamp, String)].collect()
+    val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+    val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+    val far = new Timestamp(ev.map(_._3.getTime).max + 24L * 3600 * 1000)
+    val sentinel = Seq((-1L, 999999L, far))
+
+    implicit val sqlCtx = spark.sqlContext
+    val inC = MemoryStream[(Long, Long, Timestamp)]
+    val inP = MemoryStream[(Long, Long, Timestamp)]
+    val q = Events.streamingRangeJoin(
+        inC.toDF().toDF("event_id", "user_id", "ts"),
+        inP.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("rj_out").start()
+    // two event-time-ordered halves per side, then sentinels to push the
+    // watermark past every purchase's window so unmatched LEFT rows emit
+    val (c1, c2) = clicks.sortBy(_._3.getTime).splitAt(clicks.length / 2)
+    val (p1, p2) = purchases.sortBy(_._3.getTime).splitAt(purchases.length / 2)
+    inC.addData(c1.toIndexedSeq); inP.addData(p1.toIndexedSeq); q.processAllAvailable()
+    inC.addData(c2.toIndexedSeq); inP.addData(p2.toIndexedSeq); q.processAllAvailable()
+    inC.addData(sentinel); inP.addData(sentinel); q.processAllAvailable()
+    inC.addData(sentinel.map(s => (-2L, s._2, s._3))); inP.addData(sentinel.map(s => (-2L, s._2, s._3)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("rj_out").where(col("user_id") =!= 999999L)
+      .select("purchase_id", "user_id", "purchase_ts_us", "click_id", "click_ts_us")
+    val batchC = clicks.toSeq.toDF("event_id", "user_id", "ts")
+      .withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val batchP = purchases.toSeq.toDF("event_id", "user_id", "ts")
+      .withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val expected = Events.rangeJoinPairs(batchC, batchP)
+    assert(streamed.exceptAll(expected).count() == 0,
+      streamed.exceptAll(expected).take(3).mkString(","))
+    assert(expected.exceptAll(streamed).count() == 0,
+      expected.exceptAll(streamed).take(3).mkString(","))
+    // both outer shapes occur: matched pairs and watermark-closed unmatched purchases
+    val rows = expected.collect()
+    assert(rows.exists(_.isNullAt(3)) && rows.exists(!_.isNullAt(3)))
+  }
+
   test("pagerank: fixed-point iterate equals a direct 8-round recomputation") {
     val out = Dedup.pagerankQuery(spark, sf)
       .select("doc_id", "deg", "pr_q").as[(Long, Long, Long)].collect()

@@ -309,4 +309,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(dedup.Dedup.pagerankQuery(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("range join stays an equi-join on user_id with the time band residual (no blowup)") {
+    val p = plan(streaming.Events.rangeJoinQuery(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
