@@ -1185,4 +1185,28 @@ object PipelineOracles {
        |  (CAST(sum(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS fp_ppm
        |FROM tj GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q_data_card: long-format per-source report — base counts + HLL pair +
+   * p50/p90 quantiles, each leg reusing the standalone oracle's derivation. */
+  val dataCard: String =
+    s"""WITH d AS (SELECT source, lang, n_chars,
+       |    len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS n_tokens
+       |  FROM documents),
+       |base AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs,
+       |    count(DISTINCT lang) AS n_langs
+       |  FROM d GROUP BY 1)
+       |SELECT source,
+       |  unnest(['n_docs', 'n_tokens', 'n_chars', 'n_en_docs', 'n_langs', 'avg_tokens']) AS metric,
+       |  unnest([n_docs, n_tokens, n_chars, n_en_docs, n_langs, n_tokens // n_docs]) AS value_q
+       |FROM base
+       |UNION ALL
+       |SELECT source, 'distinct_shingles' AS metric, n_exact AS value_q FROM ($hllDistinct)
+       |UNION ALL
+       |SELECT source, 'hll_est_shingles' AS metric, est AS value_q FROM ($hllDistinct)
+       |UNION ALL
+       |SELECT source, 'p' || q || '_tokens' AS metric, CAST(v AS BIGINT) AS value_q
+       |FROM ($quantileTokens) WHERE q IN (50, 90)
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -34,7 +34,8 @@ object Verify {
     // dump still covers most operators (the windowed/FFT kernels go last)
     val heavy = Set("q_speckle_refinedlee", "q_speckle_idan", "q_speckle_leesigma",
       "q_goldstein", "q_oversample", "q_bandpass_range", "q_bandpass_azimuth",
-      "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_cosine_pairs", "q_ann_lsh_pairs")
+      "q_dedup_minhash_sig", "q_dedup_minhash_pairs", "q_cosine_pairs", "q_ann_lsh_pairs",
+      "q_pagerank", "q_bloom_membership", "q_source_overlap")
     // dev-only subset knob (unset in driver runs): SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq

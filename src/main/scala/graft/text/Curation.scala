@@ -343,4 +343,37 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         sum("n_chars").as("n_chars_sum"))
+
+  /**
+   * q_data_card: the long-format (source, metric, value) corpus report a
+   * dataset release ships — one composed pass unioning the base counts
+   * (docs/tokens/chars/langs/en-share/mean length), the HLL distinct-shingle
+   * estimate next to its exact audit, and the p50/p90 token-length quantiles.
+   * Pure composition of already-gated operators (the point: reports are
+   * queries, not a separate system); every value is BIGINT so the union is
+   * exactly comparable cross-engine.
+   */
+  def dataCardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("n_tokens", expr("size(filter(split(lower(text), ' '), w -> w != ''))"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      sum(expr("CAST(lang = 'en' AS BIGINT)")).as("n_en_docs"),
+      countDistinct(col("lang")).as("n_langs"))
+      .withColumn("avg_tokens", expr("n_tokens div n_docs"))
+      .selectExpr("source",
+        "stack(6, 'n_docs', n_docs, 'n_tokens', n_tokens, 'n_chars', n_chars, " +
+          "'n_en_docs', n_en_docs, 'n_langs', n_langs, 'avg_tokens', avg_tokens) " +
+          "AS (metric, value_q)")
+    val hll = graft.sketch.Sketches.hllDistinctQuery(spark, dir)
+      .selectExpr("source",
+        "stack(2, 'distinct_shingles', n_exact, 'hll_est_shingles', est) AS (metric, value_q)")
+    val qs = graft.sketch.Sketches.quantileTokensQuery(spark, dir)
+      .where(col("q").isin(50, 90))
+      .selectExpr("source", "concat('p', q, '_tokens') AS metric",
+        "CAST(v AS BIGINT) AS value_q")
+    base.unionByName(hll).unionByName(qs)
+  }
 }

@@ -1041,6 +1041,37 @@ class PipelineSpec extends AnyFunSuite {
     out.values.foreach { case (_, pr) => assert(pr >= floor) }
   }
 
+  test("data card: every metric row reconciles with its standalone derivation") {
+    import graft.text.Curation
+    import graft.sketch.Sketches
+    val card = Curation.dataCardQuery(spark, sf)
+      .select("source", "metric", "value_q").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val raw = Dedup.docs(spark, sf)
+      .select("source", "lang", "n_chars", "text")
+      .as[(String, String, Long, String)].collect()
+    val bySrc = raw.groupBy(_._1)
+    assert(card.size == bySrc.size * 10, s"expected 10 metrics x ${bySrc.size} sources")
+    bySrc.foreach { case (src, rows) =>
+      val toks = rows.map(r => scalaWords(r._4).count(_.nonEmpty).toLong)
+      assert(card((src, "n_docs")) == rows.length.toLong)
+      assert(card((src, "n_tokens")) == toks.sum)
+      assert(card((src, "n_chars")) == rows.map(_._3).sum)
+      assert(card((src, "n_en_docs")) == rows.count(_._2 == "en").toLong)
+      assert(card((src, "n_langs")) == rows.map(_._2).distinct.length.toLong)
+      assert(card((src, "avg_tokens")) == toks.sum / rows.length)
+    }
+    val hll = Sketches.hllDistinctQuery(spark, sf)
+      .select("source", "n_exact", "est").as[(String, Long, Long)].collect()
+    hll.foreach { case (src, exact, est) =>
+      assert(card((src, "distinct_shingles")) == exact && card((src, "hll_est_shingles")) == est)
+    }
+    val qs = Sketches.quantileTokensQuery(spark, sf)
+      .where(col("q").isin(50, 90))
+      .select("source", "q", "v").as[(String, Int, Int)].collect()
+    qs.foreach { case (src, q, v) => assert(card((src, s"p${q}_tokens")) == v.toLong) }
+  }
+
   test("streaming HLL (mapGroupsWithState) converges to the batch register rollup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.HllStream
