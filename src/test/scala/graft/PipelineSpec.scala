@@ -1041,6 +1041,30 @@ class PipelineSpec extends AnyFunSuite {
     out.values.foreach { case (_, pr) => assert(pr >= floor) }
   }
 
+  test("new pipeline ops are partition-invariant (shuffle-partition count cannot change results)") {
+    // the class of bug this pins: any logic that accidentally depends on row
+    // co-location (a Misra-Gries-style sketch, a non-commutative fold) changes
+    // output when the shuffle fan-out changes; every shipped op must not
+    val queries: Seq[(String, () => Array[String])] = Seq(
+      ("bm25", () => graft.text.Retrieval.bm25Query(spark, sf).collect().map(_.toString).sorted),
+      ("hll", () => graft.sketch.Sketches.hllDistinctQuery(spark, sf).collect().map(_.toString).sorted),
+      ("cms", () => graft.sketch.Sketches.heavyHittersQuery(spark, sf).collect().map(_.toString).sorted),
+      ("asof", () => graft.streaming.Events.asofJoinQuery(spark, sf).collect().map(_.toString).sorted),
+      ("pagerank", () => Dedup.pagerankQuery(spark, sf).collect().map(_.toString).sorted))
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      val results = Seq("3", "13").map { parts =>
+        conf.set("spark.sql.shuffle.partitions", parts)
+        queries.map { case (n, f) => n -> f() }.toMap
+      }
+      queries.foreach { case (n, _) =>
+        assert(results(0)(n).sameElements(results(1)(n)), s"$n varies with shuffle partitions")
+        assert(results(0)(n).nonEmpty, s"$n empty")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("data card: every metric row reconciles with its standalone derivation") {
     import graft.text.Curation
     import graft.sketch.Sketches
