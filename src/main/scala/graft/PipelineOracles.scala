@@ -1209,4 +1209,63 @@ object PipelineOracles {
        |SELECT source, 'p' || q || '_tokens' AS metric, CAST(v AS BIGINT) AS value_q
        |FROM ($quantileTokens) WHERE q IN (50, 90)
        |ORDER BY 1, 2""".stripMargin
+
+  /** q_ann_ivfpq: the IVFADC composition — annIvf's cell assignment/probes
+   * restrict the candidates, annPq's codes/ADC score them. */
+  val annIvfPq: String = {
+    val C = ann.Ann.IvfCells; val NP = ann.Ann.IvfNProbe
+    val dTerms = (1 to 8).map(j =>
+      s"(CAST(e2.embedding[s.s * 8 + $j] AS DOUBLE) - CAST(w.embedding[s.s * 8 + $j] AS DOUBLE)) * " +
+        s"(CAST(e2.embedding[s.s * 8 + $j] AS DOUBLE) - CAST(w.embedding[s.s * 8 + $j] AS DOUBLE))")
+      .mkString(" + ")
+    val pivots = (0 to 7).map(s => s"max(CASE WHEN d.s = $s THEN d.d END) AS d$s").mkString(", ")
+    val adist = (0 to 7).map(s => s"d$s").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM e WHERE vec_id < $C),
+       |asg0 AS (SELECT a.vec_id, c.centroid_id, ${cosSql("a.embedding", "c.cv")} AS ccos
+       |         FROM e a CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+       |          FROM asg0) WHERE rn = 1),
+       |pr0 AS (SELECT q.vec_id AS query_id, c.centroid_id, ${cosSql("q.embedding", "c.cv")} AS ccos
+       |        FROM e q CROSS JOIN cent c WHERE q.vec_id < 20),
+       |pr AS (SELECT query_id, centroid_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+       |         FROM pr0) WHERE rn <= $NP),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM pr p JOIN asg a USING (centroid_id) WHERE a.vec_id != p.query_id),
+       |s AS (SELECT unnest(range(8)) AS s),
+       |cw AS (SELECT vec_id AS c, embedding FROM e WHERE vec_id < ${ann.Ann.PqK}),
+       |dists AS (SELECT e2.vec_id, s.s, w.c, $dTerms AS d FROM e e2, s, cw w),
+       |enc AS (SELECT vec_id, s, c AS code FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+       |          FROM dists) WHERE rn = 1),
+       |adc AS (SELECT cd.query_id, cd.neighbor_id, $pivots
+       |        FROM cand cd JOIN enc n ON n.vec_id = cd.neighbor_id
+       |        JOIN dists d ON d.s = n.s AND d.c = n.code AND d.vec_id = cd.query_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, ($adist) AS adist,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY ($adist) ASC, neighbor_id ASC) AS rank
+       |      FROM adc)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT) AS adist_q
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_eval_pr: per-label precision/recall over the kNN classifier output
+   * (full outer of truth and prediction label sets, integer ppm). */
+  val evalPr: String =
+    s"""WITH t AS (SELECT true_label AS label, count(*) AS n_true,
+       |             CAST(sum(correct) AS BIGINT) AS tp
+       |           FROM ($knnClassify) GROUP BY 1),
+       |p AS (SELECT predicted_label AS label, count(*) AS n_pred
+       |      FROM ($knnClassify) GROUP BY 1),
+       |j AS (SELECT coalesce(t.label, p.label) AS label,
+       |        coalesce(t.n_true, 0) AS n_true, coalesce(t.tp, 0) AS tp,
+       |        coalesce(p.n_pred, 0) AS n_pred
+       |      FROM t FULL OUTER JOIN p ON t.label = p.label)
+       |SELECT label, n_true, n_pred, tp, n_pred - tp AS fp, n_true - tp AS fn,
+       |  CASE WHEN n_pred = 0 THEN 0 ELSE (tp * 1000000) // n_pred END AS precision_ppm,
+       |  CASE WHEN n_true = 0 THEN 0 ELSE (tp * 1000000) // n_true END AS recall_ppm
+       |FROM j ORDER BY label""".stripMargin
 }

@@ -145,11 +145,12 @@ object Ann {
    * deterministically (vec_id < C) — k-means training is orthogonal to the
    * search plan shape and would reuse the same assignment machinery.
    */
-  def ivfTopKQuery(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val e = emb(spark, dir)
+  /** IVF cell machinery shared by the cosine search and the IVF-PQ (ADC)
+   * search: (corpus -> argmax cell) assignment and (query -> nprobe cells)
+   * probes, both via broadcast scoring against the C-row centroid table. */
+  private def ivfAssignProbes(e: DataFrame, nQueries: Int): (DataFrame, DataFrame) = {
     val cent = e.where(col("vec_id") < IvfCells)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("vb"))
-    // corpus -> nearest cell (C-way broadcast scoring, rank 1)
     val assign = e.select(col("vec_id"), col("embedding").as("va"))
       .join(broadcast(cent))
       .withColumn("ccos", expr(cosSql))
@@ -157,7 +158,6 @@ object Ann {
         Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))))
       .where(col("crn") === 1)
       .select(col("vec_id"), col("centroid_id"))
-    // query -> nprobe nearest cells
     val probes = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"))
       .join(broadcast(cent))
@@ -166,7 +166,14 @@ object Ann {
         Window.partitionBy("query_id").orderBy(desc("ccos"), asc("centroid_id"))))
       .where(col("prn") <= IvfNProbe)
       .select(col("query_id"), col("centroid_id"))
-    // search only the probed inverted lists
+    (assign, probes)
+  }
+
+  def ivfTopKQuery(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    // corpus -> nearest cell (C-way broadcast scoring, rank 1);
+    // query -> nprobe nearest cells; search only the probed inverted lists
+    val (assign, probes) = ivfAssignProbes(e, nQueries)
     val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("va"))
     val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
     probes
@@ -362,6 +369,67 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         expr("CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT)").as("adist_q"))
+  }
+
+  /**
+   * q_ann_ivfpq: IVF + PQ combined (the FAISS IVFADC serving layout) — the
+   * coarse cells prune the corpus to nprobe inverted lists AND the PQ codes
+   * compress every candidate to 8 bytes, so at 10^12 vectors the scan touches
+   * nprobe/C of the rows and ~3% of the bytes. Pure composition of the two
+   * gated paths: probed-cell candidate join (broadcast centroids) x ADC table
+   * lookup (broadcast codebook + query tables); staging identical to the
+   * DuckDB twin so ranks match exactly.
+   */
+  def ivfPqTopKQuery(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val (assign, probes) = ivfAssignProbes(e, nQueries)
+    val cb = pqCb(spark, dir)
+    val vd = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    val codes = e.crossJoin(broadcast(cb))
+      .withColumn("vdd", expr(vd))
+      .withColumn("codes", graft.exprs.KernelExprs.pqEncode(col("vdd"), col("cb")))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val dts = e.where(col("vec_id") < nQueries).crossJoin(broadcast(cb))
+      .withColumn("vdd", expr(vd))
+      .withColumn("dt", graft.exprs.KernelExprs.pqDistTable(col("vdd"), col("cb")))
+      .select(col("vec_id").as("query_id"), col("dt"))
+    probes
+      .join(assign, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(dts), Seq("query_id"))
+      .withColumn("adist", expr(
+        "aggregate(sequence(0, 7), 0D, (a, s) -> a + element_at(dt, s * 16 + CAST(element_at(codes, s + 1) AS INT) + 1))"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adist"), asc("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        expr("CAST(floor(0.031415926535897934 + adist * 1.0E6) AS BIGINT)").as("adist_q"))
+  }
+
+  /**
+   * q_eval_pr: per-label precision/recall/F1-shaped report over the kNN
+   * classifier's predictions — the eval rollup every embedding-quality run
+   * ships next to its raw predictions. Integer ppm ratios (guarded against
+   * labels that are never predicted / never true after the full outer join).
+   */
+  def evalPrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnClassifyQuery(spark, dir)
+    val byTrue = knn.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"), sum("correct").as("tp"))
+    val byPred = knn.groupBy(col("predicted_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        expr("n_pred - tp").as("fp"),
+        expr("n_true - tp").as("fn"),
+        expr("IF(n_pred = 0, 0L, (tp * 1000000) div n_pred)").as("precision_ppm"),
+        expr("IF(n_true = 0, 0L, (tp * 1000000) div n_true)").as("recall_ppm"))
   }
 
   /**

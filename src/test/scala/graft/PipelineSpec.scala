@@ -1065,6 +1065,66 @@ class PipelineSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("ivf-pq (IVFADC): cell restriction and ADC ranks match a direct recomputation") {
+    import graft.ann.Ann
+    val out = Ann.ivfPqTopKQuery(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "adist_q")
+      .as[(Long, Int, Long, Long)].collect()
+    val vecs = Ann.emb(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0L until Ann.IvfCells.toLong).map(c => c -> vecs(c)).toMap
+    def cellsOf(v: Array[Double], n: Int): Seq[Long] =
+      cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+    val assign = vecs.map { case (id, v) => id -> cellsOf(v, 1).head }
+    // codebook: subspace s codeword c = dims [s*8, s*8+8) of vec c (c < 16)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def sub(v: Array[Double], s: Int): Array[Double] = v.slice(s * 8, s * 8 + 8)
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(8) { s =>
+        (0 until Ann.PqK).minBy(c => (l2(sub(v, s), sub(vecs(c.toLong), s)), c))
+      }
+    }
+    val expected = (0L until 20L).flatMap { q =>
+      val probed = cellsOf(vecs(q), Ann.IvfNProbe).toSet
+      val cand = vecs.keys.filter(n => n != q && probed(assign(n)))
+      val scored = cand.map { n =>
+        val ad = (0 until 8).map(s => l2(sub(vecs(q), s), sub(vecs(codes(n)(s).toLong), s))).sum
+        (n, ad)
+      }.toSeq.sortBy { case (n, ad) => (ad, n) }.take(10)
+      scored.zipWithIndex.map { case ((n, ad), i) =>
+        (q, i + 1, n, math.floor(0.031415926535897934 + ad * 1.0e6).toLong)
+      }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("eval pr: per-label precision/recall reconciles with the raw kNN predictions") {
+    import graft.ann.Ann
+    val out = Ann.evalPrQuery(spark, sf)
+      .select("label", "n_true", "n_pred", "tp", "fp", "fn", "precision_ppm", "recall_ppm")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    val knn = Ann.knnClassifyQuery(spark, sf)
+      .select("true_label", "predicted_label").as[(Int, Int)].collect()
+    val labels = (knn.map(_._1) ++ knn.map(_._2)).distinct
+    val expected = labels.map { l =>
+      val nTrue = knn.count(_._1 == l).toLong
+      val nPred = knn.count(_._2 == l).toLong
+      val tp = knn.count(r => r._1 == l && r._2 == l).toLong
+      l -> ((nTrue, nPred, tp, nPred - tp, nTrue - tp,
+        if (nPred == 0) 0L else tp * 1000000L / nPred,
+        if (nTrue == 0) 0L else tp * 1000000L / nTrue))
+    }.toMap
+    assert(out == expected)
+  }
+
   test("data card: every metric row reconciles with its standalone derivation") {
     import graft.text.Curation
     import graft.sketch.Sketches
