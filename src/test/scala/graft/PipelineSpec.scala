@@ -1050,7 +1050,12 @@ class PipelineSpec extends AnyFunSuite {
       ("hll", () => graft.sketch.Sketches.hllDistinctQuery(spark, sf).collect().map(_.toString).sorted),
       ("cms", () => graft.sketch.Sketches.heavyHittersQuery(spark, sf).collect().map(_.toString).sorted),
       ("asof", () => graft.streaming.Events.asofJoinQuery(spark, sf).collect().map(_.toString).sorted),
-      ("pagerank", () => Dedup.pagerankQuery(spark, sf).collect().map(_.toString).sorted))
+      ("pagerank", () => Dedup.pagerankQuery(spark, sf).collect().map(_.toString).sorted),
+      ("range_join", () => graft.streaming.Events.rangeJoinQuery(spark, sf).collect().map(_.toString).sorted),
+      ("corpus_split", () => graft.text.Curation.corpusSplitQuery(spark, sf).collect().map(_.toString).sorted),
+      ("source_overlap", () => graft.sketch.Sketches.sourceOverlapQuery(spark, sf).collect().map(_.toString).sorted),
+      ("ivfpq", () => graft.ann.Ann.ivfPqTopKQuery(spark, sf).collect().map(_.toString).sorted),
+      ("data_card", () => graft.text.Curation.dataCardQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
