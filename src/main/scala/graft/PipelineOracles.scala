@@ -1252,6 +1252,17 @@ object PipelineOracles {
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_source_roundtrip: format-independence invariant — the parquet-derived
+   * (n_rows, checksum) emitted once per format name; the engine's JSON/CSV
+   * round trips must land on the same values. */
+  val sourceRoundtrip: String =
+    s"""WITH s AS (SELECT count(*) AS n_rows,
+       |  CAST(sum(${h60("doc_id::VARCHAR || '|' || lang || '|' || source || '|' || n_chars::VARCHAR || '|' || md5(text)")} % 1099511627776) AS BIGINT) AS checksum
+       |  FROM documents)
+       |SELECT fmt, n_rows, checksum
+       |FROM s, (SELECT unnest(['parquet', 'json', 'csv']) AS fmt)
+       |ORDER BY fmt""".stripMargin
+
   /** q_eval_pr: per-label precision/recall over the kNN classifier output
    * (full outer of truth and prediction label sets, integer ppm). */
   val evalPr: String =

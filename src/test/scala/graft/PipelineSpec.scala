@@ -1130,6 +1130,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("source formats: JSON and CSV round trips preserve every row bit-for-bit") {
+    import graft.sources.Formats
+    val out = Formats.roundTripQuery(spark, sf)
+      .select("fmt", "n_rows", "checksum").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set("parquet", "json", "csv"))
+    val n = Dedup.docs(spark, sf).count()
+    assert(out("parquet")._1 == n)
+    assert(out("json") == out("parquet"), "JSON round trip altered content")
+    assert(out("csv") == out("parquet"), "CSV round trip altered content")
+  }
+
   test("data card: every metric row reconciles with its standalone derivation") {
     import graft.text.Curation
     import graft.sketch.Sketches
