@@ -25,6 +25,12 @@ object Checkpoint {
 
   final case class StageResult(df: DataFrame, resumed: Boolean, manifest: String)
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+
   def rowChecksum(df: DataFrame): DataFrame =
     df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"),
       spark_partition_id().as("pid"))
@@ -78,5 +84,84 @@ object Checkpoint {
   def datasetChecksum(df: DataFrame): (Long, Long) = {
     val r = rowChecksum(df).agg(count(lit(1)), expr("bit_xor(h)")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /**
+   * Semantic (logical-partition-keyed) lineage manifest: per key, the row count
+   * and an order-independent checksum over the named payload columns. Unlike
+   * rowChecksum's spark_partition_id metrics (physical lineage), this manifest
+   * is keyed by a DATA column — the Iceberg partition-stats shape — so an
+   * INDEPENDENT engine can recompute and audit it (md5-derived 60-bit hash,
+   * summed mod 2^40 so half a million rows stay far from BIGINT overflow).
+   */
+  def semanticManifest(df: DataFrame, key: String, payloadCols: Seq[String]): DataFrame = {
+    val payload = concat_ws("|", payloadCols.map(c => col(c).cast("string")): _*)
+    val h60 = conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
+    df.groupBy(col(key).as("part_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(h60 % lit(1099511627776L)).as("checksum"))
+  }
+
+  /** Gate query: the semantic manifest of the geolocated media-span table keyed
+   * by scene (the engine's Iceberg-partition analog) — an independent engine
+   * recomputes the same (rows, checksum) per key, so a driver-side mismatch is
+   * attributable to inputs vs engine. */
+  def lineageManifestQuery(spark: SparkSession, sfDir: String): DataFrame =
+    semanticManifest(graft.ops.Spans.geolocatedMediaSpans(spark, sfDir),
+      "scene_id", Seq("doc_id", "offset", "media_ref"))
+
+  /**
+   * Partition-granular resumable stage: data is written partitionBy(key) with
+   * dynamic overwrite, and the COMMITTED key set lives in an atomically-renamed
+   * `_KEYS.json` written last. A crash between data write and commit leaves the
+   * key unlisted, so the rerun recomputes it — dynamic overwrite makes that
+   * idempotent (the half-written partition is replaced, never duplicated).
+   * Completed keys are skipped entirely on resume: only the missing keys' rows
+   * are written. Key cardinality is assumed manifest-scale (scenes/dates — the
+   * Iceberg partition granularity), so the committed set is driver-held.
+   */
+  def stageKeyed(spark: SparkSession, runDir: String, name: String, key: String,
+      configHash: String)(compute: => DataFrame): StageResult = {
+    val dir = Paths.get(runDir, name)
+    val keysPath = dir.resolve("_KEYS.json")
+    val dataPath = dir.resolve("data").toString
+    val committed: Set[String] =
+      if (Files.exists(keysPath)) {
+        val m = Files.readString(keysPath)
+        if (m.contains(s""""config_hash": "$configHash"""))
+          "\"k:([^\"]*)\"".r.findAllMatchIn(m).map(_.group(1)).toSet
+        else {
+          // config changed: stale partitions from the old config would survive a
+          // dynamic overwrite keyed on the new frame — wipe the stage instead
+          deleteRecursively(dir)
+          Set.empty
+        }
+      } else Set.empty
+    Files.createDirectories(dir)
+    val df = compute
+    val missing =
+      if (committed.isEmpty) df
+      else df.where(!col(key).isin(committed.toSeq: _*))
+    val resumed = missing.isEmpty
+    if (!resumed) {
+      missing.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(key).parquet(dataPath)
+    }
+    val written = spark.read.parquet(dataPath)
+    val allKeys = written.select(col(key).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val keysJson =
+      s"""{
+         |  "stage": "$name",
+         |  "config_hash": "$configHash",
+         |  "keys": [${allKeys.map(k => s""""k:$k"""").mkString(", ")}]
+         |}""".stripMargin
+    val tmp = dir.resolve("_KEYS.json.tmp")
+    Files.writeString(tmp, keysJson)
+    Files.move(tmp, keysPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    StageResult(written, resumed, keysJson)
   }
 }

@@ -28,6 +28,45 @@ class LineageSpec extends AnyFunSuite {
     assert(metrics.agg(sum("rows")).as[Long].head() == 100)
   }
 
+  test("stageKeyed resumes at partition granularity (committed keys never recompute)") {
+    val dir = Files.createTempDirectory("ckptk").toString
+    def job() = Seq(("A", 1), ("A", 2), ("B", 10), ("B", 20)).toDF("k", "v")
+    val r1 = Checkpoint.stageKeyed(spark, dir, "s", "k", "cfg")(job())
+    assert(!r1.resumed && r1.df.count() == 4)
+    // full rerun: everything committed -> resumed, nothing rewritten
+    val aFiles = Paths.get(dir, "s", "data", "k=A").toFile.list().toSet
+    val r2 = Checkpoint.stageKeyed(spark, dir, "s", "k", "cfg")(job())
+    assert(r2.resumed && r2.df.count() == 4)
+    assert(Paths.get(dir, "s", "data", "k=A").toFile.list().toSet == aFiles,
+      "resume rewrote a committed partition")
+    // simulate a crash AFTER writing B's data but BEFORE committing it: key B
+    // absent from _KEYS.json -> only B recomputes (idempotent dynamic overwrite);
+    // A's files stay byte-identical
+    val keysPath = Paths.get(dir, "s", "_KEYS.json")
+    Files.writeString(keysPath,
+      Files.readString(keysPath).replace(""", "k:B"""", ""))
+    val r3 = Checkpoint.stageKeyed(spark, dir, "s", "k", "cfg")(job())
+    assert(!r3.resumed && r3.df.count() == 4)
+    assert(Paths.get(dir, "s", "data", "k=A").toFile.list().toSet == aFiles,
+      "partial resume rewrote the committed partition")
+    assert(Files.readString(keysPath).contains("k:B"), "recomputed key not re-committed")
+    // config change wipes the stage (stale partitions cannot survive)
+    val r4 = Checkpoint.stageKeyed(spark, dir, "s", "k", "cfg2")(job().where(col("k") === "A"))
+    assert(!r4.resumed && r4.df.count() == 2)
+    assert(!Files.exists(Paths.get(dir, "s", "data", "k=B")), "stale partition survived a config change")
+  }
+
+  test("semantic manifest: keyed rows+checksum reconcile with the dataset totals") {
+    val df = graft.ops.Spans.geolocatedMediaSpans(spark, TestSpark.Sf)
+    val m = Checkpoint.semanticManifest(df, "scene_id", Seq("doc_id", "offset", "media_ref"))
+    val rows = m.agg(sum("n_rows")).as[Long].head()
+    assert(rows == df.count())
+    // checksum is order/partitioning-independent
+    val m2 = Checkpoint.semanticManifest(df.repartition(13).sortWithinPartitions(desc("offset")),
+      "scene_id", Seq("doc_id", "offset", "media_ref"))
+    assert(m.collect().map(_.toString).sorted.sameElements(m2.collect().map(_.toString).sorted))
+  }
+
   test("dataset checksum is invariant to partitioning and row order") {
     val df = spark.range(1000).withColumn("v", col("id") % 7)
     val (n1, c1) = Checkpoint.datasetChecksum(df.repartition(3))

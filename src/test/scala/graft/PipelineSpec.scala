@@ -1055,7 +1055,11 @@ class PipelineSpec extends AnyFunSuite {
       ("corpus_split", () => graft.text.Curation.corpusSplitQuery(spark, sf).collect().map(_.toString).sorted),
       ("source_overlap", () => graft.sketch.Sketches.sourceOverlapQuery(spark, sf).collect().map(_.toString).sorted),
       ("ivfpq", () => graft.ann.Ann.ivfPqTopKQuery(spark, sf).collect().map(_.toString).sorted),
-      ("data_card", () => graft.text.Curation.dataCardQuery(spark, sf).collect().map(_.toString).sorted))
+      ("data_card", () => graft.text.Curation.dataCardQuery(spark, sf).collect().map(_.toString).sorted),
+      ("spatial_knn", () => graft.geom.Spatial.spatialKnnQuery(spark, sf).collect().map(_.toString).sorted),
+      ("cell_compact", () => graft.geom.Spatial.cellCompactQuery(spark, sf).collect().map(_.toString).sorted),
+      ("zonal_stats", () => graft.geom.Spatial.zonalStatsQuery(spark, sf).collect().map(_.toString).sorted),
+      ("lineage_manifest", () => graft.lineage.Checkpoint.lineageManifestQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
