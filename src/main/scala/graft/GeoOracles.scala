@@ -86,6 +86,124 @@ object GeoOracles {
        |WHERE lon BETWEEN a.lon_min AND a.lon_max AND lat BETWEEN a.lat_min AND a.lat_max
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_within_dist: brute-force within-distance pair self-join (no grid). */
+  val withinDist: String =
+    s"""WITH pc AS (SELECT scene_id, subswath, burst_idx,
+       |  CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS BIGINT) AS px,
+       |  CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS BIGINT) AS py
+       |  FROM ${fx("bursts")})
+       |SELECT a.scene_id AS scene_a, a.subswath AS subswath_a, a.burst_idx AS burst_a,
+       |       b.scene_id AS scene_b, b.subswath AS subswath_b, b.burst_idx AS burst_b,
+       |       (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+       |FROM pc a, pc b
+       |WHERE (a.scene_id, a.subswath, a.burst_idx) < (b.scene_id, b.subswath, b.burst_idx)
+       |  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+       |      <= ${graft.geom.Spatial.PairDistUs * graft.geom.Spatial.PairDistUs}
+       |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  /** q_footprint_intersects: brute-force exact convex quad x rect intersects
+   * join — same integer three-clause predicate, NO bbox/cell prefilter (an
+   * independent candidate derivation). */
+  val footprintIntersects: String = {
+    def cross(ax: String, ay: String, bx: String, by: String, px: String, py: String) =
+      s"(($bx - $ax) * ($py - $ay) - ($by - $ay) * ($px - $ax))"
+    val vs = (1 to 4).map(i => (s"x$i", s"y$i"))
+    val rcs = Seq(("rx0", "ry0"), ("rx1", "ry0"), ("rx1", "ry1"), ("rx0", "ry1"))
+    val quadEdges = vs.zip(vs.tail :+ vs.head)
+    val rectEdges = rcs.zip(rcs.tail :+ rcs.head)
+    val vertexInRect = vs.map { case (x, y) =>
+      s"($x BETWEEN rx0 AND rx1 AND $y BETWEEN ry0 AND ry1)"
+    }.mkString("(", " OR ", ")")
+    val cornerInQuad = rcs.map { case (px, py) =>
+      quadEdges.map { case ((ax, ay), (bx, by)) =>
+        s"${cross(ax, ay, bx, by, px, py)} >= 0"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    def proper(c1: String, c2: String) =
+      s"(($c1 > 0 AND $c2 < 0) OR ($c1 < 0 AND $c2 > 0))"
+    val edgeCross = (for {
+      ((ax, ay), (bx, by)) <- quadEdges
+      ((cx, cy), (dx, dy)) <- rectEdges
+    } yield s"(${proper(cross(ax, ay, bx, by, cx, cy), cross(ax, ay, bx, by, dx, dy))}" +
+            s" AND ${proper(cross(cx, cy, dx, dy, ax, ay), cross(cx, cy, dx, dy, bx, by))})"
+    ).mkString("(", " OR ", ")")
+    val qCorners = (1 to 4).map(i =>
+      s"CAST(floor(lon$i * 1e6) AS BIGINT) AS x$i, CAST(floor(lat$i * 1e6) AS BIGINT) AS y$i"
+    ).mkString(", ")
+    s"""WITH q AS (SELECT scene_id, subswath, burst_idx, $qCorners FROM ${fx("bursts")}),
+       |r AS (SELECT aoi_id,
+       |  CAST(floor(lon_min * 1e6) AS BIGINT) AS rx0, CAST(floor(lat_min * 1e6) AS BIGINT) AS ry0,
+       |  CAST(floor(lon_max * 1e6) AS BIGINT) AS rx1, CAST(floor(lat_max * 1e6) AS BIGINT) AS ry1
+       |  FROM ${fx("aoi")})
+       |SELECT aoi_id, scene_id, subswath, burst_idx,
+       |  CASE WHEN $vertexInRect THEN 'vertex_in_rect'
+       |       WHEN $cornerInQuad THEN 'corner_in_quad'
+       |       ELSE 'edge_cross' END AS via
+       |FROM q, r
+       |WHERE $vertexInRect OR $cornerInQuad OR $edgeCross
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
+  /** q_track_cells: the identical fixed-point column-scan rasterization,
+   * restated as an unrolled chain of unnests over the same integer lattice
+   * (2^25 x 2^24 fixed point, exact floor division via sign-corrected mod). */
+  val trackCells: String = {
+    def fpx(c: String) =
+      s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
+    def fpy(c: String) =
+      s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
+    val edgeLegs = (1 to 4).map { i =>
+      val j = i % 4 + 1
+      s"SELECT scene_id, subswath, burst_idx, $i AS edge, fx$i AS ax, fy$i AS ay, fx$j AS bx, fy$j AS by FROM c"
+    }.mkString("\n UNION ALL ")
+    // exact floor division p/q (q > 0): subtract the sign-corrected mod first
+    def fdiv(p: String, q: String) = s"((($p) - (((($p) % ($q)) + ($q)) % ($q))) // ($q))"
+    def yAt(x: String) = s"(y0 + ${fdiv(s"(($x) - x0) * dy", "dx")})"
+    s"""WITH c AS (SELECT scene_id, subswath, burst_idx,
+       |  ${(1 to 4).map(i => s"${fpx(s"lon$i")} AS fx$i, ${fpy(s"lat$i")} AS fy$i").mkString(", ")}
+       |  FROM ${fx("bursts")}),
+       |e AS ($edgeLegs),
+       |o AS (SELECT scene_id, subswath, burst_idx, edge,
+       |  CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN bx ELSE ax END AS x0,
+       |  CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN by ELSE ay END AS y0,
+       |  CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ax ELSE bx END AS x1,
+       |  CASE WHEN ax > bx OR (ax = bx AND ay > by) THEN ay ELSE by END AS y1
+       |  FROM e),
+       |o2 AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM o),
+       |cols AS (SELECT *, unnest(generate_series(x0 >> 14, x1 >> 14)) AS ix FROM o2),
+       |sp AS (SELECT *, greatest(x0, ix * 16384) AS xe, least(x1, (ix + 1) * 16384 - 1) AS xx FROM cols),
+       |yy AS (SELECT *,
+       |  CASE WHEN dx = 0 THEN least(y0, y1) ELSE ${yAt("xe")} END AS ye,
+       |  CASE WHEN dx = 0 THEN greatest(y0, y1) ELSE ${yAt("xx")} END AS yx
+       |  FROM sp),
+       |rows_ AS (SELECT *, unnest(generate_series(least(ye, yx) >> 13, greatest(ye, yx) >> 13)) AS iy FROM yy)
+       |SELECT scene_id, subswath, burst_idx, edge,
+       |  (11::BIGINT << 58) | (iy << 29) | ix AS cell
+       |FROM rows_ ORDER BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** q_manifest_prune: full-scan recomputation of the per-partition stats AND
+   * the exact predicate count — the engine computes n_match only from the
+   * partitions its manifest planner kept, so equality here proves the pruning
+   * lost no matching row. */
+  val manifestPrune: String = {
+    val (lo, hi) = (graft.lineage.Checkpoint.PruneLo, graft.lineage.Checkpoint.PruneHi)
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, s.media_ref AS mr, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT p[3] AS scene_id,
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |q AS (SELECT scene_id, CAST(floor(lon * 1e6) AS BIGINT) AS lon_q FROM m)
+       |SELECT scene_id AS part_key, count(*) AS n_rows,
+       |       min(lon_q) AS min_q, max(lon_q) AS max_q,
+       |       CAST(CASE WHEN min(lon_q) <= $hi AND max(lon_q) >= $lo THEN 1 ELSE 0 END AS BIGINT) AS scanned,
+       |       CAST(sum(CASE WHEN lon_q BETWEEN $lo AND $hi THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_lineage_manifest: per-scene semantic manifest (rows + md5-60 checksum). */
   val lineageManifest: String =
     s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),

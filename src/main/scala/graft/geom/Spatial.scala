@@ -129,6 +129,208 @@ object Spatial {
     done
   }
 
+  /** Max distance (microdegrees) for the within-distance pair join: 0.3 deg. */
+  val PairDistUs = 300000L
+
+  /** Grid level for the pair join: both cell edges at level 9 (0.703 deg lon,
+   * 0.352 deg lat) exceed PairDistUs/1e6, so a point's 3x3 cell neighborhood is
+   * a COMPLETE candidate set for its within-distance partners — the classic
+   * grid self-join bound (any pair within D spans at most one cell boundary
+   * per axis when D <= min cell edge). */
+  val PairLevel = 9
+
+  /**
+   * Within-distance spatial self-join: all unordered burst-center pairs with
+   * squared microdegree distance <= PairDistUs^2 — the dense-orbit-track pair
+   * problem (consecutive bursts overlap, neighboring orbit tracks run close).
+   * Plan shape: each point keys its HOME level-9 cell; the probe side explodes
+   * to the (clamped) 3x3 neighborhood, so the ONLY join is an equi-join on the
+   * packed cell id with fan-out exactly 9 — no cartesian, no range join, and at
+   * corpus scale the shuffle volume is 9x points, independent of pair density.
+   * Each qualifying pair is found exactly once (the partner's home cell is
+   * unique), so no post-join dedup is needed; the (scene, subswath, burst)
+   * tuple order keeps one row per unordered pair.
+   */
+  def withinDistQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lonC = (col("lon1") + col("lon2") + col("lon3") + col("lon4")) / 4
+    val latC = (col("lat1") + col("lat2") + col("lat3") + col("lat4")) / 4
+    val base = Fixtures.table(spark, sfDir, "bursts").select(
+      col("scene_id"), col("subswath"), col("burst_idx"),
+      microdeg(lonC).as("px"), microdeg(latC).as("py"),
+      CellIndex.ixCol(lonC, PairLevel).as("ix"),
+      CellIndex.iyCol(latC, PairLevel).as("iy"))
+    val n = (1L << PairLevel) - 1
+    val probe = base.withColumn("cell", explode(flatten(transform(
+        sequence(greatest(lit(0L), col("iy") - 1), least(lit(n), col("iy") + 1)), yy =>
+          transform(
+            sequence(greatest(lit(0L), col("ix") - 1), least(lit(n), col("ix") + 1)), xx =>
+              CellIndex.packCol(PairLevel, yy, xx))))))
+      .drop("ix", "iy")
+    val home = base
+      .withColumn("cell", CellIndex.packCol(PairLevel, col("iy"), col("ix")))
+      .drop("ix", "iy")
+    val a = probe.select(col("cell"), col("scene_id").as("scene_a"),
+      col("subswath").as("subswath_a"), col("burst_idx").as("burst_a"),
+      col("px").as("pxa"), col("py").as("pya"))
+    val b = home.select(col("cell"), col("scene_id").as("scene_b"),
+      col("subswath").as("subswath_b"), col("burst_idx").as("burst_b"),
+      col("px").as("pxb"), col("py").as("pyb"))
+    val d2 = (col("pxa") - col("pxb")) * (col("pxa") - col("pxb")) +
+             (col("pya") - col("pyb")) * (col("pya") - col("pyb"))
+    a.join(b, Seq("cell"))
+      .where(struct(col("scene_a"), col("subswath_a"), col("burst_a")) <
+             struct(col("scene_b"), col("subswath_b"), col("burst_b")))
+      .where(d2 <= PairDistUs * PairDistUs)
+      .select(col("scene_a"), col("subswath_a"), col("burst_a"),
+        col("scene_b"), col("subswath_b"), col("burst_b"), d2.as("d2"))
+  }
+
+  /** Integer cross product (B-A) x (P-A) of microdegree points, as a Column.
+   * Magnitudes: coords < 2^28, so each product term < 2^56 — exact in LONG. */
+  private def crossC(ax: Column, ay: Column, bx: Column, by: Column,
+      px: Column, py: Column): Column =
+    (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+  /**
+   * Exact polygon-polygon intersects join: burst footprint quadrilateral
+   * (sheared parallelogram, ring BL,BR,TR,TL — CCW) x AOI rectangle, in integer
+   * microdegrees. The exact convex-convex test is the standard three-clause
+   * decomposition: (A) a quad vertex lies in the rect (closed), (B) a rect
+   * corner lies in the quad (closed, CCW cross >= 0 per edge), or (C) some quad
+   * edge PROPERLY crosses some rect edge (strict straddle both ways). For
+   * convex sets this is complete: disjoint boundaries + no contained vertex
+   * implies disjoint regions. A bbox-overlap candidate prune runs first (cell
+   * cover equi-join, AOI side broadcast), and the exact predicate runs
+   * map-side on candidates only — the same cheap-bbox-then-exact two-phase
+   * shape the reference uses for AOI selection (TOPSARSplitOp.java:261-306),
+   * with the exact leg upgraded from point-in-polygon to polygon-polygon.
+   */
+  def footprintIntersectsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bRaw = Fixtures.table(spark, sfDir, "bursts")
+    val cornerCols = (1 to 4).flatMap(i => Seq(
+      microdeg(col(s"lon$i")).as(s"x$i"), microdeg(col(s"lat$i")).as(s"y$i")))
+    val bursts = bRaw.select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx")) ++ cornerCols ++ Seq(
+        explode(CellIndex.coverCol(
+          least(col("lon1"), col("lon2"), col("lon3"), col("lon4")),
+          least(col("lat1"), col("lat2"), col("lat3"), col("lat4")),
+          greatest(col("lon1"), col("lon2"), col("lon3"), col("lon4")),
+          greatest(col("lat1"), col("lat2"), col("lat3"), col("lat4")))).as("cell")): _*)
+    val aoi = Fixtures.table(spark, sfDir, "aoi").select(
+      col("aoi_id"),
+      microdeg(col("lon_min")).as("rx0"), microdeg(col("lat_min")).as("ry0"),
+      microdeg(col("lon_max")).as("rx1"), microdeg(col("lat_max")).as("ry1"),
+      explode(CellIndex.coverCol(
+        col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))).as("cell"))
+    val pairs = bursts.join(broadcast(aoi), Seq("cell")).drop("cell").distinct()
+
+    val vs = (1 to 4).map(i => (col(s"x$i"), col(s"y$i")))
+    val rcs = Seq((col("rx0"), col("ry0")), (col("rx1"), col("ry0")),
+      (col("rx1"), col("ry1")), (col("rx0"), col("ry1")))
+    val quadEdges = vs.zip(vs.tail :+ vs.head)
+    val rectEdges = rcs.zip(rcs.tail :+ rcs.head)
+    val vertexInRect = vs.map { case (x, y) =>
+      x >= col("rx0") && x <= col("rx1") && y >= col("ry0") && y <= col("ry1")
+    }.reduce(_ || _)
+    val cornerInQuad = rcs.map { case (px, py) =>
+      quadEdges.map { case ((ax, ay), (bx, by)) =>
+        crossC(ax, ay, bx, by, px, py) >= 0
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    def proper(c1: Column, c2: Column): Column =
+      (c1 > 0 && c2 < 0) || (c1 < 0 && c2 > 0)
+    val edgeCross = (for {
+      ((ax, ay), (bx, by)) <- quadEdges
+      ((cx, cy), (dx, dy)) <- rectEdges
+    } yield proper(crossC(ax, ay, bx, by, cx, cy), crossC(ax, ay, bx, by, dx, dy)) &&
+            proper(crossC(cx, cy, dx, dy, ax, ay), crossC(cx, cy, dx, dy, bx, by))
+    ).reduce(_ || _)
+    pairs
+      .where(vertexInRect || cornerInQuad || edgeCross)
+      .select(col("aoi_id"), col("scene_id"), col("subswath"), col("burst_idx"),
+        when(vertexInRect, "vertex_in_rect")
+          .when(cornerInQuad, "corner_in_quad")
+          .otherwise("edge_cross").as("via"))
+  }
+
+  /** Fixed-point bits for the line rasterizer: lon on a 2^25 grid, lat on 2^24,
+   * so a DefaultLevel(11) cell spans exactly 2^14 x 2^13 subunits. Floor
+   * composition makes the fixed-point cell index identical to CellIndex's:
+   * floor(floor(t*2^25)/2^14) == floor(t*2^11). */
+  val RasterXBits = 25
+  val RasterYBits = 24
+  private val SubX = 1L << (RasterXBits - CellIndex.DefaultLevel) // 2^14
+  private val SubY = 1L << (RasterYBits - CellIndex.DefaultLevel) // 2^13
+
+  private def fpx(lon: Column): Column =
+    least(lit((1L << RasterXBits) - 1), greatest(lit(0L),
+      floor((lon + 180.0) / 360.0 * (1L << RasterXBits).toDouble).cast("long")))
+  private def fpy(lat: Column): Column =
+    least(lit((1L << RasterYBits) - 1), greatest(lit(0L),
+      floor((lat + 90.0) / 180.0 * (1L << RasterYBits).toDouble).cast("long")))
+
+  /** Exact floor division p/q for q > 0, as a Column. p is bounded by
+   * 2^25 * 2^24 = 2^49, so the intermediate double division of the exactly
+   * divisible (p - pmod(p, q)) is exact (both operands and the integral
+   * quotient sit far below 2^53). */
+  private def floorDiv(p: Column, q: Column): Column =
+    floor((p - pmod(p, q)) / q).cast("long")
+
+  /**
+   * Vector->raster line rasterization: the level-11 cell supercover of every
+   * burst-footprint boundary edge (the sheared parallelogram's 4 sides) — the
+   * polygon-outline pass of any distributed rasterizer, and the track->tile
+   * assignment primitive for orbit ground tracks. The segment is quantized to
+   * a 2^25 x 2^24 fixed-point lattice, canonically oriented, and traversed by
+   * COLUMN SCAN: per crossed cell column, the row span between the edge's
+   * entry and exit y (exact integer floor division — y is monotone along the
+   * segment, so the span is exactly the rows touched). Everything after the
+   * one fixed-point conversion is integer arithmetic, so the rasterization is
+   * bit-exact cross-engine and orientation-independent by construction. The
+   * plan is a pure per-row explode chain — zero joins, zero shuffles; at
+   * corpus scale it is embarrassingly parallel map work.
+   */
+  def trackCellsQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Fixtures.table(spark, sfDir, "bursts")
+    val corners = b.select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx")) ++
+        (1 to 4).flatMap(i => Seq(
+          fpx(col(s"lon$i")).as(s"fx$i"), fpy(col(s"lat$i")).as(s"fy$i"))): _*)
+    val edges = corners.select(
+      col("scene_id"), col("subswath"), col("burst_idx"),
+      explode(array((1 to 4).map { i =>
+        val j = i % 4 + 1
+        struct(lit(i).as("edge"), col(s"fx$i").as("ax"), col(s"fy$i").as("ay"),
+          col(s"fx$j").as("bx"), col(s"fy$j").as("by"))
+      }: _*)).as("e"))
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("e.*"))
+    // canonical orientation: ascending x, ties by ascending y — the cell set
+    // cannot depend on which way the edge was listed
+    val swap = col("ax") > col("bx") || (col("ax") === col("bx") && col("ay") > col("by"))
+    val o = edges
+      .withColumn("x0", when(swap, col("bx")).otherwise(col("ax")))
+      .withColumn("y0", when(swap, col("by")).otherwise(col("ay")))
+      .withColumn("x1", when(swap, col("ax")).otherwise(col("bx")))
+      .withColumn("y1", when(swap, col("ay")).otherwise(col("by")))
+      .withColumn("dx", col("x1") - col("x0"))
+      .withColumn("dy", col("y1") - col("y0"))
+    val cols = o.withColumn("ix",
+      explode(sequence(shiftright(col("x0"), RasterXBits - CellIndex.DefaultLevel),
+        shiftright(col("x1"), RasterXBits - CellIndex.DefaultLevel))))
+      .withColumn("xe", greatest(col("x0"), col("ix") * SubX))
+      .withColumn("xx", least(col("x1"), (col("ix") + 1) * SubX - 1))
+    def yAt(x: Column): Column = col("y0") + floorDiv((x - col("x0")) * col("dy"), col("dx"))
+    val spans = cols
+      .withColumn("ye", when(col("dx") === 0, least(col("y0"), col("y1"))).otherwise(yAt(col("xe"))))
+      .withColumn("yx", when(col("dx") === 0, greatest(col("y0"), col("y1"))).otherwise(yAt(col("xx"))))
+    spans.withColumn("iy",
+        explode(sequence(
+          shiftright(least(col("ye"), col("yx")), RasterYBits - CellIndex.DefaultLevel),
+          shiftright(greatest(col("ye"), col("yx")), RasterYBits - CellIndex.DefaultLevel))))
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("edge"),
+        CellIndex.packCol(CellIndex.DefaultLevel, col("iy"), col("ix")).as("cell"))
+  }
+
   /** Compaction floor: 3 rounds, level 11 -> 8 (cells grow 8x per axis). */
   val CompactFloorLevel = 8
 

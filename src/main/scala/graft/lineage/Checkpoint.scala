@@ -110,6 +110,85 @@ object Checkpoint {
     semanticManifest(graft.ops.Spans.geolocatedMediaSpans(spark, sfDir),
       "scene_id", Seq("doc_id", "offset", "media_ref"))
 
+  /** Prune predicate for the manifest-prune gate: geolocated span longitude
+   * (quantized microdegrees) in [PruneLo, PruneHi] — chosen so SOME fixture
+   * scenes prune (scene lon origins step 2.5 deg) and some scan. */
+  val PruneLo = -29500000L
+  val PruneHi = -28200000L
+
+  /**
+   * Iceberg-style scan planning over a partition-keyed snapshot: after the
+   * keyed stage write, a per-partition column-stats manifest (min/max/rows of
+   * the stat column — the Iceberg manifest-file shape) is committed next to
+   * the data; a predicated read then consults ONLY the manifest to decide
+   * which partition directories to open. At 10^12-doc scale this is the
+   * difference between touching every file and touching the few whose stats
+   * ranges overlap the predicate — the raw-data path never sees pruned
+   * partitions (LineageSpec pins inputFiles).
+   *
+   * Gate output, per partition key: the manifest stats (n_rows, min_q, max_q),
+   * the planner's decision (scanned), and the exact predicate match count
+   * n_match — computed ONLY from the partitions the planner kept (pruned
+   * partitions report 0, which is correct iff the stats bound is sound, so the
+   * DuckDB twin's full-scan recomputation verifies the pruning end to end).
+   */
+  def manifestPruneQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val runDir = Files.createTempDirectory("graft_prune").toString
+    val spans = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .select(col("scene_id"), col("doc_id"), col("offset"), col("media_ref"),
+        floor(col("lon") * 1e6).cast("long").as("lon_q"))
+    stageKeyed(spark, runDir, "spans", "scene_id", "v1")(spans)
+    val stats = writeStatsManifest(spark, s"$runDir/spans", "scene_id", "lon_q")
+    import spark.implicits._
+    val kept = spark.read.schema("part_key STRING, n_rows BIGINT, min_q BIGINT, max_q BIGINT")
+      .json(spark.createDataset(stats.split("\n").toSeq))
+    val pruned = prunedRead(spark, s"$runDir/spans", "scene_id", PruneLo, PruneHi)
+    val matches = pruned
+      .where(col("lon_q").between(PruneLo, PruneHi))
+      .groupBy(col("scene_id").cast("string").as("part_key"))
+      .agg(count(lit(1)).as("n_match"))
+    kept.join(matches, Seq("part_key"), "left")
+      .select(col("part_key"), col("n_rows"), col("min_q"), col("max_q"),
+        (col("min_q") <= PruneHi && col("max_q") >= PruneLo).cast("long").as("scanned"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+  }
+
+  /** Per-partition min/max/rows stats manifest over a keyed snapshot, committed
+   * atomically as `_STATS.json` (one JSON object per line, Iceberg
+   * manifest-entry shape). Returns the manifest text. */
+  def writeStatsManifest(spark: SparkSession, stageDir: String, key: String,
+      statCol: String): String = {
+    val dir = Paths.get(stageDir)
+    val data = spark.read.parquet(dir.resolve("data").toString)
+    val rows = data.groupBy(col(key).cast("string").as("part_key"))
+      .agg(count(lit(1)).as("n_rows"), min(statCol).as("min_q"), max(statCol).as("max_q"))
+      .orderBy("part_key").collect()
+    val manifest = rows.map { r =>
+      s"""{"part_key": "${r.getString(0)}", "n_rows": ${r.getLong(1)}, "min_q": ${r.getLong(2)}, "max_q": ${r.getLong(3)}}"""
+    }.mkString("\n")
+    val tmp = dir.resolve("_STATS.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, dir.resolve("_STATS.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    manifest
+  }
+
+  /** Manifest-driven pruned read: consult `_STATS.json` (driver-side, no data
+   * IO), keep partitions whose [min_q, max_q] overlaps [lo, hi], and open ONLY
+   * those partition directories. */
+  def prunedRead(spark: SparkSession, stageDir: String, key: String,
+      lo: Long, hi: Long): DataFrame = {
+    val dir = Paths.get(stageDir)
+    val stats = Files.readString(dir.resolve("_STATS.json"))
+    val entry = """\{"part_key": "([^"]*)", "n_rows": \d+, "min_q": (-?\d+), "max_q": (-?\d+)\}""".r
+    val keep = entry.findAllMatchIn(stats).collect {
+      case m if m.group(2).toLong <= hi && m.group(3).toLong >= lo => m.group(1)
+    }.toSeq
+    val paths = keep.map(k => dir.resolve("data").resolve(s"$key=$k").toString)
+    spark.read.option("basePath", dir.resolve("data").toString).parquet(paths: _*)
+  }
+
   /**
    * Partition-granular resumable stage: data is written partitionBy(key) with
    * dynamic overwrite, and the COMMITTED key set lives in an atomically-renamed

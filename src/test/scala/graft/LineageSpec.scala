@@ -67,6 +67,41 @@ class LineageSpec extends AnyFunSuite {
     assert(m.collect().map(_.toString).sorted.sameElements(m2.collect().map(_.toString).sorted))
   }
 
+  test("manifest-pruned read physically skips pruned partitions and loses no matching row") {
+    val dir = Files.createTempDirectory("prune").toString
+    val df = Seq(("A", 5L), ("A", 15L), ("B", 100L), ("B", 120L), ("C", 7L), ("C", 9L))
+      .toDF("k", "v")
+    Checkpoint.stageKeyed(spark, dir, "s", "k", "cfg")(df)
+    val manifest = Checkpoint.writeStatsManifest(spark, s"$dir/s", "k", "v")
+    assert(manifest.split("\n").length == 3)
+    // predicate [10, 50]: A (5..15) overlaps; B (100..120) and C (7..9) prune
+    val pruned = Checkpoint.prunedRead(spark, s"$dir/s", "k", 10L, 50L)
+    val touched = pruned.inputFiles.toSeq
+    assert(touched.nonEmpty && touched.forall(_.contains("k=A")),
+      s"pruned read touched non-kept partitions: $touched")
+    // equality with the full-scan filter
+    val full = spark.read.parquet(s"$dir/s/data")
+    assert(pruned.where(col("v").between(10, 50)).select("v").as[Long].collect().sorted
+      .sameElements(full.where(col("v").between(10, 50)).select("v").as[Long].collect().sorted))
+    // the gate query itself: scanned partitions' n_match equals a direct filter,
+    // pruned partitions report 0 and truly contain 0 matches
+    val gate = Checkpoint.manifestPruneQuery(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(gate.nonEmpty)
+    assert(gate.exists(_._5 == 0L), "no partition pruned — predicate too wide to test pruning")
+    assert(gate.exists(_._5 == 1L), "every partition pruned — predicate too narrow")
+    val direct = graft.ops.Spans.geolocatedMediaSpans(spark, TestSpark.Sf)
+      .withColumn("lon_q", floor(col("lon") * 1e6).cast("long"))
+      .groupBy("scene_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lon_q").between(Checkpoint.PruneLo, Checkpoint.PruneHi), 1L).otherwise(0L)).as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((k, n, _, _, _, m) <- gate) {
+      assert(direct(k)._1 == n, s"$k n_rows")
+      assert(direct(k)._2 == m, s"$k n_match (pruning lost rows)")
+    }
+  }
+
   test("dataset checksum is invariant to partitioning and row order") {
     val df = spark.range(1000).withColumn("v", col("id") % 7)
     val (n1, c1) = Checkpoint.datasetChecksum(df.repartition(3))

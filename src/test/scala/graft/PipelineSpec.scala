@@ -1059,7 +1059,10 @@ class PipelineSpec extends AnyFunSuite {
       ("spatial_knn", () => graft.geom.Spatial.spatialKnnQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_compact", () => graft.geom.Spatial.cellCompactQuery(spark, sf).collect().map(_.toString).sorted),
       ("zonal_stats", () => graft.geom.Spatial.zonalStatsQuery(spark, sf).collect().map(_.toString).sorted),
-      ("lineage_manifest", () => graft.lineage.Checkpoint.lineageManifestQuery(spark, sf).collect().map(_.toString).sorted))
+      ("lineage_manifest", () => graft.lineage.Checkpoint.lineageManifestQuery(spark, sf).collect().map(_.toString).sorted),
+      ("within_dist", () => graft.geom.Spatial.withinDistQuery(spark, sf).collect().map(_.toString).sorted),
+      ("footprint_intersects", () => graft.geom.Spatial.footprintIntersectsQuery(spark, sf).collect().map(_.toString).sorted),
+      ("track_cells", () => graft.geom.Spatial.trackCellsQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

@@ -118,6 +118,169 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("within-distance pair join equals brute force exactly (3x3 grid probe)") {
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .selectExpr("scene_id", "subswath", "burst_idx",
+        "(lon1 + lon2 + lon3 + lon4) / 4", "(lat1 + lat2 + lat3 + lat4) / 4")
+      .as[(String, String, Int, Double, Double)].collect()
+      .map { case (sc, sw, b, lon, lat) => (sc, sw, b, md(lon), md(lat)) }
+    val d = Spatial.PairDistUs
+    val keyOrd = implicitly[Ordering[(String, String, Int)]]
+    val expected = (for {
+      a <- bursts; b <- bursts
+      if keyOrd.lt((a._1, a._2, a._3), (b._1, b._2, b._3))
+      d2 = (a._4 - b._4) * (a._4 - b._4) + (a._5 - b._5) * (a._5 - b._5)
+      if d2 <= d * d
+    } yield (a._1, a._2, a._3, b._1, b._2, b._3, d2)).toSet
+    val gotRows = Spatial.withinDistQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getString(4), r.getInt(5), r.getLong(6))).toSet
+    assert(gotRows == expected)
+    assert(gotRows.nonEmpty)
+    // the fixture must exercise a cross-cell pair (partners in different home
+    // cells), or the 3x3 probe is untested beyond the trivial same-cell case
+    def cellOf(x: Long, y: Long): (Long, Long) = {
+      // home cell indices from the original degrees — recompute from µdeg/1e6
+      val lon = x / 1e6; val lat = y / 1e6
+      (graft.cells.CellIndex.ix(lon, Spatial.PairLevel),
+       graft.cells.CellIndex.iy(lat, Spatial.PairLevel))
+    }
+    val byKey = bursts.map(b => (b._1, b._2, b._3) -> ((b._4, b._5))).toMap
+    assert(expected.exists { case (s1, w1, b1, s2, w2, b2, _) =>
+      val (xa, ya) = byKey((s1, w1, b1)); val (xb, yb) = byKey((s2, w2, b2))
+      cellOf(xa, ya) != cellOf(xb, yb)
+    }, "no cross-cell pair in fixture — 3x3 probe untested")
+  }
+
+  test("footprint intersects join equals brute force; bbox prune is strictly weaker") {
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "subswath", "burst_idx",
+        "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Array(md(r.getDouble(3)), md(r.getDouble(5)), md(r.getDouble(7)), md(r.getDouble(9))),
+        Array(md(r.getDouble(4)), md(r.getDouble(6)), md(r.getDouble(8)), md(r.getDouble(10)))))
+    val aois = Fixtures.table(spark, sf, "aoi")
+      .select("aoi_id", "lon_min", "lat_min", "lon_max", "lat_max")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map { case (a, lo0, la0, lo1, la1) => (a, md(lo0), md(la0), md(lo1), md(la1)) }
+    def cross(ax: Long, ay: Long, bx: Long, by: Long, px: Long, py: Long): Long =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    def intersects(xs: Array[Long], ys: Array[Long],
+        rx0: Long, ry0: Long, rx1: Long, ry1: Long): Option[String] = {
+      val vIn = (0 until 4).exists(i =>
+        xs(i) >= rx0 && xs(i) <= rx1 && ys(i) >= ry0 && ys(i) <= ry1)
+      val rcs = Seq((rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1))
+      val qe = (0 until 4).map(i => (i, (i + 1) % 4))
+      val cIn = rcs.exists { case (px, py) =>
+        qe.forall { case (i, j) => cross(xs(i), ys(i), xs(j), ys(j), px, py) >= 0 }
+      }
+      val re = rcs.zip(rcs.tail :+ rcs.head)
+      def proper(c1: Long, c2: Long) = (c1 > 0 && c2 < 0) || (c1 < 0 && c2 > 0)
+      val eX = qe.exists { case (i, j) =>
+        re.exists { case ((cx, cy), (dx, dy)) =>
+          proper(cross(xs(i), ys(i), xs(j), ys(j), cx, cy),
+                 cross(xs(i), ys(i), xs(j), ys(j), dx, dy)) &&
+          proper(cross(cx, cy, dx, dy, xs(i), ys(i)),
+                 cross(cx, cy, dx, dy, xs(j), ys(j)))
+        }
+      }
+      if (vIn) Some("vertex_in_rect")
+      else if (cIn) Some("corner_in_quad")
+      else if (eX) Some("edge_cross") else None
+    }
+    // precondition of the CCW >= 0 point-in-quad test: every fixture quad is CCW
+    for ((_, _, _, xs, ys) <- bursts; i <- 0 until 4) {
+      val j = (i + 1) % 4; val k = (i + 2) % 4
+      assert(cross(xs(i), ys(i), xs(j), ys(j), xs(k), ys(k)) > 0, "fixture quad not CCW")
+    }
+    val expected = (for {
+      (aid, rx0, ry0, rx1, ry1) <- aois
+      (sc, sw, b, xs, ys) <- bursts
+      via <- intersects(xs, ys, rx0, ry0, rx1, ry1)
+    } yield (aid, sc, sw, b, via)).toSet
+    val got = Spatial.footprintIntersectsQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getString(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // sharpness: the exact predicate must reject at least one bbox-overlapping
+    // candidate (the sheared corner region), or the exact leg is dead weight
+    val bboxPairs = (for {
+      (aid, rx0, ry0, rx1, ry1) <- aois
+      (sc, sw, b, xs, ys) <- bursts
+      if xs.min <= rx1 && xs.max >= rx0 && ys.min <= ry1 && ys.max >= ry0
+    } yield (aid, sc, sw, b)).toSet
+    assert(expected.map(t => (t._1, t._2, t._3, t._4)).subsetOf(bboxPairs))
+    // exact-predicate sharpness: a rect inside the quad's bbox but in the
+    // sheared notch (left of the slanted TL->BL edge) must be REJECTED — the
+    // fixture AOIs are all larger than the notch, so construct one directly
+    val (_, _, _, xs0, ys0) = bursts.head
+    val (bx0, by0, by1) = (xs0.min, ys0.min, ys0.max)
+    val notch = (bx0 + 1000L, by1 - 10000L, bx0 + 10000L, by1 - 1000L) // µdeg
+    assert(notch._1 >= bx0 && notch._3 <= xs0.max && notch._2 >= by0,
+      "notch rect not inside the quad bbox")
+    assert(intersects(xs0, ys0, notch._1, notch._2, notch._3, notch._4).isEmpty,
+      "notch rect not rejected: shear region untested")
+  }
+
+  test("line rasterization equals the fixed-point column scan recomputed in plain Scala") {
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "subswath", "burst_idx",
+        "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        (3 to 9 by 2).map(r.getDouble).toArray, (4 to 10 by 2).map(r.getDouble).toArray))
+    def fpx(lon: Double): Long = math.min((1L << 25) - 1,
+      math.max(0L, math.floor((lon + 180.0) / 360.0 * (1L << 25).toDouble).toLong))
+    def fpy(lat: Double): Long = math.min((1L << 24) - 1,
+      math.max(0L, math.floor((lat + 90.0) / 180.0 * (1L << 24).toDouble).toLong))
+    def raster(ax: Long, ay: Long, bx: Long, by: Long): Set[(Long, Long)] = {
+      val (x0, y0, x1, y1) =
+        if (ax > bx || (ax == bx && ay > by)) (bx, by, ax, ay) else (ax, ay, bx, by)
+      val (dx, dy) = (x1 - x0, y1 - y0)
+      (for {
+        ix <- (x0 >> 14) to (x1 >> 14)
+        xe = math.max(x0, ix << 14); xx = math.min(x1, ((ix + 1) << 14) - 1)
+        ye = if (dx == 0) math.min(y0, y1) else y0 + Math.floorDiv((xe - x0) * dy, dx)
+        yx = if (dx == 0) math.max(y0, y1) else y0 + Math.floorDiv((xx - x0) * dy, dx)
+        iy <- (math.min(ye, yx) >> 13) to (math.max(ye, yx) >> 13)
+      } yield (iy, ix)).toSet
+    }
+    val expected = (for {
+      (sc, sw, b, lons, lats) <- bursts
+      i <- 0 until 4
+      j = (i + 1) % 4
+      (iy, ix) <- raster(fpx(lons(i)), fpy(lats(i)), fpx(lons(j)), fpy(lats(j)))
+    } yield (sc, sw, b, i + 1, (11L << 58) | (iy << 29) | ix)).toSet
+    val gotRows = Spatial.trackCellsQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(gotRows.length == gotRows.toSet.size, "duplicate (edge, cell) rows")
+    assert(gotRows.toSet == expected)
+    assert(gotRows.nonEmpty)
+    // orientation independence: rasterizing each edge reversed gives the same set
+    for ((_, _, _, lons, lats) <- bursts.take(3); i <- 0 until 4) {
+      val j = (i + 1) % 4
+      assert(raster(fpx(lons(i)), fpy(lats(i)), fpx(lons(j)), fpy(lats(j))) ==
+             raster(fpx(lons(j)), fpy(lats(j)), fpx(lons(i)), fpy(lats(i))))
+    }
+    // soundness: densely sampled points of the true segment always land in the
+    // computed cover (the quantization may widen the cover, never narrow it)
+    for ((_, _, _, lons, lats) <- bursts.take(3); i <- 0 until 4) {
+      val j = (i + 1) % 4
+      val cells = raster(fpx(lons(i)), fpy(lats(i)), fpx(lons(j)), fpy(lats(j)))
+      for (t <- 0 to 200) {
+        val lon = lons(i) + t * (lons(j) - lons(i)) / 200.0
+        val lat = lats(i) + t * (lats(j) - lats(i)) / 200.0
+        val c = (graft.cells.CellIndex.iy(lat, 11), graft.cells.CellIndex.ix(lon, 11))
+        assert(cells.contains(c), s"sampled cell $c missing from supercover")
+      }
+    }
+    // the slanted edges must actually change column (shear is rasterized)
+    val slanted = gotRows.filter(t => t._4 == 2 || t._4 == 4)
+    val colsPerEdge = slanted.groupBy(t => (t._1, t._2, t._3, t._4))
+      .map { case (_, rows) => rows.map(r => r._5 & ((1L << 29) - 1)).distinct.size }
+    assert(colsPerEdge.exists(_ > 1), "no slanted edge crosses a cell column")
+  }
+
   test("spatial gates keep scale-shaped plans (no cartesian, aoi side broadcast)") {
     val pk = plan(Spatial.spatialKnnQuery(spark, sf))
     assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"), pk.take(2000))
@@ -126,5 +289,16 @@ class SpatialSpec extends AnyFunSuite {
     assert(pz.contains("BroadcastHashJoin"), pz.take(2000))
     val pc = plan(Spatial.cellCompactQuery(spark, sf))
     assert(!pc.contains("CartesianProduct"), pc.take(2000))
+    // within-dist: the ONLY join is the cell equi-join (3x3 probe) — a range/
+    // theta join would show up as BNLJ or cartesian
+    val pw = plan(Spatial.withinDistQuery(spark, sf))
+    assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoopJoin"), pw.take(2000))
+    // footprint intersects: candidate prune is a broadcast equi-join on cell
+    val pf = plan(Spatial.footprintIntersectsQuery(spark, sf))
+    assert(!pf.contains("CartesianProduct") && !pf.contains("BroadcastNestedLoopJoin"), pf.take(2000))
+    assert(pf.contains("BroadcastHashJoin"), pf.take(2000))
+    // line rasterization: a pure per-row explode chain — zero joins, zero exchanges
+    val pt = plan(Spatial.trackCellsQuery(spark, sf))
+    assert(!pt.contains("Exchange") && !pt.contains("Join"), pt.take(2000))
   }
 }
