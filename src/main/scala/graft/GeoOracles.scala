@@ -204,6 +204,91 @@ object GeoOracles {
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q_polyfill: the identical exact integer polyfill restated over a full
+   * generate_series cell grid (no Spark plan shared — same fp lattice, same
+   * three-clause convex predicate, pure BIGINT arithmetic). */
+  val polyfill: String = {
+    def fpx(c: String) =
+      s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
+    def fpy(c: String) =
+      s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
+    def cross(ax: String, ay: String, bx: String, by: String, px: String, py: String) =
+      s"(($bx - $ax) * ($py - $ay) - ($by - $ay) * ($px - $ax))"
+    val vs = (1 to 4).map(i => (s"fx$i", s"fy$i"))
+    val quadEdges = vs.zip(vs.tail :+ vs.head)
+    val rcs = Seq(("cx0", "cy0"), ("cx1", "cy0"), ("cx1", "cy1"), ("cx0", "cy1"))
+    val rectEdges = rcs.zip(rcs.tail :+ rcs.head)
+    val interior = rcs.map { case (px, py) =>
+      quadEdges.map { case ((ax, ay), (bx, by)) =>
+        s"${cross(ax, ay, bx, by, px, py)} > 0"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " AND ", ")")
+    val vertexInRect = vs.map { case (x, y) =>
+      s"($x BETWEEN cx0 AND cx1 AND $y BETWEEN cy0 AND cy1)"
+    }.mkString("(", " OR ", ")")
+    val cornerInQuad = rcs.map { case (px, py) =>
+      quadEdges.map { case ((ax, ay), (bx, by)) =>
+        s"${cross(ax, ay, bx, by, px, py)} >= 0"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    def proper(c1: String, c2: String) =
+      s"(($c1 > 0 AND $c2 < 0) OR ($c1 < 0 AND $c2 > 0))"
+    val edgeCross = (for {
+      ((ax, ay), (bx, by)) <- quadEdges
+      ((cx, cy), (dx, dy)) <- rectEdges
+    } yield s"(${proper(cross(ax, ay, bx, by, cx, cy), cross(ax, ay, bx, by, dx, dy))}" +
+            s" AND ${proper(cross(cx, cy, dx, dy, ax, ay), cross(cx, cy, dx, dy, bx, by))})"
+    ).mkString("(", " OR ", ")")
+    s"""WITH q AS (SELECT scene_id, subswath, burst_idx,
+       |  ${(1 to 4).map(i => s"${fpx(s"lon$i")} AS fx$i, ${fpy(s"lat$i")} AS fy$i").mkString(", ")}
+       |  FROM ${fx("bursts")}),
+       |cols AS (SELECT *, unnest(generate_series(
+       |  least(fx1, fx2, fx3, fx4) >> 12, greatest(fx1, fx2, fx3, fx4) >> 12)) AS ix FROM q),
+       |cand AS (SELECT *, unnest(generate_series(
+       |  least(fy1, fy2, fy3, fy4) >> 11, greatest(fy1, fy2, fy3, fy4) >> 11)) AS iy FROM cols),
+       |rect AS (SELECT *, ix * 4096 AS cx0, (ix + 1) * 4096 - 1 AS cx1,
+       |                   iy * 2048 AS cy0, (iy + 1) * 2048 - 1 AS cy1 FROM cand),
+       |k AS (SELECT scene_id, subswath, burst_idx, ix, iy,
+       |  CASE WHEN $interior THEN 'in'
+       |       WHEN $vertexInRect OR $cornerInQuad OR $edgeCross THEN 'bd' END AS kind
+       |  FROM rect)
+       |SELECT scene_id, subswath, burst_idx,
+       |  (13::BIGINT << 58) | (iy << 29) | ix AS cell, kind
+       |FROM k WHERE kind IS NOT NULL ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
+  /** q_union_area: the same half-open scanline union, restated as DuckDB
+   * windows over the identical deterministic total order. */
+  val unionArea: String =
+    s"""WITH r AS (SELECT scene_id, subswath, burst_idx,
+       |  CAST(floor(least(lon1, lon2, lon3, lon4) * 1e6) AS BIGINT) AS x0,
+       |  CAST(floor(greatest(lon1, lon2, lon3, lon4) * 1e6) AS BIGINT) AS x1,
+       |  CAST(floor(least(lat1, lat2, lat3, lat4) * 1e6) AS BIGINT) AS y0,
+       |  CAST(floor(greatest(lat1, lat2, lat3, lat4) * 1e6) AS BIGINT) AS y1
+       |  FROM ${fx("bursts")}),
+       |xs AS (SELECT DISTINCT scene_id, x FROM (
+       |  SELECT scene_id, x0 AS x FROM r UNION ALL SELECT scene_id, x1 FROM r)),
+       |sl AS (SELECT scene_id, x AS xs,
+       |         lead(x) OVER (PARTITION BY scene_id ORDER BY x) AS xe FROM xs),
+       |cov AS (SELECT s.scene_id, s.xs, s.xe, r.y0, r.y1, r.subswath, r.burst_idx
+       |        FROM sl s JOIN r USING (scene_id)
+       |        WHERE s.xe IS NOT NULL AND r.x0 <= s.xs AND r.x1 >= s.xe),
+       |w AS (SELECT *, max(y1) OVER (PARTITION BY scene_id, xs
+       |        ORDER BY y0, y1, subswath, burst_idx
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM cov),
+       |isl AS (SELECT *, sum(CASE WHEN runmax IS NULL OR y0 > runmax THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY scene_id, xs
+       |            ORDER BY y0, y1, subswath, burst_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM w),
+       |im AS (SELECT scene_id, xs, xe, island, max(y1) - min(y0) AS ylen
+       |       FROM isl GROUP BY 1, 2, 3, 4),
+       |sm AS (SELECT scene_id, xs, xe, sum(ylen) AS ymass FROM im GROUP BY 1, 2, 3),
+       |a AS (SELECT scene_id, CAST(sum(ymass * (xe - xs)) AS BIGINT) AS area,
+       |        count(*) AS n_slabs FROM sm GROUP BY 1),
+       |n AS (SELECT scene_id, count(*) AS n_rects FROM r GROUP BY 1)
+       |SELECT scene_id, n_rects, n_slabs, area
+       |FROM a JOIN n USING (scene_id) ORDER BY 1""".stripMargin
+
   /** q_lineage_manifest: per-scene semantic manifest (rows + md5-60 checksum). */
   val lineageManifest: String =
     s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),

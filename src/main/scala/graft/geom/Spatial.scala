@@ -430,4 +430,149 @@ object Spatial {
       sum(floor(lit(0.031415926535897934) + (col("iv") * col("iv") + col("qv") * col("qv")) * 1e6)
         .cast("long")).as("pow_q"))
   }
+
+  /** Polyfill grid level: 13 on the 2^25 x 2^24 fixed-point lattice — cell
+   * edges are 2^12 x 2^11 fp units (0.044 deg lon, 0.022 deg lat), so a burst
+   * quad (0.78 x 0.22 deg) spans ~200 cells: enough interior cells that the
+   * interior/boundary split is exercised, small enough that the explode stays
+   * bounded per row. */
+  val FillLevel = 13
+  private val FillSubX = 1L << (RasterXBits - FillLevel) // 2^12
+  private val FillSubY = 1L << (RasterYBits - FillLevel) // 2^11
+
+  /**
+   * Exact polygon polyfill (the H3 `polyfill` / S2 `RegionCoverer` primitive):
+   * the level-13 cells covering each burst-footprint quadrilateral, each cell
+   * classified `in` (cell rect wholly inside the quad — strict cross > 0 on
+   * all four CCW edges for all four rect corners) or `bd` (intersects the
+   * boundary: the three-clause convex intersects test minus interior). The
+   * whole computation sits on the 2^25 x 2^24 fixed-point lattice, where cell
+   * rect bounds are exact integers (ix*2^12 .. (ix+1)*2^12 - 1), so every
+   * cross product is exact LONG arithmetic (coords < 2^25, products < 2^51)
+   * and the fill is bit-identical cross-engine. This is how an AOI or scene
+   * footprint becomes the cell set that partition-prunes a cell-bucketed
+   * 10^12-doc table: `in` cells need no further geometry test downstream,
+   * only `bd` cells pay the exact per-row predicate — the standard
+   * interior/may-intersect covering split. Plan: candidate cells from the
+   * quad's own bbox (bounded per-row explode), predicate map-side — zero
+   * joins, zero shuffles, embarrassingly parallel at corpus scale.
+   */
+  def polyfillQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Fixtures.table(spark, sfDir, "bursts")
+    val q = b.select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx")) ++
+        (1 to 4).flatMap(i => Seq(
+          fpx(col(s"lon$i")).as(s"fx$i"), fpy(col(s"lat$i")).as(s"fy$i"))): _*)
+    val fxs = (1 to 4).map(i => col(s"fx$i"))
+    val fys = (1 to 4).map(i => col(s"fy$i"))
+    val cand = q
+      .withColumn("ix", explode(sequence(
+        shiftright(least(fxs: _*), RasterXBits - FillLevel),
+        shiftright(greatest(fxs: _*), RasterXBits - FillLevel))))
+      .withColumn("iy", explode(sequence(
+        shiftright(least(fys: _*), RasterYBits - FillLevel),
+        shiftright(greatest(fys: _*), RasterYBits - FillLevel))))
+      .withColumn("cx0", col("ix") * FillSubX)
+      .withColumn("cx1", (col("ix") + 1) * FillSubX - 1)
+      .withColumn("cy0", col("iy") * FillSubY)
+      .withColumn("cy1", (col("iy") + 1) * FillSubY - 1)
+    val vs = (1 to 4).map(i => (col(s"fx$i"), col(s"fy$i")))
+    val quadEdges = vs.zip(vs.tail :+ vs.head)
+    val rcs = Seq((col("cx0"), col("cy0")), (col("cx1"), col("cy0")),
+      (col("cx1"), col("cy1")), (col("cx0"), col("cy1")))
+    // materialize each cross product ONCE as a column: the three clauses share
+    // the same 16 quad-edge x rect-corner crosses (and the straddle clause the
+    // 16 rect-edge x quad-vertex crosses); inlining every use re-emits the
+    // arithmetic and the filter blows the 64 KB whole-stage-codegen method
+    // limit (observed: janino "Code grows beyond 64 KB" -> interpreted fallback)
+    val withQc = quadEdges.zipWithIndex.foldLeft(cand) {
+      case (df, (((ax, ay), (bx, by)), e)) =>
+        rcs.zipWithIndex.foldLeft(df) { case (d, ((px, py), c)) =>
+          d.withColumn(s"qc_${e}_$c", crossC(ax, ay, bx, by, px, py))
+        }
+    }
+    val rectEdgeIdx = Seq((0, 1), (1, 2), (2, 3), (3, 0))
+    val withRc = rectEdgeIdx.zipWithIndex.foldLeft(withQc) {
+      case (df, ((c1, c2), r)) =>
+        val (px, py) = rcs(c1); val (qx, qy) = rcs(c2)
+        vs.zipWithIndex.foldLeft(df) { case (d, ((x, y), v)) =>
+          d.withColumn(s"rc_${r}_$v", crossC(px, py, qx, qy, x, y))
+        }
+    }
+    def qc(e: Int, c: Int) = col(s"qc_${e}_$c")
+    def rc(r: Int, v: Int) = col(s"rc_${r}_$v")
+    val interior = (for (e <- 0 until 4; c <- 0 until 4) yield qc(e, c) > 0).reduce(_ && _)
+    val vertexInRect = vs.map { case (x, y) =>
+      x >= col("cx0") && x <= col("cx1") && y >= col("cy0") && y <= col("cy1")
+    }.reduce(_ || _)
+    val cornerInQuad = (0 until 4).map { c =>
+      (0 until 4).map(e => qc(e, c) >= 0).reduce(_ && _)
+    }.reduce(_ || _)
+    def proper(c1: Column, c2: Column): Column =
+      (c1 > 0 && c2 < 0) || (c1 < 0 && c2 > 0)
+    // quad edge e (quad vertices e -> e+1) properly crosses rect edge r
+    // (rect corners rc1 -> rc2): each segment's endpoints strictly straddle
+    // the other's supporting line
+    val edgeCross = (for { e <- 0 until 4; r <- 0 until 4 } yield {
+      val (rc1, rc2) = rectEdgeIdx(r)
+      proper(qc(e, rc1), qc(e, rc2)) && proper(rc(r, e), rc(r, (e + 1) % 4))
+    }).reduce(_ || _)
+    withRc
+      .withColumn("kind", when(interior, lit("in"))
+        .when(vertexInRect || cornerInQuad || edgeCross, lit("bd")))
+      .where(col("kind").isNotNull)
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        CellIndex.packCol(FillLevel, col("iy"), col("ix")).as("cell"), col("kind"))
+  }
+
+  /**
+   * Per-scene footprint dissolve: the exact area of the UNION of the scene's
+   * burst bounding boxes (microdegree^2), by grouped coordinate-compression
+   * scanline — the ST_Union/dissolve primitive re-expressed as windows:
+   * distinct rect x-bounds per scene cut the plane into slabs, a rect either
+   * covers a slab fully or misses it (slab edges include every rect x-bound),
+   * and per slab the covered y-mass is the classic gaps-and-islands merge
+   * (running max of y1 over a DETERMINISTIC total order — (y0, y1, subswath,
+   * burst_idx) is unique per scene, so the row frame is engine-independent).
+   * Rects are half-open [x0,x1) x [y0,y1) so no boundary double-counts.
+   * Everything after the microdegree floor is LONG arithmetic — bit-exact
+   * cross-engine. Plan shape: ONE shuffle on scene_id drives both the
+   * slab-rect equi-join (per-scene fan-out is bursts x slabs, bounded by the
+   * scene's own burst count — never a global cartesian) and the windows; at
+   * corpus scale per-key dissolve is embarrassingly parallel across scenes,
+   * and a pathologically dense scene is a salting candidate, not a plan change.
+   */
+  def unionAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lons = (1 to 4).map(i => col(s"lon$i"))
+    val lats = (1 to 4).map(i => col(s"lat$i"))
+    val rects = Fixtures.table(spark, sfDir, "bursts").select(
+      col("scene_id"), col("subswath"), col("burst_idx"),
+      microdeg(least(lons: _*)).as("x0"), microdeg(greatest(lons: _*)).as("x1"),
+      microdeg(least(lats: _*)).as("y0"), microdeg(greatest(lats: _*)).as("y1"))
+    val xs = rects.select(col("scene_id"), col("x0").as("x"))
+      .union(rects.select(col("scene_id"), col("x1").as("x"))).distinct()
+    val slabW = Window.partitionBy("scene_id").orderBy("x")
+    val slabs = xs
+      .withColumn("xe", lead(col("x"), 1).over(slabW))
+      .where(col("xe").isNotNull)
+      .select(col("scene_id"), col("x").as("xs"), col("xe"))
+    val covered = slabs.join(rects, Seq("scene_id"))
+      .where(col("x0") <= col("xs") && col("x1") >= col("xe"))
+    val ord = Window.partitionBy("scene_id", "xs")
+      .orderBy("y0", "y1", "subswath", "burst_idx")
+    val runMax = max(col("y1")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = covered
+      .withColumn("new_island", when(runMax.isNull || col("y0") > runMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val slabMass = islands.groupBy(col("scene_id"), col("xs"), col("xe"), col("island"))
+      .agg((max(col("y1")) - min(col("y0"))).as("ylen"))
+      .groupBy(col("scene_id"), col("xs"), col("xe"))
+      .agg(sum(col("ylen")).as("ymass"))
+    slabMass.groupBy(col("scene_id"))
+      .agg(sum(col("ymass") * (col("xe") - col("xs"))).as("area"),
+        count(lit(1)).as("n_slabs"))
+      .join(rects.groupBy("scene_id").agg(count(lit(1)).as("n_rects")), Seq("scene_id"))
+      .select(col("scene_id"), col("n_rects"), col("n_slabs"), col("area"))
+  }
 }

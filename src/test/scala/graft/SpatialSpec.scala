@@ -300,5 +300,126 @@ class SpatialSpec extends AnyFunSuite {
     // line rasterization: a pure per-row explode chain — zero joins, zero exchanges
     val pt = plan(Spatial.trackCellsQuery(spark, sf))
     assert(!pt.contains("Exchange") && !pt.contains("Join"), pt.take(2000))
+    // polyfill: candidate cells come from each row's OWN bbox — zero joins,
+    // zero exchanges, pure map+generate work
+    val pp = plan(Spatial.polyfillQuery(spark, sf))
+    assert(!pp.contains("Exchange") && !pp.contains("Join"), pp.take(2000))
+    // union area: slab-rect pairing is an equi-join on scene_id (per-scene
+    // fan-out only), never a cartesian/BNLJ
+    val pu = plan(Spatial.unionAreaQuery(spark, sf))
+    assert(!pu.contains("CartesianProduct") && !pu.contains("BroadcastNestedLoopJoin"), pu.take(2000))
+  }
+
+  test("polyfill equals a per-cell reference loop; interior/boundary split is sound") {
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "subswath", "burst_idx",
+        "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        (3 to 9 by 2).map(r.getDouble).toArray, (4 to 10 by 2).map(r.getDouble).toArray))
+    def fpx(lon: Double): Long = math.min((1L << 25) - 1,
+      math.max(0L, math.floor((lon + 180.0) / 360.0 * (1L << 25).toDouble).toLong))
+    def fpy(lat: Double): Long = math.min((1L << 24) - 1,
+      math.max(0L, math.floor((lat + 90.0) / 180.0 * (1L << 24).toDouble).toLong))
+    def cross(ax: Long, ay: Long, bx: Long, by: Long, px: Long, py: Long): Long =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    def classify(xs: Array[Long], ys: Array[Long],
+        cx0: Long, cy0: Long, cx1: Long, cy1: Long): Option[String] = {
+      val qe = (0 until 4).map(i => (i, (i + 1) % 4))
+      val rcs = Seq((cx0, cy0), (cx1, cy0), (cx1, cy1), (cx0, cy1))
+      val interior = rcs.forall { case (px, py) =>
+        qe.forall { case (i, j) => cross(xs(i), ys(i), xs(j), ys(j), px, py) > 0 }
+      }
+      if (interior) return Some("in")
+      val vIn = (0 until 4).exists(i =>
+        xs(i) >= cx0 && xs(i) <= cx1 && ys(i) >= cy0 && ys(i) <= cy1)
+      val cIn = rcs.exists { case (px, py) =>
+        qe.forall { case (i, j) => cross(xs(i), ys(i), xs(j), ys(j), px, py) >= 0 }
+      }
+      val re = rcs.zip(rcs.tail :+ rcs.head)
+      def proper(c1: Long, c2: Long) = (c1 > 0 && c2 < 0) || (c1 < 0 && c2 > 0)
+      val eX = qe.exists { case (i, j) =>
+        re.exists { case ((px, py), (qx, qy)) =>
+          proper(cross(xs(i), ys(i), xs(j), ys(j), px, py),
+                 cross(xs(i), ys(i), xs(j), ys(j), qx, qy)) &&
+          proper(cross(px, py, qx, qy, xs(i), ys(i)),
+                 cross(px, py, qx, qy, xs(j), ys(j)))
+        }
+      }
+      if (vIn || cIn || eX) Some("bd") else None
+    }
+    val expected = (for {
+      (sc, sw, b, lons, lats) <- bursts
+      xs = lons.map(fpx); ys = lats.map(fpy)
+      ix <- (xs.min >> 12) to (xs.max >> 12)
+      iy <- (ys.min >> 11) to (ys.max >> 11)
+      kind <- classify(xs, ys, ix << 12, iy << 11, ((ix + 1) << 12) - 1, ((iy + 1) << 11) - 1)
+    } yield (sc, sw, b, (13L << 58) | (iy << 29) | ix, kind)).toSet
+    val got = Spatial.polyfillQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    assert(got.length == got.toSet.size, "duplicate (burst, cell) rows")
+    assert(got.toSet == expected)
+    // both classes must be exercised, and interior must dominate at this level
+    val byKind = got.groupBy(_._5).map { case (k, v) => (k, v.length) }
+    assert(byKind.getOrElse("in", 0) > 0, "no interior cell — polyfill degenerate")
+    assert(byKind.getOrElse("bd", 0) > 0, "no boundary cell")
+    assert(byKind("in") > byKind("bd") / 4, s"interior suspiciously thin: $byKind")
+    // soundness: densely sampled interior points always land in a filled cell,
+    // and every 'in' cell's center is strictly inside the quad
+    val first = bursts.head
+    val (xs0, ys0) = (first._4.map(fpx), first._5.map(fpy))
+    val cellsOf = got.filter(t => (t._1, t._2, t._3) == ((first._1, first._2, first._3)))
+      .map(t => (t._4 >> 29 & ((1L << 29) - 1), t._4 & ((1L << 29) - 1))).toSet
+    for (t <- 1 until 40; u <- 1 until 10) {
+      val px = xs0(0) + (xs0(1) - xs0(0)) * t / 40 + (xs0(3) - xs0(0)) * u / 10
+      val py = ys0(0) + (ys0(3) - ys0(0)) * u / 10
+      val inside = (0 until 4).forall { i =>
+        val j = (i + 1) % 4
+        cross(xs0(i), ys0(i), xs0(j), ys0(j), px, py) > 0
+      }
+      if (inside)
+        assert(cellsOf.contains((py >> 11, px >> 12)), s"interior point ($px,$py) uncovered")
+    }
+  }
+
+  test("union area equals a sequential interval-merge sweep; bounds hold") {
+    val rects = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
+      .collect().map { r =>
+        val lons = (1 to 7 by 2).map(r.getDouble); val lats = (2 to 8 by 2).map(r.getDouble)
+        (r.getString(0), md(lons.min), md(lons.max), md(lats.min), md(lats.max))
+      }
+    // independent sequential derivation: per scene, sweep distinct x cuts; per
+    // slab, merge covering y intervals with a sort + fold
+    val expected = rects.groupBy(_._1).map { case (scene, rs) =>
+      val cuts = rs.flatMap(r => Seq(r._2, r._3)).distinct.sorted
+      var area = 0L; var slabs = 0L
+      for (w <- cuts.sliding(2) if w.length == 2 && w(1) > w(0)) {
+        val a = w(0); val b = w(1)
+        val ivs = rs.filter(r => r._2 <= a && r._3 >= b).map(r => (r._4, r._5)).sortBy(identity)
+        if (ivs.nonEmpty) {
+          slabs += 1
+          var mass = 0L; var lo = ivs.head._1; var hi = ivs.head._2
+          for ((y0, y1) <- ivs.tail) {
+            if (y0 > hi) { mass += hi - lo; lo = y0; hi = y1 }
+            else hi = math.max(hi, y1)
+          }
+          mass += hi - lo
+          area += mass * (b - a)
+        }
+      }
+      (scene, (rs.length.toLong, slabs, area))
+    }
+    val got = Spatial.unionAreaQuery(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    for ((scene, (_, _, area)) <- got) {
+      val rs = rects.filter(_._1 == scene)
+      val sumAreas = rs.map(r => (r._3 - r._2) * (r._5 - r._4)).sum
+      val maxArea = rs.map(r => (r._3 - r._2) * (r._5 - r._4)).max
+      val bbox = (rs.map(_._3).max - rs.map(_._2).min) * (rs.map(_._5).max - rs.map(_._4).min)
+      assert(area <= sumAreas && area >= maxArea && area <= bbox, s"$scene bounds violated")
+      assert(area < sumAreas, s"$scene: no overlap merged — union untested (bursts overlap by construction)")
+    }
   }
 }
