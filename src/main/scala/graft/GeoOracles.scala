@@ -289,6 +289,57 @@ object GeoOracles {
        |SELECT scene_id, n_rects, n_slabs, area
        |FROM a JOIN n USING (scene_id) ORDER BY 1""".stripMargin
 
+  /** q_dbscan: grid DBSCAN recomputed with a genuinely different clustering
+   * algorithm — WITH RECURSIVE transitive closure over the core-cell adjacency
+   * graph (reachability + min-reachable-id), vs the engine's iterative
+   * convergence-checked min-label propagation. Same integer lattice, same
+   * density rule, independent fixpoint computation. */
+  val dbscan: String = {
+    val minPts = graft.geom.Dbscan.MinPts
+    val offs = (for (dy <- -1 to 1; dx <- -1 to 1) yield s"($dy, $dx)").mkString(", ")
+    s"""WITH RECURSIVE sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, s."offset" AS o, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT doc_id, o,
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |pt AS (SELECT doc_id, o,
+       |        CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |        CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |      FROM m),
+       |cnt AS (SELECT ix, iy, count(*) AS n FROM pt GROUP BY 1, 2),
+       |off AS (SELECT * FROM (VALUES $offs) t(dy, dx)),
+       |dens AS (SELECT c.ix + o.dx AS ix, c.iy + o.dy AS iy, sum(c.n) AS nbr_n
+       |         FROM cnt c CROSS JOIN off o
+       |         WHERE c.ix + o.dx BETWEEN 0 AND 2047 AND c.iy + o.dy BETWEEN 0 AND 2047
+       |         GROUP BY 1, 2),
+       |core AS (SELECT d.ix, d.iy FROM dens d JOIN cnt USING (ix, iy)
+       |         WHERE d.nbr_n >= $minPts),
+       |edge AS (SELECT a.ix AS ax, a.iy AS ay, b.ix AS bx, b.iy AS by
+       |         FROM core a JOIN core b
+       |           ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1),
+       |r AS (SELECT ix, iy, (11::BIGINT << 58) | (iy << 29) | ix AS lbl FROM core
+       |      UNION
+       |      SELECT e.ax AS ix, e.ay AS iy, r.lbl FROM r JOIN edge e
+       |        ON e.bx = r.ix AND e.by = r.iy),
+       |lab AS (SELECT ix, iy, min(lbl) AS label FROM r GROUP BY 1, 2),
+       |bord AS (SELECT c.ix, c.iy, min(l.label) AS blabel
+       |         FROM cnt c CROSS JOIN off o
+       |         JOIN lab l ON l.ix = c.ix + o.dx AND l.iy = c.iy + o.dy
+       |         GROUP BY 1, 2),
+       |cellrole AS (SELECT c.ix, c.iy,
+       |    CASE WHEN l.label IS NOT NULL THEN 'core'
+       |         WHEN b.blabel IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+       |    coalesce(l.label, b.blabel) AS cluster
+       |  FROM cnt c LEFT JOIN lab l USING (ix, iy) LEFT JOIN bord b USING (ix, iy))
+       |SELECT p.doc_id, p.o AS "offset", cr.role, cr.cluster
+       |FROM pt p JOIN cellrole cr USING (ix, iy)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** q_lineage_manifest: per-scene semantic manifest (rows + md5-60 checksum). */
   val lineageManifest: String =
     s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),

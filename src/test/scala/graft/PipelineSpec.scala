@@ -1062,7 +1062,10 @@ class PipelineSpec extends AnyFunSuite {
       ("lineage_manifest", () => graft.lineage.Checkpoint.lineageManifestQuery(spark, sf).collect().map(_.toString).sorted),
       ("within_dist", () => graft.geom.Spatial.withinDistQuery(spark, sf).collect().map(_.toString).sorted),
       ("footprint_intersects", () => graft.geom.Spatial.footprintIntersectsQuery(spark, sf).collect().map(_.toString).sorted),
-      ("track_cells", () => graft.geom.Spatial.trackCellsQuery(spark, sf).collect().map(_.toString).sorted))
+      ("track_cells", () => graft.geom.Spatial.trackCellsQuery(spark, sf).collect().map(_.toString).sorted),
+      ("polyfill", () => graft.geom.Spatial.polyfillQuery(spark, sf).collect().map(_.toString).sorted),
+      ("union_area", () => graft.geom.Spatial.unionAreaQuery(spark, sf).collect().map(_.toString).sorted),
+      ("dbscan", () => graft.geom.Dbscan.dbscanQuery(spark, sf, 100L).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

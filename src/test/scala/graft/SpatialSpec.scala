@@ -308,6 +308,10 @@ class SpatialSpec extends AnyFunSuite {
     // fan-out only), never a cartesian/BNLJ
     val pu = plan(Spatial.unionAreaQuery(spark, sf))
     assert(!pu.contains("CartesianProduct") && !pu.contains("BroadcastNestedLoopJoin"), pu.take(2000))
+    // dbscan: the final point-assignment join broadcasts the tiny cell->role
+    // map (the raw point set is never shuffled for it)
+    val pd = plan(graft.geom.Dbscan.dbscanQuery(spark, sf, 100L))
+    assert(pd.contains("BroadcastHashJoin") && !pd.contains("CartesianProduct"), pd.take(2000))
   }
 
   test("polyfill equals a per-cell reference loop; interior/boundary split is sound") {
@@ -379,6 +383,54 @@ class SpatialSpec extends AnyFunSuite {
       if (inside)
         assert(cellsOf.contains((py >> 11, px >> 12)), s"interior point ($px,$py) uncovered")
     }
+  }
+
+  test("grid DBSCAN equals a union-find recomputation; all three roles populated") {
+    import graft.geom.Dbscan
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select("doc_id", "offset", "cell").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val mask = (1L << 29) - 1
+    def ixy(cell: Long) = ((cell >> 29) & mask, cell & mask) // (iy, ix)
+    val counts = pts.groupBy(_._3).map { case (c, v) => (c, v.size.toLong) }
+    val occupied = counts.keySet
+    def nbrs(cell: Long): Seq[Long] = {
+      val (iy, ix) = ixy(cell)
+      for {
+        dy <- -1L to 1L; dx <- -1L to 1L
+        ny = iy + dy; nx = ix + dx
+        if ny >= 0 && ny < 2048 && nx >= 0 && nx < 2048
+      } yield (11L << 58) | (ny << 29) | nx
+    }
+    // sf0.001 is ~10x sparser than the sf0.01 gate fixture: use the minPts
+    // that populates all three roles here (the gate constant is oracle-tested)
+    val minPts = 100L
+    val core = occupied.filter(c => nbrs(c).map(n => counts.getOrElse(n, 0L)).sum >= minPts)
+    // union-find over core-cell Chebyshev-1 adjacency (different fixpoint
+    // algorithm from both the engine loop and the oracle's recursive closure)
+    val parent = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+    def find(c: Long): Long = { if (parent(c) != c) parent(c) = find(parent(c)); parent(c) }
+    for (c <- core; n <- nbrs(c) if core(n)) {
+      val (ra, rb) = (find(c), find(n)); if (ra != rb) parent(ra) = rb
+    }
+    val label = core.groupBy(find).flatMap { case (_, cs) =>
+      val m = cs.min; cs.map(_ -> m)
+    }
+    val expected = pts.map { case (d, o, c) =>
+      if (core(c)) (d, o, "core", Some(label(c)))
+      else {
+        val adj = nbrs(c).filter(core.contains).map(label)
+        if (adj.nonEmpty) (d, o, "border", Some(adj.min)) else (d, o, "noise", None)
+      }
+    }.toSet
+    val got = Dbscan.dbscanQuery(spark, sf, minPts).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == expected)
+    val roles = got.groupBy(_._3).map { case (k, v) => (k, v.size) }
+    assert(roles.keySet == Set("core", "border", "noise"), s"roles degenerate: $roles")
+    assert(got.flatMap(_._4).toSet.size >= 2, "single cluster — CC untested")
+    assert(got.filter(_._3 == "noise").forall(_._4.isEmpty), "noise with a label")
   }
 
   test("union area equals a sequential interval-merge sweep; bounds hold") {
