@@ -289,6 +289,51 @@ object GeoOracles {
        |SELECT scene_id, n_rects, n_slabs, area
        |FROM a JOIN n USING (scene_id) ORDER BY 1""".stripMargin
 
+  /** q_shoelace: exact integer shoelace area + centroid, re-based to the
+   * first corner, sign-corrected floor division (pure BIGINT throughout). */
+  val shoelace: String = {
+    def fdiv(p: String, q: String) = s"((($p) - (((($p) % ($q)) + ($q)) % ($q))) // ($q))"
+    def xi(i: Int) = s"(CAST(floor(lon$i * 1e6) AS BIGINT) - CAST(floor(lon1 * 1e6) AS BIGINT))"
+    def yi(i: Int) = s"(CAST(floor(lat$i * 1e6) AS BIGINT) - CAST(floor(lat1 * 1e6) AS BIGINT))"
+    def cr(i: Int) = { val j = i % 4 + 1; s"(${xi(i)} * ${yi(j)} - ${xi(j)} * ${yi(i)})" }
+    val area2 = (1 to 4).map(cr).mkString(" + ")
+    val cxNum = (1 to 4).map { i => val j = i % 4 + 1; s"(${xi(i)} + ${xi(j)}) * ${cr(i)}" }.mkString(" + ")
+    val cyNum = (1 to 4).map { i => val j = i % 4 + 1; s"(${yi(i)} + ${yi(j)}) * ${cr(i)}" }.mkString(" + ")
+    s"""WITH m AS (SELECT scene_id, subswath, burst_idx,
+       |  CAST(floor(lon1 * 1e6) AS BIGINT) AS ox, CAST(floor(lat1 * 1e6) AS BIGINT) AS oy,
+       |  ($area2) AS area2, ($cxNum) AS cx_num, ($cyNum) AS cy_num
+       |  FROM ${fx("bursts")})
+       |SELECT scene_id, subswath, burst_idx, area2,
+       |  ox + ${fdiv("cx_num", "3 * area2")} AS cx,
+       |  oy + ${fdiv("cy_num", "3 * area2")} AS cy
+       |FROM m ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** q_zorder: 22-bit Morton interleave + Z-range bucket rollup (unrolled bit
+   * terms, pure integer). */
+  val zorder: String = {
+    val z = (0 until 11).map(b =>
+      s"(((ix >> $b) & 1) << ${2 * b}) + (((iy >> $b) & 1) << ${2 * b + 1})").mkString(" + ")
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |pt AS (SELECT
+       |        CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |        CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |      FROM m),
+       |zz AS (SELECT ix, iy, ($z) AS z FROM pt)
+       |SELECT z >> ${graft.geom.Spatial.ZBucketShift} AS bucket,
+       |       count(*) AS n_pts, count(DISTINCT (iy << 11) | ix) AS n_cells,
+       |       min(z) AS zmin, max(z) AS zmax
+       |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_dbscan: grid DBSCAN recomputed with a genuinely different clustering
    * algorithm — WITH RECURSIVE transitive closure over the core-cell adjacency
    * graph (reachability + min-reachable-id), vs the engine's iterative

@@ -542,6 +542,73 @@ object Spatial {
    * corpus scale per-key dissolve is embarrassingly parallel across scenes,
    * and a pathologically dense scene is a salting candidate, not a plan change.
    */
+  /**
+   * Exact polygon measures (ST_Area / ST_Centroid): twice the signed shoelace
+   * area and the exact centroid of every burst footprint quad, in integer
+   * microdegrees. Coordinates are re-based to each quad's own first corner
+   * before any product so every intermediate stays within LONG (rel coords
+   * < 2^21, cross < 2^42, centroid numerator < 2^63) — the standard
+   * fixed-point robustness trick; the centroid is then origin + exact floor
+   * division of the shoelace moment by 3*area2. Pure per-row map work — zero
+   * joins, zero shuffles.
+   */
+  def shoelaceQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Fixtures.table(spark, sfDir, "bursts")
+    val based = b.select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx"),
+        microdeg(col("lon1")).as("ox"), microdeg(col("lat1")).as("oy")) ++
+      (1 to 4).flatMap(i => Seq(
+        (microdeg(col(s"lon$i")) - microdeg(col("lon1"))).as(s"x$i"),
+        (microdeg(col(s"lat$i")) - microdeg(col("lat1"))).as(s"y$i"))): _*)
+    def x(i: Int) = col(s"x${(i - 1) % 4 + 1}")
+    def y(i: Int) = col(s"y${(i - 1) % 4 + 1}")
+    val crosses = (1 to 4).map(i => x(i) * y(i + 1) - x(i + 1) * y(i))
+    val area2 = crosses.reduce(_ + _)
+    val cxNum = (1 to 4).map(i => (x(i) + x(i + 1)) * crosses(i - 1)).reduce(_ + _)
+    val cyNum = (1 to 4).map(i => (y(i) + y(i + 1)) * crosses(i - 1)).reduce(_ + _)
+    // centroid numerators reach ~2^61 — beyond the double-exact floorDiv
+    // helper's 2^53 domain, so divide in pure LONG arithmetic: subtract the
+    // positive modulus (pmod), then integral `div` of the exactly divisible
+    // remainder (floor division for the positive denominator; area2 > 0 CCW)
+    based
+      .withColumn("area2", area2)
+      .withColumn("den", lit(3L) * col("area2"))
+      .withColumn("cx_num", cxNum).withColumn("cy_num", cyNum)
+      .selectExpr("scene_id", "subswath", "burst_idx", "area2",
+        "ox + ((cx_num - pmod(cx_num, den)) div den) AS cx",
+        "oy + ((cy_num - pmod(cy_num, den)) div den) AS cy")
+  }
+
+  /** Z-block shift for the layout gate: 64 level-11 cells per Z-range bucket
+   * (the target-file granularity). */
+  val ZBucketShift = 6
+
+  /**
+   * Z-order (Morton) space-filling-curve layout planning — the Iceberg
+   * z-ordering primitive: interleave the level-11 cell's (ix, iy) bits into a
+   * 22-bit Z index, bucket by Z range (zindex >> 6 — 64-cell blocks), and
+   * report per-bucket point/cell counts and Z extent. This is exactly the
+   * file-assignment question for spatially clustering a 10^12-doc table:
+   * contiguous Z ranges become target files, so spatially close cells land in
+   * the same file and an AOI scan touches O(perimeter) files. The interleave
+   * is 22 unrolled bit terms — pure integer, bit-identical cross-engine; the
+   * plan is one map pass plus one rollup shuffle.
+   */
+  def zorderQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir).select(col("cell"))
+    val mask = (1L << 29) - 1
+    val ix = col("cell").bitwiseAND(mask)
+    val iy = shiftright(col("cell"), 29).bitwiseAND(mask)
+    val z = (0 until CellIndex.DefaultLevel).map { b =>
+      shiftleft(shiftright(ix, b).bitwiseAND(1), 2 * b) +
+      shiftleft(shiftright(iy, b).bitwiseAND(1), 2 * b + 1)
+    }.reduce(_ + _)
+    pts.withColumn("z", z)
+      .groupBy(shiftright(col("z"), ZBucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n_pts"), countDistinct(col("cell")).as("n_cells"),
+        min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+  }
+
   def unionAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val lons = (1 to 4).map(i => col(s"lon$i"))
     val lats = (1 to 4).map(i => col(s"lat$i"))

@@ -1065,7 +1065,9 @@ class PipelineSpec extends AnyFunSuite {
       ("track_cells", () => graft.geom.Spatial.trackCellsQuery(spark, sf).collect().map(_.toString).sorted),
       ("polyfill", () => graft.geom.Spatial.polyfillQuery(spark, sf).collect().map(_.toString).sorted),
       ("union_area", () => graft.geom.Spatial.unionAreaQuery(spark, sf).collect().map(_.toString).sorted),
-      ("dbscan", () => graft.geom.Dbscan.dbscanQuery(spark, sf, 100L).collect().map(_.toString).sorted))
+      ("dbscan", () => graft.geom.Dbscan.dbscanQuery(spark, sf, 100L).collect().map(_.toString).sorted),
+      ("shoelace", () => graft.geom.Spatial.shoelaceQuery(spark, sf).collect().map(_.toString).sorted),
+      ("zorder", () => graft.geom.Spatial.zorderQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

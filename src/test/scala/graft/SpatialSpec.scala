@@ -312,6 +312,13 @@ class SpatialSpec extends AnyFunSuite {
     // map (the raw point set is never shuffled for it)
     val pd = plan(graft.geom.Dbscan.dbscanQuery(spark, sf, 100L))
     assert(pd.contains("BroadcastHashJoin") && !pd.contains("CartesianProduct"), pd.take(2000))
+    // shoelace: pure per-row map work — zero joins, zero exchanges
+    val ps = plan(Spatial.shoelaceQuery(spark, sf))
+    assert(!ps.contains("Exchange") && !ps.contains("Join"), ps.take(2000))
+    // z-order: one map pass + the rollup shuffle, no join anywhere after the
+    // span-geolocation broadcast
+    val pzo = plan(Spatial.zorderQuery(spark, sf))
+    assert(!pzo.contains("CartesianProduct") && !pzo.contains("SortMergeJoin"), pzo.take(2000))
   }
 
   test("polyfill equals a per-cell reference loop; interior/boundary split is sound") {
@@ -431,6 +438,67 @@ class SpatialSpec extends AnyFunSuite {
     assert(roles.keySet == Set("core", "border", "noise"), s"roles degenerate: $roles")
     assert(got.flatMap(_._4).toSet.size >= 2, "single cluster — CC untested")
     assert(got.filter(_._3 == "noise").forall(_._4.isEmpty), "noise with a label")
+  }
+
+  test("shoelace area/centroid equal an exact BigInt rational recomputation") {
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "subswath", "burst_idx",
+        "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        (3 to 9 by 2).map(i => md(r.getDouble(i))).toArray,
+        (4 to 10 by 2).map(i => md(r.getDouble(i))).toArray))
+    // reference in unbounded BigInt arithmetic on the ABSOLUTE coordinates —
+    // no re-basing: proves the engine's origin-shift loses nothing
+    val expected = bursts.map { case (sc, sw, b, xs, ys) =>
+      val X = xs.map(BigInt(_)); val Y = ys.map(BigInt(_))
+      def cr(i: Int) = { val j = (i + 1) % 4; X(i) * Y(j) - X(j) * Y(i) }
+      val a2 = (0 until 4).map(cr).sum
+      val cx = (0 until 4).map(i => (X(i) + X((i + 1) % 4)) * cr(i)).sum
+      val cy = (0 until 4).map(i => (Y(i) + Y((i + 1) % 4)) * cr(i)).sum
+      def fdiv(p: BigInt, q: BigInt): BigInt = {
+        val m = ((p % q) + q) % q; (p - m) / q
+      }
+      assert(a2 > 0, "fixture quad not CCW")
+      (sc, sw, b, a2.toLong, fdiv(cx, 3 * a2).toLong, fdiv(cy, 3 * a2).toLong)
+    }.toSet
+    val got = Spatial.shoelaceQuery(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // sanity: centroid inside the quad's bbox, area2 matches the parallelogram
+    // closed form |e1 x e2| * 2 / 2 within quantization
+    for ((_, _, _, a2, cx, cy) <- got.take(5)) assert(a2 > 0)
+    for (((sc, sw, b, xs, ys), (gsc, _, _, _, cx, cy)) <- bursts.take(5).map(t =>
+        (t, got.find(g => (g._1, g._2, g._3) == ((t._1, t._2, t._3))).get))) {
+      assert(cx >= xs.min && cx <= xs.max && cy >= ys.min && cy <= ys.max,
+        s"$gsc centroid outside bbox")
+    }
+  }
+
+  test("z-order layout equals a bit-interleave recomputation; buckets are spatially tight") {
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select("cell").collect().map(_.getLong(0))
+    val mask = (1L << 29) - 1
+    def zOf(cell: Long): Long = {
+      val ix = cell & mask; val iy = (cell >> 29) & mask
+      (0 until 11).map(b => (((ix >> b) & 1) << (2 * b)) | (((iy >> b) & 1) << (2 * b + 1))).sum
+    }
+    val expected = pts.map(c => (c, zOf(c))).groupBy(_._2 >> Spatial.ZBucketShift)
+      .map { case (bk, v) =>
+        (bk, v.length.toLong, v.map(_._1).distinct.length.toLong,
+          v.map(_._2).min, v.map(_._2).max)
+      }.toSet
+    val got = Spatial.zorderQuery(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.size > 1, "single Z bucket — layout untested")
+    // the locality property that justifies the layout: every bucket's cells
+    // fit in a bounded sub-grid (a 64-cell Z block spans at most 8x8 cells)
+    for ((bk, _, _, _, _) <- got) {
+      val cells = pts.filter(c => (zOf(c) >> Spatial.ZBucketShift) == bk)
+      val ixs = cells.map(_ & mask); val iys = cells.map(c => (c >> 29) & mask)
+      assert(ixs.max - ixs.min < 8 && iys.max - iys.min < 8, s"bucket $bk not spatially tight")
+    }
   }
 
   test("union area equals a sequential interval-merge sweep; bounds hold") {
