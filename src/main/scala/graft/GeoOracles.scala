@@ -334,6 +334,42 @@ object GeoOracles {
        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q_hilbert: the xy2d state machine restated as an 11-round chained CTE
+   * rewrite (DuckDB xor() — `^` is exponent there; pure BIGINT). */
+  val hilbert: String = {
+    val rounds = (0 until 11).reverse.map { k =>
+      val s = 1L << k
+      val prev = if (k == 10) "r11" else s"r${k + 1}"
+      s"""r$k AS (SELECT cell,
+         |  hd + ${s * s} * xor(3 * rx, ry) AS hd,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy
+         |  FROM (SELECT cell, hd, hx, hy,
+         |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |pt AS (SELECT
+       |        CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |        CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |      FROM m),
+       |r11 AS (SELECT (11::BIGINT << 58) | (iy << 29) | ix AS cell,
+       |        ix AS hx, iy AS hy, 0::BIGINT AS hd FROM pt),
+       |$rounds
+       |SELECT hd >> ${graft.geom.Spatial.ZBucketShift} AS bucket,
+       |       count(*) AS n_pts, count(DISTINCT cell) AS n_cells,
+       |       min(hd) AS hmin, max(hd) AS hmax
+       |FROM r0 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_dbscan: grid DBSCAN recomputed with a genuinely different clustering
    * algorithm — WITH RECURSIVE transitive closure over the core-cell adjacency
    * graph (reachability + min-reachable-id), vs the engine's iterative

@@ -609,6 +609,48 @@ object Spatial {
         min(col("z")).as("zmin"), max(col("z")).as("zmax"))
   }
 
+  /**
+   * Hilbert-curve layout planning — the companion to zorderQuery with the
+   * strictly stronger locality guarantee: CONSECUTIVE Hilbert indices are
+   * always 4-adjacent cells (Manhattan distance 1 — false for Z-order, which
+   * jumps at every quadrant boundary), so range-partitioned files have no
+   * discontinuities at all. The classic xy2d state machine (flip + transpose
+   * per level) is unrolled into 11 rounds of integer column rewrites — each
+   * round a handful of CASE/AND/SHIFT ops, codegen-friendly, bit-identical to
+   * the DuckDB CTE chain. Aligned 64-index buckets are exact 8x8 subsquares
+   * (4^3-aligned Hilbert ranges are aligned subsquares), the target-file
+   * granularity. One map pass + one rollup shuffle.
+   */
+  def hilbertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir).select(col("cell"))
+    val mask = (1L << 29) - 1
+    var df = pts
+      .withColumn("hx", col("cell").bitwiseAND(mask))
+      .withColumn("hy", shiftright(col("cell"), 29).bitwiseAND(mask))
+      .withColumn("hd", lit(0L))
+    for (k <- (0 until CellIndex.DefaultLevel).reverse) {
+      val s = 1L << k
+      val rx = when(col("hx").bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val ry = when(col("hy").bitwiseAND(s) > 0, 1L).otherwise(0L)
+      df = df
+        .withColumn(s"rx_$k", rx).withColumn(s"ry_$k", ry)
+        .withColumn("hd", col("hd") +
+          lit(s * s) * (lit(3L) * col(s"rx_$k")).bitwiseXOR(col(s"ry_$k")))
+        // ry==0: flip when rx==1, then transpose; ry==1: unchanged
+        .withColumn("nx", when(col(s"ry_$k") === 0,
+            when(col(s"rx_$k") === 1, lit(s - 1) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")))
+        .withColumn("ny", when(col(s"ry_$k") === 0,
+            when(col(s"rx_$k") === 1, lit(s - 1) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+        .drop("nx", "ny", s"rx_$k", s"ry_$k")
+    }
+    df.groupBy(shiftright(col("hd"), ZBucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n_pts"), countDistinct(col("cell")).as("n_cells"),
+        min(col("hd")).as("hmin"), max(col("hd")).as("hmax"))
+  }
+
   def unionAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val lons = (1 to 4).map(i => col(s"lon$i"))
     val lats = (1 to 4).map(i => col(s"lat$i"))

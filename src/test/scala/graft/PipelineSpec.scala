@@ -1067,7 +1067,8 @@ class PipelineSpec extends AnyFunSuite {
       ("union_area", () => graft.geom.Spatial.unionAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("dbscan", () => graft.geom.Dbscan.dbscanQuery(spark, sf, 100L).collect().map(_.toString).sorted),
       ("shoelace", () => graft.geom.Spatial.shoelaceQuery(spark, sf).collect().map(_.toString).sorted),
-      ("zorder", () => graft.geom.Spatial.zorderQuery(spark, sf).collect().map(_.toString).sorted))
+      ("zorder", () => graft.geom.Spatial.zorderQuery(spark, sf).collect().map(_.toString).sorted),
+      ("hilbert", () => graft.geom.Spatial.hilbertQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

@@ -501,6 +501,47 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert layout equals an xy2d recomputation; curve continuity holds") {
+    def xy2d(n: Long, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L); var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select("cell").collect().map(_.getLong(0))
+    val mask = (1L << 29) - 1
+    val expected = pts.map { c =>
+      (c, xy2d(2048, c & mask, (c >> 29) & mask))
+    }.groupBy(_._2 >> Spatial.ZBucketShift).map { case (bk, v) =>
+      (bk, v.length.toLong, v.map(_._1).distinct.length.toLong, v.map(_._2).min, v.map(_._2).max)
+    }.toSet
+    val got = Spatial.hilbertQuery(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.size > 1, "single Hilbert bucket — layout untested")
+    // THE Hilbert property (false for Z-order): consecutive indices are always
+    // 4-adjacent cells — exhaustively on a 32x32 grid of the same state machine
+    val inv = (for (x <- 0L until 32L; y <- 0L until 32L) yield xy2d(32, x, y) -> ((x, y))).toMap
+    for (d <- 0L until 32L * 32L - 1) {
+      val (x0, y0) = inv(d); val (x1, y1) = inv(d + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1, s"discontinuity at d=$d")
+    }
+    // and the aligned-64-bucket = exact 8x8 subsquare guarantee
+    for ((bk, cells) <- inv.toSeq.groupBy(_._1 >> Spatial.ZBucketShift)) {
+      val xs = cells.map(_._2._1); val ys = cells.map(_._2._2)
+      assert(xs.max - xs.min == 7 && ys.max - ys.min == 7, s"bucket $bk not an 8x8 square")
+    }
+  }
+
   test("union area equals a sequential interval-merge sweep; bounds hold") {
     val rects = Fixtures.table(spark, sf, "bursts")
       .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
