@@ -207,7 +207,15 @@ object GeoOracles {
   /** q_polyfill: the identical exact integer polyfill restated over a full
    * generate_series cell grid (no Spark plan shared — same fp lattice, same
    * three-clause convex predicate, pure BIGINT arithmetic). */
-  val polyfill: String = {
+  val polyfill: String =
+    s"""$polyfillCtes
+       |SELECT scene_id, subswath, burst_idx,
+       |  (13::BIGINT << 58) | (iy << 29) | ix AS cell, kind
+       |FROM k WHERE kind IS NOT NULL ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** Shared polyfill CTE chain (fp-lattice corners, bbox cell grid, exact
+   * classification) — the suffix of both the polyfill and buffer oracles. */
+  private lazy val polyfillCtes: String = {
     def fpx(c: String) =
       s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
     def fpy(c: String) =
@@ -251,10 +259,28 @@ object GeoOracles {
        |k AS (SELECT scene_id, subswath, burst_idx, ix, iy,
        |  CASE WHEN $interior THEN 'in'
        |       WHEN $vertexInRect OR $cornerInQuad OR $edgeCross THEN 'bd' END AS kind
-       |  FROM rect)
-       |SELECT scene_id, subswath, burst_idx,
-       |  (13::BIGINT << 58) | (iy << 29) | ix AS cell, kind
-       |FROM k WHERE kind IS NOT NULL ORDER BY 1, 2, 3, 4""".stripMargin
+       |  FROM rect)""".stripMargin
+  }
+
+  /** q_cell_buffer: the same morphological dilation restated over the shared
+   * polyfill CTE chain (9-offset cross join, DISTINCT, ANTI JOIN provenance). */
+  val cellBuffer: String = {
+    val offs = (for (dy <- -1 to 1; dx <- -1 to 1) yield s"($dy, $dx)").mkString(", ")
+    s"""$polyfillCtes,
+       |fill AS (SELECT scene_id, subswath, burst_idx,
+       |  (13::BIGINT << 58) | (iy << 29) | ix AS cell, ix, iy
+       |  FROM k WHERE kind IS NOT NULL),
+       |off AS (SELECT * FROM (VALUES $offs) t(dy, dx)),
+       |dil AS (SELECT DISTINCT scene_id, subswath, burst_idx,
+       |  (13::BIGINT << 58) | ((iy + dy) << 29) | (ix + dx) AS cell
+       |  FROM fill CROSS JOIN off
+       |  WHERE ix + dx BETWEEN 0 AND 8191 AND iy + dy BETWEEN 0 AND 8191),
+       |ring AS (SELECT d.scene_id, d.subswath, d.burst_idx, d.cell FROM dil d
+       |         ANTI JOIN fill f USING (scene_id, subswath, burst_idx, cell))
+       |SELECT scene_id, subswath, burst_idx, cell, 'fill' AS kind FROM fill
+       |UNION ALL
+       |SELECT scene_id, subswath, burst_idx, cell, 'ring' AS kind FROM ring
+       |ORDER BY 1, 2, 3, 4, 5""".stripMargin
   }
 
   /** q_union_area: the same half-open scanline union, restated as DuckDB

@@ -651,6 +651,38 @@ object Spatial {
         min(col("hd")).as("hmin"), max(col("hd")).as("hmax"))
   }
 
+  /**
+   * Cell-granular polygon buffer (the ST_Buffer analog at covering
+   * granularity): dilate each burst's polyfill cover by one ring of level-13
+   * cells — morphological dilation on the cell lattice, the standard way a
+   * covering-based engine widens a footprint before a conservative join
+   * (buffer-then-intersect finds every geometry within one cell of the
+   * polygon, with false positives only at ring granularity). Output keeps the
+   * provenance split: `fill` cells (from the polyfill — interior or boundary)
+   * vs `ring` cells (added by the dilation only). Plan: the polyfill explode
+   * chain feeding a bounded 3x3 explode + one distinct + one anti join on
+   * (burst, cell) — no cartesian, fan-out exactly 9.
+   */
+  def cellBufferQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n13 = 1L << FillLevel
+    val mask = (1L << 29) - 1
+    val keys = Seq(col("scene_id"), col("subswath"), col("burst_idx"))
+    val fill = polyfillQuery(spark, sfDir).select(keys :+ col("cell"): _*)
+    val offs = expr("explode(array(" +
+      (for (dy <- -1 to 1; dx <- -1 to 1) yield s"struct(${dy}L AS dy, ${dx}L AS dx)")
+        .mkString(", ") + "))")
+    val dilated = fill.withColumn("o", offs)
+      .withColumn("nix", col("cell").bitwiseAND(mask) + col("o.dx"))
+      .withColumn("niy", shiftright(col("cell"), 29).bitwiseAND(mask) + col("o.dy"))
+      .where(col("nix") >= 0 && col("nix") < n13 && col("niy") >= 0 && col("niy") < n13)
+      .select(keys :+ CellIndex.packCol(FillLevel, col("niy"), col("nix")).as("cell"): _*)
+      .distinct()
+    val ring = dilated.join(fill,
+      Seq("scene_id", "subswath", "burst_idx", "cell"), "left_anti")
+    fill.withColumn("kind", lit("fill"))
+      .unionByName(ring.withColumn("kind", lit("ring")))
+  }
+
   def unionAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val lons = (1 to 4).map(i => col(s"lon$i"))
     val lats = (1 to 4).map(i => col(s"lat$i"))

@@ -542,6 +542,31 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
+    val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
+    val fill = Spatial.polyfillQuery(spark, sf).collect()
+      .map(r => (keysOf(r), r.getLong(3))).toSet
+    val mask = (1L << 29) - 1
+    val expected = {
+      val dilated = for {
+        (k, c) <- fill.toSeq
+        dy <- -1L to 1L; dx <- -1L to 1L
+        nx = (c & mask) + dx; ny = ((c >> 29) & mask) + dy
+        if nx >= 0 && nx < 8192 && ny >= 0 && ny < 8192
+      } yield (k, (13L << 58) | (ny << 29) | nx)
+      val ring = dilated.toSet -- fill
+      fill.map { case (k, c) => (k._1, k._2, k._3, c, "fill") } ++
+        ring.map { case (k, c) => (k._1, k._2, k._3, c, "ring") }
+    }
+    val got = Spatial.cellBufferQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    assert(got.length == got.toSet.size, "duplicate buffer rows")
+    assert(got.toSet == expected)
+    // the ring is non-empty and strictly surrounds the fill (conservative widen)
+    val byKind = got.groupBy(_._5).map { case (k, v) => (k, v.length) }
+    assert(byKind("ring") > 0 && byKind("fill") > 0, s"degenerate buffer: $byKind")
+  }
+
   test("union area equals a sequential interval-merge sweep; bounds hold") {
     val rects = Fixtures.table(spark, sf, "bursts")
       .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
