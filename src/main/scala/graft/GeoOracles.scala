@@ -447,6 +447,22 @@ object GeoOracles {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q_geofence: planted-position containment restated as a plain inequality
+   * join (no cell prefilter — independent candidate derivation; identical-IEEE
+   * position arithmetic, same op order as the engine). */
+  val geofence: String =
+    s"""WITH pos AS (SELECT event_type, value,
+       |    -30.0 + CAST(h % 1000000 AS DOUBLE) / 1e6 * 10.0 AS lon,
+       |    10.0 + CAST((h // 1000000) % 1000000 AS DOUBLE) / 1e6 * 2.0 AS lat
+       |  FROM (SELECT event_type, value,
+       |          ${h60("'g:' || CAST(event_id AS VARCHAR)")} AS h FROM events))
+       |SELECT a.aoi_id, p.event_type, count(*) AS n_events,
+       |       CAST(sum(CAST(floor(p.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+       |FROM pos p JOIN ${fx("aoi")} a
+       |  ON p.lon BETWEEN a.lon_min AND a.lon_max
+       | AND p.lat BETWEEN a.lat_min AND a.lat_max
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q_lineage_manifest: per-scene semantic manifest (rows + md5-60 checksum). */
   val lineageManifest: String =
     s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),

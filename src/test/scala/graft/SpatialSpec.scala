@@ -319,6 +319,11 @@ class SpatialSpec extends AnyFunSuite {
     // span-geolocation broadcast
     val pzo = plan(Spatial.zorderQuery(spark, sf))
     assert(!pzo.contains("CartesianProduct") && !pzo.contains("SortMergeJoin"), pzo.take(2000))
+    // geofence: the AOI side broadcasts; the event side is never shuffled
+    // before the join (the same plan must run on an unbounded stream)
+    val pg = plan(graft.geom.Geofence.geofenceQuery(spark, sf))
+    assert(pg.contains("BroadcastHashJoin") && !pg.contains("SortMergeJoin") &&
+      !pg.contains("CartesianProduct"), pg.take(2000))
   }
 
   test("polyfill equals a per-cell reference loop; interior/boundary split is sound") {
@@ -565,6 +570,57 @@ class SpatialSpec extends AnyFunSuite {
     // the ring is non-empty and strictly surrounds the fill (conservative widen)
     val byKind = got.groupBy(_._5).map { case (k, v) => (k, v.length) }
     assert(byKind("ring") > 0 && byKind("fill") > 0, s"degenerate buffer: $byKind")
+  }
+
+  test("geofence batch equals a scalar recomputation; stream alerts equal batch alerts") {
+    import graft.geom.Geofence
+    // plain-Scala recomputation of the planted positions + containment rollup
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+    val aois = Fixtures.table(spark, sf, "aoi")
+      .select("aoi_id", "lon_min", "lat_min", "lon_max", "lat_max")
+      .as[(String, Double, Double, Double, Double)].collect()
+    def pos(id: Long): (Double, Double) = {
+      val h = graft.streaming.HllStream.h60Jvm("g:" + id)
+      (-30.0 + (h % 1000000L).toDouble / 1e6 * 10.0,
+        10.0 + ((h / 1000000L) % 1000000L).toDouble / 1e6 * 2.0)
+    }
+    val acc = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for ((id, tpe, v) <- events; (lon, lat) = pos(id);
+         (aid, lo0, la0, lo1, la1) <- aois
+         if lon >= lo0 && lon <= lo1 && lat >= la0 && lat <= la1) {
+      val (n, c) = acc.getOrElse((aid, tpe), (0L, 0L))
+      acc((aid, tpe)) = (n + 1, c + math.floor(v * 100).toLong)
+    }
+    val expected = acc.map { case ((a, t), (n, c)) => (a, t, n, c) }.toSet
+    val got = Geofence.geofenceQuery(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // streaming: the identical matched() core over a MemoryStream must emit
+    // exactly the batch alert set (stream-static broadcast join, stateless)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val enrich = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('g:', CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("lon", lit(-30.0) + (col("h") % 1000000L).cast("double") / 1e6 * 10.0)
+      .withColumn("lat", lit(10.0) + expr("(h div 1000000) % 1000000").cast("double") / 1e6 * 2.0)
+    val src = enrich(in.toDF().toDF("event_id", "event_type", "value"))
+    val q = Geofence.streamingGeofence(src, Geofence.aoiCells(spark, sf))
+      .writeStream.outputMode("append").format("memory").queryName("geo_out").start()
+    val (half1, half2) = events.map(e => (e._1, e._2, e._3)).splitAt(events.length / 2)
+    in.addData(half1); q.processAllAvailable()
+    in.addData(half2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("geo_out").as[(Long, String)].collect().toSet
+    val batchAlerts = Geofence.streamingGeofence(
+      enrich(spark.read.parquet(s"$sf/events.parquet").select("event_id", "event_type", "value")),
+      Geofence.aoiCells(spark, sf)).as[(Long, String)].collect().toSet
+    assert(streamed == batchAlerts)
+    assert(streamed.nonEmpty, "no geofence alert — containment untested")
   }
 
   test("union area equals a sequential interval-merge sweep; bounds hold") {
