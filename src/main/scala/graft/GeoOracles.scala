@@ -463,6 +463,35 @@ object GeoOracles {
        | AND p.lat BETWEEN a.lat_min AND a.lat_max
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_heatmap: the DIRECT 2-D 25-term binomial scatter — deliberately the
+   * other factorization of the separable kernel the engine runs as two 1-D
+   * passes; agreement checks the algebra, not the plan. */
+  val heatmap: String = {
+    val w = Seq(1, 4, 6, 4, 1)
+    val offs = (for (dy <- -2 to 2; dx <- -2 to 2)
+      yield s"($dy, $dx, ${w(dy + 2) * w(dx + 2)})").mkString(", ")
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |pt AS (SELECT
+       |        CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |        CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |      FROM m),
+       |cnt AS (SELECT ix, iy, count(*) AS n FROM pt GROUP BY 1, 2),
+       |off AS (SELECT * FROM (VALUES $offs) t(dy, dx, w))
+       |SELECT (11::BIGINT << 58) | ((c.iy + o.dy) << 29) | (c.ix + o.dx) AS cell,
+       |       CAST(sum(c.n * o.w) AS BIGINT) AS density
+       |FROM cnt c CROSS JOIN off o
+       |WHERE c.ix + o.dx BETWEEN 0 AND 2047 AND c.iy + o.dy BETWEEN 0 AND 2047
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_lineage_manifest: per-scene semantic manifest (rows + md5-60 checksum). */
   val lineageManifest: String =
     s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),

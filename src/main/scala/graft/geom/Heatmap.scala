@@ -1,0 +1,51 @@
+package graft.geom
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.CellIndex
+
+/**
+ * Spatial density surface (heatmap): level-11 cell counts of the geolocated
+ * media spans smoothed by the 5x5 binomial kernel (1,4,6,4,1)⊗(1,4,6,4,1) —
+ * the discrete-Gaussian KDE a tile server renders.
+ *
+ * The engine exploits SEPARABILITY: two 1-D passes (x then y) with fan-out 5
+ * each instead of one 2-D scatter with fan-out 25 — at corpus scale that
+ * halves the shuffled row volume (10x vs 25x the occupied-cell frame) for the
+ * identical integer result, because the binomial kernel factorizes exactly:
+ * w(dx,dy) = w(dx)*w(dy). The DuckDB oracle deliberately computes the DIRECT
+ * 2-D 25-term scatter — a genuinely different factorization of the same
+ * mathematical object, so agreement checks the algebra, not the plan. The
+ * kernel is truncated at the grid border identically on both sides. All
+ * integer (counts x binomial weights) — bit-exact cross-engine.
+ */
+object Heatmap {
+
+  val Weights = Seq(1L, 4L, 6L, 4L, 1L) // binomial(4, k) — sums to 16
+  private val N = 1L << CellIndex.DefaultLevel
+  private val IdxMask = (1L << 29) - 1
+
+  def heatmapQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .withColumn("ix", col("cell").bitwiseAND(IdxMask))
+      .withColumn("iy", shiftright(col("cell"), 29).bitwiseAND(IdxMask))
+    val offs = expr("explode(array(" +
+      Weights.zipWithIndex.map { case (w, i) => s"struct(${i - 2}L AS d, ${w}L AS w)" }
+        .mkString(", ") + "))")
+    // pass 1: smooth along x (fan-out 5)
+    val gx = counts.withColumn("o", offs)
+      .withColumn("tix", col("ix") + col("o.d"))
+      .where(col("tix") >= 0 && col("tix") < N)
+      .groupBy(col("tix").as("ix"), col("iy"))
+      .agg(sum(col("n") * col("o.w")).as("gx"))
+    // pass 2: smooth along y (fan-out 5)
+    gx.withColumn("o", offs)
+      .withColumn("tiy", col("iy") + col("o.d"))
+      .where(col("tiy") >= 0 && col("tiy") < N)
+      .groupBy(col("ix"), col("tiy").as("iy"))
+      .agg(sum(col("gx") * col("o.w")).as("density"))
+      .select(CellIndex.packCol(CellIndex.DefaultLevel, col("iy"), col("ix")).as("cell"),
+        col("density"))
+  }
+}

@@ -1070,7 +1070,8 @@ class PipelineSpec extends AnyFunSuite {
       ("zorder", () => graft.geom.Spatial.zorderQuery(spark, sf).collect().map(_.toString).sorted),
       ("hilbert", () => graft.geom.Spatial.hilbertQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
-      ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted))
+      ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
+      ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

@@ -623,6 +623,32 @@ class SpatialSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "no geofence alert — containment untested")
   }
 
+  test("heatmap equals a direct 2-D convolution; binomial mass is conserved") {
+    import graft.geom.Heatmap
+    val mask = (1L << 29) - 1
+    val counts = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select("cell").collect().map(_.getLong(0))
+      .groupBy(identity).map { case (c, v) => ((c & mask, (c >> 29) & mask), v.length.toLong) }
+    val w = Heatmap.Weights
+    // direct 2-D scatter — the third derivation (engine: separable passes,
+    // oracle: SQL 2-D scatter, here: a plain Scala 2-D scatter)
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (((ix, iy), n) <- counts; dy <- -2 to 2; dx <- -2 to 2) {
+      val (tx, ty) = (ix + dx, iy + dy)
+      if (tx >= 0 && tx < 2048 && ty >= 0 && ty < 2048)
+        acc((tx, ty)) = acc.getOrElse((tx, ty), 0L) + n * w(dx + 2) * w(dy + 2)
+    }
+    val expected = acc.map { case ((ix, iy), d) => ((11L << 58) | (iy << 29) | ix, d) }.toSet
+    val got = Heatmap.heatmapQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.size > counts.size, "smoothing did not widen the support")
+    // mass conservation: sum(density) == 256 * points (kernel sums to 16x16;
+    // the fixture sits far from the grid border so no truncation loss)
+    val totalPts = counts.values.sum
+    assert(got.toSeq.map(_._2).sum == 256L * totalPts, "binomial mass not conserved")
+  }
+
   test("union area equals a sequential interval-merge sweep; bounds hold") {
     val rects = Fixtures.table(spark, sf, "bursts")
       .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
