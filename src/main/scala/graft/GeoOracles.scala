@@ -396,6 +396,33 @@ object GeoOracles {
        |FROM r0 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q_coverage_gap: AOI fp-lattice grid anti-joined against the shared
+   * polyfill CTE chain's covered cells (NOT EXISTS form). */
+  val coverageGap: String = {
+    def fpx(c: String) =
+      s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
+    def fpy(c: String) =
+      s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
+    s"""$polyfillCtes,
+       |cov AS (SELECT DISTINCT ix, iy FROM k WHERE kind IS NOT NULL),
+       |ab AS (SELECT aoi_id,
+       |  ${fpx("lon_min")} AS fx0, ${fpx("lon_max")} AS fx1,
+       |  ${fpy("lat_min")} AS fy0, ${fpy("lat_max")} AS fy1
+       |  FROM ${fx("aoi")}),
+       |ac AS (SELECT aoi_id, fy0, fy1,
+       |         unnest(generate_series(fx0 >> 12, fx1 >> 12)) AS ix FROM ab),
+       |ag AS (SELECT aoi_id, ix,
+       |         unnest(generate_series(fy0 >> 11, fy1 >> 11)) AS iy FROM ac),
+       |j AS (SELECT g.aoi_id, g.ix, g.iy,
+       |        EXISTS (SELECT 1 FROM cov c WHERE c.ix = g.ix AND c.iy = g.iy) AS hit
+       |      FROM ag g)
+       |SELECT aoi_id, count(*) AS n_cells,
+       |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_gap,
+       |       CAST(sum(CASE WHEN hit THEN 0 ELSE iy * 8192 + ix END) AS BIGINT) AS gap_sum
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q_dbscan: grid DBSCAN recomputed with a genuinely different clustering
    * algorithm — WITH RECURSIVE transitive closure over the core-cell adjacency
    * graph (reachability + min-reachable-id), vs the engine's iterative

@@ -683,6 +683,41 @@ object Spatial {
       .unionByName(ring.withColumn("kind", lit("ring")))
   }
 
+  /**
+   * Acquisition coverage-gap analysis: which level-13 cells of each AOI are
+   * NOT covered by any burst footprint — the planning query behind "where do
+   * we lack data". The AOI rasterizes to its fp-lattice cell grid (same
+   * lattice as the polyfill so covered/gap is exact, no edge disagreement),
+   * the burst side is the polyfill's distinct covered-cell set, and the gap is
+   * one LEFT ANTI equi-join on the cell id. Per-AOI rollup reports total /
+   * covered / gap cell counts plus an order-independent integer checksum of
+   * the gap set (sum of iy*8192+ix — verifiable cross-engine without shipping
+   * the cells). At scale the covered-cell set is the compacted cover of the
+   * whole archive — exactly what the manifest/compact operators maintain.
+   */
+  def coverageGapQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val aoiGrid = Fixtures.table(spark, sfDir, "aoi")
+      .select(col("aoi_id"),
+        fpx(col("lon_min")).as("fx0"), fpx(col("lon_max")).as("fx1"),
+        fpy(col("lat_min")).as("fy0"), fpy(col("lat_max")).as("fy1"))
+      .withColumn("ix", explode(sequence(
+        shiftright(col("fx0"), RasterXBits - FillLevel),
+        shiftright(col("fx1"), RasterXBits - FillLevel))))
+      .withColumn("iy", explode(sequence(
+        shiftright(col("fy0"), RasterYBits - FillLevel),
+        shiftright(col("fy1"), RasterYBits - FillLevel))))
+      .select(col("aoi_id"), col("ix"), col("iy"),
+        CellIndex.packCol(FillLevel, col("iy"), col("ix")).as("cell"))
+    val covered = polyfillQuery(spark, sfDir).select("cell").distinct()
+    aoiGrid
+      .join(covered.withColumn("hit", lit(1L)), Seq("cell"), "left")
+      .groupBy("aoi_id")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_gap"),
+        sum(when(col("hit").isNull, col("iy") * 8192L + col("ix")).otherwise(0L)).as("gap_sum"))
+  }
+
   def unionAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val lons = (1 to 4).map(i => col(s"lon$i"))
     val lats = (1 to 4).map(i => col(s"lat$i"))

@@ -649,6 +649,34 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum == 256L * totalPts, "binomial mass not conserved")
   }
 
+  test("coverage gap equals a set recomputation over the engine's own fill") {
+    def fpx(lon: Double): Long = math.min((1L << 25) - 1,
+      math.max(0L, math.floor((lon + 180.0) / 360.0 * (1L << 25).toDouble).toLong))
+    def fpy(lat: Double): Long = math.min((1L << 24) - 1,
+      math.max(0L, math.floor((lat + 90.0) / 180.0 * (1L << 24).toDouble).toLong))
+    val mask = (1L << 29) - 1
+    val covered = Spatial.polyfillQuery(spark, sf).select("cell").distinct().collect()
+      .map(r => { val c = r.getLong(0); ((c >> 29) & mask, c & mask) }).toSet
+    val aois = Fixtures.table(spark, sf, "aoi")
+      .select("aoi_id", "lon_min", "lat_min", "lon_max", "lat_max")
+      .as[(String, Double, Double, Double, Double)].collect()
+    val expected = aois.map { case (aid, lo0, la0, lo1, la1) =>
+      val cells = for {
+        ix <- (fpx(lo0) >> 12) to (fpx(lo1) >> 12)
+        iy <- (fpy(la0) >> 11) to (fpy(la1) >> 11)
+      } yield (iy, ix)
+      val gaps = cells.filterNot(covered)
+      (aid, cells.size.toLong, (cells.size - gaps.size).toLong, gaps.size.toLong,
+        gaps.map { case (iy, ix) => iy * 8192L + ix }.sum)
+    }.toSet
+    val got = Spatial.coverageGapQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+    // the fixture must exercise BOTH outcomes, or the anti-join is untested
+    assert(got.exists(_._3 > 0), "no AOI cell covered")
+    assert(got.exists(_._4 > 0), "no coverage gap anywhere")
+  }
+
   test("union area equals a sequential interval-merge sweep; bounds hold") {
     val rects = Fixtures.table(spark, sf, "bursts")
       .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
