@@ -423,6 +423,39 @@ object GeoOracles {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q_tile_pyramid: the identical quadtree rollup as a per-level chained
+   * CTE cascade (pure integer id arithmetic). */
+  val tilePyramid: String = {
+    val mask = (1L << 29) - 1
+    def step(lvl: Int): String = {
+      val prev = if (lvl == 10) "l11" else s"l${lvl + 1}"
+      s"""l$lvl AS (SELECT ($lvl::BIGINT << 58) | ((((cell >> 29) & $mask) >> 1) << 29) | (((cell & $mask) >> 1)) AS cell,
+         |  CAST(sum(n) AS BIGINT) AS n FROM $prev GROUP BY 1)""".stripMargin
+    }
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |pt AS (SELECT
+       |        CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |        CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |      FROM m),
+       |l11 AS (SELECT (11::BIGINT << 58) | (iy << 29) | ix AS cell,
+       |        CAST(count(*) AS BIGINT) AS n FROM pt GROUP BY 1),
+       |${step(10)},
+       |${step(9)},
+       |${step(8)}
+       |SELECT (cell >> 58) AS level, cell, n FROM (
+       |  SELECT * FROM l11 UNION ALL SELECT * FROM l10
+       |  UNION ALL SELECT * FROM l9 UNION ALL SELECT * FROM l8)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** q_dbscan: grid DBSCAN recomputed with a genuinely different clustering
    * algorithm — WITH RECURSIVE transitive closure over the core-cell adjacency
    * graph (reachability + min-reachable-id), vs the engine's iterative

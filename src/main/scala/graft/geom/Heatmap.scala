@@ -25,6 +25,35 @@ object Heatmap {
   private val N = 1L << CellIndex.DefaultLevel
   private val IdxMask = (1L << 29) - 1
 
+  /** Coarsest pyramid level (finest is CellIndex.DefaultLevel = 11). */
+  val PyramidFloor = 8
+
+  /**
+   * Tile pyramid (web-map zoom stack / raster overviews): the level-11 cell
+   * counts rolled up through levels 10..8 by quadtree parent aggregation —
+   * each zoom level is the exact sum of its four children, computed by ONE
+   * pass per level over the already-reduced previous level (cascading
+   * rollup: the raw points are aggregated once at the finest level, every
+   * coarser level reduces the cell frame, never the points — at 10^12 docs
+   * the pyramid costs one point-level shuffle plus log-many tiny ones).
+   * Output is the union of all levels, keyed by packed cell id (level in the
+   * id's high bits).
+   */
+  def tilePyramidQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val levels = Iterator.iterate(base) { prev =>
+      // parent: level-1, iy/2, ix/2 — pure integer bit arithmetic on the id
+      prev.groupBy(
+        ((shiftright(col("cell"), 58) - 1) * lit(1L << 58)
+          + shiftright(shiftright(col("cell"), 29).bitwiseAND(IdxMask), 1) * lit(1L << 29)
+          + shiftright(col("cell").bitwiseAND(IdxMask), 1)).as("cell"))
+        .agg(sum("n").as("n"))
+    }.take(CellIndex.DefaultLevel - PyramidFloor + 1).toSeq
+    levels.reduce(_ unionByName _)
+      .select(shiftright(col("cell"), 58).as("level"), col("cell"), col("n"))
+  }
+
   def heatmapQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
       .groupBy("cell").agg(count(lit(1)).as("n"))

@@ -1072,7 +1072,8 @@ class PipelineSpec extends AnyFunSuite {
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),
-      ("coverage_gap", () => graft.geom.Spatial.coverageGapQuery(spark, sf).collect().map(_.toString).sorted))
+      ("coverage_gap", () => graft.geom.Spatial.coverageGapQuery(spark, sf).collect().map(_.toString).sorted),
+      ("tile_pyramid", () => graft.geom.Heatmap.tilePyramidQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

@@ -677,6 +677,35 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "no coverage gap anywhere")
   }
 
+  test("tile pyramid equals a direct per-level recomputation; mass invariant per level") {
+    import graft.geom.Heatmap
+    val mask = (1L << 29) - 1
+    val base = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select("cell").collect().map(_.getLong(0))
+      .groupBy(identity).map { case (c, v) => (c, v.length.toLong) }
+    // direct recomputation: coarsen every point straight to each level
+    val expected = (Heatmap.PyramidFloor to CellIndex.DefaultLevel).flatMap { lvl =>
+      val d = CellIndex.DefaultLevel - lvl
+      base.toSeq.map { case (c, n) =>
+        ((lvl.toLong << 58) | ((((c >> 29) & mask) >> d) << 29) | ((c & mask) >> d), n)
+      }.groupBy(_._1).map { case (cell, v) => (lvl.toLong, cell, v.map(_._2).sum) }
+    }.toSet
+    val got = Heatmap.tilePyramidQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // every level carries the full point mass; coarser levels have fewer cells
+    val byLevel = got.groupBy(_._1)
+    val total = base.values.sum
+    for ((lvl, rows) <- byLevel) {
+      assert(rows.toSeq.map(_._3).sum == total, s"level $lvl lost mass")
+    }
+    val sizes = byLevel.view.mapValues(_.size).toMap
+    for (lvl <- Heatmap.PyramidFloor until CellIndex.DefaultLevel)
+      assert(sizes(lvl.toLong) <= sizes(lvl + 1L), s"level $lvl not coarser")
+    assert(sizes(Heatmap.PyramidFloor.toLong) < sizes(CellIndex.DefaultLevel.toLong),
+      "pyramid never coarsened")
+  }
+
   test("union area equals a sequential interval-merge sweep; bounds hold") {
     val rects = Fixtures.table(spark, sf, "bursts")
       .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
