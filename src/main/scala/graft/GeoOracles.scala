@@ -561,4 +561,26 @@ object GeoOracles {
        |SELECT p[3] AS part_key, count(*) AS n_rows,
        |       CAST(sum(${h60("doc_id || '|' || o::VARCHAR || '|' || mr")} % 1099511627776) AS BIGINT) AS checksum
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_spatial_card: every leg re-aggregates the corresponding standalone
+   * oracle's own derivation (declaration order matters — this val embeds the
+   * others, so it stays at the END of the object). */
+  val spatialCard: String = {
+    def leg(metric: String, agg: String, sub: String) =
+      s"SELECT '$metric' AS metric, CAST(($agg) AS BIGINT) AS value FROM ($sub) t"
+    Seq(
+      leg("n_bursts", "count(*)", s"SELECT * FROM ${fx("bursts")}"),
+      leg("n_scenes", "count(DISTINCT scene_id)", s"SELECT * FROM ${fx("bursts")}"),
+      leg("union_area_total", "sum(area)", unionArea),
+      leg("footprint_area2_total", "sum(area2)", shoelace),
+      leg("fill_cells", "count(*)", polyfill),
+      leg("fill_interior_cells", "count(*)", s"SELECT * FROM ($polyfill) p WHERE kind = 'in'"),
+      leg("gap_cells_total", "sum(n_gap)", coverageGap),
+      leg("dbscan_clusters", "count(DISTINCT cluster)", dbscan),
+      leg("dbscan_noise_pts", "count(*)", s"SELECT * FROM ($dbscan) d WHERE role = 'noise'"),
+      leg("pyramid_l8_cells", "count(*)", s"SELECT * FROM ($tilePyramid) q WHERE level = 8"),
+      leg("zorder_buckets", "count(*)", zorder),
+      leg("hilbert_buckets", "count(*)", hilbert)
+    ).mkString("\nUNION ALL\n")
+  }
 }

@@ -54,6 +54,40 @@ object Heatmap {
       .select(shiftright(col("cell"), 58).as("level"), col("cell"), col("n"))
   }
 
+  /**
+   * Spatial data card: the release report of the spatial family as ONE
+   * long-format (metric, value) frame — reports are queries, not a separate
+   * system (the corpus q_data_card device applied to geometry). Every row is
+   * an aggregate of an ALREADY-GATED operator, so the card is a composition
+   * proof: footprint counts, dissolved union area, exact shoelace area mass,
+   * polyfill fill/interior cells, coverage-gap totals, DBSCAN cluster/noise
+   * counts, pyramid/layout bucket counts. All BIGINT so the union compares
+   * exactly cross-engine.
+   */
+  def spatialCardQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.geom.{Spatial, Dbscan}
+    def one(metric: String, v: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
+      df.agg(v.cast("long").as("value")).select(lit(metric).as("metric"), col("value"))
+    val bursts = graft.gen.Fixtures.table(spark, sfDir, "bursts")
+    val fill = Spatial.polyfillQuery(spark, sfDir)
+    val dbscan = Dbscan.dbscanQuery(spark, sfDir)
+    Seq(
+      one("n_bursts", count(lit(1)), bursts),
+      one("n_scenes", countDistinct(col("scene_id")), bursts),
+      one("union_area_total", sum(col("area")), Spatial.unionAreaQuery(spark, sfDir)),
+      one("footprint_area2_total", sum(col("area2")), Spatial.shoelaceQuery(spark, sfDir)),
+      one("fill_cells", count(lit(1)), fill),
+      one("fill_interior_cells", count(lit(1)), fill.where(col("kind") === "in")),
+      one("gap_cells_total", sum(col("n_gap")), Spatial.coverageGapQuery(spark, sfDir)),
+      one("dbscan_clusters", countDistinct(col("cluster")), dbscan),
+      one("dbscan_noise_pts", count(lit(1)), dbscan.where(col("role") === "noise")),
+      one("pyramid_l8_cells", count(lit(1)),
+        tilePyramidQuery(spark, sfDir).where(col("level") === 8)),
+      one("zorder_buckets", count(lit(1)), Spatial.zorderQuery(spark, sfDir)),
+      one("hilbert_buckets", count(lit(1)), Spatial.hilbertQuery(spark, sfDir))
+    ).reduce(_ unionByName _)
+  }
+
   def heatmapQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
       .groupBy("cell").agg(count(lit(1)).as("n"))

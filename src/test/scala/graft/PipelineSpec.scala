@@ -1073,7 +1073,8 @@ class PipelineSpec extends AnyFunSuite {
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),
       ("coverage_gap", () => graft.geom.Spatial.coverageGapQuery(spark, sf).collect().map(_.toString).sorted),
-      ("tile_pyramid", () => graft.geom.Heatmap.tilePyramidQuery(spark, sf).collect().map(_.toString).sorted))
+      ("tile_pyramid", () => graft.geom.Heatmap.tilePyramidQuery(spark, sf).collect().map(_.toString).sorted),
+      ("spatial_card", () => graft.geom.Heatmap.spatialCardQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {

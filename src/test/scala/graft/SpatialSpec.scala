@@ -706,6 +706,23 @@ class SpatialSpec extends AnyFunSuite {
       "pyramid never coarsened")
   }
 
+  test("spatial card composes its gated components consistently") {
+    import graft.geom.Heatmap
+    val card = Heatmap.spatialCardQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // each leg equals its component query's own aggregate
+    assert(card("fill_cells") == Spatial.polyfillQuery(spark, sf).count())
+    assert(card("n_bursts") == Fixtures.table(spark, sf, "bursts").count())
+    // internal geometry consistency: interior is a subset of the fill, and the
+    // dissolved union cannot exceed half the summed area2 (area2 = 2x area)
+    assert(card("fill_interior_cells") <= card("fill_cells"))
+    assert(card("union_area_total") <= card("footprint_area2_total") / 2,
+      "union exceeds summed footprint area — dissolve broken")
+    assert(card("union_area_total") > card("footprint_area2_total") / 4,
+      "union suspiciously small")
+    assert(card.keySet.size == 12 && card.values.forall(_ >= 0))
+  }
+
   test("union area equals a sequential interval-merge sweep; bounds hold") {
     val rects = Fixtures.table(spark, sf, "bursts")
       .select("scene_id", "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
