@@ -360,9 +360,9 @@ object GeoOracles {
        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** q_hilbert: the xy2d state machine restated as an 11-round chained CTE
-   * rewrite (DuckDB xor() — `^` is exponent there; pure BIGINT). */
-  val hilbert: String = {
+  /** Shared xy2d Hilbert CTE chain (11 chained rewrite rounds, DuckDB xor()
+   * — `^` is exponent there; pure BIGINT); final CTE `r0` carries (cell, hd). */
+  private lazy val hilbertCtes: String = {
     val rounds = (0 until 11).reverse.map { k =>
       val s = 1L << k
       val prev = if (k == 10) "r11" else s"r${k + 1}"
@@ -374,7 +374,7 @@ object GeoOracles {
          |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
          |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev) t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+    s"""sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
        |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
        |      FROM sp WHERE s.kind = 'media'),
        |m AS (SELECT
@@ -389,11 +389,34 @@ object GeoOracles {
        |      FROM m),
        |r11 AS (SELECT (11::BIGINT << 58) | (iy << 29) | ix AS cell,
        |        ix AS hx, iy AS hy, 0::BIGINT AS hd FROM pt),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** q_hilbert: Hilbert layout-planning rollup over the shared CTE chain. */
+  val hilbert: String =
+    s"""WITH $hilbertCtes
        |SELECT hd >> ${graft.geom.Spatial.ZBucketShift} AS bucket,
        |       count(*) AS n_pts, count(DISTINCT cell) AS n_cells,
        |       min(hd) AS hmin, max(hd) AS hmax
        |FROM r0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_spatial_partition: balanced Hilbert range partitioning — exact
+   * cumulative point mass over the cell frame, greedy contiguous assignment
+   * to P ranges, per-partition load audit in ppm of the P-way ideal. */
+  val spatialPartition: String = {
+    val p = graft.geom.Spatial.RangeParts
+    s"""WITH $hilbertCtes,
+       |cells AS (SELECT hd, CAST(count(*) AS BIGINT) AS n_pts FROM r0 GROUP BY 1),
+       |cum AS (SELECT hd, n_pts,
+       |          CAST(sum(n_pts) OVER (ORDER BY hd
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |        FROM cells),
+       |tot AS (SELECT CAST(sum(n_pts) AS BIGINT) AS total FROM cells)
+       |SELECT least(${p - 1}, ((cum - 1) * $p) // total) AS part,
+       |  count(*) AS n_cells, CAST(sum(n_pts) AS BIGINT) AS n_pts,
+       |  min(hd) AS hmin, max(hd) AS hmax,
+       |  (CAST(sum(n_pts) AS BIGINT) * $p * 1000000) // max(total) AS load_ppm
+       |FROM cum, tot GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q_coverage_gap: AOI fp-lattice grid anti-joined against the shared

@@ -1279,4 +1279,34 @@ object PipelineOracles {
        |  CASE WHEN n_pred = 0 THEN 0 ELSE (tp * 1000000) // n_pred END AS precision_ppm,
        |  CASE WHEN n_true = 0 THEN 0 ELSE (tp * 1000000) // n_true END AS recall_ppm
        |FROM j ORDER BY label""".stripMargin
+
+  /** q_line_dedup: C4-style line-level exact dedup over planted boilerplate
+   * lines. Positions mirror the engine's posexplode over the null-filtered
+   * line array (content always pos 0; each planted line's pos counts the
+   * planted lines before it); the keep-first key packs (doc_id, pos) as
+   * doc_id*4+pos (pos < 4), identical ordering to the engine's min-struct. */
+  val lineDedup: String = {
+    import graft.text.Curation.{BoilerFooter, BoilerLegal}
+    s"""WITH l AS (
+       |  SELECT doc_id, 0 AS pos, text AS line FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 1, '$BoilerFooter' FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 1 + CAST(doc_id % 7 = 0 AS INT), '$BoilerLegal'
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 1 + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT),
+       |    'promo code team' || CAST(doc_id // 44 AS VARCHAR)
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 11 = 0),
+       |k AS (SELECT doc_id, pos, line, ${h60("line")} AS h FROM l),
+       |f AS (SELECT h, min(doc_id * 4 + pos) AS min_kk, count(*) AS n_copies
+       |      FROM k GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN doc_id * 4 + pos = min_kk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(length(line)) AS BIGINT) AS chars_before,
+       |  CAST(sum(CASE WHEN doc_id * 4 + pos = min_kk THEN length(line) ELSE 0 END) AS BIGINT) AS chars_after,
+       |  CAST(max(CASE WHEN doc_id * 4 + pos = min_kk THEN 0 ELSE n_copies END) AS BIGINT) AS max_dup_copies
+       |FROM k JOIN f USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

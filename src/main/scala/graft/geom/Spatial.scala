@@ -621,8 +621,12 @@ object Spatial {
    * (4^3-aligned Hilbert ranges are aligned subsquares), the target-file
    * granularity. One map pass + one rollup shuffle.
    */
-  def hilbertQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir).select(col("cell"))
+  /** Append the Hilbert index `hd` (xy2d flip+transpose state machine,
+   * unrolled into 11 integer column-rewrite rounds) to a frame bearing a
+   * packed level-11 `cell`. Shared by the layout-planning and balanced-
+   * partitioning gates; pure per-row integer ops, bit-identical to the DuckDB
+   * CTE chain. */
+  def withHilbertIdx(pts: DataFrame): DataFrame = {
     val mask = (1L << 29) - 1
     var df = pts
       .withColumn("hx", col("cell").bitwiseAND(mask))
@@ -646,9 +650,53 @@ object Spatial {
         .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
         .drop("nx", "ny", s"rx_$k", s"ry_$k")
     }
-    df.groupBy(shiftright(col("hd"), ZBucketShift).as("bucket"))
+    df
+  }
+
+  def hilbertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir).select(col("cell"))
+    withHilbertIdx(pts)
+      .groupBy(shiftright(col("hd"), ZBucketShift).as("bucket"))
       .agg(count(lit(1)).as("n_pts"), countDistinct(col("cell")).as("n_cells"),
         min(col("hd")).as("hmin"), max(col("hd")).as("hmax"))
+  }
+
+  /** Target partition count for the balanced range-partitioner gate. */
+  val RangeParts = 8
+
+  /**
+   * Balanced spatial range partitioning (q_spatial_partition) — the planner
+   * behind `repartitionByRange`-style spatial layout and an Iceberg
+   * write-distribution/sort-order: assign contiguous Hilbert-key ranges to P
+   * partitions so each carries ~1/P of the POINT mass (not the cell count —
+   * density skew is the whole problem). Spark's own RangePartitioner samples
+   * nondeterministically; this gate computes the boundaries EXACTLY from the
+   * aggregated cell frame, which is both deterministic (gateable) and the
+   * stronger guarantee: greedy cumulative assignment bounds every partition by
+   * target + heaviest-single-cell.
+   *
+   * Scale posture: the only point-level pass is the groupBy(hd) reduction
+   * (map-side combined). The cumulative window runs on the CELL frame —
+   * bounded by 4^11 rows regardless of corpus size (a once-per-snapshot
+   * planning pass), so the single-partition window is a deliberate,
+   * documented choice, not a scale bug. Totals broadcast back.
+   */
+  def spatialPartitionQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir).select(col("cell"))
+    val cells = withHilbertIdx(pts).groupBy("hd").agg(count(lit(1)).as("n_pts"))
+    val cum = cells.withColumn("cum",
+      sum(col("n_pts")).over(Window.orderBy("hd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = cells.agg(sum(col("n_pts")).as("total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("part",
+        least(lit(RangeParts - 1L), expr(s"((cum - 1) * $RangeParts) div total")))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_pts")).as("n_pts"),
+        min(col("hd")).as("hmin"), max(col("hd")).as("hmax"))
+      .crossJoin(broadcast(total))
+      .withColumn("load_ppm", expr(s"(n_pts * $RangeParts * 1000000) div total"))
+      .drop("total")
   }
 
   /**

@@ -376,4 +376,54 @@ object Curation {
         "CAST(v AS BIGINT) AS value_q")
     base.unionByName(hll).unionByName(qs)
   }
+
+  /** The three planted boilerplate lines for q_line_dedup (the C4 scenario:
+   * navigation chrome / legal footers repeated verbatim across pages — the
+   * synthetic corpus has none, so the query plants them, the same device as
+   * piiScrub's planted emails). */
+  val BoilerFooter = "subscribe to our newsletter for weekly updates"
+  val BoilerLegal = "all rights reserved terms of service apply"
+
+  /**
+   * q_line_dedup — C4-style line-level exact deduplication (Raffel et al.
+   * 2020 §2.2: "we discarded all but one of any three-sentence span occurring
+   * more than once"; RefinedWeb/FineWeb run the same pass at line
+   * granularity). Each doc contributes its content line plus deterministic
+   * planted boilerplate: a global footer for every 7th doc, a legal line for
+   * every 5th, and a group-shared promo line (doc_id div 44) for every 11th.
+   * The keep-first rule: the (doc_id, pos)-least instance of each distinct
+   * line survives; later copies are removed and the doc keeps its residual
+   * character mass.
+   *
+   * Scale posture: the line stream is the big frame (10^12 docs x ~40 lines).
+   * The keeper is a groupBy(line-hash) min-struct AGGREGATE, not a window —
+   * a global boilerplate line is a 10^11-row key at corpus scale, and a
+   * window would serialize that partition while the aggregate combines
+   * map-side and leaves one row per distinct line. The join back is a plain
+   * hash equi-join on the line hash (AQE handles the hot keys); the per-doc
+   * rollup is the only other shuffle.
+   */
+  def lineDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lines = docs(spark, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        s"filter(array(text, " +
+          s"IF(doc_id % 7 = 0, '$BoilerFooter', NULL), " +
+          s"IF(doc_id % 5 = 0, '$BoilerLegal', NULL), " +
+          s"IF(doc_id % 11 = 0, concat('promo code team', CAST(doc_id div 44 AS STRING)), NULL)), " +
+        "x -> x IS NOT NULL)")).as(Seq("pos", "line")))
+    val keyed = lines.withColumn("h", expr(h60("line")))
+    val first = keyed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("keeper"),
+        count(lit(1)).as("n_copies"))
+    keyed.join(first, Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("keeper.doc_id") && col("pos") === col("keeper.pos"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(length(col("line")).cast("long")).as("chars_before"),
+        sum(when(col("kept"), length(col("line")).cast("long")).otherwise(0L)).as("chars_after"),
+        max(when(!col("kept"), col("n_copies")).otherwise(0L)).as("max_dup_copies"))
+  }
 }

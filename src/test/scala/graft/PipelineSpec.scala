@@ -647,6 +647,41 @@ class PipelineSpec extends AnyFunSuite {
       raw.count { case (id, _) => id % 13 == 0 || id % 17 == 0 })
   }
 
+  test("line dedup: keep-first boilerplate removal matches direct recomputation") {
+    import graft.text.Curation
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null).sortBy(_._1)
+    // direct recomputation: expand lines exactly as the query plants them
+    val lines = raw.flatMap { case (id, t) =>
+      val ls = Seq(Some(t),
+        if (id % 7 == 0) Some(Curation.BoilerFooter) else None,
+        if (id % 5 == 0) Some(Curation.BoilerLegal) else None,
+        if (id % 11 == 0) Some(s"promo code team${id / 44}") else None).flatten
+      ls.zipWithIndex.map { case (l, pos) => (id, pos, l) }
+    }
+    val keeper = lines.groupBy(_._3).map { case (l, g) =>
+      l -> ((g.map(x => (x._1, x._2)).min, g.size.toLong))
+    }
+    val exp = lines.groupBy(_._1).map { case (id, g) =>
+      val kept = g.filter(x => keeper(x._3)._1 == ((x._1, x._2)))
+      id -> ((g.length.toLong, kept.length.toLong,
+        g.map(_._3.length.toLong).sum, kept.map(_._3.length.toLong).sum,
+        g.filter(x => keeper(x._3)._1 != ((x._1, x._2))).map(x => keeper(x._3)._2)
+          .foldLeft(0L)(math.max)))
+    }
+    val got = Curation.lineDedupQuery(spark, sf)
+      .select("doc_id", "n_lines", "n_kept", "chars_before", "chars_after", "max_dup_copies")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == exp)
+    // the pass genuinely removes mass: every planted global footer past the first dies
+    val n7 = raw.count(_._1 % 7 == 0)
+    assert(n7 > 2 && got.values.map(v => v._1 - v._2).sum >= n7 - 1)
+    // keep-first: the least doc_id with a footer keeps it
+    val firstFooter = raw.map(_._1).filter(_ % 7 == 0).min
+    assert(got(firstFooter)._2 >= 2)
+  }
+
   test("ann truncate recall + knn classify match direct recomputation") {
     import graft.ann.Ann
     def cosD(a: Array[Double], b: Array[Double]): Double = {
@@ -1053,6 +1088,7 @@ class PipelineSpec extends AnyFunSuite {
       ("pagerank", () => Dedup.pagerankQuery(spark, sf).collect().map(_.toString).sorted),
       ("range_join", () => graft.streaming.Events.rangeJoinQuery(spark, sf).collect().map(_.toString).sorted),
       ("corpus_split", () => graft.text.Curation.corpusSplitQuery(spark, sf).collect().map(_.toString).sorted),
+      ("line_dedup", () => graft.text.Curation.lineDedupQuery(spark, sf).collect().map(_.toString).sorted),
       ("source_overlap", () => graft.sketch.Sketches.sourceOverlapQuery(spark, sf).collect().map(_.toString).sorted),
       ("ivfpq", () => graft.ann.Ann.ivfPqTopKQuery(spark, sf).collect().map(_.toString).sorted),
       ("data_card", () => graft.text.Curation.dataCardQuery(spark, sf).collect().map(_.toString).sorted),
@@ -1069,6 +1105,7 @@ class PipelineSpec extends AnyFunSuite {
       ("shoelace", () => graft.geom.Spatial.shoelaceQuery(spark, sf).collect().map(_.toString).sorted),
       ("zorder", () => graft.geom.Spatial.zorderQuery(spark, sf).collect().map(_.toString).sorted),
       ("hilbert", () => graft.geom.Spatial.hilbertQuery(spark, sf).collect().map(_.toString).sorted),
+      ("spatial_partition", () => graft.geom.Spatial.spatialPartitionQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

@@ -547,6 +547,56 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("spatial partition: balanced Hilbert ranges match recomputation; balance bound holds") {
+    def xy2d(n: Long, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L); var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val P = Spatial.RangeParts
+    val mask = (1L << 29) - 1
+    val pts = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select("cell").collect().map(_.getLong(0))
+    val weights = pts.map(c => xy2d(2048, c & mask, (c >> 29) & mask))
+      .groupBy(identity).map { case (hd, v) => hd -> v.length.toLong }
+      .toSeq.sortBy(_._1)
+    val total = weights.map(_._2).sum
+    var cum = 0L
+    val assigned = weights.map { case (hd, w) =>
+      cum += w
+      (math.min(P - 1L, ((cum - 1) * P) / total), hd, w)
+    }
+    val expected = assigned.groupBy(_._1).map { case (part, g) =>
+      (part, g.length.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max,
+        g.map(_._3).sum * P * 1000000L / total)
+    }.toSet
+    val got = Spatial.spatialPartitionQuery(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // all P partitions populated; ranges contiguous and disjoint; mass conserved
+    assert(got.map(_._1) == (0L until P.toLong).toSet)
+    val byPart = got.toSeq.sortBy(_._1)
+    byPart.sliding(2).foreach { case Seq(a, b) => assert(a._5 < b._4) case _ => }
+    assert(byPart.map(_._3).sum == total)
+    // the greedy-contiguous balance bound: every partition <= ideal + heaviest cell
+    val heaviest = weights.map(_._2).max
+    byPart.foreach { case (p, _, w, _, _, _) =>
+      assert(w <= total / P + heaviest, s"partition $p overloaded: $w")
+    }
+    // skew is genuinely present in the fixture (the op is doing real work):
+    // cell count per partition varies even though point mass is balanced
+    assert(byPart.map(_._2).distinct.size > 1)
+  }
+
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
     val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
     val fill = Spatial.polyfillQuery(spark, sf).collect()
