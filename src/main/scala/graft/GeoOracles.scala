@@ -606,4 +606,75 @@ object GeoOracles {
       leg("hilbert_buckets", "count(*)", hilbert)
     ).mkString("\nUNION ALL\n")
   }
+
+  /** q_clip_area: Sutherland–Hodgman quad-x-rect clip area as four chained
+   * list-rewrite CTE stages (one per rect half-plane), arithmetic in the
+   * exact textual order of the engine kernel (t = (bound-p)/(c-p);
+   * o = po + (co-po)*t; floor(o*256)/256 snap), shoelace x 2^16 at the end.
+   * Candidates come from a plain bbox-overlap join (independent of the
+   * engine's cell-cover prune); the area > 0 filter equalizes both sides. */
+  val clipArea: String = {
+    def fpx(c: String) =
+      s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
+    def fpy(c: String) =
+      s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
+    val prevIdx = "CASE WHEN i = 1 THEN len(p) ELSE i - 1 END"
+    def stage(name: String, src: String, axis: String, bound: String, ge: Boolean): String = {
+      val op = if (ge) ">=" else "<="
+      val cur = "p[i]"
+      val prv = s"p[$prevIdx]"
+      val cIn = s"$cur.$axis $op $bound"
+      val pIn = s"$prv.$axis $op $bound"
+      val inter =
+        if (axis == "x")
+          s"{'x': CAST($bound AS DOUBLE), 'y': floor(($prv.y + ($cur.y - $prv.y) * (($bound - $prv.x) / ($cur.x - $prv.x))) * 256.0) / 256.0}"
+        else
+          s"{'x': floor(($prv.x + ($cur.x - $prv.x) * (($bound - $prv.y) / ($cur.y - $prv.y))) * 256.0) / 256.0, 'y': CAST($bound AS DOUBLE)}"
+      // MATERIALIZED is load-bearing: each stage references `p` ~12 times, so
+      // default CTE inlining would raise the expression tree to the 4th power
+      // (a planner/memory blowup, the round-3 oracle-OOM failure class)
+      s"""$name AS MATERIALIZED (SELECT * REPLACE(flatten(list_transform(range(1, len(p) + 1), i ->
+         |  CASE WHEN $cIn AND $pIn THEN [$cur]
+         |       WHEN $cIn AND NOT ($pIn) THEN [$inter, $cur]
+         |       WHEN NOT ($cIn) AND $pIn THEN [$inter]
+         |       ELSE []::STRUCT(x DOUBLE, y DOUBLE)[] END)) AS p) FROM $src)""".stripMargin
+    }
+    val nextIdx = "CASE WHEN i = len(p) THEN 1 ELSE i + 1 END"
+    val shoelace =
+      s"""CASE WHEN len(p) < 3 THEN 0
+         |  ELSE CAST(abs(list_sum(list_transform(range(1, len(p) + 1), i ->
+         |    p[i].x * p[$nextIdx].y - p[$nextIdx].x * p[i].y))) * 65536.0 AS BIGINT) END""".stripMargin
+    val corners = (1 to 4).map(i =>
+      s"{'x': CAST(fx$i - ox AS DOUBLE), 'y': CAST(fy$i - oy AS DOUBLE)}").mkString(", ")
+    val burstArea2 = (1 to 4).map { i =>
+      val j = i % 4 + 1
+      s"(fx$i - ox) * (fy$j - oy) - (fx$j - ox) * (fy$i - oy)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT scene_id, subswath, burst_idx,
+       |    ${(1 to 4).map(i => s"${fpx(s"lon$i")} AS fx$i, ${fpy(s"lat$i")} AS fy$i").mkString(", ")}
+       |  FROM ${fx("bursts")}),
+       |a AS (SELECT aoi_id, ${fpx("lon_min")} AS rfx0, ${fpy("lat_min")} AS rfy0,
+       |    ${fpx("lon_max")} AS rfx1, ${fpy("lat_max")} AS rfy1 FROM ${fx("aoi")}),
+       |pr AS (SELECT a.aoi_id, b.*, a.rfx0, a.rfy0, a.rfx1, a.rfy1,
+       |    least(fx1, fx2, fx3, fx4) AS ox, least(fy1, fy2, fy3, fy4) AS oy
+       |  FROM a JOIN b
+       |    ON least(fx1, fx2, fx3, fx4) <= a.rfx1 AND greatest(fx1, fx2, fx3, fx4) >= a.rfx0
+       |   AND least(fy1, fy2, fy3, fy4) <= a.rfy1 AND greatest(fy1, fy2, fy3, fy4) >= a.rfy0),
+       |p0 AS (SELECT aoi_id, scene_id, subswath, burst_idx,
+       |    CAST(rfx0 - ox AS DOUBLE) AS bx0, CAST(rfy0 - oy AS DOUBLE) AS by0,
+       |    CAST(rfx1 - ox AS DOUBLE) AS bx1, CAST(rfy1 - oy AS DOUBLE) AS by1,
+       |    abs($burstArea2) AS burst_area2,
+       |    [$corners] AS p
+       |  FROM pr),
+       |${stage("s1", "p0", "x", "bx0", ge = true)},
+       |${stage("s2", "s1", "x", "bx1", ge = false)},
+       |${stage("s3", "s2", "y", "by0", ge = true)},
+       |${stage("s4", "s3", "y", "by1", ge = false)},
+       |ar AS (SELECT aoi_id, scene_id, subswath, burst_idx, burst_area2,
+       |    $shoelace AS area_q
+       |  FROM s4)
+       |SELECT aoi_id, scene_id, subswath, burst_idx, area_q, burst_area2,
+       |  ((area_q // 256) * 1000000) // (burst_area2 * 256) AS cov_ppm
+       |FROM ar WHERE area_q > 0 ORDER BY 1, 2, 3, 4""".stripMargin
+  }
 }

@@ -884,8 +884,30 @@ case class DpIndexExpr(chs: Seq[Expression], w: Int, h: Int, m: Int, mode: Int)
     copy(chs = c)
 }
 
+/** Convex-quad x axis-aligned-rect Sutherland–Hodgman clip area (q_clip_area):
+ * 12 double children (4 quad corners + rect bounds, pair-local fp lattice) →
+ * quantized |2·area|·2^16 as LONG. */
+case class ClipAreaExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  override def children: Seq[Expression] = chs
+  override def dataType: DataType = LongType
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.clipAreaQ(${args.mkString(", ")})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.clipAreaQ(
+      args(0).asInstanceOf[Double], args(1).asInstanceOf[Double],
+      args(2).asInstanceOf[Double], args(3).asInstanceOf[Double],
+      args(4).asInstanceOf[Double], args(5).asInstanceOf[Double],
+      args(6).asInstanceOf[Double], args(7).asInstanceOf[Double],
+      args(8).asInstanceOf[Double], args(9).asInstanceOf[Double],
+      args(10).asInstanceOf[Double], args(11).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(chs = c)
+}
+
 object KernelExprs {
   import GraftColumn.{column => toCol, expression => toExpr}
+
+  def clipAreaQ(chs: Seq[Column]): Column = toCol(ClipAreaExpr(chs.map(toExpr)))
 
   def dpStokes(chs: Seq[Column], w: Int, h: Int, m: Int): Column =
     toCol(DpStokesExpr(chs.map(toExpr), w, h, m))

@@ -4504,4 +4504,65 @@ object Kernels {
       UnsafeArrayData.fromPrimitiveArray(ionoQ),
       UnsafeArrayData.fromPrimitiveArray(corrQ))
   }
+
+  /**
+   * Sutherland–Hodgman clip of a convex quad by an axis-aligned rectangle,
+   * in pair-local fp-lattice coordinates (the q_clip_area ST_Intersection →
+   * ST_Area analog). Returns |doubled shoelace area| scaled by 2^16 as a
+   * BIGINT — exact: inputs are integers translated to the burst-bbox origin
+   * (|coord| < 2^18), every computed intersection ordinate is snapped to the
+   * 2^-8 dyadic grid, so shoelace products carry ≤ (18+8)*2 = 52 significant
+   * bits and the 2^16 scaling is a pure exponent shift. The intersection
+   * arithmetic (t = (bound-p)/(c-p); o = po + (co-po)*t; floor(o*256)/256)
+   * is evaluated in textually identical order by the DuckDB staged-CTE twin,
+   * so results are bit-identical cross-engine.
+   */
+  def clipAreaQ(x1: Double, y1: Double, x2: Double, y2: Double,
+      x3: Double, y3: Double, x4: Double, y4: Double,
+      rx0: Double, ry0: Double, rx1: Double, ry1: Double): Long = {
+    var pxs = Array(x1, x2, x3, x4)
+    var pys = Array(y1, y2, y3, y4)
+    var n = 4
+    // clip by one half-plane: keepGE ? coord >= bound : coord <= bound
+    def stage(axis: Int, bound: Double, keepGE: Boolean): Unit = {
+      val nx = new Array[Double](n * 2); val ny = new Array[Double](n * 2)
+      var m = 0; var i = 0
+      while (i < n) {
+        val j = if (i == 0) n - 1 else i - 1
+        val cx = pxs(i); val cy = pys(i)
+        val px = pxs(j); val py = pys(j)
+        val cc = if (axis == 0) cx else cy
+        val pc = if (axis == 0) px else py
+        val cIn = if (keepGE) cc >= bound else cc <= bound
+        val pIn = if (keepGE) pc >= bound else pc <= bound
+        if (cIn != pIn) {
+          val t = (bound - pc) / (cc - pc)
+          if (axis == 0) {
+            nx(m) = bound
+            ny(m) = math.floor((py + (cy - py) * t) * 256.0) / 256.0
+          } else {
+            nx(m) = math.floor((px + (cx - px) * t) * 256.0) / 256.0
+            ny(m) = bound
+          }
+          m += 1
+        }
+        if (cIn) { nx(m) = cx; ny(m) = cy; m += 1 }
+        i += 1
+      }
+      pxs = nx; pys = ny; n = m
+    }
+    stage(0, rx0, keepGE = true)
+    stage(0, rx1, keepGE = false)
+    stage(1, ry0, keepGE = true)
+    stage(1, ry1, keepGE = false)
+    if (n < 3) return 0L
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val j = if (i == n - 1) 0 else i + 1
+      s += pxs(i) * pys(j) - pxs(j) * pys(i)
+      i += 1
+    }
+    val a = if (s < 0) -s else s
+    (a * 65536.0).toLong
+  }
 }

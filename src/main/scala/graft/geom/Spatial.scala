@@ -253,6 +253,65 @@ object Spatial {
           .otherwise("edge_cross").as("via"))
   }
 
+  /**
+   * Exact-area polygon clip join (q_clip_area) — the ST_Intersection →
+   * ST_Area composition: for every (AOI rectangle, burst footprint quad) pair
+   * that overlaps with positive area, the area of the intersection polygon by
+   * Sutherland–Hodgman half-plane clipping, plus the burst coverage fraction
+   * in ppm. This is the area-weighting primitive behind area-interpolated
+   * zonal statistics and coverage accounting (the toolbox's AOI selection
+   * stops at boolean intersects; area weighting is what a mosaic/coverage
+   * report needs).
+   *
+   * Geometry runs in pair-local fp-lattice coordinates (2^25 x 2^24 grid,
+   * translated to the burst bbox corner so every vertex magnitude stays under
+   * 2^18) with each computed intersection ordinate snapped to the 2^-8 dyadic
+   * grid — all IEEE-double steps evaluated in identical order by the compiled
+   * kernel (Kernels.clipAreaQ) and the DuckDB staged-CTE twin, so the
+   * quantized area is bit-exact cross-engine. Candidates come from the same
+   * broadcast cell-cover equi-join as footprintIntersectsQuery (cheap bbox
+   * phase), and the clip kernel runs map-side on candidates only; the > 0
+   * area filter makes the candidate superset immaterial.
+   */
+  def clipAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bRaw = Fixtures.table(spark, sfDir, "bursts")
+    val cornerCols = (1 to 4).flatMap(i => Seq(
+      fpx(col(s"lon$i")).as(s"fx$i"), fpy(col(s"lat$i")).as(s"fy$i")))
+    val bursts = bRaw.select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx")) ++ cornerCols ++ Seq(
+        explode(CellIndex.coverCol(
+          least(col("lon1"), col("lon2"), col("lon3"), col("lon4")),
+          least(col("lat1"), col("lat2"), col("lat3"), col("lat4")),
+          greatest(col("lon1"), col("lon2"), col("lon3"), col("lon4")),
+          greatest(col("lat1"), col("lat2"), col("lat3"), col("lat4")))).as("cell")): _*)
+    val aoi = Fixtures.table(spark, sfDir, "aoi").select(
+      col("aoi_id"),
+      fpx(col("lon_min")).as("rfx0"), fpy(col("lat_min")).as("rfy0"),
+      fpx(col("lon_max")).as("rfx1"), fpy(col("lat_max")).as("rfy1"),
+      explode(CellIndex.coverCol(
+        col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))).as("cell"))
+    val pairs = bursts.join(broadcast(aoi), Seq("cell")).drop("cell").distinct()
+      .withColumn("ox", least(col("fx1"), col("fx2"), col("fx3"), col("fx4")))
+      .withColumn("oy", least(col("fy1"), col("fy2"), col("fy3"), col("fy4")))
+    val args = (1 to 4).flatMap(i => Seq(
+      (col(s"fx$i") - col("ox")).cast("double"),
+      (col(s"fy$i") - col("oy")).cast("double"))) ++ Seq(
+      (col("rfx0") - col("ox")).cast("double"), (col("rfy0") - col("oy")).cast("double"),
+      (col("rfx1") - col("ox")).cast("double"), (col("rfy1") - col("oy")).cast("double"))
+    val burstArea2 = abs((1 to 4).map { i =>
+      val j = i % 4 + 1
+      (col(s"fx$i") - col("ox")) * (col(s"fy$j") - col("oy")) -
+        (col(s"fx$j") - col("ox")) * (col(s"fy$i") - col("oy"))
+    }.reduce(_ + _))
+    pairs
+      .withColumn("area_q", graft.exprs.KernelExprs.clipAreaQ(args))
+      .withColumn("burst_area2", burstArea2)
+      .where(col("area_q") > 0)
+      .select(col("aoi_id"), col("scene_id"), col("subswath"), col("burst_idx"),
+        col("area_q"), col("burst_area2"),
+        expr("((area_q div 256) * 1000000) div (burst_area2 * 256)").as("cov_ppm"))
+  }
+
   /** Fixed-point bits for the line rasterizer: lon on a 2^25 grid, lat on 2^24,
    * so a DefaultLevel(11) cell spans exactly 2^14 x 2^13 subunits. Floor
    * composition makes the fixed-point cell index identical to CellIndex's:

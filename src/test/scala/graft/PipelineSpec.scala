@@ -1106,6 +1106,7 @@ class PipelineSpec extends AnyFunSuite {
       ("zorder", () => graft.geom.Spatial.zorderQuery(spark, sf).collect().map(_.toString).sorted),
       ("hilbert", () => graft.geom.Spatial.hilbertQuery(spark, sf).collect().map(_.toString).sorted),
       ("spatial_partition", () => graft.geom.Spatial.spatialPartitionQuery(spark, sf).collect().map(_.toString).sorted),
+      ("clip_area", () => graft.geom.Spatial.clipAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

@@ -324,6 +324,11 @@ class SpatialSpec extends AnyFunSuite {
     val pg = plan(graft.geom.Geofence.geofenceQuery(spark, sf))
     assert(pg.contains("BroadcastHashJoin") && !pg.contains("SortMergeJoin") &&
       !pg.contains("CartesianProduct"), pg.take(2000))
+    // clip area: candidate prune is the broadcast cell equi-join; the clip
+    // kernel is map-side (no second join, no cartesian)
+    val pca = plan(Spatial.clipAreaQuery(spark, sf))
+    assert(pca.contains("BroadcastHashJoin") && !pca.contains("CartesianProduct") &&
+      !pca.contains("BroadcastNestedLoopJoin"), pca.take(2000))
   }
 
   test("polyfill equals a per-cell reference loop; interior/boundary split is sound") {
@@ -595,6 +600,98 @@ class SpatialSpec extends AnyFunSuite {
     // skew is genuinely present in the fixture (the op is doing real work):
     // cell count per partition varies even though point mass is balanced
     assert(byPart.map(_._2).distinct.size > 1)
+  }
+
+  test("clip area: within snap tolerance of an exact rational clip; invariants hold") {
+    // independent recomputation: Sutherland–Hodgman with EXACT BigInt rational
+    // arithmetic and NO snapping — a different derivation than the engine's
+    // dyadic-snapped double kernel, bounding its quantization error
+    case class R(n: BigInt, d: BigInt) {
+      def -(o: R) = R(n * o.d - o.n * d, d * o.d)
+      def +(o: R) = R(n * o.d + o.n * d, d * o.d)
+      def *(o: R) = R(n * o.n, d * o.d)
+      def /(o: R) = R(n * o.d, d * o.n)
+      def <=(o: R): Boolean = n * o.d * (d.sign * o.d.sign) <= o.n * d * (d.sign * o.d.sign)
+      def >=(o: R): Boolean = o <= this
+      def toDouble: Double = n.toDouble / d.toDouble
+    }
+    def r(v: Long) = R(BigInt(v), BigInt(1))
+    def clipExact(quad: Seq[(Long, Long)], rx0: Long, ry0: Long, rx1: Long, ry1: Long): Double = {
+      var poly = quad.map { case (x, y) => (r(x), r(y)) }
+      def stage(axis: Int, bound: R, keepGE: Boolean): Unit = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(R, R)]
+        for (i <- poly.indices) {
+          val c = poly(i); val p = poly(if (i == 0) poly.length - 1 else i - 1)
+          val cc = if (axis == 0) c._1 else c._2
+          val pc = if (axis == 0) p._1 else p._2
+          val cIn = if (keepGE) cc >= bound else cc <= bound
+          val pIn = if (keepGE) pc >= bound else pc <= bound
+          if (cIn != pIn) {
+            val t = (bound - pc) / (cc - pc)
+            out += (if (axis == 0) (bound, p._2 + (c._2 - p._2) * t)
+                    else (p._1 + (c._1 - p._1) * t, bound))
+          }
+          if (cIn) out += c
+        }
+        poly = out.toSeq
+      }
+      stage(0, r(rx0), keepGE = true); stage(0, r(rx1), keepGE = false)
+      stage(1, r(ry0), keepGE = true); stage(1, r(ry1), keepGE = false)
+      if (poly.length < 3) return 0.0
+      var s = R(0, 1)
+      for (i <- poly.indices) {
+        val j = (i + 1) % poly.length
+        s = s + poly(i)._1 * poly(j)._2 - poly(j)._1 * poly(i)._2
+      }
+      math.abs(s.toDouble)
+    }
+    def fpxD(lon: Double) = math.min((1L << 25) - 1, math.max(0L,
+      math.floor((lon + 180.0) / 360.0 * (1L << 25).toDouble).toLong))
+    def fpyD(lat: Double) = math.min((1L << 24) - 1, math.max(0L,
+      math.floor((lat + 90.0) / 180.0 * (1L << 24).toDouble).toLong))
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "subswath", "burst_idx",
+        "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4").collect()
+      .map(row => ((row.getString(0), row.getString(1), row.getInt(2)),
+        (1 to 4).map(i => (fpxD(row.getDouble(2 * i + 1)), fpyD(row.getDouble(2 * i + 2)))))).toMap
+    val aois = Fixtures.table(spark, sf, "aoi")
+      .select("aoi_id", "lon_min", "lat_min", "lon_max", "lat_max").collect()
+      .map(row => row.getString(0) ->
+        ((fpxD(row.getDouble(1)), fpyD(row.getDouble(2)), fpxD(row.getDouble(3)), fpyD(row.getDouble(4))))).toMap
+    val got = Spatial.clipAreaQuery(spark, sf).collect().map(row =>
+      ((row.getString(0), row.getString(1), row.getString(2), row.getInt(3)),
+        (row.getLong(4), row.getLong(5), row.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    var exactPos = 0
+    for ((aoiId, (rx0, ry0, rx1, ry1)) <- aois; (bk, quad) <- bursts) {
+      val exact = clipExact(quad, rx0, ry0, rx1, ry1)
+      val key = (aoiId, bk._1, bk._2, bk._3)
+      // snap tolerance: each of <= 8 vertices moves <= 2^-8; |dA| <= perimeter * 2^-8
+      val per = 8.0 * 2 * ((quad.map(_._1).max - quad.map(_._1).min) +
+        (quad.map(_._2).max - quad.map(_._2).min)).toDouble
+      val tol = per / 256.0 + 1.0
+      got.get(key) match {
+        case Some((areaQ, burstA2, covPpm)) =>
+          assert(math.abs(areaQ / 65536.0 - exact) <= tol,
+            s"$key: engine ${areaQ / 65536.0} vs exact $exact (tol $tol)")
+          // clipped area cannot exceed the burst area (plus snap tolerance)
+          assert(areaQ / 65536.0 <= burstA2 + tol)
+          assert(covPpm <= 1000000 + 2000, s"$key cov_ppm $covPpm")
+        case None =>
+          assert(exact <= tol, s"$key: exact overlap $exact missing from engine output")
+      }
+      if (exact > per / 256.0 + 1.0) exactPos += 1
+    }
+    // every solidly-overlapping pair is present, and the fixture has plenty
+    assert(exactPos > 10 && got.size >= exactPos)
+    // agreement with the boolean intersects gate: positive-area pairs are a
+    // subset of the exact intersects pairs (which also include touch-only)
+    val boolPairs = Spatial.footprintIntersectsQuery(spark, sf).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getString(2), row.getInt(3))).toSet
+    val missing = got.keySet.filterNot(boolPairs)
+    // fp-lattice quantization can flip sliver pairs near the boundary; solid
+    // overlaps (cov >= 1%) must all be in the boolean gate
+    assert(missing.forall(k => got(k)._3 < 10000), s"solid clip pairs missing from intersects: $missing")
   }
 
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
