@@ -677,4 +677,24 @@ object GeoOracles {
        |  ((area_q // 256) * 1000000) // (burst_area2 * 256) AS cov_ppm
        |FROM ar WHERE area_q > 0 ORDER BY 1, 2, 3, 4""".stripMargin
   }
+
+  /** q_zonal_area: areal interpolation — per-burst mean q6 power weighted by
+   * the clip-area overlap (the clipArea oracle as a derived table), per-AOI. */
+  val zonalArea: String =
+    s"""WITH ca AS (SELECT aoi_id, scene_id, subswath, burst_idx,
+       |    area_q // 16777216 AS w FROM ($clipArea)),
+       |t AS (SELECT scene_id, subswath, burst_idx, no_data,
+       |    unnest(i) AS iv, unnest(q) AS qv
+       |  FROM ${fx("tiles")} WHERE pol = 'VV'),
+       |pw AS (SELECT scene_id, subswath, burst_idx, count(*) AS n_px,
+       |    CAST(sum(CAST(floor(0.031415926535897934 + (iv * iv + qv * qv) * 1e6) AS BIGINT)) AS BIGINT) AS pow_q
+       |  FROM t WHERE iv <> no_data GROUP BY 1, 2, 3),
+       |m AS (SELECT *, pow_q // n_px AS mean_pq FROM pw)
+       |SELECT aoi_id, count(*) AS n_bursts,
+       |  CAST(sum(w) AS BIGINT) AS area_sum,
+       |  CAST(sum(w * mean_pq) AS BIGINT) AS wpow_sum,
+       |  CASE WHEN CAST(sum(w) AS BIGINT) = 0 THEN 0
+       |       ELSE CAST(sum(w * mean_pq) AS BIGINT) // CAST(sum(w) AS BIGINT) END AS wmean_pq
+       |FROM ca JOIN m USING (scene_id, subswath, burst_idx)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

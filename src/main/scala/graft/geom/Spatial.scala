@@ -312,6 +312,45 @@ object Spatial {
         expr("((area_q div 256) * 1000000) div (burst_area2 * 256)").as("cov_ppm"))
   }
 
+  /**
+   * Area-weighted zonal statistics (q_zonal_area) — areal interpolation, the
+   * composition the clip-area primitive exists for: each overlapping burst
+   * contributes its mean pixel power weighted by the EXACT overlap area with
+   * the AOI (the census-block / coverage-report standard), rather than
+   * zonalStatsQuery's per-pixel point-in-rect test. Per-AOI rollup reports
+   * burst count, total overlap area, and the area-weighted mean power.
+   *
+   * Exactness: weights are the clip kernel's quantized areas descaled by 2^24
+   * (resolution ~2^8 lattice units² — keeps every product and sum far inside
+   * BIGINT); mean power is the shared q6 pixel quantization with integer
+   * division. Scale: the per-burst power rollup is one map-side-combined
+   * aggregation of the tile stream; the weight frame is the (already tiny)
+   * clip-pair frame; the join is burst-keyed hash, the final rollup per-AOI.
+   */
+  def zonalAreaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val tw = graft.model.Layout.TileW
+    val power = Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV")
+      .select(col("scene_id"), col("subswath"), col("burst_idx"),
+        col("no_data"), posexplode(col("i")).as(Seq("k", "iv")),
+        col("q"))
+      .withColumn("qv", element_at(col("q"), col("k") + 1))
+      .where(col("iv") =!= col("no_data"))
+      .groupBy("scene_id", "subswath", "burst_idx")
+      .agg(count(lit(1)).as("n_px"),
+        sum(floor(lit(0.031415926535897934) +
+          (col("iv") * col("iv") + col("qv") * col("qv")) * 1e6).cast("long")).as("pow_q"))
+      .withColumn("mean_pq", expr("pow_q div n_px"))
+    val weights = clipAreaQuery(spark, sfDir)
+      .withColumn("w", expr("area_q div 16777216"))
+    weights.join(power, Seq("scene_id", "subswath", "burst_idx"))
+      .groupBy("aoi_id")
+      .agg(count(lit(1)).as("n_bursts"),
+        sum(col("w")).as("area_sum"),
+        sum(col("w") * col("mean_pq")).as("wpow_sum"))
+      .withColumn("wmean_pq",
+        expr("CASE WHEN area_sum = 0 THEN 0L ELSE wpow_sum div area_sum END"))
+  }
+
   /** Fixed-point bits for the line rasterizer: lon on a 2^25 grid, lat on 2^24,
    * so a DefaultLevel(11) cell spans exactly 2^14 x 2^13 subunits. Floor
    * composition makes the fixed-point cell index identical to CellIndex's:

@@ -1107,6 +1107,7 @@ class PipelineSpec extends AnyFunSuite {
       ("hilbert", () => graft.geom.Spatial.hilbertQuery(spark, sf).collect().map(_.toString).sorted),
       ("spatial_partition", () => graft.geom.Spatial.spatialPartitionQuery(spark, sf).collect().map(_.toString).sorted),
       ("clip_area", () => graft.geom.Spatial.clipAreaQuery(spark, sf).collect().map(_.toString).sorted),
+      ("zonal_area", () => graft.geom.Spatial.zonalAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

@@ -694,6 +694,41 @@ class SpatialSpec extends AnyFunSuite {
     assert(missing.forall(k => got(k)._3 < 10000), s"solid clip pairs missing from intersects: $missing")
   }
 
+  test("zonal area: areal interpolation matches a plain-Scala weighted rollup; mean bounds hold") {
+    // independent per-burst mean power from the raw tiles
+    val pow = scala.collection.mutable.Map.empty[(String, String, Int), (Long, Long)]
+    Fixtures.table(spark, sf, "tiles").where(col("pol") === "VV")
+      .select("scene_id", "subswath", "burst_idx", "i", "q", "no_data")
+      .as[(String, String, Int, Array[Double], Array[Double], Double)].collect()
+      .foreach { case (sc, sw, b, iv, qv, nd) =>
+        for (k <- iv.indices if iv(k) != nd) {
+          val p = math.floor(0.031415926535897934 + (iv(k) * iv(k) + qv(k) * qv(k)) * 1e6).toLong
+          val (n, s) = pow.getOrElse((sc, sw, b), (0L, 0L))
+          pow((sc, sw, b)) = (n + 1, s + p)
+        }
+      }
+    val mean = pow.map { case (k, (n, s)) => k -> s / n }
+    // weights from the (independently gate-checked) clip-area op
+    val weights = Spatial.clipAreaQuery(spark, sf).collect().map(r =>
+      (r.getString(0), (r.getString(1), r.getString(2), r.getInt(3)), r.getLong(4) / 16777216L))
+    val exp = weights.groupBy(_._1).map { case (aoi, g) =>
+      val ws = g.map(_._3).sum
+      val wp = g.map(x => x._3 * mean(x._2)).sum
+      aoi -> ((g.length.toLong, ws, wp, if (ws == 0) 0L else wp / ws))
+    }
+    val got = Spatial.zonalAreaQuery(spark, sf)
+      .select("aoi_id", "n_bursts", "area_sum", "wpow_sum", "wmean_pq")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty)
+    // a weighted mean lies within the contributing bursts' mean range
+    for ((aoi, (_, ws, _, wm)) <- got if ws > 0) {
+      val ms = weights.filter(w => w._1 == aoi && w._3 > 0).map(x => mean(x._2))
+      assert(wm >= ms.min - 1 && wm <= ms.max + 1, s"$aoi weighted mean $wm outside [$ms]")
+    }
+  }
+
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
     val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
     val fill = Spatial.polyfillQuery(spark, sf).collect()
