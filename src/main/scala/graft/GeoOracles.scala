@@ -697,4 +697,37 @@ object GeoOracles {
        |       ELSE CAST(sum(w * mean_pq) AS BIGINT) // CAST(sum(w) AS BIGINT) END AS wmean_pq
        |FROM ca JOIN m USING (scene_id, subswath, burst_idx)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_span_align: interleaved caption pairing — per-media nearest
+   * preceding/following text span via IGNORE-NULLS windows over document
+   * order, per-doc rollup ("offset" is reserved in DuckDB — quoted). */
+  val spanAlign: String =
+    s"""WITH sp AS (SELECT doc_id, s.kind AS kind, s.text AS text, s."offset" AS off
+       |  FROM (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")})),
+       |tk AS (SELECT doc_id, kind, off,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT) AS tok
+       |  FROM sp),
+       |al AS (SELECT doc_id, kind, off,
+       |    last_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS) OVER wb AS prev_off,
+       |    last_value(CASE WHEN kind = 'text' THEN tok END IGNORE NULLS) OVER wb AS prev_tok,
+       |    first_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS) OVER wa AS next_off,
+       |    first_value(CASE WHEN kind = 'text' THEN tok END IGNORE NULLS) OVER wa AS next_tok
+       |  FROM tk
+       |  WINDOW wb AS (PARTITION BY doc_id ORDER BY off
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |         wa AS (PARTITION BY doc_id ORDER BY off
+       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       |  CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       |  CAST(sum(CAST(kind = 'media' AND prev_off = off - 1 AS INT)) AS BIGINT) AS n_prev_adj,
+       |  CAST(sum(CAST(kind = 'media' AND next_off = off + 1 AS INT)) AS BIGINT) AS n_next_adj,
+       |  CAST(sum(CAST(kind = 'media' AND prev_off IS NULL AND next_off IS NULL AS INT)) AS BIGINT) AS n_orphan,
+       |  CAST(sum(CASE WHEN kind = 'media' THEN
+       |    CASE WHEN prev_off IS NOT NULL THEN prev_tok
+       |         WHEN next_off IS NOT NULL THEN next_tok ELSE 0 END ELSE 0 END) AS BIGINT) AS cap_tok_sum,
+       |  CAST(sum(CASE WHEN kind = 'media' THEN
+       |    CASE WHEN prev_off IS NOT NULL THEN off - prev_off
+       |         WHEN next_off IS NOT NULL THEN next_off - off ELSE 0 END ELSE 0 END) AS BIGINT) AS cap_gap_sum
+       |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -72,4 +72,48 @@ object Spans {
         lit(null).cast("double").as("lon_r"), lit(null).cast("double").as("lat_r"))
     geo.unionByName(text)
   }
+
+  /**
+   * Interleaved text↔media alignment (q_span_align) — the caption-pairing
+   * pass of an interleaved multimodal corpus build (OBELICS / MMC4: each
+   * image is paired with its surrounding text for training-pair extraction).
+   * For every media span, the nearest PRECEDING and FOLLOWING text spans in
+   * document order; the caption is the preceding text when one exists, else
+   * the following (deterministic preference). Per-doc rollup: media/text
+   * counts, adjacency (caption directly next to the image), orphan media,
+   * caption token mass and offset-gap mass.
+   *
+   * Scale posture: one window pass partitioned BY DOCUMENT — a document is a
+   * bounded partition (~10-10^3 spans) at any corpus size, so the window
+   * never sees a skewed key; the rollup is the standard doc_id hash
+   * aggregation. No joins at all.
+   */
+  def spanAlignQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("offset")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val spans = explodeSpans(Fixtures.table(spark, sfDir, "docs"))
+      .withColumn("tok", expr("size(filter(split(text, ' '), x -> x != ''))"))
+    val tOff = when(col("kind") === "text", col("offset"))
+    val tTok = when(col("kind") === "text", col("tok"))
+    val aligned = spans
+      .withColumn("prev_off", last(tOff, ignoreNulls = true).over(before))
+      .withColumn("prev_tok", last(tTok, ignoreNulls = true).over(before))
+      .withColumn("next_off", first(tOff, ignoreNulls = true).over(after))
+      .withColumn("next_tok", first(tTok, ignoreNulls = true).over(after))
+    aligned.groupBy("doc_id").agg(
+      sum(expr("CAST(kind = 'media' AS BIGINT)")).as("n_media"),
+      sum(expr("CAST(kind = 'text' AS BIGINT)")).as("n_text"),
+      sum(expr("CAST(kind = 'media' AND prev_off = offset - 1 AS BIGINT)")).as("n_prev_adj"),
+      sum(expr("CAST(kind = 'media' AND next_off = offset + 1 AS BIGINT)")).as("n_next_adj"),
+      sum(expr("CAST(kind = 'media' AND prev_off IS NULL AND next_off IS NULL AS BIGINT)"))
+        .as("n_orphan"),
+      sum(expr("CASE WHEN kind = 'media' THEN " +
+        "CASE WHEN prev_off IS NOT NULL THEN prev_tok " +
+        "WHEN next_off IS NOT NULL THEN next_tok ELSE 0 END ELSE 0 END")).as("cap_tok_sum"),
+      sum(expr("CASE WHEN kind = 'media' THEN " +
+        "CASE WHEN prev_off IS NOT NULL THEN offset - prev_off " +
+        "WHEN next_off IS NOT NULL THEN next_off - offset ELSE 0 END ELSE 0 END")).as("cap_gap_sum"))
+  }
 }

@@ -682,6 +682,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(firstFooter)._2 >= 2)
   }
 
+  test("span align: caption pairing matches a direct per-doc scan; fixture exercises both directions") {
+    val docsRows = graft.gen.Fixtures.table(spark, sf, "docs").select("doc_id", "spans").collect()
+    def toks(t: String): Long = t.split(' ').count(_.nonEmpty).toLong
+    val exp = docsRows.map { r =>
+      val id = r.getString(0)
+      val sp = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getString(0), s.getString(1), s.getInt(3))).sortBy(_._3)
+      val texts = sp.filter(_._1 == "text")
+      var (nm, np, nn, no, ct, cg) = (0L, 0L, 0L, 0L, 0L, 0L)
+      for ((k, _, off) <- sp if k == "media") {
+        nm += 1
+        val prev = texts.filter(_._3 < off).lastOption
+        val next = texts.find(_._3 > off)
+        if (prev.exists(_._3 == off - 1)) np += 1
+        if (next.exists(_._3 == off + 1)) nn += 1
+        (prev, next) match {
+          case (Some(p), _) => ct += toks(p._2); cg += off - p._3
+          case (None, Some(n)) => ct += toks(n._2); cg += n._3 - off
+          case _ => no += 1
+        }
+      }
+      id -> ((nm, texts.length.toLong, np, nn, no, ct, cg))
+    }.toMap
+    val got = graft.ops.Spans.spanAlignQuery(spark, sf)
+      .select("doc_id", "n_media", "n_text", "n_prev_adj", "n_next_adj",
+        "n_orphan", "cap_tok_sum", "cap_gap_sum")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got == exp)
+    // the op does real pairing work: captions exist, and the corpus has media
+    assert(got.values.map(_._1).sum > 0 && got.values.map(_._6).sum > 0)
+  }
+
   test("ann truncate recall + knn classify match direct recomputation") {
     import graft.ann.Ann
     def cosD(a: Array[Double], b: Array[Double]): Double = {
@@ -1108,6 +1141,7 @@ class PipelineSpec extends AnyFunSuite {
       ("spatial_partition", () => graft.geom.Spatial.spatialPartitionQuery(spark, sf).collect().map(_.toString).sorted),
       ("clip_area", () => graft.geom.Spatial.clipAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("zonal_area", () => graft.geom.Spatial.zonalAreaQuery(spark, sf).collect().map(_.toString).sorted),
+      ("span_align", () => graft.ops.Spans.spanAlignQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),
