@@ -730,4 +730,52 @@ object GeoOracles {
        |    CASE WHEN prev_off IS NOT NULL THEN off - prev_off
        |         WHEN next_off IS NOT NULL THEN next_off - off ELSE 0 END ELSE 0 END) AS BIGINT) AS cap_gap_sum
        |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_simplify: Douglas–Peucker on the curved-orbit x-y tracks as an
+   * unrolled chain of split rounds (same round count as the engine's loop
+   * cap), exact HUGEINT deviation compare. Every CTE is MATERIALIZED —
+   * each round references the previous 2-4 times, so default inlining would
+   * grow the plan 3^rounds. */
+  val simplify: String = {
+    val eps2 = graft.geom.Spatial.SimplifyEps2
+    val rounds = (1 to graft.geom.Spatial.SimplifyRounds).map { k =>
+      val prev = s"r${k - 1}"
+      s"""e$k AS MATERIALIZED (SELECT s.scene_id, s.a, s.b,
+         |    pa.px AS xa, pa.py AS ya, pb.px AS xb, pb.py AS yb
+         |  FROM $prev s
+         |  JOIN pts pa ON pa.scene_id = s.scene_id AND pa.idx = s.a
+         |  JOIN pts pb ON pb.scene_id = s.scene_id AND pb.idx = s.b),
+         |d$k AS MATERIALIZED (SELECT e.scene_id, e.a, e.b, e.xa, e.ya, e.xb, e.yb, p.idx,
+         |    CAST((e.xb - e.xa) * (p.py - e.ya) - (e.yb - e.ya) * (p.px - e.xa) AS HUGEINT) AS cr
+         |  FROM e$k e JOIN pts p
+         |    ON p.scene_id = e.scene_id AND p.idx > e.a AND p.idx < e.b),
+         |m$k AS MATERIALIZED (SELECT scene_id, a, b, idx AS m, cr * cr AS dev,
+         |    CAST($eps2 AS HUGEINT) *
+         |      (CAST(xb - xa AS HUGEINT) * CAST(xb - xa AS HUGEINT) +
+         |       CAST(yb - ya AS HUGEINT) * CAST(yb - ya AS HUGEINT)) AS thr,
+         |    row_number() OVER (PARTITION BY scene_id, a, b ORDER BY cr * cr DESC, idx) AS rn
+         |  FROM d$k),
+         |r$k AS MATERIALIZED (
+         |  SELECT s.scene_id, s.a, s.b FROM $prev s
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$k m
+         |    WHERE m.scene_id = s.scene_id AND m.a = s.a AND m.b = s.b
+         |      AND m.rn = 1 AND m.dev > m.thr)
+         |  UNION ALL
+         |  SELECT scene_id, a, m FROM m$k WHERE rn = 1 AND dev > thr
+         |  UNION ALL
+         |  SELECT scene_id, m, b FROM m$k WHERE rn = 1 AND dev > thr)""".stripMargin
+    }.mkString(",\n")
+    val last = s"r${graft.geom.Spatial.SimplifyRounds}"
+    s"""WITH pts AS MATERIALIZED (SELECT scene_id,
+       |    row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS idx,
+       |    CAST(floor(x) AS BIGINT) AS px, CAST(floor(y) AS BIGINT) AS py
+       |  FROM ${fx("orbit_curved")}),
+       |r0 AS MATERIALIZED (SELECT scene_id, min(idx) AS a, max(idx) AS b
+       |  FROM pts GROUP BY 1),
+       |$rounds,
+       |kept AS (SELECT DISTINCT scene_id, a AS idx FROM $last
+       |         UNION SELECT DISTINCT scene_id, b FROM $last)
+       |SELECT p.scene_id, p.idx, p.px, p.py
+       |FROM kept k JOIN pts p USING (scene_id, idx) ORDER BY 1, 2""".stripMargin
+  }
 }

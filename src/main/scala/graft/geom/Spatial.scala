@@ -351,6 +351,84 @@ object Spatial {
         expr("CASE WHEN area_sum = 0 THEN 0L ELSE wpow_sum div area_sum END"))
   }
 
+  /** q_simplify epsilon: 2 metres of perpendicular deviation. */
+  val SimplifyEps2 = 4L
+
+  /** Max split rounds for q_simplify — matched EXACTLY by the oracle's
+   * unrolled CTE rounds; the spec asserts convergence inside the cap. */
+  val SimplifyRounds = 16
+
+  /**
+   * Polyline simplification (q_simplify) — Douglas–Peucker, the ST_Simplify
+   * analog, on the curved-orbit ground tracks (x-y ECEF projection, integer
+   * metres): recursively keep the interior vertex of maximum perpendicular
+   * deviation while it exceeds eps, drop everything else. The deviation test
+   * is EXACT integer arithmetic — cross((b-a),(p-a))² > eps²·|b-a|² compared
+   * in DECIMAL(38) (cross ≤ 2^36, its square ≤ 2^72 — far inside both
+   * Spark's DECIMAL(38) and DuckDB's HUGEINT).
+   *
+   * Execution is the iterative split frontier: a frame of active segments
+   * (scene, a, b), each round joining interior candidates (an equi-join on
+   * the polyline key; a polyline is bounded at any archive size), taking the
+   * per-segment argmax by (dev, idx), splitting where the max exceeds
+   * threshold, retiring segments with none. Rounds ≤ SimplifyRounds, matched
+   * by the oracle's unrolled CTE chain round for round.
+   */
+  def simplifyQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Fixtures.table(spark, sfDir, "orbit_curved")
+      .select(col("scene_id"), col("t_sec"),
+        floor(col("x")).cast("long").as("px"), floor(col("y")).cast("long").as("py"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("scene_id").orderBy("t_sec")))
+      .select("scene_id", "idx", "px", "py")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pa = pts.select(col("scene_id"), col("idx").as("a"),
+      col("px").as("xa"), col("py").as("ya"))
+    val pb = pts.select(col("scene_id"), col("idx").as("b"),
+      col("px").as("xb"), col("py").as("yb"))
+    var segs = pts.groupBy("scene_id").agg(min("idx").as("a"), max("idx").as("b"))
+    var finals = segs.limit(0)
+    var round = 0
+    var done = false
+    while (!done && round < SimplifyRounds) {
+      val withEnds = segs.join(pa, Seq("scene_id", "a")).join(pb, Seq("scene_id", "b"))
+      val cand = withEnds.join(pts, Seq("scene_id"))
+        .where(col("idx") > col("a") && col("idx") < col("b"))
+        .withColumn("cross",
+          (col("xb") - col("xa")) * (col("py") - col("ya")) -
+          (col("yb") - col("ya")) * (col("px") - col("xa")))
+        .withColumn("dev",
+          col("cross").cast("decimal(38,0)") * col("cross").cast("decimal(38,0)"))
+        .withColumn("thr",
+          (lit(SimplifyEps2) * ((col("xb") - col("xa")) * (col("xb") - col("xa")) +
+            (col("yb") - col("ya")) * (col("yb") - col("ya")))).cast("decimal(38,0)"))
+      val top = cand.withColumn("rn", row_number().over(
+          Window.partitionBy("scene_id", "a", "b").orderBy(desc("dev"), asc("idx"))))
+        .where(col("rn") === 1)
+      val splits = top.where(col("dev") > col("thr"))
+        .select(col("scene_id"), col("a"), col("b"), col("idx").as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = splits.count()
+      val retired = segs.join(splits.select("scene_id", "a", "b"),
+        Seq("scene_id", "a", "b"), "left_anti")
+      finals = finals.unionByName(retired).localCheckpoint(true)
+      if (n == 0) done = true
+      else segs = splits.selectExpr("scene_id", "a", "m AS b")
+        .unionByName(splits.selectExpr("scene_id", "m AS a", "b"))
+        .localCheckpoint(true)
+      splits.unpersist()
+      round += 1
+    }
+    require(done, s"q_simplify did not converge in $SimplifyRounds rounds")
+    val kept = finals.select(col("scene_id"), col("a").as("idx"))
+      .unionByName(finals.select(col("scene_id"), col("b").as("idx")))
+      .distinct()
+    val out = kept.join(pts, Seq("scene_id", "idx"))
+      .select("scene_id", "idx", "px", "py")
+    pts.unpersist()
+    out
+  }
+
   /** Fixed-point bits for the line rasterizer: lon on a 2^25 grid, lat on 2^24,
    * so a DefaultLevel(11) cell spans exactly 2^14 x 2^13 subunits. Floor
    * composition makes the fixed-point cell index identical to CellIndex's:

@@ -1142,6 +1142,7 @@ class PipelineSpec extends AnyFunSuite {
       ("clip_area", () => graft.geom.Spatial.clipAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("zonal_area", () => graft.geom.Spatial.zonalAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("span_align", () => graft.ops.Spans.spanAlignQuery(spark, sf).collect().map(_.toString).sorted),
+      ("simplify", () => graft.geom.Spatial.simplifyQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

@@ -729,6 +729,61 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("simplify: Douglas–Peucker equals the classic recursive algorithm; error bound holds") {
+    val pts = Fixtures.table(spark, sf, "orbit_curved")
+      .select("scene_id", "t_sec", "x", "y")
+      .as[(String, Double, Double, Double)].collect()
+      .groupBy(_._1).map { case (sc, g) =>
+        sc -> g.sortBy(_._2).zipWithIndex.map { case ((_, _, x, y), i) =>
+          (i + 1, math.floor(x).toLong, math.floor(y).toLong)
+        }.toVector
+      }
+    // the textbook recursive DP with exact BigInt arithmetic
+    def dp(line: Vector[(Int, Long, Long)], eps2: Long): Set[Int] = {
+      def rec(lo: Int, hi: Int): Set[Int] = {
+        if (hi - lo < 2) return Set(line(lo)._1, line(hi)._1)
+        val (_, xa, ya) = line(lo); val (_, xb, yb) = line(hi)
+        val len2 = BigInt(xb - xa) * BigInt(xb - xa) + BigInt(yb - ya) * BigInt(yb - ya)
+        val (bestK, bestDev) = (lo + 1 until hi).map { k =>
+          val (_, px, py) = line(k)
+          val cr = BigInt(xb - xa) * BigInt(py - ya) - BigInt(yb - ya) * BigInt(px - xa)
+          (k, cr * cr)
+        }.minBy { case (k, d) => (-d, k) }
+        if (bestDev > BigInt(eps2) * len2) rec(lo, bestK) ++ rec(bestK, hi)
+        else Set(line(lo)._1, line(hi)._1)
+      }
+      rec(0, line.length - 1)
+    }
+    val exp = pts.toSeq.flatMap { case (sc, line) =>
+      dp(line, Spatial.SimplifyEps2).toSeq.map(i => (sc, i.toLong))
+    }.toSet
+    val gotRows = Spatial.simplifyQuery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    val got = gotRows.map(r => (r._1, r._2)).toSet
+    assert(got == exp)
+    // real simplification happened: interior vertices kept AND dropped
+    val total = pts.values.map(_.size).sum
+    assert(got.size < total, "nothing was dropped")
+    assert(pts.exists { case (sc, line) =>
+      got.exists { case (s, i) => s == sc && i > 1 && i < line.length } },
+      "no interior vertex kept")
+    // the DP guarantee: every DROPPED vertex is within eps of the chord of
+    // the kept segment spanning it
+    for ((sc, line) <- pts) {
+      val keptIdx = line.map(_._1).filter(i => got.contains((sc, i.toLong))).sorted
+      for (Seq(a, b) <- keptIdx.sliding(2).map(_.toSeq) if b > a + 1) {
+        val (_, xa, ya) = line(a - 1); val (_, xb, yb) = line(b - 1)
+        val len2 = BigInt(xb - xa) * BigInt(xb - xa) + BigInt(yb - ya) * BigInt(yb - ya)
+        for (k <- a + 1 until b) {
+          val (_, px, py) = line(k - 1)
+          val cr = BigInt(xb - xa) * BigInt(py - ya) - BigInt(yb - ya) * BigInt(px - xa)
+          assert(cr * cr <= BigInt(Spatial.SimplifyEps2) * len2,
+            s"$sc: dropped vertex $k deviates beyond eps from kept chord ($a,$b)")
+        }
+      }
+    }
+  }
+
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
     val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
     val fill = Spatial.polyfillQuery(spark, sf).collect()
