@@ -607,43 +607,50 @@ object GeoOracles {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** One Sutherland–Hodgman half-plane clip stage over a polygon list column
+   * `p`, arithmetic in the exact textual order of the engine kernel
+   * (t = (bound-p)/(c-p); o = po + (co-po)*t; floor(o*256)/256 snap).
+   * MATERIALIZED is load-bearing: each stage references `p` ~12 times, so
+   * default CTE inlining would raise the expression tree to the 4th power
+   * (a planner/memory blowup, the round-3 oracle-OOM failure class). */
+  private def clipStage(name: String, src: String, axis: String,
+      bound: String, ge: Boolean): String = {
+    val prevIdx = "CASE WHEN i = 1 THEN len(p) ELSE i - 1 END"
+    val op = if (ge) ">=" else "<="
+    val cur = "p[i]"
+    val prv = s"p[$prevIdx]"
+    val cIn = s"$cur.$axis $op $bound"
+    val pIn = s"$prv.$axis $op $bound"
+    val inter =
+      if (axis == "x")
+        s"{'x': CAST($bound AS DOUBLE), 'y': floor(($prv.y + ($cur.y - $prv.y) * (($bound - $prv.x) / ($cur.x - $prv.x))) * 256.0) / 256.0}"
+      else
+        s"{'x': floor(($prv.x + ($cur.x - $prv.x) * (($bound - $prv.y) / ($cur.y - $prv.y))) * 256.0) / 256.0, 'y': CAST($bound AS DOUBLE)}"
+    s"""$name AS MATERIALIZED (SELECT * REPLACE(flatten(list_transform(range(1, len(p) + 1), i ->
+       |  CASE WHEN $cIn AND $pIn THEN [$cur]
+       |       WHEN $cIn AND NOT ($pIn) THEN [$inter, $cur]
+       |       WHEN NOT ($cIn) AND $pIn THEN [$inter]
+       |       ELSE []::STRUCT(x DOUBLE, y DOUBLE)[] END)) AS p) FROM $src)""".stripMargin
+  }
+
+  /** Quantized |shoelace| of the clipped polygon list column `p` (x 2^16). */
+  private val clipShoelace: String = {
+    val nextIdx = "CASE WHEN i = len(p) THEN 1 ELSE i + 1 END"
+    s"""CASE WHEN len(p) < 3 THEN 0
+       |  ELSE CAST(abs(list_sum(list_transform(range(1, len(p) + 1), i ->
+       |    p[i].x * p[$nextIdx].y - p[$nextIdx].x * p[i].y))) * 65536.0 AS BIGINT) END""".stripMargin
+  }
+
   /** q_clip_area: Sutherland–Hodgman quad-x-rect clip area as four chained
-   * list-rewrite CTE stages (one per rect half-plane), arithmetic in the
-   * exact textual order of the engine kernel (t = (bound-p)/(c-p);
-   * o = po + (co-po)*t; floor(o*256)/256 snap), shoelace x 2^16 at the end.
-   * Candidates come from a plain bbox-overlap join (independent of the
-   * engine's cell-cover prune); the area > 0 filter equalizes both sides. */
+   * list-rewrite CTE stages (one per rect half-plane). Candidates come from
+   * a plain bbox-overlap join (independent of the engine's cell-cover
+   * prune); the area > 0 filter equalizes both sides. */
   val clipArea: String = {
     def fpx(c: String) =
       s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
     def fpy(c: String) =
       s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
-    val prevIdx = "CASE WHEN i = 1 THEN len(p) ELSE i - 1 END"
-    def stage(name: String, src: String, axis: String, bound: String, ge: Boolean): String = {
-      val op = if (ge) ">=" else "<="
-      val cur = "p[i]"
-      val prv = s"p[$prevIdx]"
-      val cIn = s"$cur.$axis $op $bound"
-      val pIn = s"$prv.$axis $op $bound"
-      val inter =
-        if (axis == "x")
-          s"{'x': CAST($bound AS DOUBLE), 'y': floor(($prv.y + ($cur.y - $prv.y) * (($bound - $prv.x) / ($cur.x - $prv.x))) * 256.0) / 256.0}"
-        else
-          s"{'x': floor(($prv.x + ($cur.x - $prv.x) * (($bound - $prv.y) / ($cur.y - $prv.y))) * 256.0) / 256.0, 'y': CAST($bound AS DOUBLE)}"
-      // MATERIALIZED is load-bearing: each stage references `p` ~12 times, so
-      // default CTE inlining would raise the expression tree to the 4th power
-      // (a planner/memory blowup, the round-3 oracle-OOM failure class)
-      s"""$name AS MATERIALIZED (SELECT * REPLACE(flatten(list_transform(range(1, len(p) + 1), i ->
-         |  CASE WHEN $cIn AND $pIn THEN [$cur]
-         |       WHEN $cIn AND NOT ($pIn) THEN [$inter, $cur]
-         |       WHEN NOT ($cIn) AND $pIn THEN [$inter]
-         |       ELSE []::STRUCT(x DOUBLE, y DOUBLE)[] END)) AS p) FROM $src)""".stripMargin
-    }
-    val nextIdx = "CASE WHEN i = len(p) THEN 1 ELSE i + 1 END"
-    val shoelace =
-      s"""CASE WHEN len(p) < 3 THEN 0
-         |  ELSE CAST(abs(list_sum(list_transform(range(1, len(p) + 1), i ->
-         |    p[i].x * p[$nextIdx].y - p[$nextIdx].x * p[i].y))) * 65536.0 AS BIGINT) END""".stripMargin
+    val shoelace = clipShoelace
     val corners = (1 to 4).map(i =>
       s"{'x': CAST(fx$i - ox AS DOUBLE), 'y': CAST(fy$i - oy AS DOUBLE)}").mkString(", ")
     val burstArea2 = (1 to 4).map { i =>
@@ -666,10 +673,10 @@ object GeoOracles {
        |    abs($burstArea2) AS burst_area2,
        |    [$corners] AS p
        |  FROM pr),
-       |${stage("s1", "p0", "x", "bx0", ge = true)},
-       |${stage("s2", "s1", "x", "bx1", ge = false)},
-       |${stage("s3", "s2", "y", "by0", ge = true)},
-       |${stage("s4", "s3", "y", "by1", ge = false)},
+       |${clipStage("s1", "p0", "x", "bx0", ge = true)},
+       |${clipStage("s2", "s1", "x", "bx1", ge = false)},
+       |${clipStage("s3", "s2", "y", "by0", ge = true)},
+       |${clipStage("s4", "s3", "y", "by1", ge = false)},
        |ar AS (SELECT aoi_id, scene_id, subswath, burst_idx, burst_area2,
        |    $shoelace AS area_q
        |  FROM s4)
@@ -777,5 +784,56 @@ object GeoOracles {
        |         UNION SELECT DISTINCT scene_id, b FROM $last)
        |SELECT p.scene_id, p.idx, p.px, p.py
        |FROM kept k JOIN pts p USING (scene_id, idx) ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q_vector_tiles: per-zoom-cell feature clipping via the shared
+   * Sutherland–Hodgman stage chain, candidate cells from each feature's own
+   * bbox (generate_series), one leg per zoom level. */
+  val vectorTiles: String = {
+    def fpxS(c: String) =
+      s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
+    def fpyS(c: String) =
+      s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
+    def ixS(c: String, lvl: Int) =
+      s"CAST(least(${(1L << lvl) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << lvl).toDouble}))) AS BIGINT)"
+    def iyS(c: String, lvl: Int) =
+      s"CAST(least(${(1L << lvl) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << lvl).toDouble}))) AS BIGINT)"
+    val corners = (1 to 4).map(i =>
+      s"{'x': CAST(fx$i - ox AS DOUBLE), 'y': CAST(fy$i - oy AS DOUBLE)}").mkString(", ")
+    val lonLo = "least(lon1, lon2, lon3, lon4)"
+    val lonHi = "greatest(lon1, lon2, lon3, lon4)"
+    val latLo = "least(lat1, lat2, lat3, lat4)"
+    val latHi = "greatest(lat1, lat2, lat3, lat4)"
+    val legs = graft.geom.Spatial.VectorTileLevels.map { lvl =>
+      val sx = 25 - lvl; val sy = 24 - lvl
+      s"""b$lvl AS MATERIALIZED (SELECT scene_id, subswath, burst_idx,
+         |    ${(1 to 4).map(i => s"${fpxS(s"lon$i")} AS fx$i, ${fpyS(s"lat$i")} AS fy$i").mkString(", ")},
+         |    ${ixS(lonLo, lvl)} AS ix0, ${ixS(lonHi, lvl)} AS ix1,
+         |    ${iyS(latLo, lvl)} AS iy0, ${iyS(latHi, lvl)} AS iy1
+         |  FROM ${fx("bursts")}),
+         |o$lvl AS (SELECT *, least(fx1, fx2, fx3, fx4) AS ox, least(fy1, fy2, fy3, fy4) AS oy
+         |  FROM b$lvl),
+         |cx$lvl AS (SELECT *, unnest(generate_series(ix0, ix1)) AS cix FROM o$lvl),
+         |cy$lvl AS (SELECT *, unnest(generate_series(iy0, iy1)) AS ciy FROM cx$lvl),
+         |p0$lvl AS MATERIALIZED (SELECT scene_id, subswath, burst_idx, cix, ciy,
+         |    CAST((cix << $sx) - ox AS DOUBLE) AS bx0, CAST((ciy << $sy) - oy AS DOUBLE) AS by0,
+         |    CAST(((cix + 1) << $sx) - ox AS DOUBLE) AS bx1, CAST(((ciy + 1) << $sy) - oy AS DOUBLE) AS by1,
+         |    [$corners] AS p
+         |  FROM cy$lvl),
+         |${clipStage(s"s1v$lvl", s"p0$lvl", "x", "bx0", ge = true)},
+         |${clipStage(s"s2v$lvl", s"s1v$lvl", "x", "bx1", ge = false)},
+         |${clipStage(s"s3v$lvl", s"s2v$lvl", "y", "by0", ge = true)},
+         |${clipStage(s"s4v$lvl", s"s3v$lvl", "y", "by1", ge = false)},
+         |ar$lvl AS (SELECT CAST($lvl AS BIGINT) AS level,
+         |    ($lvl::BIGINT << 58) | (ciy << 29) | cix AS cell,
+         |    $clipShoelace AS area_q
+         |  FROM s4v$lvl)""".stripMargin
+    }.mkString(",\n")
+    val union = graft.geom.Spatial.VectorTileLevels
+      .map(lvl => s"SELECT * FROM ar$lvl").mkString(" UNION ALL ")
+    s"""WITH $legs
+       |SELECT level, cell, count(*) AS n_features, CAST(sum(area_q) AS BIGINT) AS area_sum
+       |FROM ($union) WHERE area_q > 0
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 }

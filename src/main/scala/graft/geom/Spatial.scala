@@ -351,6 +351,62 @@ object Spatial {
         expr("CASE WHEN area_sum = 0 THEN 0L ELSE wpow_sum div area_sum END"))
   }
 
+  /** Zoom levels for the vector-tile generation gate. */
+  val VectorTileLevels = Seq(10, 11)
+
+  /**
+   * Vector-tile generation (q_vector_tiles) — the distributed tiler shape
+   * behind every web-map vector pipeline: each feature (burst footprint) is
+   * clipped against every zoom-cell rectangle it overlaps, per zoom level,
+   * and each tile rolls up its clipped feature count and total clipped area.
+   * Reuses the Sutherland–Hodgman kernel (Kernels.clipAreaQ) with the cell
+   * rectangle as the clip window.
+   *
+   * Scale posture: ZERO joins — candidate cells come from each feature's own
+   * bbox (a bounded explode: a footprint covers a handful of cells per
+   * level), the clip kernel is a map-side compiled expression, and the only
+   * shuffle is the per-(level, cell) rollup. This is the plan a 10^12-feature
+   * tiler needs: tile assignment never touches a second table.
+   */
+  def vectorTilesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bRaw = Fixtures.table(spark, sfDir, "bursts")
+    val base = bRaw.select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx")) ++
+      (1 to 4).flatMap(i => Seq(
+        fpx(col(s"lon$i")).as(s"fx$i"), fpy(col(s"lat$i")).as(s"fy$i"))) ++ Seq(
+        least(col("lon1"), col("lon2"), col("lon3"), col("lon4")).as("lon_lo"),
+        greatest(col("lon1"), col("lon2"), col("lon3"), col("lon4")).as("lon_hi"),
+        least(col("lat1"), col("lat2"), col("lat3"), col("lat4")).as("lat_lo"),
+        greatest(col("lat1"), col("lat2"), col("lat3"), col("lat4")).as("lat_hi")): _*)
+      .withColumn("ox", least(col("fx1"), col("fx2"), col("fx3"), col("fx4")))
+      .withColumn("oy", least(col("fy1"), col("fy2"), col("fy3"), col("fy4")))
+    val perLevel = VectorTileLevels.map { lvl =>
+      val sx = RasterXBits - lvl
+      val sy = RasterYBits - lvl
+      val withCells = base
+        .withColumn("cix", explode(sequence(
+          CellIndex.ixCol(col("lon_lo"), lvl), CellIndex.ixCol(col("lon_hi"), lvl))))
+        .withColumn("ciy", explode(sequence(
+          CellIndex.iyCol(col("lat_lo"), lvl), CellIndex.iyCol(col("lat_hi"), lvl))))
+      val args = (1 to 4).flatMap(i => Seq(
+        (col(s"fx$i") - col("ox")).cast("double"),
+        (col(s"fy$i") - col("oy")).cast("double"))) ++ Seq(
+        (shiftleft(col("cix"), sx) - col("ox")).cast("double"),
+        (shiftleft(col("ciy"), sy) - col("oy")).cast("double"),
+        (shiftleft(col("cix") + 1, sx) - col("ox")).cast("double"),
+        (shiftleft(col("ciy") + 1, sy) - col("oy")).cast("double"))
+      withCells
+        .withColumn("area_q", graft.exprs.KernelExprs.clipAreaQ(args))
+        .where(col("area_q") > 0)
+        .select(lit(lvl.toLong).as("level"),
+          CellIndex.packCol(lvl, col("ciy"), col("cix")).as("cell"),
+          col("area_q"))
+    }
+    perLevel.reduce(_ unionByName _)
+      .groupBy("level", "cell")
+      .agg(count(lit(1)).as("n_features"), sum(col("area_q")).as("area_sum"))
+  }
+
   /** q_simplify epsilon: 2 metres of perpendicular deviation. */
   val SimplifyEps2 = 4L
 

@@ -1143,6 +1143,7 @@ class PipelineSpec extends AnyFunSuite {
       ("zonal_area", () => graft.geom.Spatial.zonalAreaQuery(spark, sf).collect().map(_.toString).sorted),
       ("span_align", () => graft.ops.Spans.spanAlignQuery(spark, sf).collect().map(_.toString).sorted),
       ("simplify", () => graft.geom.Spatial.simplifyQuery(spark, sf).collect().map(_.toString).sorted),
+      ("vector_tiles", () => graft.geom.Spatial.vectorTilesQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

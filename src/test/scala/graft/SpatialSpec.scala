@@ -784,6 +784,63 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("vector tiles: rollup matches a direct kernel scan; tiling conserves area; no joins") {
+    def fpxD(lon: Double) = math.min((1L << 25) - 1, math.max(0L,
+      math.floor((lon + 180.0) / 360.0 * (1L << 25).toDouble).toLong))
+    def fpyD(lat: Double) = math.min((1L << 24) - 1, math.max(0L,
+      math.floor((lat + 90.0) / 180.0 * (1L << 24).toDouble).toLong))
+    def ixL(lon: Double, l: Int) = math.min((1L << l) - 1, math.max(0L,
+      math.floor((lon + 180.0) / 360.0 * (1L << l).toDouble).toLong))
+    def iyL(lat: Double, l: Int) = math.min((1L << l) - 1, math.max(0L,
+      math.floor((lat + 90.0) / 180.0 * (1L << l).toDouble).toLong))
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .select("lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4").collect()
+      .map(r => (1 to 4).map(i => (r.getDouble(2 * i - 2), r.getDouble(2 * i - 1))))
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    var conserved = true
+    for (quad <- bursts; lvl <- Spatial.VectorTileLevels) {
+      val fps = quad.map { case (lon, lat) => (fpxD(lon), fpyD(lat)) }
+      val ox = fps.map(_._1).min; val oy = fps.map(_._2).min
+      val (sx, sy) = (25 - lvl, 24 - lvl)
+      val lons = quad.map(_._1); val lats = quad.map(_._2)
+      var burstTileSum = 0L; var nTiles = 0
+      for (cix <- ixL(lons.min, lvl) to ixL(lons.max, lvl);
+           ciy <- iyL(lats.min, lvl) to iyL(lats.max, lvl)) {
+        val a = graft.exprs.Kernels.clipAreaQ(
+          (fps(0)._1 - ox).toDouble, (fps(0)._2 - oy).toDouble,
+          (fps(1)._1 - ox).toDouble, (fps(1)._2 - oy).toDouble,
+          (fps(2)._1 - ox).toDouble, (fps(2)._2 - oy).toDouble,
+          (fps(3)._1 - ox).toDouble, (fps(3)._2 - oy).toDouble,
+          ((cix << sx) - ox).toDouble, ((ciy << sy) - oy).toDouble,
+          (((cix + 1) << sx) - ox).toDouble, (((ciy + 1) << sy) - oy).toDouble)
+        if (a > 0) {
+          val cell = (lvl.toLong << 58) | (ciy << 29) | cix
+          val (n, s) = acc.getOrElse((lvl.toLong, cell), (0L, 0L))
+          acc((lvl.toLong, cell)) = (n + 1, s + a)
+          burstTileSum += a; nTiles += 1
+        }
+      }
+      // tiling is a partition of the footprint: tile areas sum to the exact
+      // shoelace area up to the per-tile snap tolerance
+      val xs = fps.map(f => BigInt(f._1 - ox)); val ys = fps.map(f => BigInt(f._2 - oy))
+      val area2 = (0 until 4).map(i => xs(i) * ys((i + 1) % 4) - xs((i + 1) % 4) * ys(i)).sum.abs
+      val per = 2 * ((fps.map(_._1).max - ox) + (fps.map(_._2).max - oy))
+      val tol = (nTiles + 1).toLong * (per * 256L + 65536L)
+      if ((BigInt(burstTileSum) - area2 * 65536).abs > tol) conserved = false
+    }
+    val got = Spatial.vectorTilesQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == acc.toMap)
+    assert(conserved, "tile areas do not sum back to footprint areas within snap tolerance")
+    // both zoom levels materialize, finer level has more tiles
+    val byLevel = got.keySet.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byLevel.keySet == Spatial.VectorTileLevels.map(_.toLong).toSet)
+    assert(byLevel(11L) > byLevel(10L))
+    // the distributed tiler plan has NO joins: candidates come from each row's own bbox
+    val ptv = plan(Spatial.vectorTilesQuery(spark, sf))
+    assert(!ptv.contains("Join"), ptv.take(2000))
+  }
+
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
     val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
     val fill = Spatial.polyfillQuery(spark, sf).collect()
