@@ -836,4 +836,47 @@ object GeoOracles {
        |FROM ($union) WHERE area_q > 0
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** q_snap_track: brute-force nearest-segment (no cell prune — independent
+   * candidate derivation): every 3rd event x all footprint edges, the
+   * 1/256-quantized projection, exact HUGEINT scaled-distance argmin. */
+  val snapTrack: String = {
+    def fpxS(c: String) =
+      s"CAST(least(${(1L << 25) - 1}, greatest(0, floor(($c + 180.0) / 360.0 * ${(1L << 25).toDouble}))) AS BIGINT)"
+    def fpyS(c: String) =
+      s"CAST(least(${(1L << 24) - 1}, greatest(0, floor(($c + 90.0) / 180.0 * ${(1L << 24).toDouble}))) AS BIGINT)"
+    val ts = graft.geom.Spatial.SnapTScale
+    val edges = (1 to 4).map { i =>
+      val j = i % 4 + 1
+      s"""SELECT scene_id, subswath, burst_idx, $i AS edge,
+         |  ${fpxS(s"lon$i")} AS xa, ${fpyS(s"lat$i")} AS ya,
+         |  ${fpxS(s"lon$j")} AS xb, ${fpyS(s"lat$j")} AS yb FROM ${fx("bursts")}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS MATERIALIZED (SELECT event_id,
+       |    ${fpxS("-30.0 + CAST(h % 1000000 AS DOUBLE) / 1e6 * 10.0")} AS ex,
+       |    ${fpyS("10.0 + CAST((h // 1000000) % 1000000 AS DOUBLE) / 1e6 * 2.0")} AS ey
+       |  FROM (SELECT event_id,
+       |          ${h60("'g:' || CAST(event_id AS VARCHAR)")} AS h FROM events)
+       |  WHERE event_id % 3 = 0),
+       |sg AS MATERIALIZED ($edges),
+       |c AS MATERIALIZED (SELECT ev.event_id, sg.scene_id, sg.subswath, sg.burst_idx, sg.edge,
+       |    least($ts, (greatest(0, (ex - xa) * (xb - xa) + (ey - ya) * (yb - ya)) * $ts)
+       |      // ((xb - xa) * (xb - xa) + (yb - ya) * (yb - ya))) AS tq,
+       |    ex, ey, xa, ya, xb, yb
+       |  FROM ev, sg
+       |  WHERE (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) > 0),
+       |d AS MATERIALIZED (SELECT event_id, scene_id, subswath, burst_idx, edge, tq,
+       |    ex * $ts - (xa * $ts + (xb - xa) * tq) AS dx,
+       |    ey * $ts - (ya * $ts + (yb - ya) * tq) AS dy
+       |  FROM c),
+       |r AS MATERIALIZED (SELECT *,
+       |    CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT) + CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT) AS d2q,
+       |    row_number() OVER (PARTITION BY event_id ORDER BY
+       |      CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT) + CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT),
+       |      scene_id, subswath, burst_idx, edge) AS rn
+       |  FROM d)
+       |SELECT event_id, scene_id, subswath, burst_idx, edge, tq,
+       |  (abs(dx) // $ts) * (abs(dx) // $ts) + (abs(dy) // $ts) * (abs(dy) // $ts) AS d2
+       |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
+  }
 }

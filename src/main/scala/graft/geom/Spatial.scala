@@ -354,6 +354,100 @@ object Spatial {
   /** Zoom levels for the vector-tile generation gate. */
   val VectorTileLevels = Seq(10, 11)
 
+  /** Projection parameter resolution for q_snap_track: 1/256 of a segment. */
+  val SnapTScale = 256L
+
+  /**
+   * Snap-to-track (q_snap_track) — the point→line nearest-neighbor join that
+   * completes the kNN family (point→point = spatialKnn, point→polygon = PIP;
+   * this is ST_ClosestPoint / map-matching): every 3rd event's planted
+   * position snapped to the nearest burst-footprint edge segment. The
+   * closest point is taken on the 1/256-subdivided segment (projection
+   * parameter floor-quantized to t/256 — a DEFINED, reproducible semantics
+   * like the clip kernel's dyadic snap), distances compared EXACTLY in
+   * DECIMAL(38) scaled squared units with (segment key) tie-break.
+   *
+   * Ring expansion with the same certification as spatialKnnQuery: segment
+   * cells (bbox cover) are equi-joined against the event's expanding box
+   * cover; once the best candidate's scaled distance is within the ring
+   * bound, no unseen segment (provably outside the box) can beat it. The
+   * min is a groupBy min-struct aggregate (map-side combined; duplicate
+   * candidates from shared cells collapse in the min for free).
+   */
+  def snapTrackQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpPerDeg = (1L << RasterXBits).toDouble / 360.0
+    val bursts = Fixtures.table(spark, sfDir, "bursts").select(
+      Seq(col("scene_id"), col("subswath"), col("burst_idx")) ++
+      (1 to 4).flatMap(i => Seq(
+        col(s"lon$i"), col(s"lat$i"),
+        fpx(col(s"lon$i")).as(s"fx$i"), fpy(col(s"lat$i")).as(s"fy$i"))): _*)
+    val segs = bursts.withColumn("e", explode(array((1 to 4).map { i =>
+        val j = i % 4 + 1
+        struct(lit(i).as("edge"),
+          col(s"fx$i").as("xa"), col(s"fy$i").as("ya"),
+          col(s"fx$j").as("xb"), col(s"fy$j").as("yb"),
+          col(s"lon$i").as("lona"), col(s"lat$i").as("lata"),
+          col(s"lon$j").as("lonb"), col(s"lat$j").as("latb"))
+      }: _*)))
+      .select(col("scene_id"), col("subswath"), col("burst_idx"), col("e.*"))
+      .where((col("xb") - col("xa")) * (col("xb") - col("xa")) +
+             (col("yb") - col("ya")) * (col("yb") - col("ya")) > 0)
+    val segCells = segs.withColumn("cell", explode(CellIndex.coverCol(
+        least(col("lona"), col("lonb")), least(col("lata"), col("latb")),
+        greatest(col("lona"), col("lonb")), greatest(col("lata"), col("latb")))))
+      .drop("lona", "lata", "lonb", "latb")
+    var remaining = Geofence.positioned(spark, sfDir)
+      .where(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("lon"), col("lat"),
+        fpx(col("lon")).as("ex"), fpy(col("lat")).as("ey"))
+    var rFp = 1L << 14
+    var done: DataFrame = null
+    while (rFp <= (1L << 26) && !remaining.isEmpty) {
+      val rdeg = rFp / fpPerDeg
+      val lvl = levelFor((rdeg * 1e6).toLong)
+      val cand = remaining
+        .withColumn("cell", explode(CellIndex.coverCol(
+          col("lon") - rdeg, col("lat") - rdeg, col("lon") + rdeg, col("lat") + rdeg, lvl)))
+        .join(segCells.withColumn("cell", coarsenCol(col("cell"), lvl)), Seq("cell"))
+        .withColumn("tnum",
+          (col("ex") - col("xa")) * (col("xb") - col("xa")) +
+          (col("ey") - col("ya")) * (col("yb") - col("ya")))
+        .withColumn("len2",
+          (col("xb") - col("xa")) * (col("xb") - col("xa")) +
+          (col("yb") - col("ya")) * (col("yb") - col("ya")))
+        .withColumn("tq", least(lit(SnapTScale),
+          expr(s"(greatest(0L, tnum) * $SnapTScale) div len2")))
+        .withColumn("dx", col("ex") * SnapTScale -
+          (col("xa") * SnapTScale + (col("xb") - col("xa")) * col("tq")))
+        .withColumn("dy", col("ey") * SnapTScale -
+          (col("ya") * SnapTScale + (col("yb") - col("ya")) * col("tq")))
+        .withColumn("d2q",
+          col("dx").cast("decimal(38,0)") * col("dx").cast("decimal(38,0)") +
+          col("dy").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)"))
+      val best = cand.groupBy("event_id")
+        .agg(min(struct(col("d2q"), col("scene_id"), col("subswath"),
+          col("burst_idx"), col("edge"), col("tq"), col("dx"), col("dy"))).as("b"))
+      // certify against (rFp - 2): an unseen segment shares no cell with the
+      // box cover, so it lies outside the degree box, whose fp half-width is
+      // at least rFp minus 2 units of floor-quantization slack
+      val bound = lit((rFp - 2) * SnapTScale).cast("decimal(38,0)") *
+        lit((rFp - 2) * SnapTScale).cast("decimal(38,0)")
+      val certified = best.where(col("b.d2q") <= bound)
+        .select(col("event_id"),
+          col("b.scene_id").as("scene_id"), col("b.subswath").as("subswath"),
+          col("b.burst_idx").as("burst_idx"), col("b.edge").as("edge"),
+          col("b.tq").as("tq"),
+          (expr(s"abs(b.dx) div $SnapTScale") * expr(s"abs(b.dx) div $SnapTScale") +
+           expr(s"abs(b.dy) div $SnapTScale") * expr(s"abs(b.dy) div $SnapTScale")).as("d2"))
+      done = if (done == null) certified.localCheckpoint()
+             else done.unionByName(certified).localCheckpoint()
+      remaining = remaining.join(certified.select("event_id"),
+        Seq("event_id"), "left_anti").localCheckpoint()
+      rFp *= 2
+    }
+    done
+  }
+
   /**
    * Vector-tile generation (q_vector_tiles) — the distributed tiler shape
    * behind every web-map vector pipeline: each feature (burst footprint) is

@@ -1144,6 +1144,7 @@ class PipelineSpec extends AnyFunSuite {
       ("span_align", () => graft.ops.Spans.spanAlignQuery(spark, sf).collect().map(_.toString).sorted),
       ("simplify", () => graft.geom.Spatial.simplifyQuery(spark, sf).collect().map(_.toString).sorted),
       ("vector_tiles", () => graft.geom.Spatial.vectorTilesQuery(spark, sf).collect().map(_.toString).sorted),
+      ("snap_track", () => graft.geom.Spatial.snapTrackQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

@@ -841,6 +841,62 @@ class SpatialSpec extends AnyFunSuite {
     assert(!ptv.contains("Join"), ptv.take(2000))
   }
 
+  test("snap track: certified nearest-segment equals brute force; quantization bound holds") {
+    def fpxD(lon: Double) = math.min((1L << 25) - 1, math.max(0L,
+      math.floor((lon + 180.0) / 360.0 * (1L << 25).toDouble).toLong))
+    def fpyD(lat: Double) = math.min((1L << 24) - 1, math.max(0L,
+      math.floor((lat + 90.0) / 180.0 * (1L << 24).toDouble).toLong))
+    val ts = Spatial.SnapTScale
+    val segs = Fixtures.table(spark, sf, "bursts")
+      .select("scene_id", "subswath", "burst_idx",
+        "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4").collect()
+      .flatMap { r =>
+        val fp = (1 to 4).map(i => (fpxD(r.getDouble(2 * i + 1)), fpyD(r.getDouble(2 * i + 2))))
+        (1 to 4).map { i =>
+          val (xa, ya) = fp(i - 1); val (xb, yb) = fp(i % 4)
+          ((r.getString(0), r.getString(1), r.getInt(2), i), xa, ya, xb, yb)
+        }
+      }.filter(s => (s._4 - s._2) * (s._4 - s._2) + (s._5 - s._3) * (s._5 - s._3) > 0)
+    val events = graft.geom.Geofence.positioned(spark, sf)
+      .where(col("event_id") % 3 === 0)
+      .select("event_id", "lon", "lat").as[(Long, Double, Double)].collect()
+    // brute force with the SAME quantized semantics, BigInt-exact ordering
+    val exp = events.map { case (eid, lon, lat) =>
+      val (ex, ey) = (fpxD(lon), fpyD(lat))
+      val best = segs.map { case (key, xa, ya, xb, yb) =>
+        val len2 = (xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)
+        val tnum = (ex - xa) * (xb - xa) + (ey - ya) * (yb - ya)
+        val tq = math.min(ts, math.max(0L, tnum) * ts / len2)
+        val dx = ex * ts - (xa * ts + (xb - xa) * tq)
+        val dy = ey * ts - (ya * ts + (yb - ya) * tq)
+        val d2q = BigInt(dx) * BigInt(dx) + BigInt(dy) * BigInt(dy)
+        ((d2q, key._1, key._2, key._3, key._4), tq,
+          (dx.abs / ts) * (dx.abs / ts) + (dy.abs / ts) * (dy.abs / ts))
+      }.minBy(_._1)
+      eid -> ((best._1._2, best._1._3, best._1._4, best._1._5, best._2, best._3))
+    }.toMap
+    val got = Spatial.snapTrackQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == exp)
+    assert(got.size == events.length)
+    // quantization bound: the snapped distance is never below the TRUE
+    // (continuous-projection) distance and exceeds it by at most len/256
+    for ((eid, lon, lat) <- events.take(200)) {
+      val (ex, ey) = (fpxD(lon), fpyD(lat))
+      val trueMin = segs.map { case (_, xa, ya, xb, yb) =>
+        val len2 = ((xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)).toDouble
+        val t = math.max(0.0, math.min(1.0, ((ex - xa) * (xb - xa) + (ey - ya) * (yb - ya)) / len2))
+        val dx = ex - (xa + (xb - xa) * t); val dy = ey - (ya + (yb - ya) * t)
+        math.hypot(dx, dy)
+      }.min
+      val snapped = math.sqrt(got(eid)._6.toDouble)
+      val maxLen = segs.map(s => math.hypot((s._4 - s._2).toDouble, (s._5 - s._3).toDouble)).max
+      assert(snapped + 2 >= trueMin - 1e-6, s"$eid snapped below true distance")
+      assert(snapped <= trueMin + maxLen / ts + 2, s"$eid snapped too far above true distance")
+    }
+  }
+
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
     val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
     val fill = Spatial.polyfillQuery(spark, sf).collect()
