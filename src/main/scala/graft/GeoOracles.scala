@@ -585,6 +585,24 @@ object GeoOracles {
        |       CAST(sum(${h60("doc_id || '|' || o::VARCHAR || '|' || mr")} % 1099511627776) AS BIGINT) AS checksum
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_snapshot_diff: FULL OUTER diff of the two semantic manifests (earlier
+   * snapshot = IW2 complete + IW1 minus the h60%5 batch + IW3 absent). */
+  val snapshotDiff: String =
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |m AS (SELECT doc_id, p[4] AS sw, p[3] || '/' || p[4] AS part,
+       |        ${h60("doc_id || '|' || s.\"offset\"::VARCHAR || '|' || s.media_ref")} % 1099511627776 AS h
+       |      FROM (SELECT doc_id, s, string_split(s.media_ref, '/') AS p
+       |            FROM sp WHERE s.kind = 'media') t),
+       |a AS (SELECT part, count(*) AS n_a, CAST(sum(h) AS BIGINT) AS cs_a FROM m
+       |      WHERE sw = 'IW2' OR (sw = 'IW1' AND ${h60("doc_id")} % 5 != 0) GROUP BY 1),
+       |b AS (SELECT part, count(*) AS n_b, CAST(sum(h) AS BIGINT) AS cs_b FROM m GROUP BY 1)
+       |SELECT coalesce(a.part, b.part) AS part_key,
+       |  CASE WHEN n_a IS NULL THEN 'added' WHEN n_b IS NULL THEN 'removed'
+       |       WHEN n_a = n_b AND cs_a = cs_b THEN 'unchanged' ELSE 'changed' END AS status,
+       |  coalesce(n_a, 0) AS n_a, coalesce(cs_a, 0) AS cs_a,
+       |  coalesce(n_b, 0) AS n_b, coalesce(cs_b, 0) AS cs_b
+       |FROM a FULL OUTER JOIN b ON a.part = b.part ORDER BY 1""".stripMargin
+
   /** q_spatial_card: every leg re-aggregates the corresponding standalone
    * oracle's own derivation (declaration order matters — this val embeds the
    * others, so it stays at the END of the object). */

@@ -1280,6 +1280,24 @@ object PipelineOracles {
        |  CASE WHEN n_true = 0 THEN 0 ELSE (tp * 1000000) // n_true END AS recall_ppm
        |FROM j ORDER BY label""".stripMargin
 
+  /** q_quality_classifier: hashed bag-of-words linear classifier inference
+   * — per-token bucket weight from the shared h60 primitive, per-doc sparse
+   * dot product, explicit floor division for the per-token score. */
+  val qualityClassifier: String = {
+    val b = graft.text.Curation.QcBuckets
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+       |  FROM documents),
+       |wt AS (SELECT doc_id, ${h60(s"'qw:' || CAST(${h60("w")} % $b AS VARCHAR)")} % 2001 - 1000 AS wt
+       |  FROM tok),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score
+       |  FROM wt GROUP BY 1)
+       |SELECT doc_id, n_tokens, score,
+       |  (score - ((score % n_tokens + n_tokens) % n_tokens)) // n_tokens AS score_per_tok,
+       |  CAST(score >= 0 AS BIGINT) AS label
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** q_line_dedup: C4-style line-level exact dedup over planted boilerplate
    * lines. Positions mirror the engine's posexplode over the null-filtered
    * line array (content always pos 0; each planted line's pos counts the

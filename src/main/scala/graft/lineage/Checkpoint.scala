@@ -110,6 +110,36 @@ object Checkpoint {
     semanticManifest(graft.ops.Spans.geolocatedMediaSpans(spark, sfDir),
       "scene_id", Seq("doc_id", "offset", "media_ref"))
 
+  /**
+   * Snapshot diff (q_snapshot_diff) — the Iceberg incremental-consumption /
+   * time-travel primitive: which logical partitions changed between two
+   * snapshots, so an incremental job recomputes ONLY those. Snapshot A is a
+   * deterministic earlier corpus state (IW2 spans complete, IW1 spans missing
+   * the h60(doc)%5=0 batch, IW3 absent entirely); snapshot B is the full
+   * table — so the fixture exercises all three outcomes: IW2 partitions
+   * `unchanged`, IW1 `changed`, IW3 `added` (and the classifier supports
+   * `removed`). The diff is a FULL OUTER join of the two semantic manifests —
+   * the comparison runs over per-partition (rows, checksum) rows, never the
+   * data, which is the point at 10^12 rows: manifests are bounded by the
+   * partition count.
+   */
+  def snapshotDiffQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .withColumn("part", concat_ws("/", col("scene_id"), col("subswath")))
+    val inA = expr(
+      s"subswath = 'IW2' OR (subswath = 'IW1' AND ${graft.dedup.Dedup.h60("doc_id")} % 5 != 0)")
+    val a = semanticManifest(spans.where(inA), "part", Seq("doc_id", "offset", "media_ref"))
+      .withColumnRenamed("n_rows", "n_a").withColumnRenamed("checksum", "cs_a")
+    val b = semanticManifest(spans, "part", Seq("doc_id", "offset", "media_ref"))
+      .withColumnRenamed("n_rows", "n_b").withColumnRenamed("checksum", "cs_b")
+    a.join(b, Seq("part_key"), "full_outer")
+      .select(col("part_key"),
+        expr("CASE WHEN n_a IS NULL THEN 'added' WHEN n_b IS NULL THEN 'removed' " +
+          "WHEN n_a = n_b AND cs_a = cs_b THEN 'unchanged' ELSE 'changed' END").as("status"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"), coalesce(col("cs_a"), lit(0L)).as("cs_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), coalesce(col("cs_b"), lit(0L)).as("cs_b"))
+  }
+
   /** Prune predicate for the manifest-prune gate: geolocated span longitude
    * (quantized microdegrees) in [PruneLo, PruneHi] — chosen so SOME fixture
    * scenes prune (scene lon origins step 2.5 deg) and some scan. */

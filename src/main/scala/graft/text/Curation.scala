@@ -377,6 +377,37 @@ object Curation {
     base.unionByName(hll).unionByName(qs)
   }
 
+  /**
+   * Model-based quality scoring (q_quality_classifier) — the fasttext-style
+   * linear classifier pass (CCNet / FineWeb-Edu run exactly this shape: a
+   * hashed bag-of-words linear model scores every document, and the score
+   * gates inclusion). The model here is a deterministic stand-in — weights
+   * derived from the hash of the bucket id, uniform in [-1000, 1000] — so the
+   * gate checks the INFERENCE dataflow (feature hashing, sparse dot product,
+   * threshold), not learned accuracy, on an integer grid that is exact
+   * cross-engine.
+   *
+   * Scale: the weight is a pure per-token expression (no weight table is even
+   * joined — for a real trained model it becomes a 2^12..2^20-row broadcast);
+   * one explode + per-doc rollup shuffle, as scale-free as token counting.
+   */
+  val QcBuckets = 4096L
+
+  def qualityClassifierQuery(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .withColumn("b", expr(s"${h60("w")} % $QcBuckets"))
+      .withColumn("wt", expr(s"${h60(s"concat('qw:', CAST(b AS STRING))")} % 2001 - 1000"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wt").as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        // explicit floor division (score may be negative; `div` truncates
+        // toward zero while DuckDB's // floors — subtract pmod first so both
+        // engines divide an exact multiple)
+        expr("(score - pmod(score, n_tokens)) div n_tokens").as("score_per_tok"),
+        expr("CAST(score >= 0 AS BIGINT)").as("label"))
+
   /** The three planted boilerplate lines for q_line_dedup (the C4 scenario:
    * navigation chrome / legal footers repeated verbatim across pages — the
    * synthetic corpus has none, so the query plants them, the same device as

@@ -110,4 +110,42 @@ class LineageSpec extends AnyFunSuite {
     val (_, c3) = Checkpoint.datasetChecksum(df.withColumn("v", col("id") % 8))
     assert(c3 != c1)
   }
+
+  test("snapshot diff: manifest diff matches a direct recomputation; all outcomes exercised") {
+    def h60s(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val spans = graft.ops.Spans.geolocatedMediaSpans(spark, TestSpark.Sf)
+      .select("doc_id", "offset", "media_ref", "scene_id", "subswath")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    val mod = 1099511627776L
+    def manifest(rows: Seq[(String, Int, String, String, String)]) =
+      rows.groupBy(r => s"${r._4}/${r._5}").map { case (k, g) =>
+        k -> ((g.size.toLong, g.map(r => h60s(s"${r._1}|${r._2}|${r._3}") % mod).sum))
+      }
+    val b = manifest(spans.toSeq)
+    val a = manifest(spans.toSeq.filter(r =>
+      r._5 == "IW2" || (r._5 == "IW1" && h60s(r._1) % 5 != 0)))
+    val exp = (a.keySet ++ b.keySet).map { k =>
+      val (na, ca) = a.getOrElse(k, (0L, 0L))
+      val (nb, cb) = b.getOrElse(k, (0L, 0L))
+      val status =
+        if (!a.contains(k)) "added" else if (!b.contains(k)) "removed"
+        else if (na == nb && ca == cb) "unchanged" else "changed"
+      (k, status, na, ca, nb, cb)
+    }
+    val got = Checkpoint.snapshotDiffQuery(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == exp)
+    // the fixture exercises added (IW3), changed (IW1), unchanged (IW2)
+    assert(got.map(_._2).intersect(Set("added", "changed", "unchanged")).size == 3)
+    // incremental-consumption invariant: the new-batch row mass equals the
+    // per-partition deltas of the non-removed partitions
+    val newRows = spans.count(r => !(r._5 == "IW2" || (r._5 == "IW1" && h60s(r._1) % 5 != 0)))
+    assert(got.toSeq.map(x => x._5 - x._3).sum == newRows)
+  }
 }

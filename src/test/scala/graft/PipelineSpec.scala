@@ -715,6 +715,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum > 0 && got.values.map(_._6).sum > 0)
   }
 
+  test("quality classifier: hashed linear inference matches direct recomputation; both labels occur") {
+    import graft.text.Curation
+    def h60s(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val raw = Dedup.docs(spark, sf).select("doc_id", "text").as[(Long, String)].collect()
+      .filter(_._2 != null)
+    val exp = raw.flatMap { case (id, t) =>
+      val ws = t.toLowerCase.split(' ').filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val score = ws.map { w =>
+          val b = h60s(w) % Curation.QcBuckets
+          h60s(s"qw:$b") % 2001 - 1000
+        }.sum
+        val spt = Math.floorDiv(score, ws.length.toLong)
+        Some(id -> ((ws.length.toLong, score, spt, if (score >= 0) 1L else 0L)))
+      }
+    }.toMap
+    val got = Curation.qualityClassifierQuery(spark, sf)
+      .select("doc_id", "n_tokens", "score", "score_per_tok", "label")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == exp)
+    // the score genuinely separates: both labels occur in the fixture
+    assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L))
+  }
+
   test("ann truncate recall + knn classify match direct recomputation") {
     import graft.ann.Ann
     def cosD(a: Array[Double], b: Array[Double]): Double = {
@@ -1122,6 +1151,7 @@ class PipelineSpec extends AnyFunSuite {
       ("range_join", () => graft.streaming.Events.rangeJoinQuery(spark, sf).collect().map(_.toString).sorted),
       ("corpus_split", () => graft.text.Curation.corpusSplitQuery(spark, sf).collect().map(_.toString).sorted),
       ("line_dedup", () => graft.text.Curation.lineDedupQuery(spark, sf).collect().map(_.toString).sorted),
+      ("quality_classifier", () => graft.text.Curation.qualityClassifierQuery(spark, sf).collect().map(_.toString).sorted),
       ("source_overlap", () => graft.sketch.Sketches.sourceOverlapQuery(spark, sf).collect().map(_.toString).sorted),
       ("ivfpq", () => graft.ann.Ann.ivfPqTopKQuery(spark, sf).collect().map(_.toString).sorted),
       ("data_card", () => graft.text.Curation.dataCardQuery(spark, sf).collect().map(_.toString).sorted),
@@ -1145,6 +1175,7 @@ class PipelineSpec extends AnyFunSuite {
       ("simplify", () => graft.geom.Spatial.simplifyQuery(spark, sf).collect().map(_.toString).sorted),
       ("vector_tiles", () => graft.geom.Spatial.vectorTilesQuery(spark, sf).collect().map(_.toString).sorted),
       ("snap_track", () => graft.geom.Spatial.snapTrackQuery(spark, sf).collect().map(_.toString).sorted),
+      ("snapshot_diff", () => graft.lineage.Checkpoint.snapshotDiffQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),
