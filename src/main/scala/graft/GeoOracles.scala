@@ -87,7 +87,9 @@ object GeoOracles {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q_within_dist: brute-force within-distance pair self-join (no grid). */
-  val withinDist: String =
+  val withinDist: String = withinDistSql(graft.geom.Spatial.PairDistUs)
+
+  private def withinDistSql(dUs: Long): String =
     s"""WITH pc AS (SELECT scene_id, subswath, burst_idx,
        |  CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS BIGINT) AS px,
        |  CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS BIGINT) AS py
@@ -98,7 +100,7 @@ object GeoOracles {
        |FROM pc a, pc b
        |WHERE (a.scene_id, a.subswath, a.burst_idx) < (b.scene_id, b.subswath, b.burst_idx)
        |  AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
-       |      <= ${graft.geom.Spatial.PairDistUs * graft.geom.Spatial.PairDistUs}
+       |      <= ${dUs * dUs}
        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin
 
   /** q_footprint_intersects: brute-force exact convex quad x rect intersects
@@ -584,6 +586,27 @@ object GeoOracles {
        |SELECT p[3] AS part_key, count(*) AS n_rows,
        |       CAST(sum(${h60("doc_id || '|' || o::VARCHAR || '|' || mr")} % 1099511627776) AS BIGINT) AS checksum
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_triangles: degree-ordered triangle counting over the withinDist
+   * oracle's pair graph (same orientation rule, wedge + canonical closure). */
+  val triangles: String =
+    s"""WITH e AS MATERIALIZED (SELECT
+       |    scene_a || '/' || subswath_a || '/' || CAST(burst_a AS VARCHAR) AS u,
+       |    scene_b || '/' || subswath_b || '/' || CAST(burst_b AS VARCHAR) AS v
+       |  FROM (${withinDistSql(graft.geom.Spatial.TriDistUs)})),
+       |deg AS MATERIALIZED (SELECT n, count(*) AS d
+       |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+       |o AS MATERIALIZED (SELECT
+       |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+       |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+       |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+       |w AS MATERIALIZED (SELECT a.src, a.dst AS w1, b.dst AS w2
+       |  FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+       |c AS MATERIALIZED (SELECT least(src, dst) AS w1, greatest(src, dst) AS w2 FROM o),
+       |t AS (SELECT src, w1, w2 FROM w
+       |      WHERE EXISTS (SELECT 1 FROM c WHERE c.w1 = w.w1 AND c.w2 = w.w2)),
+       |x AS (SELECT unnest([src, w1, w2]) AS n FROM t)
+       |SELECT n, count(*) AS n_triangles FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q_snapshot_diff: FULL OUTER diff of the two semantic manifests (earlier
    * snapshot = IW2 complete + IW1 minus the h60%5 batch + IW3 absent). */

@@ -151,23 +151,31 @@ object Spatial {
    * unique), so no post-join dedup is needed; the (scene, subswath, burst)
    * tuple order keeps one row per unordered pair.
    */
-  def withinDistQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def withinDistQuery(spark: SparkSession, sfDir: String): DataFrame =
+    withinDistPairs(spark, sfDir, PairDistUs, PairLevel)
+
+  /** Parameterized grid pair join — the level must satisfy the completeness
+   * bound (both cell edges >= dUs), asserted here. */
+  def withinDistPairs(spark: SparkSession, sfDir: String,
+      dUs: Long, level: Int): DataFrame = {
+    require(dUs <= (180.0 / (1L << level)) * 1e6,
+      s"level $level cell edge below distance $dUs — 3x3 probe incomplete")
     val lonC = (col("lon1") + col("lon2") + col("lon3") + col("lon4")) / 4
     val latC = (col("lat1") + col("lat2") + col("lat3") + col("lat4")) / 4
     val base = Fixtures.table(spark, sfDir, "bursts").select(
       col("scene_id"), col("subswath"), col("burst_idx"),
       microdeg(lonC).as("px"), microdeg(latC).as("py"),
-      CellIndex.ixCol(lonC, PairLevel).as("ix"),
-      CellIndex.iyCol(latC, PairLevel).as("iy"))
-    val n = (1L << PairLevel) - 1
+      CellIndex.ixCol(lonC, level).as("ix"),
+      CellIndex.iyCol(latC, level).as("iy"))
+    val n = (1L << level) - 1
     val probe = base.withColumn("cell", explode(flatten(transform(
         sequence(greatest(lit(0L), col("iy") - 1), least(lit(n), col("iy") + 1)), yy =>
           transform(
             sequence(greatest(lit(0L), col("ix") - 1), least(lit(n), col("ix") + 1)), xx =>
-              CellIndex.packCol(PairLevel, yy, xx))))))
+              CellIndex.packCol(level, yy, xx))))))
       .drop("ix", "iy")
     val home = base
-      .withColumn("cell", CellIndex.packCol(PairLevel, col("iy"), col("ix")))
+      .withColumn("cell", CellIndex.packCol(level, col("iy"), col("ix")))
       .drop("ix", "iy")
     val a = probe.select(col("cell"), col("scene_id").as("scene_a"),
       col("subswath").as("subswath_a"), col("burst_idx").as("burst_a"),
@@ -180,9 +188,56 @@ object Spatial {
     a.join(b, Seq("cell"))
       .where(struct(col("scene_a"), col("subswath_a"), col("burst_a")) <
              struct(col("scene_b"), col("subswath_b"), col("burst_b")))
-      .where(d2 <= PairDistUs * PairDistUs)
+      .where(d2 <= dUs * dUs)
       .select(col("scene_a"), col("subswath_a"), col("burst_a"),
         col("scene_b"), col("subswath_b"), col("burst_b"), d2.as("d2"))
+  }
+
+  /**
+   * Triangle counting (q_triangles) on the within-distance proximity graph —
+   * the classic distributed graph analytic (clustering-coefficient numerator;
+   * here: triples of mutually-overlapping bursts, the redundant-coverage
+   * detector). Uses the DEGREE-ORDERED edge-iterator algorithm: orient every
+   * edge from its (degree, id)-smaller endpoint to the larger, build wedges
+   * by joining oriented edges on their shared SOURCE, close each wedge
+   * against the oriented edge set. Orientation is the scale lever — wedge
+   * count is bounded by sum of out-degree², and out-degrees are O(sqrt(m))
+   * under this orientation (the m^1.5 guarantee), so no hub node ever
+   * explodes the join. Output: per-node triangle counts.
+   */
+  /** Triangle radius: 0.4 deg (denser graph than the pair gate's 0.3 — the
+   * fixture's proximity graph has no 3-cliques at 0.3); level 8 keeps the
+   * 3x3 completeness bound (cell edges 1.406/0.703 deg >= 0.4). */
+  val TriDistUs = 400000L
+
+  def trianglesQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val nid = (s: String, w: String, b: String) =>
+      concat_ws("/", col(s), col(w), col(b).cast("string"))
+    val edges = withinDistPairs(spark, sfDir, TriDistUs, 8)
+      .select(nid("scene_a", "subswath_a", "burst_a").as("u"),
+        nid("scene_b", "subswath_b", "burst_b").as("v"))
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("n").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+    val oriented = edges.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val e1 = oriented.select(col("src"), col("dst").as("w1"))
+    val e2 = oriented.select(col("src"), col("dst").as("w2"))
+    val wedges = e1.join(e2, Seq("src")).where(col("w1") < col("w2"))
+    // close the wedge: the {w1, w2} edge exists — canonicalized to the
+    // lexical (min, max) pair so the closure is a plain EQUI-join (an OR of
+    // both orientations would plan as a nested-loop join)
+    val closure = oriented.select(
+      least(col("src"), col("dst")).as("w1"), greatest(col("src"), col("dst")).as("w2"))
+    val tris = wedges.join(closure, Seq("w1", "w2"), "left_semi")
+      .select(col("src"), col("w1"), col("w2"))
+    tris.select(explode(array(col("src"), col("w1"), col("w2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
   }
 
   /** Integer cross product (B-A) x (P-A) of microdegree points, as a Column.

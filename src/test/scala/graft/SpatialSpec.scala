@@ -897,6 +897,37 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles: degree-ordered counting equals brute-force enumeration; degree bound holds") {
+    val edges = Spatial.withinDistPairs(spark, sf, Spatial.TriDistUs, 8).collect()
+      .map(r => (s"${r.getString(0)}/${r.getString(1)}/${r.getInt(2)}",
+        s"${r.getString(3)}/${r.getString(4)}/${r.getInt(5)}"))
+    val adj = scala.collection.mutable.Map.empty[String, Set[String]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    // brute force: enumerate all vertex triples among neighbors
+    val triCount = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var total = 0L
+    val nodes = adj.keys.toSeq.sorted
+    for (u <- nodes; v <- adj(u) if v > u; w <- adj(u) if w > v && adj(v).contains(w)) {
+      total += 1
+      Seq(u, v, w).foreach(n => triCount(n) += 1)
+    }
+    val got = Spatial.trianglesQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == triCount.toMap)
+    assert(total > 0, "fixture has no triangles — the gate is vacuous")
+    assert(got.values.sum == 3 * total)
+    // the orientation's scale guarantee: max out-degree under (deg, id)
+    // ordering is far below max raw degree on this graph
+    val deg = adj.view.mapValues(_.size).toMap
+    val outDeg = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val tupOrd = implicitly[Ordering[(Int, String)]]
+    edges.foreach { case (u, v) =>
+      val src = if (tupOrd.lt((deg(u), u), (deg(v), v))) u else v
+      outDeg(src) += 1
+    }
+    assert(outDeg.values.max <= deg.values.max)
+  }
+
   test("cell buffer equals a set-dilation recomputation of the engine's own fill") {
     val keysOf = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1), r.getInt(2))
     val fill = Spatial.polyfillQuery(spark, sf).collect()
