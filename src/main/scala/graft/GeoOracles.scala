@@ -587,6 +587,27 @@ object GeoOracles {
        |       CAST(sum(${h60("doc_id || '|' || o::VARCHAR || '|' || mr")} % 1099511627776) AS BIGINT) AS checksum
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_bucketed_join: per-span cell density self-enrichment, per-scene
+   * rollup (bucketing is physical — the oracle checks the SEMANTICS from the
+   * raw tables; the no-shuffle physical plan is pinned by PlanSpec). */
+  val bucketedJoin: String =
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT p[3] AS scene_id,
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT)),
+       |pt AS (SELECT scene_id, (11::BIGINT << 58) |
+       |        (CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) << 29) |
+       |        CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS cell
+       |      FROM m),
+       |dens AS (SELECT cell, count(*) AS n_in_cell FROM pt GROUP BY 1)
+       |SELECT scene_id, count(*) AS n_spans, CAST(sum(n_in_cell) AS BIGINT) AS density_mass
+       |FROM pt JOIN dens USING (cell) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_triangles: degree-ordered triangle counting over the withinDist
    * oracle's pair graph (same orientation rule, wedge + canonical closure). */
   val triangles: String =

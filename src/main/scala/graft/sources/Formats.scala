@@ -40,4 +40,37 @@ object Formats {
       .select("doc_id", "text", "lang", "source", "n_chars")
     summary(d, "parquet").unionByName(summary(j, "json")).unionByName(summary(c, "csv"))
   }
+
+  /**
+   * Bucketed co-located join (q_bucketed_join) — the storage-level shuffle
+   * eliminator the scale docs promise, demonstrated for real: the geolocated
+   * span table and its per-cell density dimension are both written as
+   * cell-bucketed (+ in-bucket sorted) tables, so the cell equi-join runs as
+   * a sort-merge join with ZERO exchanges on either input (PlanSpec pins
+   * SortMergeJoin + at most the one final rollup Exchange + the bucketed
+   * scan). At 10^12 docs this is THE difference between re-shuffling the
+   * span stream on every enrichment join and reading co-located buckets; the
+   * density self-enrichment here (each span weighted by its cell's
+   * occupancy) is the smallest real query with that shape.
+   *
+   * Tables land in a per-invocation scratch path + unique name (the
+   * in-memory catalog is session-scoped while table files persist — a fixed
+   * name would collide across Verify's recycled sessions).
+   */
+  def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spans = graft.ops.Spans.geolocatedMediaSpans(spark, dir)
+      .select(col("doc_id"), col("offset"), col("scene_id"), col("cell"))
+    val dens = spans.groupBy("cell").agg(count(lit(1)).as("n_in_cell"))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val tA = s"graft_spans_$tag"
+    val tB = s"graft_cells_$tag"
+    spans.write.format("parquet").option("path", s"$tmp/a")
+      .bucketBy(8, "cell").sortBy("cell").saveAsTable(tA)
+    dens.write.format("parquet").option("path", s"$tmp/b")
+      .bucketBy(8, "cell").sortBy("cell").saveAsTable(tB)
+    spark.table(tA).hint("merge").join(spark.table(tB).hint("merge"), Seq("cell"))
+      .groupBy("scene_id")
+      .agg(count(lit(1)).as("n_spans"), sum("n_in_cell").as("density_mass"))
+  }
 }

@@ -1177,6 +1177,7 @@ class PipelineSpec extends AnyFunSuite {
       ("snap_track", () => graft.geom.Spatial.snapTrackQuery(spark, sf).collect().map(_.toString).sorted),
       ("snapshot_diff", () => graft.lineage.Checkpoint.snapshotDiffQuery(spark, sf).collect().map(_.toString).sorted),
       ("triangles", () => graft.geom.Spatial.trianglesQuery(spark, sf).collect().map(_.toString).sorted),
+      ("bucketed_join", () => graft.sources.Formats.bucketedJoinQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
       ("geofence", () => graft.geom.Geofence.geofenceQuery(spark, sf).collect().map(_.toString).sorted),
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),

@@ -17,6 +17,27 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("bucketed join: co-located sort-merge with zero join-input exchanges; result matches unbucketed") {
+    val df = sources.Formats.bucketedJoinQuery(spark, sf)
+    val p = plan(df)
+    // the join is a sort-merge over the bucketed scans...
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("SelectedBucketsCount"), p.take(3000))
+    // ...and the ONLY exchange in the whole plan is the final per-scene
+    // rollup — neither join input shuffles (that is what bucketing buys)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("reuse"))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(3000)}")
+    // semantics equal the straightforward unbucketed computation
+    val spans = graft.ops.Spans.geolocatedMediaSpans(spark, sf)
+      .select(col("doc_id"), col("offset"), col("scene_id"), col("cell"))
+    val dens = spans.groupBy("cell").agg(count(lit(1)).as("n_in_cell"))
+    val expected = spans.join(dens, Seq("cell"))
+      .groupBy("scene_id")
+      .agg(count(lit(1)).as("n_spans"), sum("n_in_cell").as("density_mass"))
+      .collect().map(_.toString).sorted
+    assert(df.collect().map(_.toString).sorted.sameElements(expected))
+  }
+
   test("split query broadcasts the AOI side and avoids cartesian products") {
     val p = plan(ops.Split.topsarSplitQuery(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
