@@ -1280,6 +1280,31 @@ object PipelineOracles {
        |  CASE WHEN n_true = 0 THEN 0 ELSE (tp * 1000000) // n_true END AS recall_ppm
        |FROM j ORDER BY label""".stripMargin
 
+  /** q_cdc_merge: row-level MERGE INTO — base (non-bucket-0) FULL OUTER the
+   * batch (bucket-0 inserts + bucket-1 amended updates), per-source routing
+   * counts + post-merge snapshot checksum. */
+  val cdcMerge: String =
+    s"""WITH d AS (SELECT doc_id, source, text,
+       |    ${h60("'cdc:' || CAST(doc_id AS VARCHAR)")} % 10 AS bkt
+       |  FROM documents WHERE text IS NOT NULL),
+       |base AS (SELECT doc_id, source, text AS text_base FROM d WHERE bkt != 0),
+       |batch AS (SELECT doc_id, source, text AS text_batch FROM d WHERE bkt = 0
+       |          UNION ALL
+       |          SELECT doc_id, source, text || ' v2' FROM d WHERE bkt = 1),
+       |m AS (SELECT coalesce(base.doc_id, batch.doc_id) AS doc_id,
+       |        coalesce(base.source, batch.source) AS source,
+       |        coalesce(text_batch, text_base) AS text,
+       |        CASE WHEN text_base IS NULL THEN 'inserted'
+       |             WHEN text_batch IS NULL THEN 'unchanged' ELSE 'updated' END AS action
+       |      FROM base FULL OUTER JOIN batch
+       |        ON base.doc_id = batch.doc_id AND base.source = batch.source)
+       |SELECT source,
+       |  CAST(sum(CAST(action = 'unchanged' AS INT)) AS BIGINT) AS n_unchanged,
+       |  CAST(sum(CAST(action = 'updated' AS INT)) AS BIGINT) AS n_updated,
+       |  CAST(sum(CAST(action = 'inserted' AS INT)) AS BIGINT) AS n_inserted,
+       |  CAST(sum(${h60("CAST(doc_id AS VARCHAR) || '|' || md5(text)")} % 1099511627776) AS BIGINT) AS snapshot_checksum
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_quality_classifier: hashed bag-of-words linear classifier inference
    * — per-token bucket weight from the shared h60 primitive, per-doc sparse
    * dot product, explicit floor division for the per-token score. */

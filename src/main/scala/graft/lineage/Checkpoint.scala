@@ -140,6 +140,45 @@ object Checkpoint {
         coalesce(col("n_b"), lit(0L)).as("n_b"), coalesce(col("cs_b"), lit(0L)).as("cs_b"))
   }
 
+  /**
+   * Row-level CDC merge (q_cdc_merge) — the MERGE INTO / upsert primitive
+   * (snapshot_diff is partition-level; this is the row-level leg): a base
+   * snapshot (documents minus the deterministic "new" h60-bucket) merged
+   * with an incoming batch of inserts (the held-out bucket) and updates
+   * (bucket 1 docs with amended text). Classification per row — inserted /
+   * updated / unchanged — then per-source rollup with an order-independent
+   * checksum of the POST-merge snapshot, so the gate pins both the routing
+   * counts and the merged result itself.
+   *
+   * Scale: one doc_id-keyed FULL OUTER hash join (the canonical MERGE
+   * shuffle — at Iceberg level this composes with snapshot_diff so only
+   * changed partitions join), one rollup.
+   */
+  def cdcMergeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = graft.dedup.Dedup.h60("concat('cdc:', CAST(doc_id AS STRING))")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"), expr(s"$h % 10").as("bkt"))
+    val base = docs.where(col("bkt") =!= 0)
+      .select(col("doc_id"), col("source"), col("text").as("text_base"))
+    val batch = docs.where(col("bkt") === 0)
+      .select(col("doc_id"), col("source"), col("text").as("text_batch"))
+      .unionByName(docs.where(col("bkt") === 1)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" v2")).as("text_batch")))
+    val merged = base.join(batch, Seq("doc_id", "source"), "full_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("text_batch"), col("text_base")).as("text"),
+        expr("CASE WHEN text_base IS NULL THEN 'inserted' " +
+          "WHEN text_batch IS NULL THEN 'unchanged' ELSE 'updated' END").as("action"))
+    merged.groupBy("source").agg(
+      sum(expr("CAST(action = 'unchanged' AS BIGINT)")).as("n_unchanged"),
+      sum(expr("CAST(action = 'updated' AS BIGINT)")).as("n_updated"),
+      sum(expr("CAST(action = 'inserted' AS BIGINT)")).as("n_inserted"),
+      sum(expr(s"${graft.dedup.Dedup.h60("concat(CAST(doc_id AS STRING), '|', md5(text))")} % 1099511627776"))
+        .as("snapshot_checksum"))
+  }
+
   /** Prune predicate for the manifest-prune gate: geolocated span longitude
    * (quantized microdegrees) in [PruneLo, PruneHi] — chosen so SOME fixture
    * scenes prune (scene lon origins step 2.5 deg) and some scan. */

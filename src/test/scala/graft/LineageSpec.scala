@@ -148,4 +148,43 @@ class LineageSpec extends AnyFunSuite {
     val newRows = spans.count(r => !(r._5 == "IW2" || (r._5 == "IW1" && h60s(r._1) % 5 != 0)))
     assert(got.toSeq.map(x => x._5 - x._3).sum == newRows)
   }
+
+  test("cdc merge: routing counts and merged checksum match a direct upsert") {
+    def h60s(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    import spark.implicits._
+    val raw = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+      .filter(_._3 != null)
+    val mod = 1099511627776L
+    // direct upsert: apply the batch over the base map
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+      .withDefaultValue((0L, 0L, 0L, 0L))
+    raw.foreach { case (id, src, text) =>
+      val bkt = h60s(s"cdc:$id") % 10
+      val (action, finalText) = bkt match {
+        case 0 => ("inserted", text)
+        case 1 => ("updated", text + " v2")
+        case _ => ("unchanged", text)
+      }
+      val (u, up, i, cs) = acc(src)
+      val h = h60s(s"$id|${md5hex(finalText)}") % mod
+      acc(src) = (u + (if (action == "unchanged") 1 else 0),
+        up + (if (action == "updated") 1 else 0),
+        i + (if (action == "inserted") 1 else 0), cs + h)
+    }
+    val got = Checkpoint.cdcMergeQuery(spark, TestSpark.Sf)
+      .select("source", "n_unchanged", "n_updated", "n_inserted", "snapshot_checksum")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == acc.toMap)
+    // all three routes genuinely occur
+    assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0 &&
+      got.values.map(_._3).sum > 0)
+  }
 }

@@ -1176,6 +1176,7 @@ class PipelineSpec extends AnyFunSuite {
       ("vector_tiles", () => graft.geom.Spatial.vectorTilesQuery(spark, sf).collect().map(_.toString).sorted),
       ("snap_track", () => graft.geom.Spatial.snapTrackQuery(spark, sf).collect().map(_.toString).sorted),
       ("snapshot_diff", () => graft.lineage.Checkpoint.snapshotDiffQuery(spark, sf).collect().map(_.toString).sorted),
+      ("cdc_merge", () => graft.lineage.Checkpoint.cdcMergeQuery(spark, sf).collect().map(_.toString).sorted),
       ("triangles", () => graft.geom.Spatial.trianglesQuery(spark, sf).collect().map(_.toString).sorted),
       ("bucketed_join", () => graft.sources.Formats.bucketedJoinQuery(spark, sf).collect().map(_.toString).sorted),
       ("cell_buffer", () => graft.geom.Spatial.cellBufferQuery(spark, sf).collect().map(_.toString).sorted),
