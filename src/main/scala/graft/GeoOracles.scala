@@ -941,4 +941,192 @@ object GeoOracles {
        |  (abs(dx) // $ts) * (abs(dx) // $ts) + (abs(dy) // $ts) * (abs(dy) // $ts) AS d2
        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
   }
+
+  /** Geolocated media-span points in integer microdegrees, as CTE text
+   * (shared by the hull / Moran oracles; same arithmetic text as the gates
+   * that already pass — heatmap, bucketed_join). */
+  private val spanPtsCte: String =
+    s"""sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |e AS (SELECT doc_id, string_split(s.media_ref, '/') AS p
+       |      FROM sp WHERE s.kind = 'media'),
+       |m AS (SELECT p[3] AS scene_id,
+       |        b.lon1 + ((CAST(p[8] AS INT) + 0.5) / 4) * (b.lon2 - b.lon1)
+       |               + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lon4 - b.lon1) AS lon,
+       |        b.lat1 + ((CAST(p[7] AS INT) + 0.5) / 2) * (b.lat4 - b.lat1) AS lat
+       |      FROM e JOIN ${fx("bursts")} b
+       |        ON b.scene_id = p[3] AND b.subswath = p[4] AND b.burst_idx = CAST(p[6] AS INT))""".stripMargin
+
+  /** q_convex_hull: K-direction extreme-point hull, restated with a window
+   * argmax + lead-with-wrap shoelace (the engine uses a max-struct aggregate
+   * + array fold — different formulation, same integers). */
+  val convexHull: String = {
+    val dirVals = graft.geom.Analytics.Dirs.zipWithIndex
+      .map { case ((dx, dy), i) => s"($i, $dx, $dy)" }.mkString(", ")
+    val k = graft.geom.Analytics.Dirs.size
+    s"""WITH $spanPtsCte,
+       |pt AS (SELECT scene_id,
+       |         CAST(floor(lon * 1e6) AS BIGINT) AS px,
+       |         CAST(floor(lat * 1e6) AS BIGINT) AS py FROM m),
+       |np AS (SELECT scene_id, count(*) AS n_points FROM pt GROUP BY 1),
+       |dir AS (SELECT * FROM (VALUES $dirVals) t(di, dx, dy)),
+       |ranked AS (SELECT scene_id, di, px, py,
+       |    row_number() OVER (PARTITION BY scene_id, di
+       |                       ORDER BY dx * px + dy * py DESC, px, py) AS rn
+       |  FROM pt CROSS JOIN dir),
+       |ext AS MATERIALIZED (SELECT scene_id, di, px, py FROM ranked WHERE rn = 1),
+       |sh AS (SELECT scene_id, px, py,
+       |    coalesce(lead(px) OVER w, first_value(px) OVER w2) AS nx,
+       |    coalesce(lead(py) OVER w, first_value(py) OVER w2) AS ny
+       |  FROM ext
+       |  WINDOW w AS (PARTITION BY scene_id ORDER BY di),
+       |         w2 AS (PARTITION BY scene_id ORDER BY di
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |hull AS (SELECT scene_id,
+       |    abs(CAST(sum(px * ny - nx * py) AS BIGINT)) AS area2 FROM sh GROUP BY 1),
+       |nh AS (SELECT scene_id,
+       |    count(DISTINCT CAST(px AS VARCHAR) || ',' || CAST(py AS VARCHAR)) AS n_hull
+       |  FROM ext GROUP BY 1)
+       |SELECT np.scene_id, np.n_points, nh.n_hull, hull.area2
+       |FROM np JOIN nh USING (scene_id) JOIN hull USING (scene_id)
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q_idw: brute-force inequality join (no bbox prune — independent
+   * candidate derivation), identical integer weight/divide arithmetic. */
+  val idw: String = {
+    val r = graft.geom.Analytics.IdwRadiusUs
+    s"""WITH dem AS (SELECT
+       |    CAST(floor(lon * 1e6) AS BIGINT) AS px,
+       |    CAST(floor(lat * 1e6) AS BIGINT) AS py,
+       |    CAST(floor(height * 1000) AS BIGINT) AS hq
+       |  FROM ${fx("dem")}),
+       |q AS (SELECT aoi_id,
+       |    CAST(floor((lon_min + lon_max) / 2 * 1e6) AS BIGINT) AS qx,
+       |    CAST(floor((lat_min + lat_max) / 2 * 1e6) AS BIGINT) AS qy
+       |  FROM ${fx("aoi")}),
+       |nb AS (SELECT aoi_id, hq,
+       |    CAST(floor(1.0e12 / CAST(greatest(
+       |      (px - qx) * (px - qx) + (py - qy) * (py - qy), 1000000) AS DOUBLE)) AS BIGINT) AS w
+       |  FROM dem CROSS JOIN q
+       |  WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy) <= ${r * r})
+       |SELECT aoi_id, count(*) AS n_nbrs, CAST(sum(w) AS BIGINT) AS w_sum,
+       |       CAST((CAST(sum(w * hq) AS BIGINT) * 1000) // CAST(sum(w) AS BIGINT) AS BIGINT) AS idw_milli
+       |FROM nb GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q_moran: rook-contiguity Moran's I sufficient statistics over the
+   * level-11 occupied-cell counts; the double index reuses the gate's exact
+   * IEEE expression text. */
+  val moran: String =
+    s"""WITH $spanPtsCte,
+       |pt AS (SELECT
+       |    CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |    CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |  FROM m),
+       |cnt AS MATERIALIZED (SELECT ix, iy, count(*) AS x FROM pt GROUP BY 1, 2),
+       |off AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) t(dx, dy)),
+       |nbr AS (SELECT a.x AS xa, b.x AS xb
+       |  FROM cnt a CROSS JOIN off o
+       |  JOIN cnt b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy),
+       |pairs AS (SELECT count(*) AS w_sum, CAST(sum(xa * xb) AS BIGINT) AS cross_sum,
+       |                 CAST(sum(xa) AS BIGINT) AS deg_x_sum FROM nbr),
+       |base AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+       |                CAST(sum(x * x) AS BIGINT) AS sum_x2 FROM cnt)
+       |SELECT n, w_sum, sum_x, sum_x2, cross_sum, deg_x_sum,
+       |       ${graft.geom.Analytics.MoranIndexExpr} AS moran_q
+       |FROM base CROSS JOIN pairs""".stripMargin
+
+  /** Symmetric proximity-graph edge CTE text (node = scene/subswath/burst). */
+  private val symEdgesCte: String =
+    s"""ed AS MATERIALIZED (SELECT
+       |    scene_a || '/' || subswath_a || '/' || CAST(burst_a AS VARCHAR) AS u,
+       |    scene_b || '/' || subswath_b || '/' || CAST(burst_b AS VARCHAR) AS v
+       |  FROM (${withinDistSql(graft.geom.Spatial.TriDistUs)})),
+       |es AS MATERIALIZED (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed)""".stripMargin
+
+  /** q_kcore: the peel loop over the occupied-cell king-adjacency lattice,
+   * unrolled to MaxRounds MATERIALIZED rounds per k (rounds past the
+   * fixpoint are no-ops; the spec asserts the engine converges strictly
+   * inside the cap). Materialization is forced: an inlined
+   * self-referencing CTE chain would re-expand exponentially. */
+  val kcore: String = {
+    val rounds = graft.geom.GraphOps.MaxRounds
+    val ks = graft.geom.GraphOps.CoreKs
+    def perK(k: Int): String = {
+      val sb = new StringBuilder
+      sb.append(s"k${k}_e0 AS MATERIALIZED (SELECT u, v FROM ces),\n")
+      for (i <- 1 to rounds) {
+        sb.append(s"k${k}_n$i AS MATERIALIZED (SELECT u FROM k${k}_e${i - 1} GROUP BY u HAVING count(*) >= $k),\n")
+        sb.append(s"k${k}_e$i AS MATERIALIZED (SELECT e.u, e.v FROM k${k}_e${i - 1} e " +
+          s"JOIN k${k}_n$i a ON a.u = e.u JOIN k${k}_n$i b ON b.u = e.v),\n")
+      }
+      sb.toString
+    }
+    val fins = ks.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS k, u AS cell, count(*) AS core_deg " +
+        s"FROM k${k}_e$rounds GROUP BY u").mkString("\n  UNION ALL\n  ")
+    s"""WITH $spanPtsCte,
+       |pt AS (SELECT
+       |    CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |    CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |  FROM m),
+       |occ AS MATERIALIZED (SELECT ix, iy FROM pt GROUP BY 1, 2),
+       |koff AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+       |ces AS MATERIALIZED (SELECT
+       |    (11::BIGINT << 58) | (a.iy << 29) | a.ix AS u,
+       |    (11::BIGINT << 58) | (b.iy << 29) | b.ix AS v
+       |  FROM occ a CROSS JOIN koff o
+       |  JOIN occ b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy),
+       |${perK(ks.head)}${perK(ks.last)}
+       |fin AS (
+       |  $fins)
+       |SELECT k, cell, core_deg FROM fin ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q_bfs_hops: frontier expansion unrolled to BfsHops rounds; seeds = burst
+   * centers inside the lexicographically first AOI bbox. */
+  val bfsHops: String = {
+    val sb = new StringBuilder
+    for (h <- 1 to graft.geom.GraphOps.BfsHops) {
+      sb.append(s"f$h AS MATERIALIZED (SELECT DISTINCT es.v AS node FROM es " +
+        s"JOIN f${h - 1} f ON es.u = f.node " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM d${h - 1} d WHERE d.node = es.v)),\n")
+      sb.append(s"d$h AS MATERIALIZED (SELECT node, hop FROM d${h - 1} " +
+        s"UNION ALL SELECT node, CAST($h AS BIGINT) AS hop FROM f$h),\n")
+    }
+    val hh = graft.geom.GraphOps.BfsHops
+    s"""WITH $symEdgesCte,
+       |a1 AS (SELECT aoi_id,
+       |    CAST(floor(lon_min * 1e6) AS BIGINT) AS x0, CAST(floor(lat_min * 1e6) AS BIGINT) AS y0,
+       |    CAST(floor(lon_max * 1e6) AS BIGINT) AS x1, CAST(floor(lat_max * 1e6) AS BIGINT) AS y1
+       |  FROM ${fx("aoi")} ORDER BY aoi_id LIMIT 1),
+       |d0 AS MATERIALIZED (SELECT
+       |    scene_id || '/' || subswath || '/' || CAST(burst_idx AS VARCHAR) AS node,
+       |    CAST(0 AS BIGINT) AS hop
+       |  FROM ${fx("bursts")} CROSS JOIN a1
+       |  WHERE CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS BIGINT) BETWEEN x0 AND x1
+       |    AND CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS BIGINT) BETWEEN y0 AND y1),
+       |f0 AS (SELECT node FROM d0),
+       |${sb}fin AS (SELECT node, hop FROM d$hh)
+       |SELECT node, hop FROM fin ORDER BY 1""".stripMargin
+  }
+
+  /** q_compaction_plan: per-partition sorted prefix-sum bin packing of the
+   * per-burst file manifest (metadata only, no bursts join needed). */
+  val compactionPlan: String = {
+    val t = graft.lineage.Checkpoint.CompactionTargetRows
+    s"""WITH sp AS (SELECT doc_id, unnest(spans) AS s FROM ${fx("docs")}),
+       |mm AS (SELECT string_split(s.media_ref, '/') AS p FROM sp WHERE s.kind = 'media'),
+       |f AS (SELECT p[3] AS scene_id, p[4] AS subswath, CAST(p[6] AS INT) AS burst_idx,
+       |        count(*) AS n_rows
+       |      FROM mm GROUP BY 1, 2, 3),
+       |w AS (SELECT scene_id, subswath, burst_idx, n_rows,
+       |        CAST(sum(n_rows) OVER (PARTITION BY scene_id, subswath ORDER BY burst_idx
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+       |      FROM f)
+       |SELECT scene_id, subswath, CAST((prefix - n_rows) // $t AS BIGINT) AS bin,
+       |       count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |       min(burst_idx) AS burst_min, max(burst_idx) AS burst_max
+       |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
 }

@@ -1352,4 +1352,19 @@ object PipelineOracles {
        |  CAST(max(CASE WHEN doc_id * 4 + pos = min_kk THEN 0 ELSE n_copies END) AS BIGINT) AS max_dup_copies
        |FROM k JOIN f USING (h) GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q_stratified_sample: per-source bottom-k-by-hash sampling, restated with
+   * the same salted h60 and a window rank. */
+  val stratifiedSample: String = {
+    val cap = graft.text.Curation.StratumCap
+    s"""WITH h AS (SELECT source, doc_id,
+       |    ${h60("'samp:' || CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+       |r AS (SELECT source, doc_id, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM h)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN rk <= $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rk <= $cap THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+       |  max(CASE WHEN rk <= $cap THEN h END) AS threshold_hash
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,172 @@
+package graft.geom
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cells.CellIndex
+import graft.gen.Fixtures
+
+/**
+ * Spatial analytics beyond joins: convex hulls, surface interpolation and
+ * spatial autocorrelation — the ST_ConvexHull / IDW / Moran's-I trio every
+ * geospatial warehouse ships next to its join engine. All three follow the
+ * repo's exactness discipline (integer microdegrees, BIGINT sums, identical
+ * IEEE formula text where a double ratio is emitted) so the DuckDB twins are
+ * bit-exact.
+ *
+ * Scale posture:
+ *  - convex hull: the K-direction extreme-point hull is the DISTRIBUTED hull
+ *    construction — argmax per direction is an associative aggregate (one
+ *    map-side combine per partition, K rows per group survive), unlike the
+ *    sequential Graham scan which needs all points on one node. K=16 bounds
+ *    the hull approximation error at cos(pi/K) of the support width; the
+ *    reference's AOI/footprint handling needs exactly this bounding-hull
+ *    shape (SAR scene outlines are ~quadrilaterals, so 16 directions
+ *    recover them exactly).
+ *  - IDW: the query side (AOI centers) is tiny and BROADCAST; the field side
+ *    (DEM posts) streams map-side through the bbox prune + exact radius
+ *    test, then one partial-aggregated rollup per query point. No shuffle of
+ *    the big side at any scale.
+ *  - Moran's I: occupied-cell frame (already reduced from points) self-joined
+ *    on the 4 rook offsets — an equi-join on (ix±1, iy) keys with fan-out 4,
+ *    never a cartesian; the output is the SUFFICIENT-STATISTICS row, so the
+ *    gate compares exact integers and the double index is derived from them
+ *    in one identical IEEE expression.
+ */
+object Analytics {
+
+  /** 16 support directions in strictly increasing angle order (CCW from +x).
+   * Integer components keep every dot product exact in LONG. */
+  val Dirs: Seq[(Int, Int)] = Seq(
+    (1, 0), (2, 1), (1, 1), (1, 2), (0, 1), (-1, 2), (-1, 1), (-2, 1),
+    (-1, 0), (-2, -1), (-1, -1), (-1, -2), (0, -1), (1, -2), (1, -1), (2, -1))
+
+  private def microdeg(c: Column): Column = floor(c * 1e6).cast("long")
+
+  /** Geolocated media-span points in integer microdegrees, keyed by scene. */
+  private def scenePoints(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .select(col("scene_id"), microdeg(col("lon")).as("px"), microdeg(col("lat")).as("py"))
+
+  /**
+   * q_convex_hull: per-scene K-direction extreme-point convex hull of the
+   * geolocated media spans. For each of the 16 integer directions d the
+   * extreme point argmax_p <d, p> is found by ONE associative max aggregate
+   * (ties broken toward the (px, py)-smallest point, encoded by negating the
+   * coordinates inside the max struct); the extremes ordered by direction
+   * index form a convex polygon inscribed in the true hull, whose doubled
+   * shoelace area is exact in LONG (coords < 2^28, products < 2^56).
+   * Output per scene: point count, distinct hull vertices, doubled area.
+   */
+  def convexHullQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = scenePoints(spark, sfDir)
+    val dirs = expr("explode(array(" +
+      Dirs.zipWithIndex.map { case ((dx, dy), i) => s"struct(${i}L AS di, ${dx}L AS dx, ${dy}L AS dy)" }
+        .mkString(", ") + "))")
+    val ext = pts.withColumn("d", dirs)
+      .groupBy(col("scene_id"), col("d.di").as("di"))
+      // max over (dot, -px, -py, px, py): lexicographic max picks the largest
+      // dot, then the smallest px, then the smallest py — deterministic
+      .agg(max(struct((col("d.dx") * col("px") + col("d.dy") * col("py")).as("dot"),
+        (-col("px")).as("npx"), (-col("py")).as("npy"),
+        col("px"), col("py"))).as("m"))
+      .select(col("scene_id"), col("di"), col("m.px").as("px"), col("m.py").as("py"))
+    val n = pts.groupBy("scene_id").agg(count(lit(1)).as("n_points"))
+    val hull = ext.groupBy("scene_id")
+      .agg(sort_array(collect_list(struct(col("di"), col("px"), col("py")))).as("vs"))
+      .select(col("scene_id"),
+        expr("size(array_distinct(transform(vs, v -> struct(v.px, v.py))))").as("n_hull"),
+        expr(s"""abs(aggregate(sequence(0, ${Dirs.size - 1}), 0L, (acc, i) ->
+                 |  acc + element_at(vs, i + 1).px * element_at(vs, (i + 1) % ${Dirs.size} + 1).py
+                 |      - element_at(vs, (i + 1) % ${Dirs.size} + 1).px * element_at(vs, i + 1).py))"""
+          .stripMargin).as("area2"))
+    n.join(hull, Seq("scene_id"))
+      .select("scene_id", "n_points", "n_hull", "area2")
+  }
+
+  /** IDW search radius (microdegrees): 0.5 deg. */
+  val IdwRadiusUs = 500000L
+
+  /** Height quantum: millimeters-of-height style fixed point (1e-3). */
+  private val HeightScale = 1000L
+
+  /**
+   * q_idw: inverse-distance-weighted interpolation of the DEM height field at
+   * each AOI center — the geostatistical gridding primitive (the reference
+   * resamples DEM posts onto SAR geometry the same gather-neighborhood way,
+   * SARGeocoding.java getLocalDEM). Exactness: weights are the INTEGER
+   * floor(1e12 / d2) with d2 clamped to >= 1e6, heights quantized to integer
+   * millis, the estimate emitted as the integer floor-division
+   * (sum w*h) * 1000 / (sum w) — no floating point anywhere, so cross-engine
+   * equality is structural. Neighbors beyond the radius are excluded by the
+   * exact integer d2 test; AOIs with no DEM post in range produce no row.
+   */
+  def idwQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dem = Fixtures.table(spark, sfDir, "dem").select(
+      microdeg(col("lon")).as("px"), microdeg(col("lat")).as("py"),
+      floor(col("height") * HeightScale).cast("long").as("hq"))
+    val q = Fixtures.table(spark, sfDir, "aoi").select(
+      col("aoi_id"),
+      microdeg((col("lon_min") + col("lon_max")) / 2).as("qx"),
+      microdeg((col("lat_min") + col("lat_max")) / 2).as("qy"))
+    val r = IdwRadiusUs
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+             (col("py") - col("qy")) * (col("py") - col("qy"))
+    dem.join(broadcast(q),
+        abs(col("px") - col("qx")) <= r && abs(col("py") - col("qy")) <= r && d2 <= r * r)
+      .withColumn("w", floor(lit(1.0e12) / greatest(d2, lit(1000000L)).cast("double")).cast("long"))
+      .groupBy("aoi_id")
+      .agg(count(lit(1)).as("n_nbrs"), sum("w").as("w_sum"),
+        sum(col("w") * col("hq")).as("wh_sum"))
+      .select(col("aoi_id"), col("n_nbrs"), col("w_sum"),
+        expr(s"(wh_sum * $HeightScale) div w_sum").as("idw_milli"))
+  }
+
+  /**
+   * q_moran: global Moran's I spatial autocorrelation of the level-11
+   * occupied-cell media-span counts under rook (4-neighbor) contiguity,
+   * emitted as ONE row of integer sufficient statistics
+   * (n, W, sum_x, sum_x2, cross_sum, deg_x_sum) plus the index assembled
+   * from them in a single textually-shared IEEE expression:
+   *   mu  = sum_x / n
+   *   num = cross_sum - 2*mu*deg_x_sum + mu*mu*W     (= sum_ij w_ij (x_i-mu)(x_j-mu))
+   *   den = sum_x2 - n*mu*mu                          (= sum_i (x_i-mu)^2)
+   *   I   = (n / W) * (num / den)
+   * The integer statistics pin exactness; the derived double is shared-text.
+   */
+  def moranQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val idxMask = (1L << 29) - 1
+    val cnt = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .groupBy("cell").agg(count(lit(1)).as("x"))
+      .withColumn("ix", col("cell").bitwiseAND(idxMask))
+      .withColumn("iy", shiftright(col("cell"), 29).bitwiseAND(idxMask))
+      .select("ix", "iy", "x")
+    val offs = expr("explode(array(struct(1L AS dx, 0L AS dy), struct(-1L AS dx, 0L AS dy), " +
+      "struct(0L AS dx, 1L AS dy), struct(0L AS dx, -1L AS dy)))")
+    // ordered neighbor pairs: probe side explodes to its 4 rook offsets and
+    // equi-joins the occupied-cell frame — fan-out 4, no cartesian
+    val nbr = cnt.withColumn("o", offs)
+      .select((col("ix") + col("o.dx")).as("ix"), (col("iy") + col("o.dy")).as("iy"),
+        col("x").as("xa"))
+      .join(cnt.select(col("ix"), col("iy"), col("x").as("xb")), Seq("ix", "iy"))
+    val pairs = nbr.agg(
+      count(lit(1)).as("w_sum"),
+      sum(col("xa") * col("xb")).as("cross_sum"),
+      sum(col("xa")).as("deg_x_sum"))
+    val base = cnt.agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2"))
+    base.crossJoin(pairs)
+      .withColumn("moran_q", expr(MoranIndexExpr))
+      .select("n", "w_sum", "sum_x", "sum_x2", "cross_sum", "deg_x_sum", "moran_q")
+  }
+
+  /** The shared-text IEEE assembly of Moran's I from the integer statistics
+   * (also embedded verbatim in the DuckDB oracle). */
+  val MoranIndexExpr: String =
+    "CAST(floor(0.031415926535897934 + " +
+      "(CAST(n AS DOUBLE) / CAST(w_sum AS DOUBLE)) * " +
+      "((CAST(cross_sum AS DOUBLE) - 2.0 * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(deg_x_sum AS DOUBLE) " +
+      "+ (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(w_sum AS DOUBLE)) / " +
+      "(CAST(sum_x2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)))) " +
+      "* 1.0E6) AS BIGINT)"
+}

@@ -222,6 +222,40 @@ object Checkpoint {
         coalesce(col("n_match"), lit(0L)).as("n_match"))
   }
 
+  /** Compaction target: rows per output bin for q_compaction_plan. */
+  val CompactionTargetRows = 1600L
+
+  /**
+   * q_compaction_plan: the Iceberg `rewrite_data_files` (bin-pack) PLANNING
+   * step — group each partition's small files into target-sized rewrite bins
+   * while preserving the table's sort order. Files here are the per-burst
+   * row groups of the media-span manifest (partition = scene/subswath, file
+   * = burst, size = row count); the plan orders files by their sort key and
+   * assigns bin = (running-row-prefix - own-size) / target — the streaming
+   * first-fit packing whose bins never exceed target + max_file rows and
+   * never interleave the sort order (so compacted files stay
+   * cluster-pruned). The whole plan runs over FILE METADATA (one row per
+   * file), never the data: at 10^12 docs the manifest frame is bounded by
+   * file count, and the per-partition window is bounded by files-per-
+   * partition. Output per (partition, bin): file count, total rows, and the
+   * covered burst range — exactly what a rewrite job would execute.
+   */
+  def compactionPlanQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .groupBy("scene_id", "subswath", "burst_idx")
+      .agg(count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("scene_id", "subswath")
+      .orderBy("burst_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    files
+      .withColumn("prefix", sum("n_rows").over(w))
+      .withColumn("bin", expr(s"(prefix - n_rows) div ${CompactionTargetRows}L"))
+      .groupBy("scene_id", "subswath", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("rows_total"),
+        min("burst_idx").as("burst_min"), max("burst_idx").as("burst_max"))
+  }
+
   /** Per-partition min/max/rows stats manifest over a keyed snapshot, committed
    * atomically as `_STATS.json` (one JSON object per line, Iceberg
    * manifest-entry shape). Returns the manifest text. */

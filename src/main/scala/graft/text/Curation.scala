@@ -457,4 +457,35 @@ object Curation {
         sum(when(col("kept"), length(col("line")).cast("long")).otherwise(0L)).as("chars_after"),
         max(when(!col("kept"), col("n_copies")).otherwise(0L)).as("max_dup_copies"))
   }
+
+  /** Per-stratum sample cap for q_stratified_sample. */
+  val StratumCap = 12
+
+  /**
+   * q_stratified_sample: deterministic stratified bottom-k sampling — per
+   * source stratum, keep the StratumCap documents with the smallest sampling
+   * hash (h60 of a salted doc_id). Bottom-k-by-hash is simultaneously (a) an
+   * exact uniform without-replacement sample per stratum, (b) reproducible
+   * under any row order / partitioning, and (c) an aggregable SKETCH: the
+   * per-partition bottom-k sets combine associatively, so at corpus scale
+   * this runs as one partial top-k aggregation (never a global per-stratum
+   * sort; the window below IS that aggregation at fixture scale — each
+   * stratum is a bounded partition). The emitted threshold hash (k-th
+   * smallest) is the classic bottom-k distinct-count statistic. Output per
+   * source: stratum size, kept count, the kept-id sum (order-independent
+   * identity of the sample) and the threshold hash.
+   */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("h", expr(h60("concat('samp:', CAST(doc_id AS STRING))")))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= StratumCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= StratumCap, col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+        max(when(col("rk") <= StratumCap, col("h")).otherwise(null)).as("threshold_hash"))
+  }
 }

@@ -1184,7 +1184,14 @@ class PipelineSpec extends AnyFunSuite {
       ("heatmap", () => graft.geom.Heatmap.heatmapQuery(spark, sf).collect().map(_.toString).sorted),
       ("coverage_gap", () => graft.geom.Spatial.coverageGapQuery(spark, sf).collect().map(_.toString).sorted),
       ("tile_pyramid", () => graft.geom.Heatmap.tilePyramidQuery(spark, sf).collect().map(_.toString).sorted),
-      ("spatial_card", () => graft.geom.Heatmap.spatialCardQuery(spark, sf).collect().map(_.toString).sorted))
+      ("spatial_card", () => graft.geom.Heatmap.spatialCardQuery(spark, sf).collect().map(_.toString).sorted),
+      ("convex_hull", () => graft.geom.Analytics.convexHullQuery(spark, sf).collect().map(_.toString).sorted),
+      ("idw", () => graft.geom.Analytics.idwQuery(spark, sf).collect().map(_.toString).sorted),
+      ("moran", () => graft.geom.Analytics.moranQuery(spark, sf).collect().map(_.toString).sorted),
+      ("kcore", () => graft.geom.GraphOps.kcoreQuery(spark, sf).collect().map(_.toString).sorted),
+      ("bfs_hops", () => graft.geom.GraphOps.bfsHopsQuery(spark, sf).collect().map(_.toString).sorted),
+      ("stratified_sample", () => graft.text.Curation.stratifiedSampleQuery(spark, sf).collect().map(_.toString).sorted),
+      ("compaction_plan", () => graft.lineage.Checkpoint.compactionPlanQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
