@@ -1111,6 +1111,88 @@ object GeoOracles {
        |SELECT node, hop FROM fin ORDER BY 1""".stripMargin
   }
 
+  /** q_sssp: multi-seed weighted Bellman-Ford, unrolled to MaxRounds
+   * MATERIALIZED relaxation rounds (rounds past the fixpoint are no-ops;
+   * the spec asserts the engine converges strictly inside the cap).
+   * Weight = the exact integer squared distance from the pair join. */
+  val sssp: String = {
+    val rounds = graft.geom.GraphOps.MaxRounds
+    val sb = new StringBuilder
+    for (i <- 1 to rounds) {
+      sb.append(s"s$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (" +
+        s"SELECT node, dist FROM s${i - 1} " +
+        s"UNION ALL SELECT es.v AS node, s.dist + es.w AS dist " +
+        s"FROM wes es JOIN s${i - 1} s ON es.u = s.node) GROUP BY node),\n")
+    }
+    s"""WITH wed AS MATERIALIZED (SELECT
+       |    scene_a || '/' || subswath_a || '/' || CAST(burst_a AS VARCHAR) AS u,
+       |    scene_b || '/' || subswath_b || '/' || CAST(burst_b AS VARCHAR) AS v,
+       |    d2 AS w
+       |  FROM (${withinDistSql(graft.geom.Spatial.TriDistUs)})),
+       |wes AS MATERIALIZED (SELECT u, v, w FROM wed UNION ALL SELECT v AS u, u AS v, w FROM wed),
+       |a1 AS (SELECT aoi_id,
+       |    CAST(floor(lon_min * 1e6) AS BIGINT) AS x0, CAST(floor(lat_min * 1e6) AS BIGINT) AS y0,
+       |    CAST(floor(lon_max * 1e6) AS BIGINT) AS x1, CAST(floor(lat_max * 1e6) AS BIGINT) AS y1
+       |  FROM ${fx("aoi")} ORDER BY aoi_id LIMIT 1),
+       |s0 AS MATERIALIZED (SELECT
+       |    scene_id || '/' || subswath || '/' || CAST(burst_idx AS VARCHAR) AS node,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM ${fx("bursts")} CROSS JOIN a1
+       |  WHERE CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS BIGINT) BETWEEN x0 AND x1
+       |    AND CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS BIGINT) BETWEEN y0 AND y1),
+       |${sb}fin AS (SELECT node, dist FROM s$rounds)
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM fin ORDER BY 1""".stripMargin
+  }
+
+  /** q_knn_join: brute-force radius-bounded kNN (cross join + window rank —
+   * an independent candidate derivation, no cell prefilter), identical
+   * integer distance arithmetic and the same total tie order. */
+  val knnJoin: String = {
+    val r = graft.geom.Analytics.KnnRadiusUs
+    val k = graft.geom.Analytics.KnnK
+    s"""WITH q AS (SELECT
+       |    scene_id || '/' || subswath || '/' || CAST(burst_idx AS VARCHAR) AS node,
+       |    CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS BIGINT) AS qx,
+       |    CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS BIGINT) AS qy
+       |  FROM ${fx("bursts")}),
+       |dem AS (SELECT
+       |    CAST(floor(lon * 1e6) AS BIGINT) AS px,
+       |    CAST(floor(lat * 1e6) AS BIGINT) AS py,
+       |    CAST(floor(height * 1000) AS BIGINT) AS hq
+       |  FROM ${fx("dem")}),
+       |cand AS (SELECT node,
+       |    (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2, px, py, hq
+       |  FROM q CROSS JOIN dem
+       |  WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy) <= ${r * r}),
+       |rk AS (SELECT node, d2, px, py, hq,
+       |    row_number() OVER (PARTITION BY node ORDER BY d2, px, py, hq) AS rk
+       |  FROM cand)
+       |SELECT node, d2, px, py, hq, CAST(rk AS BIGINT) AS rk
+       |FROM rk WHERE rk <= $k ORDER BY 1, 6""".stripMargin
+  }
+
+  /** q_gi_star: Getis-Ord Gi* per occupied level-11 cell — queen 3x3
+   * self-inclusive neighborhood statistics from the lattice equi-join; the
+   * z-score reuses the gate's exact IEEE expression text. */
+  val giStar: String =
+    s"""WITH $spanPtsCte,
+       |pt AS (SELECT
+       |    CAST(least(2047, greatest(0, floor((lon + 180.0) / 360.0 * 2048.0))) AS BIGINT) AS ix,
+       |    CAST(least(2047, greatest(0, floor((lat + 90.0) / 180.0 * 2048.0))) AS BIGINT) AS iy
+       |  FROM m),
+       |cnt AS MATERIALIZED (SELECT ix, iy, count(*) AS x FROM pt GROUP BY 1, 2),
+       |qoff AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+       |loc AS (SELECT a.ix, a.iy, count(*) AS n_local, CAST(sum(b.x) AS BIGINT) AS s_local
+       |  FROM cnt a CROSS JOIN qoff o
+       |  JOIN cnt b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+       |  GROUP BY 1, 2),
+       |base AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+       |                CAST(sum(x * x) AS BIGINT) AS sum_x2 FROM cnt)
+       |SELECT c.ix, c.iy, c.x, l.n_local, l.s_local,
+       |       ${graft.geom.Analytics.GiStarExpr} AS gi_q
+       |FROM cnt c JOIN loc l ON l.ix = c.ix AND l.iy = c.iy
+       |CROSS JOIN base ORDER BY 1, 2""".stripMargin
+
   /** q_compaction_plan: per-partition sorted prefix-sum bin packing of the
    * per-burst file manifest (metadata only, no bursts join needed). */
   val compactionPlan: String = {

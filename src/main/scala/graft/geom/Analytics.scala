@@ -160,6 +160,107 @@ object Analytics {
       .select("n", "w_sum", "sum_x", "sum_x2", "cross_sum", "deg_x_sum", "moran_q")
   }
 
+  /** kNN join: neighbors kept per query point. */
+  val KnnK = 3
+
+  /** kNN join search radius (microdegrees): 0.15 deg — must stay <= the
+   * level-10 lat cell edge (0.1758 deg) for 3x3 candidate completeness. */
+  val KnnRadiusUs = 150000L
+
+  /** kNN join grid level (cell edges 0.352/0.176 deg >= the radius). */
+  val KnnLevel = 10
+
+  /**
+   * q_knn_join: bounded-radius spatial kNN join — for every burst footprint
+   * center, the KnnK nearest DEM posts within KnnRadiusUs, ranked by the
+   * exact integer squared distance with a total (d2, px, py, hq) tie order.
+   * The canonical distributed kNN-join shape: both sides key by their
+   * level-10 grid cell, the QUERY side probes its 3x3 neighborhood (radius
+   * <= cell edge makes the candidate set provably complete), candidates
+   * equi-join on the cell key — fan-out 9 on the small side, the DEM side
+   * shuffles ONCE by cell — and a per-query window keeps the k best. The
+   * radius bound is what makes kNN a lattice EQUI-join instead of a
+   * cartesian; unbounded exact kNN degrades to the brute-force scan
+   * (q_ann_topk is that documented baseline for embeddings).
+   */
+  def knnJoinQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val lonC = (col("lon1") + col("lon2") + col("lon3") + col("lon4")) / 4
+    val latC = (col("lat1") + col("lat2") + col("lat3") + col("lat4")) / 4
+    val q = Fixtures.table(spark, sfDir, "bursts").select(
+      concat_ws("/", col("scene_id"), col("subswath"), col("burst_idx").cast("string")).as("node"),
+      microdeg(lonC).as("qx"), microdeg(latC).as("qy"),
+      CellIndex.ixCol(lonC, KnnLevel).as("ix"), CellIndex.iyCol(latC, KnnLevel).as("iy"))
+    val n = (1L << KnnLevel) - 1
+    val probe = q.withColumn("cell", explode(flatten(transform(
+        sequence(greatest(lit(0L), col("iy") - 1), least(lit(n), col("iy") + 1)), yy =>
+          transform(
+            sequence(greatest(lit(0L), col("ix") - 1), least(lit(n), col("ix") + 1)), xx =>
+              CellIndex.packCol(KnnLevel, yy, xx))))))
+      .drop("ix", "iy")
+    val dem = Fixtures.table(spark, sfDir, "dem").select(
+      microdeg(col("lon")).as("px"), microdeg(col("lat")).as("py"),
+      floor(col("height") * 1000).cast("long").as("hq"),
+      CellIndex.cellCol(col("lon"), col("lat"), KnnLevel).as("cell"))
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+             (col("py") - col("qy")) * (col("py") - col("qy"))
+    val w = Window.partitionBy("node").orderBy(col("d2"), col("px"), col("py"), col("hq"))
+    probe.join(dem, Seq("cell"))
+      .where(d2 <= KnnRadiusUs * KnnRadiusUs)
+      .select(col("node"), d2.as("d2"), col("px"), col("py"), col("hq"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= KnnK)
+  }
+
+  /**
+   * q_gi_star: Getis–Ord Gi* hot-spot statistic — the LOCAL complement to
+   * q_moran's global index — over the level-11 occupied-cell media-span
+   * counts with binary 3x3 (queen, self-inclusive) weights. Per occupied
+   * cell: the neighborhood count n_local and sum s_local (exact BIGINTs from
+   * the fan-out-9 lattice equi-join), plus the z-score assembled from
+   * (s_local, n_local) and the global (n, sum_x, sum_x2) in ONE shared-text
+   * IEEE expression quantized to 1e-6 — the standard Gi* form
+   *   z = (S - mu·n_i) / (sd · sqrt((n·n_i - n_i²)/(n-1))).
+   * Scale shape identical to q_moran: the statistics run on the REDUCED cell
+   * frame, never the points, and the global row broadcasts onto it.
+   */
+  def giStarQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val idxMask = (1L << 29) - 1
+    val cnt = graft.ops.Spans.geolocatedMediaSpans(spark, sfDir)
+      .groupBy("cell").agg(count(lit(1)).as("x"))
+      .withColumn("ix", col("cell").bitwiseAND(idxMask))
+      .withColumn("iy", shiftright(col("cell"), 29).bitwiseAND(idxMask))
+      .select("ix", "iy", "x")
+    val offs = expr("explode(transform(sequence(0, 8), i -> " +
+      "struct(CAST(i % 3 - 1 AS BIGINT) AS dx, CAST(i div 3 - 1 AS BIGINT) AS dy)))")
+    // explode the PROBE side to its 9 self-inclusive queen offsets, carrying
+    // the probe key, and equi-join the occupied frame — fan-out 9, no cartesian
+    val probe = cnt.select(col("ix").as("cx"), col("iy").as("cy"))
+      .withColumn("o", offs)
+      .select(col("cx"), col("cy"), (col("cx") + col("o.dx")).as("ix"),
+        (col("cy") + col("o.dy")).as("iy"))
+    val local = probe.join(cnt, Seq("ix", "iy"))
+      .groupBy(col("cx").as("ix"), col("cy").as("iy"))
+      .agg(count(lit(1)).as("n_local"), sum("x").as("s_local"))
+    val base = cnt.agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2"))
+    cnt.join(local.withColumnRenamed("ix", "jx").withColumnRenamed("iy", "jy"),
+        col("ix") === col("jx") && col("iy") === col("jy"))
+      .drop("jx", "jy")
+      .crossJoin(broadcast(base))
+      .withColumn("gi_q", expr(GiStarExpr))
+      .select("ix", "iy", "x", "n_local", "s_local", "gi_q")
+  }
+
+  /** The shared-text IEEE assembly of the Gi* z-score from the integer
+   * statistics (embedded verbatim in the DuckDB oracle), quantized to 1e-6
+   * with the repo's standard irrational dither against boundary landing. */
+  val GiStarExpr: String =
+    "CAST(floor(0.031415926535897934 + " +
+      "((CAST(s_local AS DOUBLE) - (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n_local AS DOUBLE)) / " +
+      "(sqrt(CAST(sum_x2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+      "sqrt((CAST(n AS DOUBLE) * CAST(n_local AS DOUBLE) - CAST(n_local AS DOUBLE) * CAST(n_local AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))) " +
+      "* 1.0E6) AS BIGINT)"
+
   /** The shared-text IEEE assembly of Moran's I from the integer statistics
    * (also embedded verbatim in the DuckDB oracle). */
   val MoranIndexExpr: String =

@@ -36,6 +36,13 @@ object GraphOps {
       .select(nid("scene_a", "subswath_a", "burst_a").as("u"),
         nid("scene_b", "subswath_b", "burst_b").as("v"))
 
+  /** Weighted undirected edge list (u, v, w) — weight = the exact integer
+   * squared distance in microdegrees² (already computed by the pair join). */
+  private[geom] def wedges(spark: SparkSession, sfDir: String): DataFrame =
+    Spatial.withinDistPairs(spark, sfDir, Spatial.TriDistUs, 8)
+      .select(nid("scene_a", "subswath_a", "burst_a").as("u"),
+        nid("scene_b", "subswath_b", "burst_b").as("v"), col("d2").as("w"))
+
   /** Symmetric (directed both ways) edge view. */
   private def sym(e: DataFrame): DataFrame =
     e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -152,5 +159,41 @@ object GraphOps {
       h += 1
     }
     visited
+  }
+
+  /**
+   * q_sssp: single-source (multi-seed) WEIGHTED shortest paths through the
+   * proximity graph — distributed Bellman-Ford: each round relaxes every edge
+   * out of the current distance frame (dist(v) <- min(dist(v), dist(u) + w))
+   * as ONE equi-join + ONE min aggregation, iterated to fixpoint (no distance
+   * changes) with localCheckpoint cutting lineage per round. Edge weight is
+   * the exact integer squared distance, so path costs are exact BIGINTs and
+   * the min is deterministic. Round count is bounded by the weighted-path
+   * hop depth (the spec asserts convergence strictly inside MaxRounds); the
+   * DuckDB twin unrolls the same rounds as MATERIALIZED CTEs — rounds past
+   * the fixpoint are no-ops, so equality holds at any true convergence
+   * <= cap. Scale shape: per round one hash join on node ids over the
+   * REDUCED node/edge frames (never the raw data), the same round structure
+   * as q_pagerank / q_kcore.
+   */
+  def ssspQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val w0 = wedges(spark, sfDir)
+    val e = w0.unionAll(w0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
+    var dist = seeds(spark, sfDir).select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < MaxRounds) {
+      val relaxed = e.join(dist.select(col("node").as("u"), col("dist")), Seq("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist")).localCheckpoint()
+      val changed = next.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left_outer")
+        .where(col("old").isNull || col("old") =!= col("dist")).count()
+      if (changed == 0) done = true
+      else { dist = next; rounds += 1 }
+    }
+    require(done, s"SSSP did not converge within $MaxRounds rounds")
+    dist
   }
 }

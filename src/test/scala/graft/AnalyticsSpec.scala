@@ -167,6 +167,97 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(seeds.nonEmpty)
   }
 
+  test("SSSP: weighted Bellman-Ford fixpoint matches a direct Dijkstra recompute") {
+    val aoi = Fixtures.table(spark, sf, "aoi")
+      .select("aoi_id", "lon_min", "lat_min", "lon_max", "lat_max")
+      .as[(String, Double, Double, Double, Double)].collect().minBy(_._1)
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .selectExpr("concat_ws('/', scene_id, subswath, CAST(burst_idx AS STRING))",
+        "CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS LONG)",
+        "CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS LONG)")
+      .as[(String, Long, Long)].collect()
+    val (x0, y0, x1, y1) = (md(aoi._2), md(aoi._3), md(aoi._4), md(aoi._5))
+    val seeds = bursts.collect {
+      case (n, px, py) if px >= x0 && px <= x1 && py >= y0 && py <= y1 => n
+    }.toSet
+    val d = Spatial.TriDistUs
+    val wadj = bursts.flatMap { case (u, ux, uy) =>
+      bursts.collect { case (v, vx, vy)
+        if v != u && (ux - vx) * (ux - vx) + (uy - vy) * (uy - vy) <= d * d =>
+          (u, v, (ux - vx) * (ux - vx) + (uy - vy) * (uy - vy)) }
+    }.groupBy(_._1).map { case (u, es) => u -> es.map(e => (e._2, e._3)) }
+    // Dijkstra from the multi-seed set
+    val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      seeds.toSeq.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (du, u) = pq.dequeue()
+      if (dist(u) == du)
+        wadj.getOrElse(u, Array.empty[(String, Long)]).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > du + w)) { dist(v) = du + w; pq.enqueue((du + w, v)) }
+        }
+    }
+    val got = GraphOps.ssspQuery(spark, sf).as[(String, Long)].collect().toMap
+    assert(got == dist.toMap)
+    // real multi-hop relaxation: some node's shortest path uses >1 edge
+    val maxEdge = d * d
+    assert(got.values.exists(_ > maxEdge))
+  }
+
+  test("kNN join: bounded-radius candidates and rank order match a brute-force recompute") {
+    val bursts = Fixtures.table(spark, sf, "bursts")
+      .selectExpr("concat_ws('/', scene_id, subswath, CAST(burst_idx AS STRING))",
+        "CAST(floor((lon1 + lon2 + lon3 + lon4) / 4 * 1e6) AS LONG)",
+        "CAST(floor((lat1 + lat2 + lat3 + lat4) / 4 * 1e6) AS LONG)")
+      .as[(String, Long, Long)].collect()
+    val dem = Fixtures.table(spark, sf, "dem")
+      .selectExpr("CAST(floor(lon * 1e6) AS LONG)", "CAST(floor(lat * 1e6) AS LONG)",
+        "CAST(floor(height * 1000) AS LONG)")
+      .as[(Long, Long, Long)].collect()
+    val r = Analytics.KnnRadiusUs
+    val expected = bursts.flatMap { case (node, qx, qy) =>
+      dem.flatMap { case (px, py, hq) =>
+        val d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        if (d2 <= r * r) Some((d2, px, py, hq)) else None
+      }.sorted.take(Analytics.KnnK).zipWithIndex.map { case ((d2, px, py, hq), i) =>
+        (node, d2, px, py, hq, i + 1L)
+      }
+    }.toSet
+    val got = Analytics.knnJoinQuery(spark, sf)
+      .select("node", "d2", "px", "py", "hq", "rk")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the k cap binds somewhere (some query point has more than k candidates)
+    assert(got.exists(_._6 == Analytics.KnnK.toLong))
+  }
+
+  test("Gi*: local neighborhood statistics and quantized z-score match a direct recompute") {
+    val cnt = cellCounts
+    val n = cnt.size.toLong
+    val sumX = cnt.values.sum
+    val sumX2 = cnt.values.map(x => x * x).sum
+    val expected = cnt.map { case ((ix, iy), x) =>
+      val nbrs = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        xb <- cnt.get((ix + dx, iy + dy))
+      } yield xb
+      val nl = nbrs.size.toLong
+      val sl = nbrs.sum
+      val mu = sumX.toDouble / n.toDouble
+      val z = (sl.toDouble - mu * nl.toDouble) /
+        (math.sqrt(sumX2.toDouble / n.toDouble - mu * mu) *
+         math.sqrt((n.toDouble * nl.toDouble - nl.toDouble * nl.toDouble) / (n.toDouble - 1.0)))
+      val giQ = math.floor(0.031415926535897934 + z * 1.0e6).toLong
+      (ix, iy, x, nl, sl, giQ)
+    }.toSet
+    val got = Analytics.giStarQuery(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // hot and cold spots both occur (positive and negative z)
+    assert(got.exists(_._6 > 0L) && got.exists(_._6 < 0L))
+  }
+
   private def h60(s: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)

@@ -1191,7 +1191,10 @@ class PipelineSpec extends AnyFunSuite {
       ("kcore", () => graft.geom.GraphOps.kcoreQuery(spark, sf).collect().map(_.toString).sorted),
       ("bfs_hops", () => graft.geom.GraphOps.bfsHopsQuery(spark, sf).collect().map(_.toString).sorted),
       ("stratified_sample", () => graft.text.Curation.stratifiedSampleQuery(spark, sf).collect().map(_.toString).sorted),
-      ("compaction_plan", () => graft.lineage.Checkpoint.compactionPlanQuery(spark, sf).collect().map(_.toString).sorted))
+      ("compaction_plan", () => graft.lineage.Checkpoint.compactionPlanQuery(spark, sf).collect().map(_.toString).sorted),
+      ("sssp", () => graft.geom.GraphOps.ssspQuery(spark, sf).collect().map(_.toString).sorted),
+      ("knn_join", () => graft.geom.Analytics.knnJoinQuery(spark, sf).collect().map(_.toString).sorted),
+      ("gi_star", () => graft.geom.Analytics.giStarQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
