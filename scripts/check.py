@@ -49,6 +49,18 @@ for name, sql in sorted(oracle.items()):
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
         print(f"[SCHEMA-MISMATCH] {name}: got {list(got.columns)} vs exp {list(exp.columns)}"); fail += 1; continue
+    # Driver-hash fidelity: the driver's hash renders values, so an int64 column on
+    # one side vs a float64 (e.g. DuckDB HUGEINT widened sum -> pandas float) on the
+    # other hashes 832 != 832.0 even when every cell is value-equal. int32-vs-int64
+    # is tolerated (driver demonstrably passes it); int-vs-float is lethal — flag it
+    # here even if the value compare below would pass.
+    dtype_bad = []
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if (gk in "iu" and ek == "f") or (gk == "f" and ek in "iu"):
+            dtype_bad.append(f"{c}: {got[c].dtype} vs {exp[c].dtype}")
+    if dtype_bad:
+        print(f"[DTYPE-MISMATCH] {name}: " + "; ".join(dtype_bad)); fail += 1; continue
     if len(got) != len(exp):
         print(f"[ROWCOUNT] {name}: got {len(got)} vs exp {len(exp)}"); fail += 1; continue
     gs = got.sort_values(by=list(got.columns), ignore_index=True)

@@ -23,7 +23,7 @@ object Bench {
     "q_span_cells", "q_aoi_doc_tiles", "q_topsar_split",
     "q_calibration_sigma0", "q_speckle_lee", "q_multilook", "q_deburst",
     "q_terrain_correction", "q_xcorr_offsets", "q_interferogram",
-    "q_dedup_minhash_sig", "q_ann_topk", "q_events_window")
+    "q_dedup_minhash_sig", "q_ann_ivf", "q_events_window")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

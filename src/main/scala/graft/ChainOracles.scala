@@ -1,0 +1,140 @@
+package graft
+
+import graft.model.Layout
+import graft.ops.Speckle
+
+/**
+ * DuckDB oracles for the declarative-chain gates (graph.ChainGraph): each
+ * restates the WHOLE declared DAG as staged CTEs — the chain's parameter
+ * choices (scene parities, burst range, subswath/pol selection, looks) appear
+ * as literal predicates, so a mis-wired node or dropped filter in the compiler
+ * shows up as a row/value mismatch, not just a formula bug.
+ */
+object ChainOracles {
+
+  private val FIX = "/root/repo/fixtures/sf0.01"
+  private def fx(t: String) = s"read_parquet('$FIX/$t.parquet/*.parquet')"
+  private val W = Layout.TileW
+  private val H = Layout.TileH
+  private val N = W * H
+  private val Eps = "0.031415926535897934"
+
+  /** Lagrange orbit interpolation over the split burst range (1..3), shared
+   * formula text with ChainGraph.orbitOp / SarOracles7.orbitInterp, kept as
+   * doubles for the downstream difference. */
+  private val orbitCtes: String =
+    s"""ob AS (
+       |  SELECT *, row_number() OVER (PARTITION BY scene_id ORDER BY t_sec) AS rn
+       |  FROM ${fx("orbit")}),
+       |bt AS (
+       |  SELECT scene_id, subswath, burst_idx,
+       |         (burst_first_line_time + burst_last_line_time) / 2 AS tm
+       |  FROM ${fx("bursts")} WHERE burst_idx BETWEEN 1 AND 3),
+       |nsv AS (SELECT scene_id, count(*) AS n FROM ob GROUP BY 1),
+       |kk AS (
+       |  SELECT bt.scene_id, bt.subswath, bt.burst_idx, bt.tm,
+       |         greatest(2, least(nsv.n - 2,
+       |           (SELECT count(*) FROM ob o WHERE o.scene_id = bt.scene_id AND o.t_sec <= bt.tm))) AS k
+       |  FROM bt JOIN nsv USING (scene_id)),
+       |kn AS (
+       |  SELECT kk.*, o.rn - kk.k + 2 AS j, o.t_sec, o.x, o.y, o.z, o.vy
+       |  FROM kk JOIN ob o ON o.scene_id = kk.scene_id AND o.rn BETWEEN kk.k - 1 AND kk.k + 2),
+       |pv AS (
+       |  SELECT scene_id, subswath, burst_idx, tm,
+       |    max(CASE WHEN j = 1 THEN t_sec END) AS t1, max(CASE WHEN j = 2 THEN t_sec END) AS t2,
+       |    max(CASE WHEN j = 3 THEN t_sec END) AS t3, max(CASE WHEN j = 4 THEN t_sec END) AS t4,
+       |    max(CASE WHEN j = 1 THEN x END) AS x1, max(CASE WHEN j = 2 THEN x END) AS x2,
+       |    max(CASE WHEN j = 3 THEN x END) AS x3, max(CASE WHEN j = 4 THEN x END) AS x4,
+       |    max(CASE WHEN j = 1 THEN y END) AS y1, max(CASE WHEN j = 2 THEN y END) AS y2,
+       |    max(CASE WHEN j = 3 THEN y END) AS y3, max(CASE WHEN j = 4 THEN y END) AS y4,
+       |    max(CASE WHEN j = 1 THEN z END) AS z1, max(CASE WHEN j = 2 THEN z END) AS z2,
+       |    max(CASE WHEN j = 3 THEN z END) AS z3, max(CASE WHEN j = 4 THEN z END) AS z4,
+       |    max(CASE WHEN j = 1 THEN vy END) AS v1, max(CASE WHEN j = 2 THEN vy END) AS v2,
+       |    max(CASE WHEN j = 3 THEN vy END) AS v3, max(CASE WHEN j = 4 THEN vy END) AS v4
+       |  FROM kn GROUP BY 1, 2, 3, 4),
+       |wts AS (
+       |  SELECT *,
+       |    ((tm - t2) * (tm - t3) * (tm - t4)) / ((t1 - t2) * (t1 - t3) * (t1 - t4)) AS w1,
+       |    ((tm - t1) * (tm - t3) * (tm - t4)) / ((t2 - t1) * (t2 - t3) * (t2 - t4)) AS w2,
+       |    ((tm - t1) * (tm - t2) * (tm - t4)) / ((t3 - t1) * (t3 - t2) * (t3 - t4)) AS w3,
+       |    ((tm - t1) * (tm - t2) * (tm - t3)) / ((t4 - t1) * (t4 - t2) * (t4 - t3)) AS w4
+       |  FROM pv),
+       |iv AS (
+       |  SELECT scene_id, CAST(substring(scene_id, 7, 4) AS INT) AS ord, subswath, burst_idx, tm,
+       |    w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 AS ox,
+       |    w1 * y1 + w2 * y2 + w3 * y3 + w4 * y4 AS oy,
+       |    w1 * z1 + w2 * z2 + w3 * z3 + w4 * z4 AS oz,
+       |    w1 * v1 + w2 * v2 + w3 * v3 + w4 * v4 AS ovy
+       |  FROM wts)""".stripMargin
+
+  /** q_chain_tops_coreg: the Read x2 -> Split x2 -> Orbit x2 -> Back-Geocoding
+   * chain — even/odd scene pairing, per-burst orbit-state differences. */
+  val topsCoreg: String =
+    s"""WITH $orbitCtes
+       |SELECT m.scene_id AS m_scene_id, s.scene_id AS sec_scene_id,
+       |       m.subswath, m.burst_idx,
+       |       CAST(floor($Eps + (s.tm - m.tm) * 1.0E6) AS BIGINT) AS az_dt_q,
+       |       CAST(floor($Eps + (s.ox - m.ox) * 1.0E6) AS BIGINT) AS bx_q,
+       |       CAST(floor($Eps + (s.oz - m.oz) * 1.0E6) AS BIGINT) AS bz_q,
+       |       CAST(floor($Eps + ((s.oy - m.oy) - m.ovy * (s.tm - m.tm)) * 1.0E6) AS BIGINT) AS ay_resid_q
+       |FROM (SELECT * FROM iv WHERE ord % 2 = 0) m
+       |JOIN (SELECT * FROM iv WHERE ord % 2 = 1) s
+       |  ON m.ord + 1 = s.ord AND m.subswath = s.subswath AND m.burst_idx = s.burst_idx
+       |ORDER BY 1, 3, 4""".stripMargin
+
+  private val cu = 1.0 / math.sqrt(Speckle.Enl)
+  private val cu2 = cu * cu
+
+  /** q_chain_e2e: Read(tiles) -> Split(IW1, VV, bursts 1..3) -> Calibration
+   * (sigma0, closed-form LUT surface) -> Lee 3x3 -> Multilook 4x4 emitted as
+   * integer block statistics (per-pixel quantized at 1e-9 BEFORE the block sum
+   * — chained values are not dyadic, so only pre-quantized sums are exact). */
+  val e2e: String =
+    s"""WITH px AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
+       |  FROM ${fx("tiles")}
+       |  WHERE subswath = 'IW1' AND pol = 'VV' AND burst_idx BETWEEN 1 AND 3),
+       |p2 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         tile_y * $H + CAST(k // $W AS INT) AS gy,
+       |         (burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * $H + CAST(k // $W AS INT) AS gline,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
+       |  FROM px),
+       |cal AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |         CASE WHEN v = -9999.0 THEN -9999.0
+       |              ELSE floor(v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) * 67108864) / 67108864 END AS cv
+       |  FROM p2),
+       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |         c.cv AS cp,
+       |         count(*) FILTER (n.cv IS NOT NULL AND n.cv <> -9999.0) AS n,
+       |         coalesce(sum(n.cv) FILTER (n.cv <> -9999.0), 0) AS s1,
+       |         coalesce(sum(n.cv * n.cv) FILTER (n.cv <> -9999.0), 0) AS s2
+       |  FROM cal c CROSS JOIN d
+       |  LEFT JOIN cal n ON n.scene_id = c.scene_id AND n.subswath = c.subswath
+       |    AND n.pol = c.pol AND n.burst_idx = c.burst_idx
+       |    AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+       |st2 AS (
+       |  SELECT *, CASE WHEN n > 0 THEN s1 / n END AS m,
+       |         CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) ELSE 0 END AS vr
+       |  FROM st),
+       |st3 AS (SELECT *, CASE WHEN m > 0 THEN sqrt(vr) / m END AS ci FROM st2),
+       |lee AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |         CASE WHEN n <= 0 THEN -9999.0
+       |              WHEN m <= 0 OR vr <= 0 THEN m
+       |              WHEN ci < $cu THEN m
+       |              ELSE cp * (1 - $cu2 / (ci * ci)) + m * ($cu2 / (ci * ci)) END AS out
+       |  FROM st3)
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |       CAST(gy % $H // 4 AS INT) AS block_y,
+       |       CAST(gx % $W // 4 AS INT) AS block_x,
+       |       CAST(count(*) FILTER (out <> -9999.0) AS BIGINT) AS n_valid,
+       |       CAST(coalesce(sum(CAST(floor($Eps + out * 1.0E9) AS BIGINT)) FILTER (out <> -9999.0), 0) AS BIGINT) AS sum_q
+       |FROM lee GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+}

@@ -1111,12 +1111,12 @@ object GeoOracles {
        |SELECT node, hop FROM fin ORDER BY 1""".stripMargin
   }
 
-  /** q_sssp: multi-seed weighted Bellman-Ford, unrolled to MaxRounds
+  /** q_sssp: multi-seed weighted Bellman-Ford, unrolled to SsspMaxRounds
    * MATERIALIZED relaxation rounds (rounds past the fixpoint are no-ops;
    * the spec asserts the engine converges strictly inside the cap).
    * Weight = the exact integer squared distance from the pair join. */
   val sssp: String = {
-    val rounds = graft.geom.GraphOps.MaxRounds
+    val rounds = graft.geom.GraphOps.SsspMaxRounds
     val sb = new StringBuilder
     for (i <- 1 to rounds) {
       sb.append(s"s$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (" +

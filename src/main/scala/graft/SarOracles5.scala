@@ -167,8 +167,8 @@ object SarOracles5 {
        |  FROM ps JOIN ${fx("scenes")} s USING (scene_id)),
        |ps3 AS (SELECT *, CAST(round((t1 - t0) / dt, 0) AS BIGINT) + 1 AS n_lines FROM ps2)
        |SELECT scene_id, subswath, n_lines,
-       |       coalesce(sum(n_lines) OVER (PARTITION BY subswath ORDER BY t0, scene_id
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_offset
+       |       CAST(coalesce(sum(n_lines) OVER (PARTITION BY subswath ORDER BY t0, scene_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS line_offset
        |FROM ps3""".stripMargin
 
   val topsarMerge: String =

@@ -50,9 +50,9 @@ object SarOraclesWss {
        |  GROUP BY 1, 2, 3, 4, 5)
        |SELECT scene_id, subswath, pol, line,
        |       count(*) AS n_valid,
-       |       sum(CAST(floor($Eps + peak * $Q) AS BIGINT)) AS peak_sum_q,
-       |       sum(CAST(floor($Eps + peak_i * $Q) AS BIGINT)) AS peak_i_sum_q,
-       |       sum(CAST(floor($Eps + avgv * $Q) AS BIGINT)) AS avg_sum_q
+       |       CAST(sum(CAST(floor($Eps + peak * $Q) AS BIGINT)) AS BIGINT) AS peak_sum_q,
+       |       CAST(sum(CAST(floor($Eps + peak_i * $Q) AS BIGINT)) AS BIGINT) AS peak_i_sum_q,
+       |       CAST(sum(CAST(floor($Eps + avgv * $Q) AS BIGINT)) AS BIGINT) AS avg_sum_q
        |FROM pk GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
   }
 
@@ -79,8 +79,8 @@ object SarOraclesWss {
        |win AS (
        |  SELECT scene_id, y, x, arg_max(val_u, ord) AS v, count(*) AS nw
        |  FROM cells GROUP BY 1, 2, 3)
-       |SELECT scene_id, y, count(*) AS n_cells, sum(v) AS val_sum,
-       |       sum(nw) AS writers_sum
+       |SELECT scene_id, y, count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS val_sum,
+       |       CAST(sum(nw) AS BIGINT) AS writers_sum
        |FROM win GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 }

@@ -119,7 +119,12 @@ object Analytics {
       .agg(count(lit(1)).as("n_nbrs"), sum("w").as("w_sum"),
         sum(col("w") * col("hq")).as("wh_sum"))
       .select(col("aoi_id"), col("n_nbrs"), col("w_sum"),
-        expr(s"(wh_sum * $HeightScale) div w_sum").as("idw_milli"))
+        // explicit floor division (`div` truncates toward zero, DuckDB's `//`
+        // floors): subtract pmod first so both engines divide an exact
+        // multiple — hq (hence wh_sum) can be negative on real DEMs even
+        // though the fixture generator emits heights in [10,190]
+        expr(s"((wh_sum * $HeightScale) - pmod(wh_sum * $HeightScale, w_sum)) div w_sum")
+          .as("idw_milli"))
   }
 
   /**
@@ -255,19 +260,31 @@ object Analytics {
    * statistics (embedded verbatim in the DuckDB oracle), quantized to 1e-6
    * with the repo's standard irrational dither against boundary landing. */
   val GiStarExpr: String =
+    // degenerate-data guard, shared-text in BOTH engines: zero variance (all
+    // occupied cells equal) or n<=1 makes the denominator 0 -> NaN/Inf, which
+    // Spark CASTs to 0/Long.MaxValue but DuckDB errors on CAST to BIGINT
+    "CASE WHEN CAST(n AS BIGINT) <= 1 " +
+      "OR (CAST(sum_x2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE))) <= 0.0 " +
+      "OR (CAST(n AS DOUBLE) * CAST(n_local AS DOUBLE) - CAST(n_local AS DOUBLE) * CAST(n_local AS DOUBLE)) <= 0.0 " +
+      "THEN CAST(0 AS BIGINT) ELSE " +
     "CAST(floor(0.031415926535897934 + " +
       "((CAST(s_local AS DOUBLE) - (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n_local AS DOUBLE)) / " +
       "(sqrt(CAST(sum_x2 AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE))) * " +
       "sqrt((CAST(n AS DOUBLE) * CAST(n_local AS DOUBLE) - CAST(n_local AS DOUBLE) * CAST(n_local AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))) " +
-      "* 1.0E6) AS BIGINT)"
+      "* 1.0E6) AS BIGINT) END"
 
   /** The shared-text IEEE assembly of Moran's I from the integer statistics
    * (also embedded verbatim in the DuckDB oracle). */
   val MoranIndexExpr: String =
+    // same degenerate-data guard class as GiStarExpr: w_sum=0 (no contiguous
+    // pairs) or zero variance -> 0, identically in both engines
+    "CASE WHEN CAST(w_sum AS BIGINT) <= 0 OR CAST(n AS BIGINT) <= 1 " +
+      "OR (CAST(sum_x2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE))) <= 0.0 " +
+      "THEN CAST(0 AS BIGINT) ELSE " +
     "CAST(floor(0.031415926535897934 + " +
       "(CAST(n AS DOUBLE) / CAST(w_sum AS DOUBLE)) * " +
       "((CAST(cross_sum AS DOUBLE) - 2.0 * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(deg_x_sum AS DOUBLE) " +
       "+ (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(w_sum AS DOUBLE)) / " +
       "(CAST(sum_x2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_x AS DOUBLE) / CAST(n AS DOUBLE)))) " +
-      "* 1.0E6) AS BIGINT)"
+      "* 1.0E6) AS BIGINT) END"
 }

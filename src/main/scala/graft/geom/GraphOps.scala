@@ -19,10 +19,19 @@ import graft.gen.Fixtures
  */
 object GraphOps {
 
-  /** Peel/frontier round cap: specs assert convergence strictly below it, and
+  /** Peel round cap (k-core): specs assert convergence strictly below it, and
    * the SQL twin unrolls exactly this many rounds (extra rounds past the
-   * fixpoint are no-ops, so equality is safe at any true convergence <= cap). */
+   * fixpoint are no-ops, so equality is safe at any true convergence <= cap).
+   * Bounded by the PEEL DEPTH, which is small on lattice-like graphs. */
   val MaxRounds = 24
+
+  /** SSSP round cap — deliberately SEPARATE from the k-core cap: Bellman-Ford
+   * needs up to (longest weighted-shortest-path hop count) rounds, which is
+   * bounded by V-1 and can exceed a peel-depth-sized cap on denser fixtures.
+   * The DuckDB twin unrolls exactly this constant (GeoOracles.sssp reads it),
+   * and the engine `require`s convergence within it, so oracle and engine stay
+   * in lockstep and fail loudly together rather than silently diverging. */
+  val SsspMaxRounds = 32
 
   /** BFS hop cap: the gate explores this many rounds exactly on both sides. */
   val BfsHops = 6
@@ -169,7 +178,7 @@ object GraphOps {
    * changes) with localCheckpoint cutting lineage per round. Edge weight is
    * the exact integer squared distance, so path costs are exact BIGINTs and
    * the min is deterministic. Round count is bounded by the weighted-path
-   * hop depth (the spec asserts convergence strictly inside MaxRounds); the
+   * hop depth (the spec asserts convergence strictly inside SsspMaxRounds); the
    * DuckDB twin unrolls the same rounds as MATERIALIZED CTEs — rounds past
    * the fixpoint are no-ops, so equality holds at any true convergence
    * <= cap. Scale shape: per round one hash join on node ids over the
@@ -183,7 +192,7 @@ object GraphOps {
     var dist = seeds(spark, sfDir).select(col("node"), lit(0L).as("dist")).localCheckpoint()
     var rounds = 0
     var done = false
-    while (!done && rounds < MaxRounds) {
+    while (!done && rounds < SsspMaxRounds) {
       val relaxed = e.join(dist.select(col("node").as("u"), col("dist")), Seq("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(relaxed)
@@ -193,7 +202,7 @@ object GraphOps {
       if (changed == 0) done = true
       else { dist = next; rounds += 1 }
     }
-    require(done, s"SSSP did not converge within $MaxRounds rounds")
+    require(done, s"SSSP did not converge within $SsspMaxRounds rounds")
     dist
   }
 }

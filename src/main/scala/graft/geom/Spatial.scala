@@ -500,7 +500,23 @@ object Spatial {
         Seq("event_id"), "left_anti").localCheckpoint()
       rFp *= 2
     }
-    done
+    // fail loudly (like kcore/sssp) instead of silently dropping events whose
+    // nearest segment is not certified by the 2^26 ring cap
+    require(remaining.isEmpty,
+      s"snapTrack: ${remaining.count()} event(s) not certified within the max search ring")
+    // empty input: no ring ever produced a frame — return an empty result with
+    // the output schema rather than null (NPE downstream)
+    if (done == null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("scene_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("subswath", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("burst_idx", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("edge", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("tq", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d2", org.apache.spark.sql.types.LongType))))
+    else done
   }
 
   /**

@@ -1,0 +1,388 @@
+package graft.graph
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.Fixtures
+import graft.model.Layout
+import graft.ops.{Calibration, Raster, Speckle}
+
+/**
+ * Declarative processing-chain runner — the analog of the reference's GPF graph
+ * XML (GraphProcessor over `<graph><node><operator>/<sources>/<parameters>`
+ * documents, e.g. microwavetbx-benchmark/.../graphs/Sentinel1-TOPS-
+ * Coregistration.xml: Read x2 -> TOPSAR-Split x2 -> Apply-Orbit-File x2 ->
+ * Back-Geocoding -> Write). A chain is DATA (parsed from the same XML node
+ * structure), compiled to ONE fused DataFrame: every node is a genuine
+ * frame-to-frame transformation, so Catalyst sees the whole DAG as a single
+ * logical plan — filters from a Split node push into the upstream scan,
+ * broadcast joins from Orbit/Calibration nodes fuse with downstream kernels,
+ * and NOTHING materializes between stages (the opposite of the reference's
+ * per-operator tile materialization, and the reason a declared chain costs the
+ * same as the hand-written composition).
+ *
+ * Scale posture: compilation is pure plan construction (driver-side, O(nodes));
+ * execution inherits each operator's own shape — the chain adds zero shuffles
+ * beyond what its operators declare.
+ */
+object ChainGraph {
+
+  final case class Node(id: String, operator: String,
+      params: Map[String, String], sources: Seq[String])
+  final case class Spec(nodes: Seq[Node]) {
+    def byId: Map[String, Node] = nodes.map(n => n.id -> n).toMap
+  }
+
+  // ------------------------------------------------------------------ parsing
+
+  /** Parse the reference's graph XML shape (the subset every shipped graph
+   * uses: node id / operator / sources refids / flat parameter elements).
+   * Presentation blocks (`applicationData`) are ignored like the reference. */
+  def parseXml(xml: String): Spec = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = f.newDocumentBuilder()
+      .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    val graph = doc.getDocumentElement
+    require(graph.getTagName == "graph", s"expected <graph>, got <${graph.getTagName}>")
+    val nodes = mutable.ArrayBuffer.empty[Node]
+    val nl = graph.getChildNodes
+    for (i <- 0 until nl.getLength) nl.item(i) match {
+      case e: org.w3c.dom.Element if e.getTagName == "node" =>
+        val op = childText(e, "operator").getOrElse(
+          sys.error(s"node ${e.getAttribute("id")} has no <operator>"))
+        val sources = childElem(e, "sources").toSeq.flatMap { s =>
+          elems(s).filter(_.getTagName.startsWith("sourceProduct")).map(_.getAttribute("refid"))
+        }
+        val params = childElem(e, "parameters").toSeq.flatMap { p =>
+          elems(p).map(el => el.getTagName -> el.getTextContent.trim)
+        }.toMap
+        nodes += Node(e.getAttribute("id"), op, params, sources)
+      case _ => () // applicationData, version, whitespace
+    }
+    Spec(nodes.toSeq)
+  }
+
+  private def elems(e: org.w3c.dom.Element): Seq[org.w3c.dom.Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).collect { case i if nl.item(i).isInstanceOf[org.w3c.dom.Element] =>
+      nl.item(i).asInstanceOf[org.w3c.dom.Element] }
+  }
+  private def childElem(e: org.w3c.dom.Element, tag: String): Option[org.w3c.dom.Element] =
+    elems(e).find(_.getTagName == tag)
+  private def childText(e: org.w3c.dom.Element, tag: String): Option[String] =
+    childElem(e, tag).map(_.getTextContent.trim)
+
+  // ---------------------------------------------------------------- compiling
+
+  /** Operator compiler: (session, fixture dir, node params, compiled source
+   * frames) => frame. Every compiler is a pure plan transformation. */
+  type OpCompiler = (SparkSession, String, Map[String, String], Seq[DataFrame]) => DataFrame
+
+  private val Dither = "0.031415926535897934"
+  private def q6(c: String) = s"CAST(floor($Dither + ($c) * 1.0E6) AS BIGINT)"
+
+  /** Read: parameterized source-table scan. `table` picks the fixture table
+   * (bursts for geometry chains, tiles for raster chains); `scenes` narrows to
+   * the even (master) or odd (secondary) scene parity — the two-Read shape of
+   * the coregistration graphs. Column pruning/pushdown happens downstream. */
+  private def readOp: OpCompiler = (spark, sfDir, params, _) => {
+    val table = params.getOrElse("table", "bursts")
+    val frame = Fixtures.table(spark, sfDir, table)
+      .withColumn("scene_ord", expr("CAST(substring(scene_id, 7, 4) AS INT)"))
+    params.getOrElse("scenes", "all") match {
+      case "even" => frame.where(col("scene_ord") % 2 === 0)
+      case "odd"  => frame.where(col("scene_ord") % 2 === 1)
+      case _      => frame
+    }
+  }
+
+  /** TOPSAR-Split: burst-range + subswath (+ polarisation, when the frame has
+   * one) selection — pure filters, pushed into the source scan by Catalyst. */
+  private def splitOp: OpCompiler = (_, _, params, srcs) => {
+    val in = srcs.head
+    val first = params.getOrElse("firstBurstIndex", "1").toInt
+    val last = params.getOrElse("lastBurstIndex", "9999").toInt
+    val bySwath = params.get("subswath").filter(_.nonEmpty)
+      .fold(in)(sw => in.where(col("subswath") === sw))
+    val byPol = params.get("selectedPolarisations").filter(_.nonEmpty)
+      .filter(_ => in.columns.contains("pol"))
+      .fold(bySwath)(p => bySwath.where(col("pol") === p))
+    byPol.where(col("burst_idx").between(first, last))
+  }
+
+  /** Apply-Orbit-File: attach the degree-3 Lagrange-interpolated orbit state
+   * (position + along-track velocity) at each burst mid-time — the frame-level
+   * form of TerrainCorrection.orbitInterpQuery (ApplyOrbitFileOp.java:60-101),
+   * identical formula text so the chain oracle shares every IEEE step. */
+  private def orbitOp: OpCompiler = (spark, sfDir, params, srcs) => {
+    require(params.getOrElse("polyDegree", "3") == "3", "only degree-3 orbit interpolation is implemented")
+    val orb = Fixtures.table(spark, sfDir, "orbit")
+      .groupBy("scene_id")
+      .agg(array_sort(collect_list(struct(col("t_sec"), col("x"), col("y"), col("z"),
+        col("vx"), col("vy"), col("vz")))).as("svs"))
+    val withKnots = srcs.head
+      .withColumn("tm", (col("burst_first_line_time") + col("burst_last_line_time")) / 2)
+      .join(broadcast(orb), Seq("scene_id"))
+      .withColumn("kk", expr(
+        "greatest(2, least(size(svs) - 2, size(filter(svs, e -> e.t_sec <= tm))))"))
+      .withColumn("k1", expr("element_at(svs, kk - 1)"))
+      .withColumn("k2", expr("element_at(svs, kk)"))
+      .withColumn("k3", expr("element_at(svs, kk + 1)"))
+      .withColumn("k4", expr("element_at(svs, kk + 2)"))
+      .withColumn("w1", expr(
+        "((tm - k2.t_sec) * (tm - k3.t_sec) * (tm - k4.t_sec)) / ((k1.t_sec - k2.t_sec) * (k1.t_sec - k3.t_sec) * (k1.t_sec - k4.t_sec))"))
+      .withColumn("w2", expr(
+        "((tm - k1.t_sec) * (tm - k3.t_sec) * (tm - k4.t_sec)) / ((k2.t_sec - k1.t_sec) * (k2.t_sec - k3.t_sec) * (k2.t_sec - k4.t_sec))"))
+      .withColumn("w3", expr(
+        "((tm - k1.t_sec) * (tm - k2.t_sec) * (tm - k4.t_sec)) / ((k3.t_sec - k1.t_sec) * (k3.t_sec - k2.t_sec) * (k3.t_sec - k4.t_sec))"))
+      .withColumn("w4", expr(
+        "((tm - k1.t_sec) * (tm - k2.t_sec) * (tm - k3.t_sec)) / ((k4.t_sec - k1.t_sec) * (k4.t_sec - k2.t_sec) * (k4.t_sec - k3.t_sec))"))
+    withKnots
+      .withColumn("ox", expr("w1 * k1.x + w2 * k2.x + w3 * k3.x + w4 * k4.x"))
+      .withColumn("oy", expr("w1 * k1.y + w2 * k2.y + w3 * k3.y + w4 * k4.y"))
+      .withColumn("oz", expr("w1 * k1.z + w2 * k2.z + w3 * k3.z + w4 * k4.z"))
+      .withColumn("ovy", expr("w1 * k1.vy + w2 * k2.vy + w3 * k3.vy + w4 * k4.vy"))
+      .drop("svs", "kk", "k1", "k2", "k3", "k4", "w1", "w2", "w3", "w4")
+  }
+
+  /** Back-Geocoding (two sources: master chain, secondary chain): pair master
+   * scene 2k with secondary scene 2k+1 per (subswath, burst), and report the
+   * per-burst two-geometry registration summary from the frames' interpolated
+   * orbit states — azimuth mid-time offset, the orbit baseline components, and
+   * the along-track residual after removing the epoch motion (oy difference
+   * minus master-velocity x time-offset). One hash equi-join on the REDUCED
+   * burst frames (the pixel volume never enters the chain), quantized at 1e-6
+   * with the repo's standard dither. */
+  private def backGeocodingOp: OpCompiler = (_, _, _, srcs) => {
+    val m = srcs(0).select(
+      col("scene_ord").as("pair"), col("scene_id").as("m_scene_id"),
+      col("subswath"), col("burst_idx"), col("tm").as("tm_m"),
+      col("ox").as("ox_m"), col("oy").as("oy_m"), col("oz").as("oz_m"), col("ovy").as("ovy_m"))
+    val s = srcs(1).select(
+      (col("scene_ord") - 1).as("pair"), col("scene_id").as("sec_scene_id"),
+      col("subswath"), col("burst_idx"), col("tm").as("tm_s"),
+      col("ox").as("ox_s"), col("oy").as("oy_s"), col("oz").as("oz_s"))
+    m.join(s, Seq("pair", "subswath", "burst_idx"))
+      .select(col("m_scene_id"), col("sec_scene_id"), col("subswath"), col("burst_idx"),
+        expr(q6("tm_s - tm_m")).as("az_dt_q"),
+        expr(q6("ox_s - ox_m")).as("bx_q"),
+        expr(q6("oz_s - oz_m")).as("bz_q"),
+        expr(q6("(oy_s - oy_m) - ovy_m * (tm_s - tm_m)")).as("ay_resid_q"))
+  }
+
+  /** Calibration: sigma0 LUT calibration as a frame transformation — derive
+   * the dyadic intensity from the frame's i/q, broadcast-join the calibration
+   * vectors, interpolate the LUT per pixel (the compiled bracketing kernel),
+   * and emit the calibrated array back in `v` for the next stage. */
+  private def calibrationOp: OpCompiler = (spark, sfDir, _, srcs) => {
+    val nd = Raster.ND
+    val d = Raster.Dyadic; val dv = Raster.DyadicV
+    val withV = srcs.head.withColumn("v", expr(
+      s"""zip_with(i, q, (a, b) -> if(a = $nd or b = $nd or isnan(a) or isnan(b), $nd,
+         |  floor(((floor(a * $d) / $d) * (floor(a * $d) / $d)
+         |         + (floor(b * $d) / $d) * (floor(b * $d) / $d)) * $dv) / $dv))""".stripMargin))
+    // calibrated values re-snap to the 2^-26 dyadic grid: sigma0 = dn2/A^2 with
+    // A >= 500 stays below 2^-6, so the snapped value carries <= 20 mantissa
+    // bits, its square <= 40, and the downstream 3x3 window sums (s1, s2) are
+    // EXACT doubles — without this, cross-engine association order flips the
+    // last bit and the multilook quantizer straddles (the DyadicV rationale)
+    Calibration.withLutA(withV, Calibration.lutTable(spark, sfDir, "sigma_nought"))
+      .withColumn("v", expr(
+        s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $nd, $nd, floor(dn2 / (a * a) * 67108864) / 67108864))"))
+      .drop("lut_a", "i", "q")
+  }
+
+  /** Speckle-Filter: halo exchange + the named compiled kernel over whatever
+   * array the chain carries in `v` (here: calibrated sigma0) — the identical
+   * operator shape as the standalone gates, just input-driven. */
+  private def speckleOp: OpCompiler = (_, _, params, srcs) => {
+    val mode = params.getOrElse("filter", "Lee").toLowerCase match {
+      case "lee" => "lee"; case "boxcar" => "boxcar"; case "median" => "median"
+      case other => other
+    }
+    Raster.withHaloMulti(srcs.head, Seq("v"), 1)
+      .withColumnRenamed("halo_v", "halo")
+      .withColumn("v", graft.exprs.KernelExprs.speckleFilter(
+        col("halo"), mode, Raster.W, Raster.H, 1,
+        lit(Speckle.Enl), lit(Speckle.FrostDamping)))
+      .drop("halo")
+  }
+
+  /** Multilook: per-block mean over Looks x Looks blocks (blocks never cross
+   * tiles -> zero shuffle), emitted as INTEGER sufficient statistics: the
+   * chained values are no longer dyadic-exact, so each pixel is quantized
+   * (1e-9 quantum, standard dither) BEFORE the block sum — the sum is then an
+   * exact BIGINT both engines agree on regardless of association order. */
+  private def multilookOp: OpCompiler = (_, _, params, srcs) => {
+    val looks = params.getOrElse("nRgLooks", "4").toInt
+    val w = Layout.TileW; val h = Layout.TileH
+    val bx = w / looks; val nBlocks = (w / looks) * (h / looks)
+    val nd = Raster.ND
+    srcs.head
+      .withColumn("blocks", expr(
+        s"""transform(sequence(0, ${nBlocks - 1}), b ->
+           |  aggregate(sequence(0, ${looks * looks - 1}),
+           |    struct(CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s),
+           |    (acc, j) -> if(element_at(v, CAST(((b div $bx) * $looks + j div $looks) * $w
+           |                              + (b % $bx) * $looks + j % $looks + 1 AS INT)) = $nd,
+           |      acc,
+           |      struct(acc.n + 1L AS n,
+           |             acc.s + CAST(floor($Dither + element_at(v, CAST(((b div $bx) * $looks + j div $looks) * $w
+           |                              + (b % $bx) * $looks + j % $looks + 1 AS INT)) * 1.0E9) AS BIGINT) AS s))))""".stripMargin))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"), posexplode(col("blocks")).as(Seq("b", "st")))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        col("tile_y"), col("tile_x"),
+        expr(s"CAST(b div $bx AS INT)").as("block_y"),
+        expr(s"CAST(b % $bx AS INT)").as("block_x"),
+        col("st.n").as("n_valid"), col("st.s").as("sum_q"))
+  }
+
+  /** Write: the chain sink. With a non-empty `file` param the frame commits
+   * through the resumable checkpoint layer (parquet + per-partition lineage
+   * manifest, replayed on rerun); with the empty `file` of the benchmark
+   * graphs it is the identity and the caller owns the action. */
+  private def writeOp: OpCompiler = (spark, _, params, srcs) =>
+    params.get("file").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        graft.lineage.Checkpoint.stage(spark, dir,
+          params.getOrElse("name", "write"), params.getOrElse("config", "v1"))(srcs.head).df
+      case None => srcs.head
+    }
+
+  val registry: Map[String, OpCompiler] = Map(
+    "Read" -> readOp,
+    "TOPSAR-Split" -> splitOp,
+    "Apply-Orbit-File" -> orbitOp,
+    "Back-Geocoding" -> backGeocodingOp,
+    "Calibration" -> calibrationOp,
+    "Speckle-Filter" -> speckleOp,
+    "Multilook" -> multilookOp,
+    "Write" -> writeOp)
+
+  /** Compile a spec to the single sink frame: memoized post-order walk, so a
+   * node referenced twice compiles once and the result is ONE fused plan. */
+  def compile(spark: SparkSession, sfDir: String, spec: Spec): DataFrame = {
+    val byId = spec.byId
+    val memo = mutable.Map.empty[String, DataFrame]
+    val inFlight = mutable.Set.empty[String]
+    def eval(id: String): DataFrame = memo.getOrElseUpdate(id, {
+      require(inFlight.add(id), s"cycle through node '$id'")
+      val n = byId.getOrElse(id, sys.error(s"unknown node ref '$id'"))
+      val op = registry.getOrElse(n.operator, sys.error(s"unknown operator '${n.operator}'"))
+      val out = op(spark, sfDir, n.params, n.sources.map(eval))
+      inFlight.remove(id)
+      out
+    })
+    val referenced = spec.nodes.flatMap(_.sources).toSet
+    val sinks = spec.nodes.filterNot(n => referenced.contains(n.id))
+    require(sinks.size == 1, s"expected exactly one sink node, got ${sinks.map(_.id)}")
+    eval(sinks.head.id)
+  }
+
+  // ------------------------------------------------------- the declared chains
+
+  /** The TOPS coregistration graph, declared in the reference's own XML node
+   * structure (mirrors microwavetbx-benchmark/.../Sentinel1-TOPS-
+   * Coregistration-Ifg.xml: Read x2 -> Split x2 (bursts 1..3) -> Orbit x2 ->
+   * Back-Geocoding -> Write; the two Reads select the master/secondary scene
+   * parities of the fixture constellation). */
+  val topsCoregXml: String =
+    """<graph id="Graph">
+      |  <version>1.0</version>
+      |  <node id="Read">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>bursts</table><scenes>even</scenes></parameters>
+      |  </node>
+      |  <node id="Read(2)">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>bursts</table><scenes>odd</scenes></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read"/></sources>
+      |    <parameters><subswath/><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split(2)">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read(2)"/></sources>
+      |    <parameters><subswath/><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="Apply-Orbit-File">
+      |    <operator>Apply-Orbit-File</operator>
+      |    <sources><sourceProduct refid="TOPSAR-Split"/></sources>
+      |    <parameters><polyDegree>3</polyDegree></parameters>
+      |  </node>
+      |  <node id="Apply-Orbit-File(2)">
+      |    <operator>Apply-Orbit-File</operator>
+      |    <sources><sourceProduct refid="TOPSAR-Split(2)"/></sources>
+      |    <parameters><polyDegree>3</polyDegree></parameters>
+      |  </node>
+      |  <node id="Back-Geocoding">
+      |    <operator>Back-Geocoding</operator>
+      |    <sources>
+      |      <sourceProduct refid="Apply-Orbit-File"/>
+      |      <sourceProduct.1 refid="Apply-Orbit-File(2)"/>
+      |    </sources>
+      |    <parameters/>
+      |  </node>
+      |  <node id="Write">
+      |    <operator>Write</operator>
+      |    <sources><sourceProduct refid="Back-Geocoding"/></sources>
+      |    <parameters><file></file></parameters>
+      |  </node>
+      |</graph>""".stripMargin
+
+  /** q_chain_tops_coreg: the declared coregistration DAG, compiled + fused. */
+  def topsCoregQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(topsCoregXml))
+
+  /** The end-to-end raster validation chain (SURVEY §5.2 shape 4; the analog
+   * of the reference's validation YAML cases + the FeatureExtractors graphs):
+   * Read(tiles) -> TOPSAR-Split(IW1, VV, bursts 1..3) -> Calibration(sigma0)
+   * -> Speckle-Filter(Lee) -> Multilook(4x4) -> Write. One declared document,
+   * one fused plan, end values pinned by gate + spec. */
+  val e2eChainXml: String =
+    """<graph id="Graph">
+      |  <version>1.0</version>
+      |  <node id="Read">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles</table></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="Calibration">
+      |    <operator>Calibration</operator>
+      |    <sources><sourceProduct refid="TOPSAR-Split"/></sources>
+      |    <parameters><outputSigmaBand>true</outputSigmaBand></parameters>
+      |  </node>
+      |  <node id="Speckle-Filter">
+      |    <operator>Speckle-Filter</operator>
+      |    <sources><sourceProduct refid="Calibration"/></sources>
+      |    <parameters><filter>Lee</filter></parameters>
+      |  </node>
+      |  <node id="Multilook">
+      |    <operator>Multilook</operator>
+      |    <sources><sourceProduct refid="Speckle-Filter"/></sources>
+      |    <parameters><nRgLooks>4</nRgLooks></parameters>
+      |  </node>
+      |  <node id="Write">
+      |    <operator>Write</operator>
+      |    <sources><sourceProduct refid="Multilook"/></sources>
+      |    <parameters><file></file></parameters>
+      |  </node>
+      |</graph>""".stripMargin
+
+  /** q_chain_e2e: the declared Split->Calibrate->Lee->Multilook chain. */
+  def e2eChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(e2eChainXml))
+}

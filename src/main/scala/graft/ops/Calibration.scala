@@ -127,6 +127,47 @@ object Calibration {
            |  if(ph = $ND, $ND, atan2(sin(ph - $e), cos(ph - $e))))""".stripMargin)))
   }
 
+  /** Iceye GRD constant calibration factor — the reference's own synthetic
+   * golden case (TestCalibrationOp.java:126-140 sets calibration_factor to
+   * exactly this and expects sigma0 = k * dn^2, IceyeCalibrator.java:237). */
+  val IceyeK = "1.8627006757903795E-4"
+
+  /** ALOS CEOS-class constant: CF = 27 dB with the -32 dB offset folded to a
+   * linear factor 10^((27-32)/10) (ALOSCalibrator.java:121-127: CF -= 32, dB
+   * to linear; :241 sigma = dn * factor). Written as the exact decimal literal
+   * so both engines parse the identical double — no libm pow in the gate. */
+  val AlosK = "0.31622776601683794"
+
+  /**
+   * q_calibration_dispatch: mission-keyed calibrator selection — the
+   * CalibrationFactory.createCalibrator shape (CalibrationOp.java:133
+   * dispatching over 22 mission calibrators). SENTINEL-1 scenes take the
+   * vector-LUT bilinear path (Sentinel1Calibrator.java:327-462), ICEYE GRD
+   * the constant-factor k*dn^2 (IceyeCalibrator.java:235-237), ALOS the CEOS
+   * dB-constant-with-offset linear factor (ALOSCalibrator.java:121-127,241).
+   * The mission key is derived deterministically from the scene ordinal (the
+   * fixtures are S1-shaped; the DISPATCH is the semantics under test), and
+   * the whole selection fuses into one per-row CASE over the broadcast-LUT
+   * join — per-product calibrator selection with zero extra shuffles.
+   */
+  def dispatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = withLutA(Raster.intensityTiles(spark, sfDir),
+        lutTable(spark, sfDir, "sigma_nought"))
+      .withColumn("mission", expr(
+        "CASE CAST(substring(scene_id, 7, 4) AS INT) % 3 " +
+          "WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' ELSE 'SENTINEL-1' END"))
+      .withColumn("out", expr(
+        s"""CASE mission
+           |  WHEN 'ICEYE' THEN transform(v, x -> if(x = $ND, $ND, x * $IceyeK))
+           |  WHEN 'ALOS'  THEN transform(v, x -> if(x = $ND, $ND, x * $AlosK))
+           |  ELSE zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))
+           |END""".stripMargin))
+    Raster.rollup(out, scale = 1e1)
+      .withColumn("mission", expr(
+        "CASE CAST(substring(scene_id, 7, 4) AS INT) % 3 " +
+          "WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' ELSE 'SENTINEL-1' END"))
+  }
+
   /** q_thermal_noise_rcm: RCM/SAOCOM-style per-beam constant noise-floor variant
    * of ThermalNoiseRemoval (the mission calibrators swap the vector LUT for a
    * per-beam scalar floor; RCMCalibrator/SAOCOM noise handling). */

@@ -61,14 +61,32 @@ object Split {
     val sel = topsarSplitQuery(spark, sfDir)
       .select("aoi_id", "scene_id", "subswath", "first_burst", "last_burst")
     val spans = Spans.geolocatedMediaSpans(spark, sfDir)
-    spans.join(broadcast(sel),
+    val hit = spans.join(broadcast(sel),
         spans("scene_id") === sel("scene_id") &&
         spans("subswath") === sel("subswath") &&
         spans("burst_idx").between(col("first_burst"), col("last_burst")))
-      .groupBy(col("aoi_id"), spans("scene_id").as("scene_id"), spans("subswath").as("subswath"))
+      .select(col("aoi_id"), spans("scene_id").as("scene_id"),
+        spans("subswath").as("subswath"), col("doc_id"),
+        col("burst_idx"), col("tile_y"), col("tile_x"))
+    // two distinct counts on DIFFERENT keys: a single agg with two
+    // countDistincts over the raw span stream plans as an Expand (x2 row
+    // multiplication of 10^12 spans feeding the shuffle). Instead reduce ONCE
+    // to the finest key (group x doc x tile) — ONE scan of the join output,
+    // map-side combine collapsing repeated (doc, tile) hits — and run both
+    // distinct counts on the reduced frame: the Expand still happens, but on
+    // post-combine distinct combos (orders of magnitude fewer than raw spans),
+    // and the span stream is scanned exactly once (a two-legged restatement
+    // would recompute the broadcast join per leg).
+    val g = Seq("aoi_id", "scene_id", "subswath")
+    hit
+      .groupBy((g ++ Seq("doc_id", "burst_idx", "tile_y", "tile_x")).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(g.map(col): _*)
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_spans"),
+        sum("c").as("n_spans"),
         countDistinct(col("burst_idx"), col("tile_y"), col("tile_x")).as("n_tiles"))
+      .select(col("aoi_id"), col("scene_id"), col("subswath"),
+        col("n_docs"), col("n_spans"), col("n_tiles"))
   }
 }

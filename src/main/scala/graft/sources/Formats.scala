@@ -20,6 +20,49 @@ import graft.dedup.Dedup
  */
 object Formats {
 
+  /** Scratch artifacts (catalog table names + temp dirs) from prior
+   * invocations, reclaimed in two tiers. Catalog tables are dropped at the
+   * NEXT invocation: a returned frame's plan is resolved at creation and the
+   * tables are external, so dropping the catalog entry never breaks a pending
+   * lazy consumer — this stops the per-run catalog accumulation. Temp DIRS
+   * are swept only by a JVM shutdown hook: Verify runs gates 6-concurrent,
+   * so an eager dir delete could race a concurrently-created, not-yet-
+   * materialized lazy frame (its files must outlive its first action). */
+  private val tablesToDrop =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val dirsToDelete =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteDir(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  private def reclaimPrevious(spark: SparkSession): Unit = {
+    var t = tablesToDrop.poll()
+    while (t != null) {
+      try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Exception => () }
+      t = tablesToDrop.poll()
+    }
+  }
+
+  private def registerCleanup(tables: Seq[String], dir: String): Unit = {
+    tables.foreach(tablesToDrop.add)
+    dirsToDelete.add(dir)
+    if (hookRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        // catalog dies with the JVM; only the on-disk scratch needs sweeping
+        var p = dirsToDelete.poll()
+        while (p != null) { try deleteDir(p) catch { case _: Exception => () }; p = dirsToDelete.poll() }
+      }))
+  }
+
   /** Order-independent row-set checksum: sum of h60(payload) % 2^40 (500k rows
    * stay far from BIGINT overflow; the oracle shares the exact expression). */
   private val RowHash =
@@ -30,8 +73,10 @@ object Formats {
       .select(lit(fmt).as("fmt"), col("n_rows"), col("checksum"))
 
   def roundTripQuery(spark: SparkSession, dir: String): DataFrame = {
+    reclaimPrevious(spark)
     val d = Dedup.docs(spark, dir).select("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+    registerCleanup(Seq.empty, tmp)
     d.write.mode("overwrite").json(s"$tmp/json")
     d.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     val j = spark.read.json(s"$tmp/json")
@@ -58,6 +103,7 @@ object Formats {
    * name would collide across Verify's recycled sessions).
    */
   def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    reclaimPrevious(spark)
     val spans = graft.ops.Spans.geolocatedMediaSpans(spark, dir)
       .select(col("doc_id"), col("offset"), col("scene_id"), col("cell"))
     val dens = spans.groupBy("cell").agg(count(lit(1)).as("n_in_cell"))
@@ -65,6 +111,7 @@ object Formats {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val tA = s"graft_spans_$tag"
     val tB = s"graft_cells_$tag"
+    registerCleanup(Seq(tA, tB), tmp)
     spans.write.format("parquet").option("path", s"$tmp/a")
       .bucketBy(8, "cell").sortBy("cell").saveAsTable(tA)
     dens.write.format("parquet").option("path", s"$tmp/b")

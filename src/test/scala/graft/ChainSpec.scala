@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.ChainGraph
+
+/** The declarative chain runner (GPF graph analog): parser fidelity, fused
+ * single-plan compilation, checkpointed Write, and the pinned end-to-end
+ * validation case (the analog of the reference's validation YAML cases with
+ * declared metrics + tolerances). */
+class ChainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.Sf
+
+  test("XML parser: node/operator/sources/parameters round-trip; presentation blocks ignored") {
+    val spec = ChainGraph.parseXml(ChainGraph.topsCoregXml)
+    assert(spec.nodes.map(_.id) === Seq("Read", "Read(2)", "TOPSAR-Split", "TOPSAR-Split(2)",
+      "Apply-Orbit-File", "Apply-Orbit-File(2)", "Back-Geocoding", "Write"))
+    val bg = spec.byId("Back-Geocoding")
+    assert(bg.operator === "Back-Geocoding")
+    assert(bg.sources === Seq("Apply-Orbit-File", "Apply-Orbit-File(2)"))
+    val split = spec.byId("TOPSAR-Split")
+    assert(split.params("firstBurstIndex") === "1" && split.params("lastBurstIndex") === "3")
+    // a graph carrying an applicationData presentation block (as every
+    // reference-shipped XML does) parses to the same spec
+    val withPresentation = ChainGraph.topsCoregXml.replace("</graph>",
+      """<applicationData id="Presentation"><node id="Read"><displayPosition x="1" y="2"/></node></applicationData></graph>""")
+    assert(ChainGraph.parseXml(withPresentation).nodes.map(_.id) === spec.nodes.map(_.id))
+  }
+
+  test("compile rejects unknown operators, unknown refs, cycles, and multi-sink graphs") {
+    def spec(xml: String) = ChainGraph.parseXml(xml)
+    intercept[RuntimeException] {
+      ChainGraph.compile(spark, sf, spec(
+        "<graph><node id=\"a\"><operator>NoSuchOp</operator><sources/><parameters/></node></graph>"))
+    }
+    intercept[RuntimeException] {
+      ChainGraph.compile(spark, sf, spec(
+        "<graph><node id=\"a\"><operator>Write</operator><sources><sourceProduct refid=\"ghost\"/></sources><parameters/></node></graph>"))
+    }
+    intercept[RuntimeException] { // two sinks
+      ChainGraph.compile(spark, sf, spec(
+        """<graph><node id="a"><operator>Read</operator><sources/><parameters/></node>
+          |<node id="b"><operator>Read</operator><sources/><parameters/></node></graph>""".stripMargin))
+    }
+  }
+
+  test("tops-coreg chain: Split params genuinely prune; pairing is even->odd per (subswath, burst)") {
+    val out = ChainGraph.topsCoregQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    // burst range 1..3 declared in the XML reaches the output
+    assert(out.forall(r => { val b = r.getAs[Number]("burst_idx").longValue; b >= 1 && b <= 3 }))
+    // every master is even-ordinal, every secondary its +1 odd partner
+    out.foreach { r =>
+      val m = r.getAs[String]("m_scene_id").substring(6).toInt
+      val s = r.getAs[String]("sec_scene_id").substring(6).toInt
+      assert(m % 2 == 0 && s == m + 1)
+    }
+    // direct recompute of az_dt for one row: burst mid-time difference of the
+    // paired scenes from the fixture generator's own timeline
+    val r0 = out.minBy(r => (r.getAs[String]("m_scene_id"), r.getAs[String]("subswath"), r.getAs[Number]("burst_idx").longValue))
+    val b = r0.getAs[Number]("burst_idx").intValue
+    val mOrd = r0.getAs[String]("m_scene_id").substring(6).toInt
+    def mid(s: Int) = (gen.Fixtures.burstFirstLineTime(s, b) + gen.Fixtures.burstLastLineTime(s, b)) / 2
+    val expected = math.floor(0.031415926535897934 + (mid(mOrd + 1) - mid(mOrd)) * 1e6).toLong
+    assert(r0.getAs[Long]("az_dt_q") === expected)
+  }
+
+  test("e2e chain compiles to ONE fused plan: split filters push into the scan, no mid-chain writes") {
+    val df = ChainGraph.e2eChainQuery(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    // the Split node's predicates reach the parquet scan as pushed filters
+    assert(physical.contains("PushedFilters"), physical.take(2000))
+    assert(physical.replaceAll("\\s+", " ").matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(subswath,IW1\\).*"),
+      physical.take(3000))
+    // fused: nothing materializes between declared stages (no InMemoryRelation,
+    // no LogicalRDD barrier from a mid-chain collect/checkpoint)
+    assert(!physical.contains("InMemoryTableScan") && !physical.contains("Scan ExistingRDD"), physical.take(2000))
+  }
+
+  test("pinned E2E validation case (declared metrics + tolerance, SURVEY §5.2 shape 4)") {
+    // The analog of the reference's validation YAML (cases/*.yml: a declared
+    // chain + expected metrics + tolerance): Read -> Split(IW1, VV, 1..3) ->
+    // Calibration(sigma0) -> Lee -> Multilook(4x4), pinned end numbers at
+    // sf0.001. Integer metrics carry tolerance 0 — any engine change that
+    // shifts a single quantized pixel fails this case loudly.
+    case class Pinned(metric: String, expected: Long, tolerance: Long)
+    val cases = Seq(
+      Pinned("n_blocks", 3072L, 0L),
+      Pinned("total_valid", 49152L, 0L),
+      Pinned("total_sum_q", -243551709688614L, 0L))
+    val r = ChainGraph.e2eChainQuery(spark, sf)
+      .agg(count(lit(1)).as("n_blocks"), sum("n_valid").as("total_valid"), sum("sum_q").as("total_sum_q"))
+      .head()
+    val got = Map("n_blocks" -> r.getAs[Long]("n_blocks"),
+      "total_valid" -> r.getAs[Long]("total_valid"), "total_sum_q" -> r.getAs[Long]("total_sum_q"))
+    cases.foreach { c =>
+      assert(math.abs(got(c.metric) - c.expected) <= c.tolerance,
+        s"${c.metric}: got ${got(c.metric)}, pinned ${c.expected} ± ${c.tolerance}")
+    }
+  }
+
+  test("pinned tops-coreg validation case") {
+    val r = ChainGraph.topsCoregQuery(spark, sf)
+      .agg(count(lit(1)).as("n"), sum("az_dt_q").as("az"), sum("bx_q").as("bx"),
+        sum("bz_q").as("bz"), sum("ay_resid_q").as("ay"))
+      .head()
+    assert(r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Long]("az") === 900000000L)
+    assert(r.getAs[Long]("bx") === 0L)
+    assert(r.getAs[Long]("bz") === 0L)
+    assert(r.getAs[Long]("ay") === -6750000000000L)
+  }
+
+  test("Write node with a file param commits a resumable checkpoint and replays on rerun") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
+    val xml = ChainGraph.topsCoregXml.replace("<file></file>", s"<file>$dir</file>")
+    val first = ChainGraph.compile(spark, sf, ChainGraph.parseXml(xml)).collect().map(_.toString).sorted
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "write", "_MANIFEST.json")),
+      "Write node did not commit a checkpoint manifest")
+    val second = ChainGraph.compile(spark, sf, ChainGraph.parseXml(xml)).collect().map(_.toString).sorted
+    assert(first.sameElements(second))
+    // replayed frame reads the snapshot, not the recomputed plan
+    val replayed = ChainGraph.compile(spark, sf, ChainGraph.parseXml(xml))
+    assert(replayed.queryExecution.logical.toString.contains("Relation") ||
+      replayed.queryExecution.executedPlan.toString.contains("parquet"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  test("PipelineRunner chain spec is data-driven: parses, rejects malformed lines, keys resolve") {
+    val parsed = PipelineRunner.parseChainSpec(PipelineRunner.DefaultChainSpec)
+    assert(parsed.nonEmpty && parsed.head === ("split", "q_topsar_split"))
+    // every declared stage references a registered query
+    parsed.foreach { case (_, key) => assert(SparkEntry.queries.contains(key), s"unknown query $key") }
+    assert(PipelineRunner.parseChainSpec("# comment\n\na=q_x\n") === Seq(("a", "q_x")))
+    intercept[IllegalArgumentException] { PipelineRunner.parseChainSpec("no-equals-here") }
+  }
+
+  test("mission-dispatch calibration: each mission branch takes its calibrator") {
+    val out = ops.Calibration.dispatchQuery(spark, sf)
+    val missions = out.select("mission").distinct().collect().map(_.getString(0)).toSet
+    // sf0.001 has 2 scenes -> ordinals 0 (SENTINEL-1) and 1 (ICEYE)
+    assert(missions.contains("SENTINEL-1") && missions.contains("ICEYE"))
+    // ICEYE branch: sigma0 = k * dn2 exactly (IceyeCalibrator.java:237 with the
+    // reference's own synthetic calibration factor) — recompute one tile
+    val row = out.where(col("mission") === "ICEYE").orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x").head()
+    val k = ops.Calibration.IceyeK.toDouble
+    val tile = ops.Raster.intensityTiles(spark, sf)
+      .where(col("scene_id") === row.getAs[String]("scene_id") &&
+        col("subswath") === row.getAs[String]("subswath") &&
+        col("pol") === row.getAs[String]("pol") &&
+        col("burst_idx") === row.getAs[Number]("burst_idx").longValue &&
+        col("tile_y") === row.getAs[Number]("tile_y").longValue &&
+        col("tile_x") === row.getAs[Number]("tile_x").longValue)
+      .select("v").head().getSeq[Double](0)
+    val q = ops.Raster.quantum(1e1).toDouble
+    val expSum = tile.filter(_ != model.Layout.NoData)
+      .map(v => math.floor(0.031415926535897934 + v * k * q).toLong).sum
+    assert(row.getAs[Long]("sum_q") === expSum)
+  }
+}

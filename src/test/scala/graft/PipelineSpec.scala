@@ -1194,7 +1194,10 @@ class PipelineSpec extends AnyFunSuite {
       ("compaction_plan", () => graft.lineage.Checkpoint.compactionPlanQuery(spark, sf).collect().map(_.toString).sorted),
       ("sssp", () => graft.geom.GraphOps.ssspQuery(spark, sf).collect().map(_.toString).sorted),
       ("knn_join", () => graft.geom.Analytics.knnJoinQuery(spark, sf).collect().map(_.toString).sorted),
-      ("gi_star", () => graft.geom.Analytics.giStarQuery(spark, sf).collect().map(_.toString).sorted))
+      ("gi_star", () => graft.geom.Analytics.giStarQuery(spark, sf).collect().map(_.toString).sorted),
+      ("calibration_dispatch", () => graft.ops.Calibration.dispatchQuery(spark, sf).collect().map(_.toString).sorted),
+      ("chain_tops_coreg", () => graft.graph.ChainGraph.topsCoregQuery(spark, sf).collect().map(_.toString).sorted),
+      ("chain_e2e", () => graft.graph.ChainGraph.e2eChainQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
