@@ -85,12 +85,10 @@ object ChainOracles {
   private val cu = 1.0 / math.sqrt(Speckle.Enl)
   private val cu2 = cu * cu
 
-  /** q_chain_e2e: Read(tiles) -> Split(IW1, VV, bursts 1..3) -> Calibration
-   * (sigma0, closed-form LUT surface) -> Lee 3x3 -> Multilook 4x4 emitted as
-   * integer block statistics (per-pixel quantized at 1e-9 BEFORE the block sum
-   * — chained values are not dyadic, so only pre-quantized sums are exact). */
-  val e2e: String =
-    s"""WITH px AS (
+  /** Shared chain prefix: Read(tiles) -> Split(IW1, VV, bursts 1..3) with the
+   * dyadic intensity and global pixel coordinates. */
+  private val splitIntensityCtes: String =
+    s"""px AS (
        |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
        |  FROM ${fx("tiles")}
@@ -101,13 +99,14 @@ object ChainOracles {
        |         tile_y * $H + CAST(k // $W AS INT) AS gy,
        |         (burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * $H + CAST(k // $W AS INT) AS gline,
        |         CASE WHEN iv = -9999.0 OR qv = -9999.0 THEN -9999.0 ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
-       |  FROM px),
-       |cal AS (
-       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
-       |         CASE WHEN v = -9999.0 THEN -9999.0
-       |              ELSE floor(v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) * 67108864) / 67108864 END AS cv
-       |  FROM p2),
-       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+       |  FROM px)""".stripMargin
+
+  /** Shared chain tail: Lee 3x3 over a `cal(... cv)` stage then Multilook 4x4
+   * emitted as integer block statistics (per-pixel quantized at 1e-9 BEFORE
+   * the block sum — chained values are not dyadic, so only pre-quantized sums
+   * are exact). */
+  private val leeMultilookTail: String =
+    s"""d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
        |st AS (
        |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
        |         c.cv AS cp,
@@ -137,4 +136,90 @@ object ChainOracles {
        |       CAST(count(*) FILTER (out <> -9999.0) AS BIGINT) AS n_valid,
        |       CAST(coalesce(sum(CAST(floor($Eps + out * 1.0E9) AS BIGINT)) FILTER (out <> -9999.0), 0) AS BIGINT) AS sum_q
        |FROM lee GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+
+  /** q_chain_e2e: Read(tiles) -> Split(IW1, VV, bursts 1..3) -> Calibration
+   * (sigma0, closed-form LUT surface) -> Lee 3x3 -> Multilook 4x4. */
+  val e2e: String =
+    s"""WITH $splitIntensityCtes,
+       |cal AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |         CASE WHEN v = -9999.0 THEN -9999.0
+       |              ELSE floor(v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) * 67108864) / 67108864 END AS cv
+       |  FROM p2),
+       |$leeMultilookTail""".stripMargin
+
+  /** q_chain_grd: the canonical GRD backscatter chain — Read -> Split ->
+   * ThermalNoiseRemoval (closed-form noise floor, zero clamp) -> Calibration
+   * (sigma0 over the DENOISED intensity) -> Lee 3x3 -> Multilook 4x4. */
+  val grd: String =
+    s"""WITH $splitIntensityCtes,
+       |tn AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy, gline,
+       |         CASE WHEN v = -9999.0 THEN -9999.0
+       |              ELSE greatest(0, v - (2.0 + 0.01 * gline + 0.004 * gx)) END AS vn
+       |  FROM p2),
+       |cal AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |         CASE WHEN vn = -9999.0 THEN -9999.0
+       |              ELSE floor(vn / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) * 67108864) / 67108864 END AS cv
+       |  FROM tn),
+       |$leeMultilookTail""".stripMargin
+  /** Split-filtered per-pixel CTE pair: i/q snapped to the 2^-12 dyadic grid
+   * (the complexCross kernel's own pre-snap — window sums of the resulting
+   * products are exact doubles, so association order cannot matter). */
+  private def pxSplit(table: String, name: String): String =
+    s"""${name}0 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv0, unnest(q) AS qv0
+       |  FROM ${fx(table)}
+       |  WHERE subswath = 'IW1' AND pol = 'VV' AND burst_idx BETWEEN 1 AND 3),
+       |$name AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         tile_y * $H + CAST(k // $W AS INT) AS gy,
+       |         floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv
+       |  FROM ${name}0)""".stripMargin
+
+  /** q_chain_insar: Read x2 -> Split x2 (IW1, VV, bursts 1..3) -> Interferogram
+   * (complex cross products) -> Coherence (3x3 window, shared formula text with
+   * the q_coherence oracle) -> Multilook 4x4 as integer block statistics
+   * (per-pixel 1e-9 quantization BEFORE the block sum). */
+  val insar: String =
+    s"""WITH ${pxSplit("tiles", "pa")},
+       |${pxSplit("tiles_sec", "pb")},
+       |cx AS (
+       |  SELECT a.scene_id, a.subswath, a.pol, a.burst_idx, a.tile_y, a.tile_x, a.gx, a.gy,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.iv * b.iv + a.qv * b.qv END AS cre,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.qv * b.iv - a.iv * b.qv END AS cim,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE a.iv * a.iv + a.qv * a.qv END AS p1,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE b.iv * b.iv + b.qv * b.qv END AS p2
+       |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
+       |    AND a.pol = b.pol AND a.burst_idx = b.burst_idx AND a.gx = b.gx AND a.gy = b.gy),
+       |d AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)),
+       |st AS (
+       |  SELECT c.scene_id, c.subswath, c.pol, c.burst_idx, c.tile_y, c.tile_x, c.gx, c.gy,
+       |    count(*) FILTER (n.p1 IS NOT NULL AND n.p1 <> -9999.0) AS n,
+       |    coalesce(sum(n.cre) FILTER (n.p1 <> -9999.0), 0) AS sre,
+       |    coalesce(sum(n.cim) FILTER (n.p1 <> -9999.0), 0) AS sim,
+       |    coalesce(sum(n.p1) FILTER (n.p1 <> -9999.0), 0) AS sp1,
+       |    coalesce(sum(n.p2) FILTER (n.p1 <> -9999.0), 0) AS sp2
+       |  FROM cx c CROSS JOIN d
+       |  LEFT JOIN cx n ON n.scene_id = c.scene_id AND n.subswath = c.subswath AND n.pol = c.pol
+       |    AND n.burst_idx = c.burst_idx AND n.gx = c.gx + d.dx AND n.gy = c.gy + d.dy
+       |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |         CASE WHEN n = 0 OR sp1 <= 0 OR sp2 <= 0 THEN -9999.0
+       |              ELSE sqrt(sre * sre + sim * sim) / sqrt(sp1 * sp2) END AS out
+       |  FROM st)
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |       CAST(gy % $H // 4 AS INT) AS block_y,
+       |       CAST(gx % $W // 4 AS INT) AS block_x,
+       |       CAST(count(*) FILTER (out <> -9999.0) AS BIGINT) AS n_valid,
+       |       CAST(coalesce(sum(CAST(floor($Eps + out * 1.0E9) AS BIGINT)) FILTER (out <> -9999.0), 0) AS BIGINT) AS sum_q
+       |FROM o GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
 }

@@ -173,17 +173,43 @@ object ChainGraph {
         expr(q6("(oy_s - oy_m) - ovy_m * (tm_s - tm_m)")).as("ay_resid_q"))
   }
 
-  /** Calibration: sigma0 LUT calibration as a frame transformation — derive
-   * the dyadic intensity from the frame's i/q, broadcast-join the calibration
-   * vectors, interpolate the LUT per pixel (the compiled bracketing kernel),
-   * and emit the calibrated array back in `v` for the next stage. */
-  private def calibrationOp: OpCompiler = (spark, sfDir, _, srcs) => {
+  /** Dyadic intensity from a frame's i/q (the shared pre-snap: products of
+   * 2^-12-grid values land on the 2^-14-snapped DyadicV grid). */
+  private def intensityV(in: DataFrame): DataFrame = {
     val nd = Raster.ND
     val d = Raster.Dyadic; val dv = Raster.DyadicV
-    val withV = srcs.head.withColumn("v", expr(
+    in.withColumn("v", expr(
       s"""zip_with(i, q, (a, b) -> if(a = $nd or b = $nd or isnan(a) or isnan(b), $nd,
          |  floor(((floor(a * $d) / $d) * (floor(a * $d) / $d)
          |         + (floor(b * $d) / $d) * (floor(b * $d) / $d)) * $dv) / $dv))""".stripMargin))
+  }
+
+  /** ThermalNoiseRemoval (ThermalNoiseRemovalOp — noise-LUT subtraction with
+   * the zero clamp): derive the dyadic intensity, broadcast-join the noise
+   * vectors, interpolate the noise floor per pixel and subtract; emits the
+   * denoised intensity in `v` for a downstream Calibration node. */
+  private def thermalNoiseOp: OpCompiler = (spark, sfDir, _, srcs) => {
+    val nd = Raster.ND
+    val noise = Fixtures.table(spark, sfDir, "noise_vectors")
+      .groupBy("scene_id", "subswath", "pol")
+      .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col("noise_lut").as("lut"))))
+        .as("vecs"))
+    Calibration.withLutA(intensityV(srcs.head), noise)
+      .withColumn("v", expr(
+        s"zip_with(v, lut_a, (dn2, nz) -> if(dn2 = $nd, $nd, greatest(0D, dn2 - nz)))"))
+      .drop("lut_a", "i", "q")
+  }
+
+  /** Calibration: sigma0 LUT calibration as a frame transformation — derive
+   * the dyadic intensity from the frame's i/q (or take the intensity already
+   * in `v` when an upstream node such as ThermalNoiseRemoval produced one),
+   * broadcast-join the calibration vectors, interpolate the LUT per pixel
+   * (the compiled bracketing kernel), and emit the calibrated array back in
+   * `v` for the next stage. */
+  private def calibrationOp: OpCompiler = (spark, sfDir, _, srcs) => {
+    val nd = Raster.ND
+    val withV =
+      if (srcs.head.columns.contains("i")) intensityV(srcs.head) else srcs.head
     // calibrated values re-snap to the 2^-26 dyadic grid: sigma0 = dn2/A^2 with
     // A >= 500 stays below 2^-6, so the snapped value carries <= 20 mantissa
     // bits, its square <= 40, and the downstream 3x3 window sums (s1, s2) are
@@ -241,6 +267,35 @@ object ChainGraph {
         col("st.n").as("n_valid"), col("st.s").as("sum_q"))
   }
 
+  /** Interferogram (two sources: master chain, secondary chain —
+   * InterferogramOp.java:64-106): equi-join the two frames on the tile key and
+   * run the compiled complex-cross kernel in ONE pass; emits the cre/cim/p1/p2
+   * cross-product arrays for a downstream Coherence node plus the wrapped
+   * phase in `v` so the node can also feed raster stages directly. */
+  private def interferogramOp: OpCompiler = (_, _, _, srcs) => {
+    val keys = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y")
+    val ref = srcs(0).select(keys.map(col) ++ Seq(col("i").as("i1"), col("q").as("q1")): _*)
+    val sec = srcs(1).select(keys.map(col) ++ Seq(col("i").as("i2"), col("q").as("q2")): _*)
+    val nd = Raster.ND
+    ref.join(sec, keys)
+      .withColumn("cx", graft.exprs.KernelExprs.complexCross(
+        col("i1"), col("q1"), col("i2"), col("q2")))
+      .select(keys.map(col) ++ Seq(col("cx.cre").as("cre"), col("cx.cim").as("cim"),
+        col("cx.p1").as("p1"), col("cx.p2").as("p2")): _*)
+      .withColumn("v", expr(
+        s"zip_with(cim, cre, (b, a) -> if(b = $nd or a = $nd, $nd, atan2(b, a)))"))
+  }
+
+  /** Coherence (CoherenceOp.java:69-87, 722, 752-755): ONE 4-channel halo
+   * exchange over the chain's cross products + one compiled windowed pass;
+   * emits the coherence array in `v` for the next raster stage. */
+  private def coherenceOp: OpCompiler = (_, _, _, srcs) =>
+    Raster.withHaloMulti(srcs.head, Seq("cre", "cim", "p1", "p2"), 1)
+      .withColumn("v", graft.exprs.KernelExprs.coherence(
+        col("halo_cre"), col("halo_cim"), col("halo_p1"), col("halo_p2"),
+        Raster.W, Raster.H, 1))
+      .drop("halo_cre", "halo_cim", "halo_p1", "halo_p2")
+
   /** Write: the chain sink. With a non-empty `file` param the frame commits
    * through the resumable checkpoint layer (parquet + per-partition lineage
    * manifest, replayed on rerun); with the empty `file` of the benchmark
@@ -258,9 +313,12 @@ object ChainGraph {
     "TOPSAR-Split" -> splitOp,
     "Apply-Orbit-File" -> orbitOp,
     "Back-Geocoding" -> backGeocodingOp,
+    "ThermalNoiseRemoval" -> thermalNoiseOp,
     "Calibration" -> calibrationOp,
     "Speckle-Filter" -> speckleOp,
     "Multilook" -> multilookOp,
+    "Interferogram" -> interferogramOp,
+    "Coherence" -> coherenceOp,
     "Write" -> writeOp)
 
   /** Compile a spec to the single sink frame: memoized post-order walk, so a
@@ -385,4 +443,109 @@ object ChainGraph {
   /** q_chain_e2e: the declared Split->Calibrate->Lee->Multilook chain. */
   def e2eChainQuery(spark: SparkSession, sfDir: String): DataFrame =
     compile(spark, sfDir, parseXml(e2eChainXml))
+
+  /** The TOPS InSAR chain, declared in the same XML node structure (the
+   * topology of the reference's shipped InSAR graphs, e.g.
+   * Sentinel1-TOPS-Coregistration-Ifg.xml continued through coherence:
+   * Read x2 -> Split x2 -> Interferogram -> Coherence -> Multilook -> Write;
+   * the two Reads are the coregistered master/secondary tile tables). */
+  val insarChainXml: String =
+    """<graph id="Graph">
+      |  <version>1.0</version>
+      |  <node id="Read">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles</table></parameters>
+      |  </node>
+      |  <node id="Read(2)">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles_sec</table></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split(2)">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read(2)"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="Interferogram">
+      |    <operator>Interferogram</operator>
+      |    <sources>
+      |      <sourceProduct refid="TOPSAR-Split"/>
+      |      <sourceProduct.1 refid="TOPSAR-Split(2)"/>
+      |    </sources>
+      |    <parameters/>
+      |  </node>
+      |  <node id="Coherence">
+      |    <operator>Coherence</operator>
+      |    <sources><sourceProduct refid="Interferogram"/></sources>
+      |    <parameters/>
+      |  </node>
+      |  <node id="Multilook">
+      |    <operator>Multilook</operator>
+      |    <sources><sourceProduct refid="Coherence"/></sources>
+      |    <parameters><nRgLooks>4</nRgLooks></parameters>
+      |  </node>
+      |  <node id="Write">
+      |    <operator>Write</operator>
+      |    <sources><sourceProduct refid="Multilook"/></sources>
+      |    <parameters><file></file></parameters>
+      |  </node>
+      |</graph>""".stripMargin
+
+  /** q_chain_insar: the declared two-source InSAR DAG, compiled + fused. */
+  def insarChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(insarChainXml))
+
+  /** The canonical Sentinel-1 GRD backscatter chain (the most-used shipped
+   * graph shape: Read -> ThermalNoiseRemoval -> Calibration -> Speckle-Filter
+   * -> Multilook -> Write, with the Split node standing in for the subset
+   * step), declared in the same XML node structure. */
+  val grdChainXml: String =
+    """<graph id="Graph">
+      |  <version>1.0</version>
+      |  <node id="Read">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles</table></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="ThermalNoiseRemoval">
+      |    <operator>ThermalNoiseRemoval</operator>
+      |    <sources><sourceProduct refid="TOPSAR-Split"/></sources>
+      |    <parameters/>
+      |  </node>
+      |  <node id="Calibration">
+      |    <operator>Calibration</operator>
+      |    <sources><sourceProduct refid="ThermalNoiseRemoval"/></sources>
+      |    <parameters><outputSigmaBand>true</outputSigmaBand></parameters>
+      |  </node>
+      |  <node id="Speckle-Filter">
+      |    <operator>Speckle-Filter</operator>
+      |    <sources><sourceProduct refid="Calibration"/></sources>
+      |    <parameters><filter>Lee</filter></parameters>
+      |  </node>
+      |  <node id="Multilook">
+      |    <operator>Multilook</operator>
+      |    <sources><sourceProduct refid="Speckle-Filter"/></sources>
+      |    <parameters><nRgLooks>4</nRgLooks></parameters>
+      |  </node>
+      |  <node id="Write">
+      |    <operator>Write</operator>
+      |    <sources><sourceProduct refid="Multilook"/></sources>
+      |    <parameters><file></file></parameters>
+      |  </node>
+      |</graph>""".stripMargin
+
+  /** q_chain_grd: the declared GRD backscatter chain, compiled + fused. */
+  def grdChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(grdChainXml))
 }

@@ -113,6 +113,91 @@ class ChainSpec extends AnyFunSuite {
     assert(r.getAs[Long]("ay") === -6750000000000L)
   }
 
+  test("insar chain: fused two-source DAG; coherence recomputed directly for one burst") {
+    val out = ChainGraph.insarChainQuery(spark, sf)
+    // fused plan: split filters reach both scans; no mid-chain materialization
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.replaceAll("\\s+", " ").matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(subswath,IW1\\).*"))
+    assert(!physical.contains("InMemoryTableScan") && !physical.contains("Scan ExistingRDD"))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(r => { val b = r.getAs[Number]("burst_idx").longValue; b >= 1 && b <= 3 }))
+
+    // direct recompute: coherence -> 4x4 block stats for ONE burst, from the raw
+    // fixture pixels, sharing only the formula (not the engine dataflow)
+    val w = model.Layout.TileW; val h = model.Layout.TileH
+    val nd = model.Layout.NoData
+    def grid(table: String, scene: String): Map[(Int, Int), (Double, Double)] = {
+      gen.Fixtures.table(spark, sf, table)
+        .where(col("scene_id") === scene && col("subswath") === "IW1" &&
+          col("pol") === "VV" && col("burst_idx") === 1)
+        .select("tile_x", "tile_y", "i", "q").collect().flatMap { r =>
+          val tx = r.getAs[Number](0).intValue; val ty = r.getAs[Number](1).intValue
+          val iv = r.getSeq[Double](2); val qv = r.getSeq[Double](3)
+          (0 until w * h).map { k =>
+            def snap(x: Double) = math.floor(x * 4096.0) / 4096.0
+            ((tx * w + k % w, ty * h + k / w), (snap(iv(k)), snap(qv(k))))
+          }
+        }.toMap
+    }
+    val scene = rows.head.getAs[String]("scene_id")
+    val a = grid("tiles", scene); val b = grid("tiles_sec", scene)
+    def cross(p: (Int, Int)): Option[(Double, Double, Double, Double)] = {
+      val (i1, q1) = a(p); val (i2, q2) = b(p)
+      if (i1 == nd || q1 == nd || i2 == nd || q2 == nd) None
+      else Some((i1 * i2 + q1 * q2, q1 * i2 - i1 * q2, i1 * i1 + q1 * q1, i2 * i2 + q2 * q2))
+    }
+    def coh(p: (Int, Int)): Double = {
+      var n = 0; var sre = 0.0; var sim = 0.0; var sp1 = 0.0; var sp2 = 0.0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val q = (p._1 + dx, p._2 + dy)
+        if (a.contains(q)) cross(q).foreach { c =>
+          n += 1; sre += c._1; sim += c._2; sp1 += c._3; sp2 += c._4
+        }
+      }
+      if (n == 0 || sp1 <= 0 || sp2 <= 0) nd
+      else math.sqrt(sre * sre + sim * sim) / math.sqrt(sp1 * sp2)
+    }
+    val chainRows = rows.filter(r => r.getAs[String]("scene_id") == scene &&
+      r.getAs[Number]("burst_idx").longValue == 1)
+    assert(chainRows.nonEmpty)
+    chainRows.take(8).foreach { r =>
+      val tx = r.getAs[Number]("tile_x").intValue; val ty = r.getAs[Number]("tile_y").intValue
+      val bx = r.getAs[Int]("block_x"); val by = r.getAs[Int]("block_y")
+      var nValid = 0L; var sumQ = 0L
+      for (jy <- 0 until 4; jx <- 0 until 4) {
+        val c = coh((tx * w + bx * 4 + jx, ty * h + by * 4 + jy))
+        if (c != nd) { nValid += 1; sumQ += math.floor(0.031415926535897934 + c * 1e9).toLong }
+      }
+      assert(r.getAs[Long]("n_valid") === nValid, s"tile ($tx,$ty) block ($bx,$by)")
+      assert(r.getAs[Long]("sum_q") === sumQ, s"tile ($tx,$ty) block ($bx,$by)")
+    }
+  }
+
+  test("pinned insar-chain validation case") {
+    val r = ChainGraph.insarChainQuery(spark, sf)
+      .agg(count(lit(1)).as("n_blocks"), sum("n_valid").as("total_valid"), sum("sum_q").as("total_sum_q"))
+      .head()
+    assert(r.getAs[Long]("n_blocks") === 3072L)
+    assert(r.getAs[Long]("total_valid") === 49152L)
+    assert(r.getAs[Long]("total_sum_q") === 14868570500917L)
+  }
+
+  test("pinned grd-chain validation case; thermal-noise node genuinely denoises") {
+    val r = ChainGraph.grdChainQuery(spark, sf)
+      .agg(count(lit(1)).as("n_blocks"), sum("n_valid").as("total_valid"), sum("sum_q").as("total_sum_q"))
+      .head()
+    assert(r.getAs[Long]("n_blocks") === 3072L)
+    assert(r.getAs[Long]("total_valid") === 49152L)
+    assert(r.getAs[Long]("total_sum_q") === -268536447251353L)
+    // the GRD chain is the e2e chain plus the ThermalNoiseRemoval node: same
+    // block structure, strictly smaller calibrated mass (the noise floor is
+    // positive wherever pixels are valid)
+    val e = ChainGraph.e2eChainQuery(spark, sf)
+      .agg(sum("n_valid").as("tv"), sum("sum_q").as("ts")).head()
+    assert(e.getAs[Long]("tv") === r.getAs[Long]("total_valid"))
+    assert(r.getAs[Long]("total_sum_q") < e.getAs[Long]("ts"))
+  }
+
   test("Write node with a file param commits a resumable checkpoint and replays on rerun") {
     val dir = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
     val xml = ChainGraph.topsCoregXml.replace("<file></file>", s"<file>$dir</file>")

@@ -1197,7 +1197,9 @@ class PipelineSpec extends AnyFunSuite {
       ("gi_star", () => graft.geom.Analytics.giStarQuery(spark, sf).collect().map(_.toString).sorted),
       ("calibration_dispatch", () => graft.ops.Calibration.dispatchQuery(spark, sf).collect().map(_.toString).sorted),
       ("chain_tops_coreg", () => graft.graph.ChainGraph.topsCoregQuery(spark, sf).collect().map(_.toString).sorted),
-      ("chain_e2e", () => graft.graph.ChainGraph.e2eChainQuery(spark, sf).collect().map(_.toString).sorted))
+      ("chain_e2e", () => graft.graph.ChainGraph.e2eChainQuery(spark, sf).collect().map(_.toString).sorted),
+      ("chain_insar", () => graft.graph.ChainGraph.insarChainQuery(spark, sf).collect().map(_.toString).sorted),
+      ("chain_grd", () => graft.graph.ChainGraph.grdChainQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
