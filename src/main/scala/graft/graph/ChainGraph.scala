@@ -322,19 +322,29 @@ object ChainGraph {
     "Write" -> writeOp)
 
   /** Compile a spec to the single sink frame: memoized post-order walk, so a
-   * node referenced twice compiles once and the result is ONE fused plan. */
-  def compile(spark: SparkSession, sfDir: String, spec: Spec): DataFrame = {
+   * node referenced twice compiles once and the result is ONE fused plan.
+   *
+   * `sourceOverrides` substitutes a caller-provided frame for a node id
+   * (bypassing that node's own compiler) — the injection point that lets the
+   * SAME declared chain run over a different source, e.g. a `readStream`
+   * frame: every per-row node is a pure frame transformation, so the chain's
+   * stateless prefix is stream-capable for free (broadcast LUT joins become
+   * stream-static joins). The caller owns any semantics the bypassed node
+   * would have added (e.g. Read's scene-parity filter). */
+  def compile(spark: SparkSession, sfDir: String, spec: Spec,
+      sourceOverrides: Map[String, DataFrame] = Map.empty): DataFrame = {
     val byId = spec.byId
     val memo = mutable.Map.empty[String, DataFrame]
     val inFlight = mutable.Set.empty[String]
-    def eval(id: String): DataFrame = memo.getOrElseUpdate(id, {
-      require(inFlight.add(id), s"cycle through node '$id'")
-      val n = byId.getOrElse(id, sys.error(s"unknown node ref '$id'"))
-      val op = registry.getOrElse(n.operator, sys.error(s"unknown operator '${n.operator}'"))
-      val out = op(spark, sfDir, n.params, n.sources.map(eval))
-      inFlight.remove(id)
-      out
-    })
+    def eval(id: String): DataFrame = memo.getOrElseUpdate(id,
+      sourceOverrides.getOrElse(id, {
+        require(inFlight.add(id), s"cycle through node '$id'")
+        val n = byId.getOrElse(id, sys.error(s"unknown node ref '$id'"))
+        val op = registry.getOrElse(n.operator, sys.error(s"unknown operator '${n.operator}'"))
+        val out = op(spark, sfDir, n.params, n.sources.map(eval))
+        inFlight.remove(id)
+        out
+      }))
     val referenced = spec.nodes.flatMap(_.sources).toSet
     val sinks = spec.nodes.filterNot(n => referenced.contains(n.id))
     require(sinks.size == 1, s"expected exactly one sink node, got ${sinks.map(_.id)}")

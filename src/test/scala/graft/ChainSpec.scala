@@ -198,6 +198,50 @@ class ChainSpec extends AnyFunSuite {
     assert(r.getAs[Long]("total_sum_q") < e.getAs[Long]("ts"))
   }
 
+  test("chain compiler is stream-capable: the per-row GRD prefix runs as a structured stream and equals the batch chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    val prefixXml =
+      """<graph id="Graph">
+        |  <node id="Read"><operator>Read</operator><sources/><parameters><table>tiles</table></parameters></node>
+        |  <node id="TOPSAR-Split"><operator>TOPSAR-Split</operator><sources><sourceProduct refid="Read"/></sources><parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters></node>
+        |  <node id="ThermalNoiseRemoval"><operator>ThermalNoiseRemoval</operator><sources><sourceProduct refid="TOPSAR-Split"/></sources><parameters/></node>
+        |  <node id="Calibration"><operator>Calibration</operator><sources><sourceProduct refid="ThermalNoiseRemoval"/></sources><parameters/></node>
+        |  <node id="Write"><operator>Write</operator><sources><sourceProduct refid="Calibration"/></sources><parameters><file></file></parameters></node>
+        |</graph>""".stripMargin
+    val spec = ChainGraph.parseXml(prefixXml)
+    val cols = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x", "v")
+    val batchTiles = gen.Fixtures.table(spark, sf, "tiles")
+    val exp = ChainGraph.compile(spark, sf, spec)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    // the SAME declared chain over a readStream source: per-row nodes are pure
+    // frame transformations, the noise/calibration LUT joins run stream-static
+    val streamTiles = spark.readStream.schema(batchTiles.schema)
+      .parquet(new java.io.File(batchTiles.inputFiles.head).getParent)
+    val q = ChainGraph.compile(spark, sf, spec, Map("Read" -> streamTiles))
+      .select(cols.map(col): _*)
+      .writeStream.format("memory").queryName("chain_stream_twin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("chain_stream_twin").collect().map(_.toString).sorted
+    assert(got.length === exp.length && got.sameElements(exp))
+  }
+
+  test("chain scans are column-pruned: only the consumed columns reach the parquet read") {
+    // the e2e chain consumes keys + i/q; the tiles table also carries w/h/
+    // no_data columns that must be pruned out of the scan's ReadSchema
+    // (raise the scan-metadata string cap so ReadSchema isn't elided)
+    val orig = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val physical = ChainGraph.e2eChainQuery(spark, sf).queryExecution.executedPlan.toString
+      val read = "ReadSchema: [^\\n]*".r.findFirstIn(physical).getOrElse("")
+      val fields = "[<,](\\w+):".r.findAllMatchIn(read).map(_.group(1)).toSet
+      assert(fields.contains("i") && fields.contains("q"), read)
+      assert(!fields.contains("no_data") && !fields.contains("w") && !fields.contains("h"),
+        s"unused columns not pruned: $read")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", orig)
+  }
+
   test("Write node with a file param commits a resumable checkpoint and replays on rerun") {
     val dir = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
     val xml = ChainGraph.topsCoregXml.replace("<file></file>", s"<file>$dir</file>")
