@@ -110,18 +110,20 @@ object SarOracles {
 
   /** q_calibration_dispatch: the mission-keyed calibrator selection restated
    * per pixel — the same scene-ordinal dispatch rule, the Iceye/ALOS constant
-   * factors as exact shared decimal literals, and the S1 branch's LUT from the
-   * fixture's closed-form surface. */
+   * factors and the Radarsat-2 offset as exact shared decimal literals, and
+   * the S1/RS2 branches' LUT from the fixture's closed-form surface. */
   val calibrationDispatch: String =
     s"""WITH $pxCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |             CASE WHEN v = -9999.0 THEN -9999.0
-       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 3 = 1 THEN v * ${ops.Calibration.IceyeK}
-       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 3 = 2 THEN v * ${ops.Calibration.AlosK}
+       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 4 = 1 THEN v * ${ops.Calibration.IceyeK}
+       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 4 = 2 THEN v * ${ops.Calibration.AlosK}
+       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 4 = 3 THEN (v + ${ops.Calibration.Rs2Offset}) / (500.0 + 0.1 * gline + 0.05 * gx)
        |                  ELSE v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) END AS out
        |      FROM p2)
-       |SELECT *, CASE CAST(substring(scene_id, 7, 4) AS INT) % 3
-       |            WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' ELSE 'SENTINEL-1' END AS mission
+       |SELECT *, CASE CAST(substring(scene_id, 7, 4) AS INT) % 4
+       |            WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' WHEN 3 THEN 'RADARSAT-2'
+       |            ELSE 'SENTINEL-1' END AS mission
        |FROM (${rollupSql(1e1)})""".stripMargin
 
   val thermalNoise: String =

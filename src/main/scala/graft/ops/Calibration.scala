@@ -138,34 +138,47 @@ object Calibration {
    * so both engines parse the identical double — no libm pow in the gate. */
   val AlosK = "0.31622776601683794"
 
+  /** Radarsat-2 LUT-class offset: sigma0 = (dn^2 + offset) / gain with gain a
+   * per-range-sample LUT vector and offset a product-metadata scalar
+   * (Radarsat2Calibrator: lutInf gains + offset applied per pixel). The
+   * per-product metadata value is modeled as an exact fixture literal; the
+   * gain reuses the calibration-vector LUT machinery — same broadcast join,
+   * DIFFERENT per-pixel formula class (additive offset + straight division,
+   * not the S1 dn^2/A^2 square). */
+  val Rs2Offset = "33.0"
+
   /**
    * q_calibration_dispatch: mission-keyed calibrator selection — the
    * CalibrationFactory.createCalibrator shape (CalibrationOp.java:133
    * dispatching over 22 mission calibrators). SENTINEL-1 scenes take the
    * vector-LUT bilinear path (Sentinel1Calibrator.java:327-462), ICEYE GRD
    * the constant-factor k*dn^2 (IceyeCalibrator.java:235-237), ALOS the CEOS
-   * dB-constant-with-offset linear factor (ALOSCalibrator.java:121-127,241).
-   * The mission key is derived deterministically from the scene ordinal (the
-   * fixtures are S1-shaped; the DISPATCH is the semantics under test), and
-   * the whole selection fuses into one per-row CASE over the broadcast-LUT
-   * join — per-product calibrator selection with zero extra shuffles.
+   * dB-constant-with-offset linear factor (ALOSCalibrator.java:121-127,241),
+   * RADARSAT-2 the gains-LUT-with-offset class (dn^2 + offset) / gain
+   * (Radarsat2Calibrator lutInf application). The mission key is derived
+   * deterministically from the scene ordinal (the fixtures are S1-shaped; the
+   * DISPATCH is the semantics under test — sf0.01's 4 scenes exercise all
+   * four branches in the gate), and the whole selection fuses into one
+   * per-row CASE over the broadcast-LUT join — per-product calibrator
+   * selection with zero extra shuffles.
    */
+  val DispatchMission: String =
+    "CASE CAST(substring(scene_id, 7, 4) AS INT) % 4 " +
+      "WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' WHEN 3 THEN 'RADARSAT-2' " +
+      "ELSE 'SENTINEL-1' END"
   def dispatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val out = withLutA(Raster.intensityTiles(spark, sfDir),
         lutTable(spark, sfDir, "sigma_nought"))
-      .withColumn("mission", expr(
-        "CASE CAST(substring(scene_id, 7, 4) AS INT) % 3 " +
-          "WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' ELSE 'SENTINEL-1' END"))
+      .withColumn("mission", expr(DispatchMission))
       .withColumn("out", expr(
         s"""CASE mission
            |  WHEN 'ICEYE' THEN transform(v, x -> if(x = $ND, $ND, x * $IceyeK))
            |  WHEN 'ALOS'  THEN transform(v, x -> if(x = $ND, $ND, x * $AlosK))
+           |  WHEN 'RADARSAT-2' THEN zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, (dn2 + $Rs2Offset) / a))
            |  ELSE zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))
            |END""".stripMargin))
     Raster.rollup(out, scale = 1e1)
-      .withColumn("mission", expr(
-        "CASE CAST(substring(scene_id, 7, 4) AS INT) % 3 " +
-          "WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' ELSE 'SENTINEL-1' END"))
+      .withColumn("mission", expr(DispatchMission))
   }
 
   /** q_thermal_noise_rcm: RCM/SAOCOM-style per-beam constant noise-floor variant

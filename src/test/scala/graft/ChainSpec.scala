@@ -269,6 +269,22 @@ class ChainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { PipelineRunner.parseChainSpec("no-equals-here") }
   }
 
+  test("fuzz: random split-parameter chains compile and match the direct filter") {
+    val rng = new scala.util.Random(42)
+    (1 to 10).foreach { _ =>
+      val first = 1 + rng.nextInt(3); val last = first + rng.nextInt(3)
+      val sw = Seq("IW1", "IW2", "IW3")(rng.nextInt(3))
+      val xml =
+        s"""<graph><node id="R"><operator>Read</operator><sources/><parameters><table>bursts</table></parameters></node>
+           |<node id="S"><operator>TOPSAR-Split</operator><sources><sourceProduct refid="R"/></sources>
+           |<parameters><subswath>$sw</subswath><firstBurstIndex>$first</firstBurstIndex><lastBurstIndex>$last</lastBurstIndex></parameters></node></graph>""".stripMargin
+      val out = ChainGraph.compile(spark, sf, ChainGraph.parseXml(xml))
+      val direct = gen.Fixtures.table(spark, sf, "bursts")
+        .where(col("subswath") === sw && col("burst_idx").between(first, last))
+      assert(out.count() === direct.count(), s"sw=$sw bursts=$first..$last")
+    }
+  }
+
   test("mission-dispatch calibration: each mission branch takes its calibrator") {
     val out = ops.Calibration.dispatchQuery(spark, sf)
     val missions = out.select("mission").distinct().collect().map(_.getString(0)).toSet
