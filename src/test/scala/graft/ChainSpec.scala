@@ -269,6 +269,23 @@ class ChainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { PipelineRunner.parseChainSpec("no-equals-here") }
   }
 
+  test("diamond DAG: a node referenced twice compiles once; self-interferogram phase is zero") {
+    // one Read feeds BOTH sides of the two-source Interferogram (the memoized
+    // post-order walk must not re-evaluate or reject the shared node), and an
+    // image interfered with itself has cim = 0 -> wrapped phase identically 0
+    val xml =
+      """<graph><node id="R"><operator>Read</operator><sources/><parameters><table>tiles</table></parameters></node>
+        |<node id="S"><operator>TOPSAR-Split</operator><sources><sourceProduct refid="R"/></sources>
+        |<parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>1</lastBurstIndex></parameters></node>
+        |<node id="I"><operator>Interferogram</operator>
+        |<sources><sourceProduct refid="S"/><sourceProduct.1 refid="S"/></sources><parameters/></node></graph>""".stripMargin
+    val out = ChainGraph.compile(spark, sf, ChainGraph.parseXml(xml))
+    val bad = out.select(expr(
+      "aggregate(v, 0L, (acc, ph) -> acc + if(ph = -9999.0 OR ph = 0.0, 0L, 1L))").as("nonzero"))
+      .agg(sum("nonzero")).head().getLong(0)
+    assert(out.count() > 0 && bad === 0L, s"$bad self-interferogram pixels with nonzero phase")
+  }
+
   test("fuzz: random split-parameter chains compile and match the direct filter") {
     val rng = new scala.util.Random(42)
     (1 to 10).foreach { _ =>
