@@ -180,6 +180,34 @@ object ChainOracles {
        |         floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv
        |  FROM ${name}0)""".stripMargin
 
+  /** q_chain_dinsar: Read x2 -> Split x2 (IW1, VV, bursts 1..3) ->
+   * Interferogram (wrapped phase from the dyadic-snapped cross products) ->
+   * TopoPhaseRemoval (subtract the closed-form topographic phase — shared
+   * text ops.InSAR.topoF — and re-wrap) -> Multilook 4x4 as integer block
+   * statistics (per-pixel 1e-9 quantization BEFORE the block sum). */
+  val dinsar: String = {
+    val f = ops.InSAR.topoF("gx", "gy")
+    s"""WITH ${pxSplit("tiles", "pa")},
+       |${pxSplit("tiles_sec", "pb")},
+       |cph AS (
+       |  SELECT a.scene_id, a.subswath, a.pol, a.burst_idx, a.tile_y, a.tile_x, a.gx, a.gy,
+       |    CASE WHEN a.iv = -9999.0 OR a.qv = -9999.0 OR b.iv = -9999.0 OR b.qv = -9999.0
+       |         THEN -9999.0 ELSE atan2(a.qv * b.iv - a.iv * b.qv, a.iv * b.iv + a.qv * b.qv) END AS ph
+       |  FROM pa a JOIN pb b ON a.scene_id = b.scene_id AND a.subswath = b.subswath
+       |    AND a.pol = b.pol AND a.burst_idx = b.burst_idx AND a.gx = b.gx AND a.gy = b.gy),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy,
+       |         CASE WHEN ph = -9999.0 THEN -9999.0
+       |              ELSE atan2(sin(ph - $f), cos(ph - $f)) END AS out
+       |  FROM cph)
+       |SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |       CAST(gy % $H // 4 AS INT) AS block_y,
+       |       CAST(gx % $W // 4 AS INT) AS block_x,
+       |       CAST(count(*) FILTER (out <> -9999.0) AS BIGINT) AS n_valid,
+       |       CAST(coalesce(sum(CAST(floor($Eps + out * 1.0E9) AS BIGINT)) FILTER (out <> -9999.0), 0) AS BIGINT) AS sum_q
+       |FROM o GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+  }
+
   /** q_chain_insar: Read x2 -> Split x2 (IW1, VV, bursts 1..3) -> Interferogram
    * (complex cross products) -> Coherence (3x3 window, shared formula text with
    * the q_coherence oracle) -> Multilook 4x4 as integer block statistics

@@ -112,19 +112,24 @@ object SarOracles {
    * per pixel — the same scene-ordinal dispatch rule, the Iceye/ALOS constant
    * factors and the Radarsat-2 offset as exact shared decimal literals, and
    * the S1/RS2 branches' LUT from the fixture's closed-form surface. */
-  val calibrationDispatch: String =
+  val calibrationDispatch: String = {
+    val key = "(CAST(substring(scene_id, 7, 4) AS INT) * 3 + CAST(substring(subswath, 3, 1) AS INT) - 1) % 6"
     s"""WITH $pxCte,
        |o AS (SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
        |             CASE WHEN v = -9999.0 THEN -9999.0
-       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 4 = 1 THEN v * ${ops.Calibration.IceyeK}
-       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 4 = 2 THEN v * ${ops.Calibration.AlosK}
-       |                  WHEN CAST(substring(scene_id, 7, 4) AS INT) % 4 = 3 THEN (v + ${ops.Calibration.Rs2Offset}) / (500.0 + 0.1 * gline + 0.05 * gx)
+       |                  WHEN $key = 1 THEN v * ${ops.Calibration.IceyeK}
+       |                  WHEN $key = 2 THEN v * ${ops.Calibration.AlosK}
+       |                  WHEN $key = 3 THEN (v + ${ops.Calibration.Rs2Offset}) / (500.0 + 0.1 * gline + 0.05 * gx)
+       |                  WHEN $key = 4 THEN ${ops.Calibration.asarSigma("v", "gx")}
+       |                  WHEN $key = 5 THEN ${ops.Calibration.tsxSigma("v", "gx")}
        |                  ELSE v / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) END AS out
        |      FROM p2)
-       |SELECT *, CASE CAST(substring(scene_id, 7, 4) AS INT) % 4
+       |SELECT *, CASE $key
        |            WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' WHEN 3 THEN 'RADARSAT-2'
+       |            WHEN 4 THEN 'ASAR' WHEN 5 THEN 'TERRASAR-X'
        |            ELSE 'SENTINEL-1' END AS mission
        |FROM (${rollupSql(1e1)})""".stripMargin
+  }
 
   val thermalNoise: String =
     s"""WITH $pxCte,

@@ -170,6 +170,23 @@ case class BlockMeansExpr(v: Expression, w: Int, h: Int, looks: Int)
     copy(v = c(0))
 }
 
+/** Chain-multilook block statistics: per-pixel quantize-to-long then block sum,
+ * one compiled pass referencing the (possibly deeply chained) input array
+ * exactly once (array<struct<n:long, s:long>>). */
+case class BlockStatsQExpr(v: Expression, w: Int, h: Int, looks: Int, q: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", LongType, nullable = false))), containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.blockStatsQ(${args.head}, $w, $h, $looks, ${q}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.blockStatsQ(args(0).asInstanceOf[ArrayData], w, h, looks, q)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0))
+}
+
 /** Per-tile mosaic partial aggregation (array<struct<cell_x,cell_y,n_px,sum_q>>). */
 case class MosaicCellsExpr(v: Expression, tileX: Expression, tileY: Expression,
     lon1: Expression, lat1: Expression, lon2: Expression, lon4: Expression,
@@ -968,6 +985,9 @@ object KernelExprs {
 
   def blockMeans(v: Column, w: Int, h: Int, looks: Int): Column =
     toCol(BlockMeansExpr(toExpr(v), w, h, looks))
+
+  def blockStatsQ(v: Column, w: Int, h: Int, looks: Int, q: Double): Column =
+    toCol(BlockStatsQExpr(toExpr(v), w, h, looks, q))
 
   def mosaicCells(v: Column, tileX: Column, tileY: Column, lon1: Column, lat1: Column,
       lon2: Column, lon4: Column, lat4: Column, lon0: Column, lat0: Column,

@@ -1090,6 +1090,39 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
+  /** Chain-multilook block statistics with per-pixel integer quantization
+   * BEFORE the block sum (floor(dither + v * q)): chained values are no longer
+   * dyadic-exact, so only pre-quantized integer sums are association-order-
+   * independent across engines. ONE evaluation of the input array per tile —
+   * the chain's upstream per-pixel lambda stack is computed exactly once here;
+   * the expression-composed form (aggregate + element_at inside HOF lambdas)
+   * defeats Spark's subexpression elimination and re-evaluated the entire
+   * upstream chain per element reference. */
+  def blockStatsQ(vD: ArrayData, w: Int, h: Int, looks: Int, q: Double): ArrayData = {
+    val v = vD.toDoubleArray()
+    val bx = w / looks
+    val nB = bx * (h / looks)
+    val ns = new Array[Long](nB); val ss = new Array[Long](nB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = v(y * w + x)
+        if (p != ND) {
+          val b = (y / looks) * bx + (x / looks)
+          ns(b) += 1
+          ss(b) += math.floor(0.031415926535897934 + p * q).toLong
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val rows = new Array[InternalRow](nB)
+    var b = 0
+    while (b < nB) { rows(b) = InternalRow(ns(b), ss(b)); b += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
   /** Per-tile mosaic partial aggregation: geolocate each valid pixel through the
    * burst-footprint affine (staged exactly as the gate oracle: u/vv half-pixel
    * centers, left-associated lon/lat), quantize to map cells, and emit ONE row per

@@ -241,23 +241,19 @@ object ChainGraph {
    * tiles -> zero shuffle), emitted as INTEGER sufficient statistics: the
    * chained values are no longer dyadic-exact, so each pixel is quantized
    * (1e-9 quantum, standard dither) BEFORE the block sum — the sum is then an
-   * exact BIGINT both engines agree on regardless of association order. */
+   * exact BIGINT both engines agree on regardless of association order.
+   * Runs as ONE compiled kernel pass (Kernels.blockStatsQ) that references the
+   * chained `v` expression exactly once: the former aggregate/element_at HOF
+   * form re-evaluated the whole upstream per-pixel lambda chain per element
+   * reference (subexpression elimination is disabled inside lambda bodies),
+   * which made deep projection-only chains like DInSAR quadratically slow. */
   private def multilookOp: OpCompiler = (_, _, params, srcs) => {
     val looks = params.getOrElse("nRgLooks", "4").toInt
     val w = Layout.TileW; val h = Layout.TileH
-    val bx = w / looks; val nBlocks = (w / looks) * (h / looks)
-    val nd = Raster.ND
+    val bx = w / looks
     srcs.head
-      .withColumn("blocks", expr(
-        s"""transform(sequence(0, ${nBlocks - 1}), b ->
-           |  aggregate(sequence(0, ${looks * looks - 1}),
-           |    struct(CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s),
-           |    (acc, j) -> if(element_at(v, CAST(((b div $bx) * $looks + j div $looks) * $w
-           |                              + (b % $bx) * $looks + j % $looks + 1 AS INT)) = $nd,
-           |      acc,
-           |      struct(acc.n + 1L AS n,
-           |             acc.s + CAST(floor($Dither + element_at(v, CAST(((b div $bx) * $looks + j div $looks) * $w
-           |                              + (b % $bx) * $looks + j % $looks + 1 AS INT)) * 1.0E9) AS BIGINT) AS s))))""".stripMargin))
+      .withColumn("blocks",
+        graft.exprs.KernelExprs.blockStatsQ(col("v"), w, h, looks, 1.0e9))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"), posexplode(col("blocks")).as(Seq("b", "st")))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
@@ -296,6 +292,21 @@ object ChainGraph {
         Raster.W, Raster.H, 1))
       .drop("halo_cre", "halo_cim", "halo_p1", "halo_p2")
 
+  /** TopoPhaseRemoval (TopoPhaseRemovalOp: subtract the DEM-derived
+   * topographic phase from the interferometric phase and re-wrap — the
+   * three-pass DInSAR step after Interferogram): per-pixel closed-form topo
+   * surface shared by text with the standalone q_topo_phase_removal gate
+   * (InSAR.topoF), consumes the upstream node's wrapped phase in `v`,
+   * zero shuffles added. */
+  private def topoPhaseOp: OpCompiler = (_, _, _, srcs) => {
+    val nd = Raster.ND
+    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
+    val gy = s"(tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
+    val f = graft.ops.InSAR.topoF(gx, gy)
+    srcs.head.withColumn("v", expr(
+      s"transform(v, (ph, k) -> if(ph = $nd, $nd, atan2(sin(ph - $f), cos(ph - $f))))"))
+  }
+
   /** Write: the chain sink. With a non-empty `file` param the frame commits
    * through the resumable checkpoint layer (parquet + per-partition lineage
    * manifest, replayed on rerun); with the empty `file` of the benchmark
@@ -319,6 +330,7 @@ object ChainGraph {
     "Multilook" -> multilookOp,
     "Interferogram" -> interferogramOp,
     "Coherence" -> coherenceOp,
+    "TopoPhaseRemoval" -> topoPhaseOp,
     "Write" -> writeOp)
 
   /** Compile a spec to the single sink frame: memoized post-order walk, so a
@@ -510,6 +522,63 @@ object ChainGraph {
   /** q_chain_insar: the declared two-source InSAR DAG, compiled + fused. */
   def insarChainQuery(spark: SparkSession, sfDir: String): DataFrame =
     compile(spark, sfDir, parseXml(insarChainXml))
+
+  /** The differential-InSAR graph (the reference's three-pass DInSAR topology
+   * after coregistration: Interferogram -> TopoPhaseRemoval -> Multilook —
+   * TopoPhaseRemovalOp following InterferogramOp in the shipped InSAR
+   * tutorials' graphs), declared over the same two-source prefix as the
+   * InSAR chain. */
+  val dinsarChainXml: String =
+    """<graph id="Graph">
+      |  <version>1.0</version>
+      |  <node id="Read">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles</table></parameters>
+      |  </node>
+      |  <node id="Read(2)">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles_sec</table></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split(2)">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read(2)"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="Interferogram">
+      |    <operator>Interferogram</operator>
+      |    <sources>
+      |      <sourceProduct refid="TOPSAR-Split"/>
+      |      <sourceProduct.1 refid="TOPSAR-Split(2)"/>
+      |    </sources>
+      |    <parameters/>
+      |  </node>
+      |  <node id="TopoPhaseRemoval">
+      |    <operator>TopoPhaseRemoval</operator>
+      |    <sources><sourceProduct refid="Interferogram"/></sources>
+      |    <parameters/>
+      |  </node>
+      |  <node id="Multilook">
+      |    <operator>Multilook</operator>
+      |    <sources><sourceProduct refid="TopoPhaseRemoval"/></sources>
+      |    <parameters><nRgLooks>4</nRgLooks></parameters>
+      |  </node>
+      |  <node id="Write">
+      |    <operator>Write</operator>
+      |    <sources><sourceProduct refid="Multilook"/></sources>
+      |    <parameters><file></file></parameters>
+      |  </node>
+      |</graph>""".stripMargin
+
+  /** q_chain_dinsar: the declared DInSAR DAG, compiled + fused. */
+  def dinsarChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(dinsarChainXml))
 
   /** The canonical Sentinel-1 GRD backscatter chain (the most-used shipped
    * graph shape: Read -> ThermalNoiseRemoval -> Calibration -> Speckle-Filter

@@ -147,36 +147,78 @@ object Calibration {
    * not the S1 dn^2/A^2 square). */
   val Rs2Offset = "33.0"
 
+  /** ASAR/ERS external calibration constant K (ASARCalibrator.java:991:
+   * calFactor *= sin(incidence * DTOR) / theCalibrationFactor — the
+   * incidence-angle-DEPENDENT class: per-pixel sin(theta) over a constant K,
+   * theta from the quadratic tie-point-grid interpolation at :947; the
+   * fixture's closed-form linear theta(gx) is that TPG analog). */
+  val AsarK = "1120.0"
+
+  /** TerraSAR-X calibration factor Ks (TerraSARXCalibrator.java:192,459-461:
+   * sigma = Ks * |dn - noise| * sin(inciAng) — the multiplicative-constant
+   * class WITH a subtractive NEBN noise polynomial in range position
+   * (computePolynomialValue over slant-range time, :285-287)). */
+  val TsxKs = "5.0E-5"
+
+  /** Degrees→radians literal (Constants.DTOR) — spelled as the exact decimal
+   * so both engines parse the identical double; no runtime pi()/radians(). */
+  val Dtor = "0.017453292519943295"
+
+  /** Shared-text ASAR sigma0: dn2 * sin(theta(gx) * DTOR) / K. `gx` is the
+   * global range-sample expression of the calling dialect (engine: index
+   * arithmetic inside the transform lambda; oracle: the p2 CTE's gx). */
+  def asarSigma(x: String, gx: String): String =
+    s"($x * sin((20.0 + 20.0 * ($gx) / ${Layout.SamplesPerBurst}) * $Dtor) / $AsarK)"
+
+  /** Shared-text TerraSAR-X sigma0: Ks * |dn2 - NEBN(u)| * sin(theta(gx) * DTOR)
+   * with NEBN a degree-2 polynomial in the normalized range position u —
+   * the reference's per-record noise polynomial over slant-range time
+   * (TerraSARXCalibrator.java:285-287) collapsed to the fixture's single
+   * closed-form record. */
+  def tsxSigma(x: String, gx: String): String = {
+    val u = s"(($gx) / CAST(${Layout.SamplesPerBurst} AS DOUBLE))"
+    s"($TsxKs * abs($x - (0.02 + 0.01 * $u - 0.005 * $u * $u)) * " +
+      s"sin((20.0 + 20.0 * ($gx) / ${Layout.SamplesPerBurst}) * $Dtor))"
+  }
+
   /**
    * q_calibration_dispatch: mission-keyed calibrator selection — the
    * CalibrationFactory.createCalibrator shape (CalibrationOp.java:133
-   * dispatching over 22 mission calibrators). SENTINEL-1 scenes take the
-   * vector-LUT bilinear path (Sentinel1Calibrator.java:327-462), ICEYE GRD
-   * the constant-factor k*dn^2 (IceyeCalibrator.java:235-237), ALOS the CEOS
-   * dB-constant-with-offset linear factor (ALOSCalibrator.java:121-127,241),
-   * RADARSAT-2 the gains-LUT-with-offset class (dn^2 + offset) / gain
-   * (Radarsat2Calibrator lutInf application). The mission key is derived
-   * deterministically from the scene ordinal (the fixtures are S1-shaped; the
-   * DISPATCH is the semantics under test — sf0.01's 4 scenes exercise all
-   * four branches in the gate), and the whole selection fuses into one
-   * per-row CASE over the broadcast-LUT join — per-product calibrator
-   * selection with zero extra shuffles.
+   * dispatching over 22 mission calibrators), six formula classes fused into
+   * one per-row CASE over the broadcast-LUT join (zero extra shuffles):
+   * SENTINEL-1 the vector-LUT bilinear path (Sentinel1Calibrator.java:327-462),
+   * ICEYE the constant-factor k*dn^2 (IceyeCalibrator.java:235-237), ALOS the
+   * CEOS dB-constant-with-offset linear factor (ALOSCalibrator.java:121-127,
+   * 241), RADARSAT-2 the gains-LUT-with-offset class (dn^2 + offset) / gain
+   * (Radarsat2Calibrator lutInf application), ASAR the incidence-angle class
+   * dn^2 * sin(theta)/K (ASARCalibrator.java:991 with the tie-point-grid
+   * interpolated theta, :947), TERRASAR-X the Ks * |dn^2 - NEBN(range)| *
+   * sin(theta) class (TerraSARXCalibrator.java:459-461 with the range noise
+   * polynomial, :285-287). The mission key is derived deterministically from
+   * the (scene ordinal, subswath ordinal) pair — the fixtures are S1-shaped;
+   * the DISPATCH is the semantics under test, and the *3+ordinal folding makes
+   * every fixture scale (sf0.001's 2 scenes x 3 subswaths up) exercise ALL six
+   * branches in the gate.
    */
   val DispatchMission: String =
-    "CASE CAST(substring(scene_id, 7, 4) AS INT) % 4 " +
+    "CASE (CAST(substring(scene_id, 7, 4) AS INT) * 3 + CAST(substring(subswath, 3, 1) AS INT) - 1) % 6 " +
       "WHEN 1 THEN 'ICEYE' WHEN 2 THEN 'ALOS' WHEN 3 THEN 'RADARSAT-2' " +
+      "WHEN 4 THEN 'ASAR' WHEN 5 THEN 'TERRASAR-X' " +
       "ELSE 'SENTINEL-1' END"
   def dispatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val out = withLutA(Raster.intensityTiles(spark, sfDir),
         lutTable(spark, sfDir, "sigma_nought"))
       .withColumn("mission", expr(DispatchMission))
-      .withColumn("out", expr(
+      .withColumn("out", expr({
+        val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
         s"""CASE mission
            |  WHEN 'ICEYE' THEN transform(v, x -> if(x = $ND, $ND, x * $IceyeK))
            |  WHEN 'ALOS'  THEN transform(v, x -> if(x = $ND, $ND, x * $AlosK))
            |  WHEN 'RADARSAT-2' THEN zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, (dn2 + $Rs2Offset) / a))
+           |  WHEN 'ASAR' THEN transform(v, (x, k) -> if(x = $ND, $ND, ${asarSigma("x", gx)}))
+           |  WHEN 'TERRASAR-X' THEN transform(v, (x, k) -> if(x = $ND, $ND, ${tsxSigma("x", gx)}))
            |  ELSE zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))
-           |END""".stripMargin))
+           |END""".stripMargin}))
     Raster.rollup(out, scale = 1e1)
       .withColumn("mission", expr(DispatchMission))
   }

@@ -103,11 +103,16 @@ object InSAR {
   private def hSql(gx: String, gy: String): String =
     s"(100.0 + 50.0 * sin(($gx) / 40.0) + 40.0 * cos(($gy) / 25.0))"
 
+  /** Shared-text topographic phase f(gx, gy) = Ktopo * h(gx, gy) — the one
+   * string both the engine expressions (standalone gate + chain node) and the
+   * DuckDB oracles evaluate, so the subtraction stays bit-identical. */
+  def topoF(gx: String, gy: String): String = s"($Ktopo * ${hSql(gx, gy)})"
+
   /** TopoPhaseRemoval: out = wrap(ifg_phase - Ktopo * h(gx, gy)). */
   def topoPhaseRemovalQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
     val gy = s"(tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
-    val f = s"($Ktopo * ${hSql(gx, gy)})"
+    val f = topoF(gx, gy)
     Raster.rollup(crossTiles(spark, sfDir)
       .withColumn("out", expr(
         s"""zip_with(zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),

@@ -173,6 +173,60 @@ class ChainSpec extends AnyFunSuite {
     }
   }
 
+  test("dinsar chain: topo-phase removal recomputed directly for one burst") {
+    val out = ChainGraph.dinsarChainQuery(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(r => { val b = r.getAs[Number]("burst_idx").longValue; b >= 1 && b <= 3 }))
+
+    val w = model.Layout.TileW; val h = model.Layout.TileH
+    val nd = model.Layout.NoData
+    def grid(table: String, scene: String): Map[(Int, Int), (Double, Double)] = {
+      gen.Fixtures.table(spark, sf, table)
+        .where(col("scene_id") === scene && col("subswath") === "IW1" &&
+          col("pol") === "VV" && col("burst_idx") === 1)
+        .select("tile_x", "tile_y", "i", "q").collect().flatMap { r =>
+          val tx = r.getAs[Number](0).intValue; val ty = r.getAs[Number](1).intValue
+          val iv = r.getSeq[Double](2); val qv = r.getSeq[Double](3)
+          (0 until w * h).map { k =>
+            def snap(x: Double) = math.floor(x * 4096.0) / 4096.0
+            ((tx * w + k % w, ty * h + k / w), (snap(iv(k)), snap(qv(k))))
+          }
+        }.toMap
+    }
+    val scene = rows.head.getAs[String]("scene_id")
+    val a = grid("tiles", scene); val b = grid("tiles_sec", scene)
+    // wrap(ifg_phase - Ktopo * h(gx, gy)) per pixel, sharing only the formula
+    def dphase(p: (Int, Int)): Double = {
+      val (i1, q1) = a(p); val (i2, q2) = b(p)
+      if (i1 == nd || q1 == nd || i2 == nd || q2 == nd) nd
+      else {
+        val ph = math.atan2(q1 * i2 - i1 * q2, i1 * i2 + q1 * q2)
+        val f = ops.InSAR.Ktopo * (100.0 + 50.0 * math.sin(p._1 / 40.0) + 40.0 * math.cos(p._2 / 25.0))
+        math.atan2(math.sin(ph - f), math.cos(ph - f))
+      }
+    }
+    val chainRows = rows.filter(r => r.getAs[String]("scene_id") == scene &&
+      r.getAs[Number]("burst_idx").longValue == 1)
+    assert(chainRows.nonEmpty)
+    chainRows.take(8).foreach { r =>
+      val tx = r.getAs[Number]("tile_x").intValue; val ty = r.getAs[Number]("tile_y").intValue
+      val bx = r.getAs[Int]("block_x"); val by = r.getAs[Int]("block_y")
+      var nValid = 0L; var sumQ = 0L
+      for (jy <- 0 until 4; jx <- 0 until 4) {
+        val d = dphase((tx * w + bx * 4 + jx, ty * h + by * 4 + jy))
+        if (d != nd) { nValid += 1; sumQ += math.floor(0.031415926535897934 + d * 1e9).toLong }
+      }
+      assert(r.getAs[Long]("n_valid") === nValid, s"tile ($tx,$ty) block ($bx,$by)")
+      assert(r.getAs[Long]("sum_q") === sumQ, s"tile ($tx,$ty) block ($bx,$by)")
+    }
+    // same declared prefix as the InSAR chain -> identical block structure
+    // (per-pixel valid counts legitimately differ: coherence is defined from
+    // any valid 3x3 neighbor, phase only from a valid center pixel)
+    val ins = ChainGraph.insarChainQuery(spark, sf)
+      .agg(count(lit(1)).as("n")).head()
+    assert(rows.length.toLong === ins.getAs[Long]("n"))
+  }
+
   test("pinned insar-chain validation case") {
     val r = ChainGraph.insarChainQuery(spark, sf)
       .agg(count(lit(1)).as("n_blocks"), sum("n_valid").as("total_valid"), sum("sum_q").as("total_sum_q"))
@@ -305,8 +359,9 @@ class ChainSpec extends AnyFunSuite {
   test("mission-dispatch calibration: each mission branch takes its calibrator") {
     val out = ops.Calibration.dispatchQuery(spark, sf)
     val missions = out.select("mission").distinct().collect().map(_.getString(0)).toSet
-    // sf0.001 has 2 scenes -> ordinals 0 (SENTINEL-1) and 1 (ICEYE)
-    assert(missions.contains("SENTINEL-1") && missions.contains("ICEYE"))
+    // sf0.001 has 2 scenes x 3 subswaths -> the (scene*3 + subswath) % 6 key
+    // reaches ALL six calibrator branches even at the smallest fixture scale
+    assert(missions === Set("SENTINEL-1", "ICEYE", "ALOS", "RADARSAT-2", "ASAR", "TERRASAR-X"))
     // ICEYE branch: sigma0 = k * dn2 exactly (IceyeCalibrator.java:237 with the
     // reference's own synthetic calibration factor) — recompute one tile
     val row = out.where(col("mission") === "ICEYE").orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x").head()
@@ -323,5 +378,47 @@ class ChainSpec extends AnyFunSuite {
     val expSum = tile.filter(_ != model.Layout.NoData)
       .map(v => math.floor(0.031415926535897934 + v * k * q).toLong).sum
     assert(row.getAs[Long]("sum_q") === expSum)
+
+    // ASAR branch: sigma0 = dn2 * sin(theta(gx) * DTOR) / K with the tie-point-grid
+    // theta (ASARCalibrator.java:991,947) — recompute one tile pixel-by-pixel
+    // with the identical double arithmetic
+    def tileOf(r: org.apache.spark.sql.Row): (Seq[Double], Int) = {
+      val t = ops.Raster.intensityTiles(spark, sf)
+        .where(col("scene_id") === r.getAs[String]("scene_id") &&
+          col("subswath") === r.getAs[String]("subswath") &&
+          col("pol") === r.getAs[String]("pol") &&
+          col("burst_idx") === r.getAs[Number]("burst_idx").longValue &&
+          col("tile_y") === r.getAs[Number]("tile_y").longValue &&
+          col("tile_x") === r.getAs[Number]("tile_x").longValue)
+        .select(col("v"), col("tile_x")).head()
+      (t.getSeq[Double](0), t.getAs[Number]("tile_x").intValue)
+    }
+    val dtor = ops.Calibration.Dtor.toDouble
+    val spb = model.Layout.SamplesPerBurst
+    val asarRow = out.where(col("mission") === "ASAR")
+      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x").head()
+    val (av, atx) = tileOf(asarRow)
+    val asarK = ops.Calibration.AsarK.toDouble
+    val asarExp = av.zipWithIndex.filter(_._1 != model.Layout.NoData).map { case (x, kk) =>
+      val gx = atx * model.Layout.TileW + kk % model.Layout.TileW
+      val s0 = x * math.sin((20.0 + 20.0 * gx / spb) * dtor) / asarK
+      math.floor(0.031415926535897934 + s0 * q).toLong
+    }.sum
+    assert(asarRow.getAs[Long]("sum_q") === asarExp)
+
+    // TERRASAR-X branch: Ks * |dn2 - NEBN(u)| * sin(theta) (TerraSARXCalibrator
+    // .java:459-461 with the range noise polynomial :285-287)
+    val tsxRow = out.where(col("mission") === "TERRASAR-X")
+      .orderBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x").head()
+    val (tv, ttx) = tileOf(tsxRow)
+    val ks = ops.Calibration.TsxKs.toDouble
+    val tsxExp = tv.zipWithIndex.filter(_._1 != model.Layout.NoData).map { case (x, kk) =>
+      val gx = ttx * model.Layout.TileW + kk % model.Layout.TileW
+      val u = gx / spb.toDouble
+      val s0 = ks * math.abs(x - (0.02 + 0.01 * u - 0.005 * u * u)) *
+        math.sin((20.0 + 20.0 * gx / spb) * dtor)
+      math.floor(0.031415926535897934 + s0 * q).toLong
+    }.sum
+    assert(tsxRow.getAs[Long]("sum_q") === tsxExp)
   }
 }
