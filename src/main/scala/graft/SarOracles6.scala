@@ -328,6 +328,14 @@ object SarOracles6 {
    * table and every per-stage twiddle constant are interpolated as literals of
    * the same JVM Math.cos/sin values the kernel computes, so the two engines
    * agree bit-for-bit (no FFT-vs-DFT low-bit drift, the ADVICE r3 flaky class). */
+  /** q_chain_goldstein twin: the full Goldstein pipeline restated, restricted
+   * to the chain Split node's declared window (subswath IW1 — the oracle is
+   * already VV, bursts 1..2, matching the chain's burst range). */
+  lazy val chainGoldstein: String =
+    s"""SELECT * FROM (
+       |$goldstein
+       |) WHERE subswath = 'IW1'""".stripMargin
+
   val goldstein: String = {
     import graft.exprs.Kernels
     val F = Kernels.GoldFft

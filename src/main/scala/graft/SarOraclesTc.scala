@@ -62,6 +62,16 @@ object SarOraclesTc {
 
   val terrainCorrectionFull: String = rdGeocodeSql(useDem = true)
 
+  /** q_chain_tc twin: the normalized Range-Doppler geocoding restated in full,
+   * restricted to the chain Split node's declared window (subswath IW1, bursts
+   * 1..3 — the engine's Split-pruned input drops every other gather source, so
+   * the restriction IS the chain semantics; pol VV is already the oracle's
+   * gather filter). */
+  val chainTc: String =
+    s"""SELECT * FROM (
+       |${rdGeocodeSql(useDem = true, ciMax = TerrainCorrection.GeoVarCiMax, normalize = true)}
+       |) WHERE subswath = 'IW1' AND burst_idx BETWEEN 1 AND 3""".stripMargin
+
   /** Resolve chain from a finished bisection (fin relation with tzd + sv lists)
    * to fractional (subswath, burst, l0, x0, wl, wx, lf, xf) positions, prefix-named. */
   private def resolveStages(p: String, binPfx: String, sv: String): String = {

@@ -307,6 +307,48 @@ object ChainGraph {
       s"transform(v, (ph, k) -> if(ph = $nd, $nd, atan2(sin(ph - $f), cos(ph - $f))))"))
   }
 
+  /** GoldsteinPhaseFiltering (GoldsteinFilterOp.java:330-826): the FULL
+   * 75%-overlap 64x64 block pipeline with Baran-2003 adaptive alpha, input-
+   * driven over the upstream Interferogram node's cross products. Per-burst
+   * raster assembly is ONE groupBy shuffle, and the collect_list aggregation
+   * materializes the chained cre/cim expressions exactly once per tile (the
+   * same reason the chain Multilook runs a compiled kernel). */
+  private def goldsteinOp: OpCompiler = (_, _, _, srcs) => {
+    val tilesX = Layout.TilesX; val tilesY = Layout.TilesY
+    srcs.head
+      .groupBy("scene_id", "subswath", "pol", "burst_idx")
+      .agg(sort_array(collect_list(struct(col("tile_y"), col("tile_x"),
+        col("cre"), col("cim")))).as("ts"))
+      .withColumn("cre_r", expr("flatten(transform(ts, t -> t.cre))"))
+      .withColumn("cim_r", expr("flatten(transform(ts, t -> t.cim))"))
+      .withColumn("r", graft.exprs.KernelExprs.goldsteinFull(col("cre_r"), col("cim_r"),
+        tilesX, tilesY, Layout.TileW, Layout.TileH,
+        graft.ops.Spectral.GoldsteinAlphaMin, graft.ops.Spectral.GoldsteinAlphaMax,
+        graft.ops.Spectral.GoldsteinAlpha))
+      .withColumn("ti", explode(sequence(lit(0), lit(tilesX * tilesY - 1))))
+      .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
+        expr(s"CAST(ti div $tilesX AS INT)").as("tile_y"),
+        expr(s"CAST(ti % $tilesX AS INT)").as("tile_x"),
+        expr("element_at(r.n, ti + 1)").as("n_valid"),
+        expr("element_at(r.ph_q, ti + 1)").as("phase_sum_q"))
+  }
+
+  /** Terrain-Correction (RangeDopplerGeocodingOp.java:923-1177 +
+   * SARGeocoding.java:64-359): the full curved-orbit Range-Doppler geocoding
+   * — DEM height, Lagrange orbit, bisection zero-Doppler, bilinear gather —
+   * over the UPSTREAM tile frame instead of the raw table, so declared Split
+   * pruning reaches the gather's scan. applyRadiometricNormalization=true
+   * applies the calibration LUT at the resolved fractional source position
+   * (the reference's nested calibrator, RangeDopplerGeocodingOp.java:
+   * 1151-1163) — the Calibration+TC fusion every production geocoding graph
+   * runs. */
+  private def terrainCorrectionOp: OpCompiler = (spark, sfDir, params, srcs) => {
+    val normalize = params.get("applyRadiometricNormalization").exists(_.toBoolean)
+    graft.ops.TerrainCorrection.rdGeocodeFrom(spark, sfDir, srcs.head,
+      useDem = true, ciMax = graft.ops.TerrainCorrection.GeoVarCiMax,
+      normalize = normalize)
+  }
+
   /** Write: the chain sink. With a non-empty `file` param the frame commits
    * through the resumable checkpoint layer (parquet + per-partition lineage
    * manifest, replayed on rerun); with the empty `file` of the benchmark
@@ -331,6 +373,8 @@ object ChainGraph {
     "Interferogram" -> interferogramOp,
     "Coherence" -> coherenceOp,
     "TopoPhaseRemoval" -> topoPhaseOp,
+    "Terrain-Correction" -> terrainCorrectionOp,
+    "GoldsteinPhaseFiltering" -> goldsteinOp,
     "Write" -> writeOp)
 
   /** Compile a spec to the single sink frame: memoized post-order walk, so a
@@ -579,6 +623,75 @@ object ChainGraph {
   /** q_chain_dinsar: the declared DInSAR DAG, compiled + fused. */
   def dinsarChainQuery(spark: SparkSession, sfDir: String): DataFrame =
     compile(spark, sfDir, parseXml(dinsarChainXml))
+
+  /** The canonical geocoded-backscatter production graph (the most-run shipped
+   * shape: Read -> Subset/Split -> Terrain-Correction with radiometric
+   * normalization — RangeDopplerGeocodingOp applying the calibrator at the
+   * resolved source position), declared in the same XML node structure. */
+  val tcChainXml: String =
+    """<graph id="Graph">
+      |  <version>1.0</version>
+      |  <node id="Read">
+      |    <operator>Read</operator>
+      |    <sources/>
+      |    <parameters><table>tiles</table></parameters>
+      |  </node>
+      |  <node id="TOPSAR-Split">
+      |    <operator>TOPSAR-Split</operator>
+      |    <sources><sourceProduct refid="Read"/></sources>
+      |    <parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters>
+      |  </node>
+      |  <node id="Terrain-Correction">
+      |    <operator>Terrain-Correction</operator>
+      |    <sources><sourceProduct refid="TOPSAR-Split"/></sources>
+      |    <parameters><applyRadiometricNormalization>true</applyRadiometricNormalization></parameters>
+      |  </node>
+      |  <node id="Write">
+      |    <operator>Write</operator>
+      |    <sources><sourceProduct refid="Terrain-Correction"/></sources>
+      |    <parameters><file></file></parameters>
+      |  </node>
+      |</graph>""".stripMargin
+
+  /** q_chain_tc: the declared Split -> Terrain-Correction DAG, compiled + fused. */
+  def tcChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(tcChainXml))
+
+  /** The Goldstein-filtered InSAR graph (the reference's standard phase-
+   * filtering topology before unwrapping: Interferogram ->
+   * GoldsteinPhaseFiltering), declared over the same two-source prefix as the
+   * InSAR chain with the Split window bursts 1..2 (bounding the oracle's
+   * staged-FFT cost, as the standalone gate does). */
+  val goldsteinChainXml: String =
+    insarChainXml
+      .replace("<firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex>",
+        "<firstBurstIndex>1</firstBurstIndex><lastBurstIndex>2</lastBurstIndex>")
+      .replace(
+        """<node id="Coherence">
+          |    <operator>Coherence</operator>
+          |    <sources><sourceProduct refid="Interferogram"/></sources>
+          |    <parameters/>
+          |  </node>
+          |  <node id="Multilook">
+          |    <operator>Multilook</operator>
+          |    <sources><sourceProduct refid="Coherence"/></sources>
+          |    <parameters><nRgLooks>4</nRgLooks></parameters>
+          |  </node>
+          |  <node id="Write">
+          |    <operator>Write</operator>
+          |    <sources><sourceProduct refid="Multilook"/></sources>""".stripMargin,
+        """<node id="GoldsteinPhaseFiltering">
+          |    <operator>GoldsteinPhaseFiltering</operator>
+          |    <sources><sourceProduct refid="Interferogram"/></sources>
+          |    <parameters/>
+          |  </node>
+          |  <node id="Write">
+          |    <operator>Write</operator>
+          |    <sources><sourceProduct refid="GoldsteinPhaseFiltering"/></sources>""".stripMargin)
+
+  /** q_chain_goldstein: the declared Goldstein-filtered InSAR DAG. */
+  def goldsteinChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(goldsteinChainXml))
 
   /** The canonical Sentinel-1 GRD backscatter chain (the most-used shipped
    * graph shape: Read -> ThermalNoiseRemoval -> Calibration -> Speckle-Filter

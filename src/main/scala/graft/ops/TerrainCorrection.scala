@@ -604,7 +604,18 @@ object TerrainCorrection {
   }
 
   private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean,
-      ciMax: Int = GridNx, normalize: Boolean = false): DataFrame = {
+      ciMax: Int = GridNx, normalize: Boolean = false): DataFrame =
+    rdGeocodeFrom(spark, sfDir,
+      Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV"),
+      useDem, ciMax, normalize)
+
+  /** Input-driven Range-Doppler geocoding over a caller-provided tile frame —
+   * the chain Terrain-Correction node's entry: identical geometry, resolve and
+   * gather as the standalone gates, but the source pixels come from whatever
+   * the upstream chain produced (e.g. a Split-pruned Read). The caller owns
+   * any polarisation selection. */
+  def rdGeocodeFrom(spark: SparkSession, sfDir: String, tilesIn: DataFrame,
+      useDem: Boolean, ciMax: Int = GridNx, normalize: Boolean = false): DataFrame = {
     // radiometric normalization (RangeDopplerGeocodingOp.java:1151-1163 +
     // Sentinel1Calibrator.applyCalibration:508-535): the gathered value divided by
     // lut^2, the LUT evaluated at the RESOLVED fractional source position — the
@@ -627,8 +638,7 @@ object TerrainCorrection {
       .withColumn("tile_x", expr(s"samp div ${Layout.TileW}"))
       .withColumn("px", expr(s"CAST((line % ${Layout.TileH}) * ${Layout.TileW} + samp % ${Layout.TileW} AS INT)"))
       .select("scene_id", "subswath", "burst_idx", "tile_x", "tile_y", "ci", "cj", "px", "w", "snorm")
-    val tiles = Fixtures.table(spark, sfDir, "tiles")
-      .where(col("pol") === "VV")
+    val tiles = tilesIn
       .select(col("scene_id"), col("subswath"), col("burst_idx"),
         col("tile_x"), col("tile_y"), col("i"), col("q"))
     val d = Raster.Dyadic; val dv = Raster.DyadicV

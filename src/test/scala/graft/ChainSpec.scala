@@ -236,6 +236,43 @@ class ChainSpec extends AnyFunSuite {
     assert(r.getAs[Long]("total_sum_q") === 14868570500917L)
   }
 
+  test("tc chain: fused Split -> Terrain-Correction equals the standalone normalized TC on the split window") {
+    val chain = ChainGraph.tcChainQuery(spark, sf)
+    // fused plan: the Split predicates reach the tile scan feeding the gather
+    val physical = chain.queryExecution.executedPlan.toString
+    assert(physical.replaceAll("\\s+", " ").matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(subswath,IW1\\).*"),
+      physical.take(3000))
+    assert(!physical.contains("CartesianProduct"), physical.take(2000))
+    // the chain IS the standalone q_tc_normalized machinery, input-driven:
+    // equality on the declared window is a complete behavioral pin
+    val got = chain.collect().map(_.toString).sorted
+    val want = ops.TerrainCorrection.tcNormalizedQuery(spark, sf)
+      .where(col("subswath") === "IW1" && col("burst_idx").between(1, 3))
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+    // split pruning is real: the unrestricted standalone resolves more rows
+    assert(want.length < ops.TerrainCorrection.tcNormalizedQuery(spark, sf).count())
+  }
+
+  test("goldstein chain: declared Goldstein node equals the standalone filter on the split window") {
+    val spec = ChainGraph.parseXml(ChainGraph.goldsteinChainXml)
+    assert(spec.nodes.map(_.operator).contains("GoldsteinPhaseFiltering"))
+    assert(spec.byId("TOPSAR-Split").params("lastBurstIndex") === "2")
+    val got = ChainGraph.goldsteinChainQuery(spark, sf).collect().map(_.toString).sorted
+    val want = ops.Spectral.goldsteinQuery(spark, sf)
+      .where(col("subswath") === "IW1").collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("pinned dinsar-chain validation case") {
+    val r = ChainGraph.dinsarChainQuery(spark, sf)
+      .agg(count(lit(1)).as("n_blocks"), sum("n_valid").as("total_valid"), sum("sum_q").as("total_sum_q"))
+      .head()
+    assert(r.getAs[Long]("n_blocks") === 3072L)
+    assert(r.getAs[Long]("total_valid") === 48964L)
+    assert(r.getAs[Long]("total_sum_q") === 115797476811L)
+  }
+
   test("pinned grd-chain validation case; thermal-noise node genuinely denoises") {
     val r = ChainGraph.grdChainQuery(spark, sf)
       .agg(count(lit(1)).as("n_blocks"), sum("n_valid").as("total_valid"), sum("sum_q").as("total_sum_q"))
