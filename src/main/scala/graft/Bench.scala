@@ -23,7 +23,11 @@ object Bench {
     "q_span_cells", "q_aoi_doc_tiles", "q_topsar_split",
     "q_calibration_sigma0", "q_speckle_lee", "q_multilook", "q_deburst",
     "q_terrain_correction", "q_xcorr_offsets", "q_interferogram",
-    "q_dedup_minhash_sig", "q_ann_ivf", "q_events_window")
+    "q_dedup_minhash_sig", "q_ann_ivf", "q_events_window",
+    // the fused multi-operator declared chain (TNR -> Cal -> Lee -> ML): the
+    // measured number should cover the composed production path, not only
+    // the stages in isolation
+    "q_chain_grd")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -180,6 +180,25 @@ object ChainOracles {
        |         floor(iv0 * 4096) / 4096 AS iv, floor(qv0 * 4096) / 4096 AS qv
        |  FROM ${name}0)""".stripMargin
 
+  /** q_chain_grd_stream twin: the streamed chain executes the identical
+   * per-row prefix (Split -> ThermalNoiseRemoval -> Calibration -> tile
+   * rollup), so the oracle is the plain batch restatement — stream/batch
+   * equality is the engine-side guarantee (AvailableNow drains the source and
+   * no node is stateful), pinned separately in ChainSpec. */
+  val grdStream: String =
+    s"""WITH $splitIntensityCtes,
+       |tn AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy, gline,
+       |         CASE WHEN v = -9999.0 THEN -9999.0
+       |              ELSE greatest(0, v - (2.0 + 0.01 * gline + 0.004 * gx)) END AS vn
+       |  FROM p2),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         CASE WHEN vn = -9999.0 THEN -9999.0
+       |              ELSE floor(vn / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) * 67108864) / 67108864 END AS out
+       |  FROM tn)
+       |${SarOracles.rollupSql(1e1)}""".stripMargin
+
   /** q_chain_dinsar: Read x2 -> Split x2 (IW1, VV, bursts 1..3) ->
    * Interferogram (wrapped phase from the dyadic-snapped cross products) ->
    * TopoPhaseRemoval (subtract the closed-form topographic phase — shared

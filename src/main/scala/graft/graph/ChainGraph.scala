@@ -693,6 +693,43 @@ object ChainGraph {
   def goldsteinChainQuery(spark: SparkSession, sfDir: String): DataFrame =
     compile(spark, sfDir, parseXml(goldsteinChainXml))
 
+  /** The stream-capable GRD prefix (Read -> Split -> ThermalNoiseRemoval ->
+   * Calibration): every node is a pure per-row frame transformation, so the
+   * declared chain compiles unchanged over a streaming source. */
+  val grdStreamXml: String =
+    """<graph id="Graph">
+      |  <node id="Read"><operator>Read</operator><sources/><parameters><table>tiles</table></parameters></node>
+      |  <node id="TOPSAR-Split"><operator>TOPSAR-Split</operator><sources><sourceProduct refid="Read"/></sources><parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters></node>
+      |  <node id="ThermalNoiseRemoval"><operator>ThermalNoiseRemoval</operator><sources><sourceProduct refid="TOPSAR-Split"/></sources><parameters/></node>
+      |  <node id="Calibration"><operator>Calibration</operator><sources><sourceProduct refid="ThermalNoiseRemoval"/></sources><parameters/></node>
+      |  <node id="Write"><operator>Write</operator><sources><sourceProduct refid="Calibration"/></sources><parameters><file></file></parameters></node>
+      |</graph>""".stripMargin
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q_chain_grd_stream: the declared GRD prefix executed AS a structured
+   * stream end-to-end under the driver gate — the chain compiles over a
+   * `readStream` parquet source (sourceOverrides injection; the broadcast
+   * noise/calibration LUT joins run stream-static), the per-tile rollup is a
+   * per-ROW compiled pass (no stateful operator anywhere), and the drained
+   * memory-sink result is the gate frame. Deterministic: Trigger.AvailableNow
+   * drains the full source and every row's value is independent of batch
+   * boundaries, so the result equals the batch chain row-for-row (pinned in
+   * ChainSpec) and matches the same DuckDB oracle as any batch gate. */
+  def grdStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchTiles = graft.gen.Fixtures.table(spark, sfDir, "tiles")
+    val src = spark.readStream.schema(batchTiles.schema)
+      .parquet(new java.io.File(batchTiles.inputFiles.head).getParent)
+    val chained = compile(spark, sfDir, parseXml(grdStreamXml), Map("Read" -> src))
+    val name = s"chain_grd_stream_${streamSeq.incrementAndGet()}"
+    val q = graft.ops.Raster.rollup(chained.withColumn("out", col("v")), scale = 1e1)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** The canonical Sentinel-1 GRD backscatter chain (the most-used shipped
    * graph shape: Read -> ThermalNoiseRemoval -> Calibration -> Speckle-Filter
    * -> Multilook -> Write, with the Split node standing in for the subset

@@ -317,6 +317,14 @@ class ChainSpec extends AnyFunSuite {
     assert(got.length === exp.length && got.sameElements(exp))
   }
 
+  test("grd stream gate: the driver-gated streaming chain equals its batch twin") {
+    val got = ChainGraph.grdStreamQuery(spark, sf).collect().map(_.toString).sorted
+    val batch = ChainGraph.compile(spark, sf, ChainGraph.parseXml(ChainGraph.grdStreamXml))
+    val exp = ops.Raster.rollup(batch.withColumn("out", col("v")), scale = 1e1)
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(exp))
+  }
+
   test("chain scans are column-pruned: only the consumed columns reach the parquet read") {
     // the e2e chain consumes keys + i/q; the tiles table also carries w/h/
     // no_data columns that must be pruned out of the scan's ReadSchema

@@ -1202,7 +1202,8 @@ class PipelineSpec extends AnyFunSuite {
       ("chain_grd", () => graft.graph.ChainGraph.grdChainQuery(spark, sf).collect().map(_.toString).sorted),
       ("chain_dinsar", () => graft.graph.ChainGraph.dinsarChainQuery(spark, sf).collect().map(_.toString).sorted),
       ("chain_tc", () => graft.graph.ChainGraph.tcChainQuery(spark, sf).collect().map(_.toString).sorted),
-      ("chain_goldstein", () => graft.graph.ChainGraph.goldsteinChainQuery(spark, sf).collect().map(_.toString).sorted))
+      ("chain_goldstein", () => graft.graph.ChainGraph.goldsteinChainQuery(spark, sf).collect().map(_.toString).sorted),
+      ("chain_grd_stream", () => graft.graph.ChainGraph.grdStreamQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
