@@ -153,19 +153,23 @@ object SarOracles {
        |       round(coalesce(10 * log10(avg(v) FILTER (v <> -9999.0)), -9999.0), 6) AS ml_db
        |FROM b GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin
 
-  val deburst: String =
+  /** Deburst restatement over an optionally restricted burst set — `where`
+   * lands on BOTH the ownership CTE and the grid-span subquery, because a
+   * preceding Split reshapes the deburst product's own timeline (the chain
+   * gate's semantics), not just its rows. */
+  def deburstSql(where: String): String =
     s"""WITH b AS (
        |  SELECT scene_id, subswath, burst_idx,
        |         burst_first_line_time AS bft, burst_last_line_time AS blt,
        |         lag(burst_last_line_time) OVER w AS prev_last,
        |         lead(burst_first_line_time) OVER w AS next_first
-       |  FROM ${fx("bursts")}
+       |  FROM ${fx("bursts")} $where
        |  WINDOW w AS (PARTITION BY scene_id, subswath ORDER BY burst_idx)),
        |g AS (
        |  SELECT b2.scene_id, b2.subswath, s.azimuth_time_interval AS dt, b2.t0, b2.t1
        |  FROM (SELECT scene_id, subswath, min(burst_first_line_time) AS t0,
        |               max(burst_last_line_time) AS t1
-       |        FROM ${fx("bursts")} GROUP BY 1, 2) b2
+       |        FROM ${fx("bursts")} $where GROUP BY 1, 2) b2
        |  JOIN ${fx("scenes")} s USING (scene_id)),
        |lines AS (
        |  SELECT scene_id, subswath, dt,
@@ -179,4 +183,11 @@ object SarOracles {
        |  AND l2.t <= coalesce((b.blt + b.next_first) / 2, 1e18)
        |  AND l2.t >= b.bft - l2.dt / 2 AND l2.t <= b.blt + l2.dt / 2
        |ORDER BY 1, 2, 3""".stripMargin
+
+  val deburst: String = deburstSql("")
+
+  /** q_chain_deburst twin: the same restatement over the chain Split node's
+   * declared window. */
+  val chainDeburst: String =
+    deburstSql("WHERE subswath = 'IW2' AND burst_idx BETWEEN 2 AND 5")
 }

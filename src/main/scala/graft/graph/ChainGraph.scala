@@ -307,6 +307,13 @@ object ChainGraph {
       s"transform(v, (ph, k) -> if(ph = $nd, $nd, atan2(sin(ph - $f), cos(ph - $f))))"))
   }
 
+  /** TOPSAR-Deburst (TOPSARDeburstOp.java:168-232, 1152-1183): the midTime-
+   * rule line assignment, input-driven over the upstream bursts frame — the
+   * output grid and ownership windows derive from the SELECTED bursts, so a
+   * preceding Split genuinely reshapes the deburst product. */
+  private def deburstOp: OpCompiler = (spark, sfDir, _, srcs) =>
+    graft.ops.Deburst.fromBursts(spark, sfDir, srcs.head)
+
   /** GoldsteinPhaseFiltering (GoldsteinFilterOp.java:330-826): the FULL
    * 75%-overlap 64x64 block pipeline with Baran-2003 adaptive alpha, input-
    * driven over the upstream Interferogram node's cross products. Per-burst
@@ -375,6 +382,7 @@ object ChainGraph {
     "TopoPhaseRemoval" -> topoPhaseOp,
     "Terrain-Correction" -> terrainCorrectionOp,
     "GoldsteinPhaseFiltering" -> goldsteinOp,
+    "TOPSAR-Deburst" -> deburstOp,
     "Write" -> writeOp)
 
   /** Compile a spec to the single sink frame: memoized post-order walk, so a
@@ -704,6 +712,21 @@ object ChainGraph {
       |  <node id="Calibration"><operator>Calibration</operator><sources><sourceProduct refid="ThermalNoiseRemoval"/></sources><parameters/></node>
       |  <node id="Write"><operator>Write</operator><sources><sourceProduct refid="Calibration"/></sources><parameters><file></file></parameters></node>
       |</graph>""".stripMargin
+
+  /** The Split -> Deburst geometry graph (TOPSARSplit + TOPSARDeburst, the
+   * standard pre-merge step of every TOPS chain), over a burst window that no
+   * other declared chain uses so the param flow is independently exercised. */
+  val deburstChainXml: String =
+    """<graph id="Graph">
+      |  <node id="Read"><operator>Read</operator><sources/><parameters><table>bursts</table></parameters></node>
+      |  <node id="TOPSAR-Split"><operator>TOPSAR-Split</operator><sources><sourceProduct refid="Read"/></sources><parameters><subswath>IW2</subswath><firstBurstIndex>2</firstBurstIndex><lastBurstIndex>5</lastBurstIndex></parameters></node>
+      |  <node id="TOPSAR-Deburst"><operator>TOPSAR-Deburst</operator><sources><sourceProduct refid="TOPSAR-Split"/></sources><parameters/></node>
+      |  <node id="Write"><operator>Write</operator><sources><sourceProduct refid="TOPSAR-Deburst"/></sources><parameters><file></file></parameters></node>
+      |</graph>""".stripMargin
+
+  /** q_chain_deburst: the declared Split -> Deburst DAG, compiled + fused. */
+  def deburstChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    compile(spark, sfDir, parseXml(deburstChainXml))
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 

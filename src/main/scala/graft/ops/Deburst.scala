@@ -20,9 +20,17 @@ import graft.model.Layout
  */
 object Deburst {
 
-  def query(spark: SparkSession, sfDir: String): DataFrame = {
+  def query(spark: SparkSession, sfDir: String): DataFrame =
+    fromBursts(spark, sfDir, Fixtures.table(spark, sfDir, "bursts"))
+
+  /** Input-driven deburst over a caller-provided bursts frame (the chain
+   * TOPSAR-Deburst node): the output grid span and the midTime ownership
+   * windows derive from the SELECTED bursts — exactly the reference behavior
+   * when deburst follows a Split (the split product's burst list IS the
+   * product, TOPSARDeburstOp computing targetFirstLineTime from it). */
+  def fromBursts(spark: SparkSession, sfDir: String, burstsIn: DataFrame): DataFrame = {
     val w = Window.partitionBy("scene_id", "subswath").orderBy("burst_idx")
-    val bursts = Fixtures.table(spark, sfDir, "bursts")
+    val bursts = burstsIn
       .select("scene_id", "subswath", "burst_idx", "burst_first_line_time", "burst_last_line_time")
       .withColumn("own_from", // exclusive
         when(lag("burst_idx", 1).over(w).isNull, lit(Double.NegativeInfinity))
@@ -31,7 +39,7 @@ object Deburst {
         when(lead("burst_idx", 1).over(w).isNull, lit(Double.PositiveInfinity))
           .otherwise((col("burst_last_line_time") + lead("burst_first_line_time", 1).over(w)) / 2))
 
-    val grid = Fixtures.table(spark, sfDir, "bursts")
+    val grid = burstsIn
       .groupBy("scene_id", "subswath")
       .agg(min("burst_first_line_time").as("t0"), max("burst_last_line_time").as("t1"))
       .join(Fixtures.table(spark, sfDir, "scenes").select("scene_id", "azimuth_time_interval"), Seq("scene_id"))

@@ -317,6 +317,32 @@ class ChainSpec extends AnyFunSuite {
     assert(got.length === exp.length && got.sameElements(exp))
   }
 
+  test("deburst chain: split reshapes the deburst timeline; equals the input-driven op directly") {
+    val out = ChainGraph.deburstChainQuery(spark, sf).collect()
+    assert(out.nonEmpty && out.forall { r =>
+      val b = r.getAs[Number]("burst_idx").longValue; b >= 2 && b <= 5 })
+    // line 0 of the restricted product is burst 2's first line (the grid spans
+    // the SELECTED bursts, not the scene) — the reshaping under test
+    assert(out.filter(_.getAs[Number]("line").longValue == 0L)
+      .forall(r => r.getAs[Number]("burst_idx").longValue == 2L))
+    val direct = ops.Deburst.fromBursts(spark, sf,
+      gen.Fixtures.table(spark, sf, "bursts")
+        .where(col("subswath") === "IW2" && col("burst_idx").between(2, 5)))
+      .collect().map(_.toString).sorted
+    assert(out.map(_.toString).sorted.sameElements(direct))
+  }
+
+  test("fuzz: node declaration order is irrelevant — shuffled graphs compile to identical results") {
+    val rng = new scala.util.Random(7)
+    val base = ChainGraph.parseXml(ChainGraph.dinsarChainXml)
+    val exp = ChainGraph.dinsarChainQuery(spark, sf).collect().map(_.toString).sorted
+    (1 to 3).foreach { i =>
+      val perm = ChainGraph.Spec(rng.shuffle(base.nodes))
+      val got = ChainGraph.compile(spark, sf, perm).collect().map(_.toString).sorted
+      assert(got.sameElements(exp), s"permutation $i diverged")
+    }
+  }
+
   test("grd stream gate: the driver-gated streaming chain equals its batch twin") {
     val got = ChainGraph.grdStreamQuery(spark, sf).collect().map(_.toString).sorted
     val batch = ChainGraph.compile(spark, sf, ChainGraph.parseXml(ChainGraph.grdStreamXml))
