@@ -730,6 +730,26 @@ object ChainGraph {
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** q_chain_dinsar_stream: the DInSAR DAG with the MASTER Read streamed —
+   * the two-source Interferogram node becomes a stream-STATIC equi-join (the
+   * secondary Read stays a batch frame), TopoPhaseRemoval is per-row and the
+   * chain Multilook is a per-row compiled kernel + Generate, so the whole
+   * declared two-source DAG executes as one unwatermarked append stream.
+   * Shares q_chain_dinsar's oracle verbatim: stream/batch equality is the
+   * engine-side guarantee, pinned in ChainSpec. */
+  def dinsarStreamQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchTiles = graft.gen.Fixtures.table(spark, sfDir, "tiles")
+    val src = spark.readStream.schema(batchTiles.schema)
+      .parquet(new java.io.File(batchTiles.inputFiles.head).getParent)
+    val name = s"chain_dinsar_stream_${streamSeq.incrementAndGet()}"
+    val q = compile(spark, sfDir, parseXml(dinsarChainXml), Map("Read" -> src))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** q_chain_grd_stream: the declared GRD prefix executed AS a structured
    * stream end-to-end under the driver gate — the chain compiles over a
    * `readStream` parquet source (sourceOverrides injection; the broadcast

@@ -343,6 +343,12 @@ class ChainSpec extends AnyFunSuite {
     }
   }
 
+  test("dinsar stream gate: the stream-static two-source chain equals its batch twin") {
+    val got = ChainGraph.dinsarStreamQuery(spark, sf).collect().map(_.toString).sorted
+    val exp = ChainGraph.dinsarChainQuery(spark, sf).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(exp))
+  }
+
   test("grd stream gate: the driver-gated streaming chain equals its batch twin") {
     val got = ChainGraph.grdStreamQuery(spark, sf).collect().map(_.toString).sorted
     val batch = ChainGraph.compile(spark, sf, ChainGraph.parseXml(ChainGraph.grdStreamXml))
