@@ -199,6 +199,43 @@ object ChainOracles {
        |  FROM tn)
        |${SarOracles.rollupSql(1e1)}""".stripMargin
 
+  /** q_chain_subset twin: the Split window with the pixel-region crop
+   * (tiles without overlap dropped at the scan; out-of-region pixels of
+   * surviving tiles no-data), then the GRD noise + calibration stages and
+   * the standard tile rollup. */
+  val subset: String = {
+    val x0 = 40; val y0 = 34; val x1 = 119; val y1 = 53
+    s"""WITH px AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         unnest(range($N)) AS k, unnest(i) AS iv, unnest(q) AS qv
+       |  FROM ${fx("tiles")}
+       |  WHERE subswath = 'IW1' AND pol = 'VV' AND burst_idx BETWEEN 1 AND 3
+       |    AND tile_x * $W <= $x1 AND (tile_x + 1) * $W > $x0
+       |    AND tile_y * $H <= $y1 AND (tile_y + 1) * $H > $y0),
+       |p2 AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         tile_x * $W + k % $W AS gx,
+       |         tile_y * $H + CAST(k // $W AS INT) AS gy,
+       |         (burst_idx - 1) * ${Layout.LinesPerBurst} + tile_y * $H + CAST(k // $W AS INT) AS gline,
+       |         CASE WHEN iv = -9999.0 OR qv = -9999.0
+       |                OR NOT (tile_x * $W + k % $W BETWEEN $x0 AND $x1)
+       |                OR NOT (tile_y * $H + CAST(k // $W AS INT) BETWEEN $y0 AND $y1)
+       |              THEN -9999.0
+       |              ELSE floor(((floor(iv * 4096) / 4096) * (floor(iv * 4096) / 4096) + (floor(qv * 4096) / 4096) * (floor(qv * 4096) / 4096)) * 16384) / 16384 END AS v
+       |  FROM px),
+       |tn AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x, gx, gy, gline,
+       |         CASE WHEN v = -9999.0 THEN -9999.0
+       |              ELSE greatest(0, v - (2.0 + 0.01 * gline + 0.004 * gx)) END AS vn
+       |  FROM p2),
+       |o AS (
+       |  SELECT scene_id, subswath, pol, burst_idx, tile_y, tile_x,
+       |         CASE WHEN vn = -9999.0 THEN -9999.0
+       |              ELSE floor(vn / ((500.0 + 0.1 * gline + 0.05 * gx) * (500.0 + 0.1 * gline + 0.05 * gx)) * 67108864) / 67108864 END AS out
+       |  FROM tn)
+       |${SarOracles.rollupSql(1e1)}""".stripMargin
+  }
+
   /** q_chain_dinsar: Read x2 -> Split x2 (IW1, VV, bursts 1..3) ->
    * Interferogram (wrapped phase from the dyadic-snapped cross products) ->
    * TopoPhaseRemoval (subtract the closed-form topographic phase — shared

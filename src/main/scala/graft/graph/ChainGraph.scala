@@ -307,6 +307,33 @@ object ChainGraph {
       s"transform(v, (ph, k) -> if(ph = $nd, $nd, atan2(sin(ph - $f), cos(ph - $f))))"))
   }
 
+  /** Subset (SubsetOp pixel-region crop): tiles overlapping the declared
+   * burst-local pixel region pass through with their out-of-region pixels
+   * masked to no-data (pixel-EXACT, not tile-aligned), tiles with no overlap
+   * drop entirely — pure per-row masking + a scan-pushable tile filter, zero
+   * shuffles. Masks whichever pixel arrays the upstream frame carries (raw
+   * i/q before an intensity-producing node, the chained v after one); the
+   * no-data sentinel then propagates through every downstream kernel. */
+  private def subsetOp: OpCompiler = (_, _, params, srcs) => {
+    val x0 = params.getOrElse("regionX", "0").toInt
+    val y0 = params.getOrElse("regionY", "0").toInt
+    val rw = params.getOrElse("regionW", Layout.SamplesPerBurst.toString).toInt
+    val rh = params.getOrElse("regionH", Layout.LinesPerBurst.toString).toInt
+    val x1 = x0 + rw - 1; val y1 = y0 + rh - 1
+    val tw = Layout.TileW; val th = Layout.TileH
+    val nd = Raster.ND
+    val in = srcs.head
+    val kept = in.where(
+      col("tile_x") * tw <= x1 && (col("tile_x") + 1) * tw > x0 &&
+      col("tile_y") * th <= y1 && (col("tile_y") + 1) * th > y0)
+    val targets = if (in.columns.contains("v")) Seq("v") else Seq("i", "q")
+    targets.foldLeft(kept) { (df, c) =>
+      df.withColumn(c, expr(
+        s"""transform($c, (x, k) -> if((tile_x * $tw + k % $tw) BETWEEN $x0 AND $x1
+           |  AND (tile_y * $th + k div $tw) BETWEEN $y0 AND $y1, x, $nd))""".stripMargin))
+    }
+  }
+
   /** TOPSAR-Deburst (TOPSARDeburstOp.java:168-232, 1152-1183): the midTime-
    * rule line assignment, input-driven over the upstream bursts frame — the
    * output grid and ownership windows derive from the SELECTED bursts, so a
@@ -383,6 +410,7 @@ object ChainGraph {
     "Terrain-Correction" -> terrainCorrectionOp,
     "GoldsteinPhaseFiltering" -> goldsteinOp,
     "TOPSAR-Deburst" -> deburstOp,
+    "Subset" -> subsetOp,
     "Write" -> writeOp)
 
   /** Compile a spec to the single sink frame: memoized post-order walk, so a
@@ -727,6 +755,26 @@ object ChainGraph {
   /** q_chain_deburst: the declared Split -> Deburst DAG, compiled + fused. */
   def deburstChainQuery(spark: SparkSession, sfDir: String): DataFrame =
     compile(spark, sfDir, parseXml(deburstChainXml))
+
+  /** The Subset-cropped GRD graph (the reference's standard Read -> Subset
+   * prefix): region (40, 34) 80x20 in burst-local pixel coords — chosen so
+   * one tile column and one tile row drop entirely while the surviving tiles
+   * are partially masked, exercising both Subset behaviors. */
+  val subsetChainXml: String =
+    """<graph id="Graph">
+      |  <node id="Read"><operator>Read</operator><sources/><parameters><table>tiles</table></parameters></node>
+      |  <node id="TOPSAR-Split"><operator>TOPSAR-Split</operator><sources><sourceProduct refid="Read"/></sources><parameters><subswath>IW1</subswath><selectedPolarisations>VV</selectedPolarisations><firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex></parameters></node>
+      |  <node id="Subset"><operator>Subset</operator><sources><sourceProduct refid="TOPSAR-Split"/></sources><parameters><regionX>40</regionX><regionY>34</regionY><regionW>80</regionW><regionH>20</regionH></parameters></node>
+      |  <node id="ThermalNoiseRemoval"><operator>ThermalNoiseRemoval</operator><sources><sourceProduct refid="Subset"/></sources><parameters/></node>
+      |  <node id="Calibration"><operator>Calibration</operator><sources><sourceProduct refid="ThermalNoiseRemoval"/></sources><parameters/></node>
+      |  <node id="Write"><operator>Write</operator><sources><sourceProduct refid="Calibration"/></sources><parameters><file></file></parameters></node>
+      |</graph>""".stripMargin
+
+  /** q_chain_subset: the Subset-cropped GRD prefix, rolled up per tile. */
+  def subsetChainQuery(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Raster.rollup(
+      compile(spark, sfDir, parseXml(subsetChainXml)).withColumn("out", col("v")),
+      scale = 1e1)
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 

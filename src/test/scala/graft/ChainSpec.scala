@@ -343,6 +343,35 @@ class ChainSpec extends AnyFunSuite {
     }
   }
 
+  test("subset chain: pixel-exact crop — non-overlapping tiles drop, surviving tiles mask") {
+    val out = ChainGraph.subsetChainQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    // region (40, 34) 80x20: tile column 0 (x 0..31) and tile row 0 (y 0..31)
+    // have no overlap and must be gone from the product
+    assert(out.forall(r => r.getAs[Number]("tile_x").intValue >= 1 &&
+      r.getAs[Number]("tile_y").intValue >= 1))
+    // surviving tiles are partially masked: tile (1,1) covers x 32..63, y 32..63;
+    // its region intersection is x 40..63, y 34..53 -> 24 * 20 = 480 valid pixels
+    val t11 = out.filter(r => r.getAs[Number]("tile_x").intValue == 1 &&
+      r.getAs[Number]("tile_y").intValue == 1)
+    assert(t11.nonEmpty && t11.forall(_.getAs[Long]("n_valid") == 480L))
+    // tile (3,1) covers x 96..127: intersection x 96..119 -> 24 * 20
+    val t31 = out.filter(r => r.getAs[Number]("tile_x").intValue == 3 &&
+      r.getAs[Number]("tile_y").intValue == 1)
+    assert(t31.nonEmpty && t31.forall(_.getAs[Long]("n_valid") == 480L))
+  }
+
+  test("chains on an empty split window return empty frames, not failures") {
+    val emptyWin = "<firstBurstIndex>50</firstBurstIndex><lastBurstIndex>60</lastBurstIndex>"
+    Seq(
+      ChainGraph.e2eChainXml.replace("<firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex>", emptyWin),
+      ChainGraph.dinsarChainXml.replace("<firstBurstIndex>1</firstBurstIndex><lastBurstIndex>3</lastBurstIndex>", emptyWin),
+      ChainGraph.deburstChainXml.replace("<firstBurstIndex>2</firstBurstIndex><lastBurstIndex>5</lastBurstIndex>", emptyWin)
+    ).foreach { xml =>
+      assert(ChainGraph.compile(spark, sf, ChainGraph.parseXml(xml)).count() === 0L)
+    }
+  }
+
   test("dinsar stream gate: the stream-static two-source chain equals its batch twin") {
     val got = ChainGraph.dinsarStreamQuery(spark, sf).collect().map(_.toString).sorted
     val exp = ChainGraph.dinsarChainQuery(spark, sf).collect().map(_.toString).sorted

@@ -1205,7 +1205,8 @@ class PipelineSpec extends AnyFunSuite {
       ("chain_goldstein", () => graft.graph.ChainGraph.goldsteinChainQuery(spark, sf).collect().map(_.toString).sorted),
       ("chain_grd_stream", () => graft.graph.ChainGraph.grdStreamQuery(spark, sf).collect().map(_.toString).sorted),
       ("chain_deburst", () => graft.graph.ChainGraph.deburstChainQuery(spark, sf).collect().map(_.toString).sorted),
-      ("chain_dinsar_stream", () => graft.graph.ChainGraph.dinsarStreamQuery(spark, sf).collect().map(_.toString).sorted))
+      ("chain_dinsar_stream", () => graft.graph.ChainGraph.dinsarStreamQuery(spark, sf).collect().map(_.toString).sorted),
+      ("chain_subset", () => graft.graph.ChainGraph.subsetChainQuery(spark, sf).collect().map(_.toString).sorted))
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
