@@ -396,6 +396,47 @@ case class WishartExpr(chs: Seq[Expression], centers: Expression, w: Int, h: Int
 }
 
 /** Integer-exact rollup struct (n, s, mn, mx) of a filtered array (one compiled pass). */
+/** Compiled per-pixel binary map (Kernels.pixelMap2): the hot zip_with lambdas
+ * (calibration apply, noise subtraction, interferogram phase) as one static
+ * call per tile — bit-identical to the interpreted HOF they replace
+ * (KernelSpec pins the equality per mode). */
+case class PixelMap2Expr(a: Expression, b: Expression, mode: Int, p: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.pixelMap2(${args(0)}, ${args(1)}, $mode, ${p}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.pixelMap2(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData], mode, p)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1))
+}
+
+/** Compiled dyadic intensity v = i^2+q^2 (Raster.intensityTiles' zip_with). */
+case class IntensityExpr(i: Expression, q: Expression, d: Double, dv: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(i, q)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.intensity(${args(0)}, ${args(1)}, ${d}D, ${dv}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.intensity(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData], d, dv)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(i = c(0), q = c(1))
+}
+
+/** Compiled per-element dyadic snap x -> floor(x*d)/d. */
+case class QuantizeExpr(a: Expression, d: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(a)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.quantize(${args(0)}, ${d}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.quantize(args(0).asInstanceOf[ArrayData], d)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0))
+}
+
 case class RollupQExpr(arr: Expression, q: Double) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(arr)
   override def dataType: DataType = StructType(Seq(
@@ -999,6 +1040,14 @@ object KernelExprs {
   def minhash16(hs: Column): Column = toCol(Minhash16Expr(toExpr(hs)))
 
   def rollupQ(arr: Column, q: Double): Column = toCol(RollupQExpr(toExpr(arr), q))
+
+  def pixelMap2(a: Column, b: Column, mode: Int, p: Double = 0.0): Column =
+    toCol(PixelMap2Expr(toExpr(a), toExpr(b), mode, p))
+
+  def intensity(i: Column, q: Column, d: Double, dv: Double): Column =
+    toCol(IntensityExpr(toExpr(i), toExpr(q), d, dv))
+
+  def quantize(a: Column, d: Double): Column = toCol(QuantizeExpr(toExpr(a), d))
 
   def ionoSmooth(cre: Column, cim: Column, tilesX: Int, tilesY: Int,
       tileW: Int, tileH: Int, sigma: Int, thr: Double): Column =

@@ -738,6 +738,100 @@ object Kernels {
 
   // ------------------------------------------------------------------ rollup kernel
 
+  // ------------------------------------------------------------- per-pixel maps
+
+  // Compiled twins of the per-pixel zip_with/transform lambdas on the hot tile
+  // path. Catalyst higher-order functions are CodegenFallback: every pixel walks
+  // an interpreted expression tree (boxing each element) AND the containing
+  // Project is excluded from whole-stage codegen. Each mode below mirrors its
+  // SQL lambda's arithmetic ORDER and null/sentinel handling exactly (SQL FLOOR
+  // on DOUBLE returns BIGINT, hence the .toLong round-trips; Spark's Atan2 adds
+  // 0.0 to both args to normalize negative zero), so results are bit-identical —
+  // pinned by the KernelSpec HOF-equality properties.
+  val PM_CALDIV = 0 // (dn2, a) -> dn2 / a^2                       [sigma0/beta0/gamma0]
+  val PM_CALDB = 1 // (dn2, a) -> 10*log10(dn2 / a^2), ND if <= 0 [sigma0 dB]
+  val PM_NOISESUB = 2 // (dn2, nz) -> max(0, dn2 - nz)               [thermal noise]
+  val PM_COMPLEXDIV = 3 // (x, a)   -> x / a                           [complex cal]
+  val PM_ATAN2 = 4 // (b, a)   -> atan2(b, a)                     [interferogram]
+  val PM_CALDIV_SNAP = 5 // (dn2, a) -> floor(dn2/a^2 * p)/p            [chain calibration]
+
+  def pixelMap2(aD: ArrayData, bD: ArrayData, mode: Int, p: Double): ArrayData = {
+    val a = aD.toDoubleArray(); val b = bD.toDoubleArray()
+    val n = a.length
+    val out = new Array[Double](n)
+    var k = 0
+    mode match {
+      case PM_CALDIV =>
+        while (k < n) {
+          val x = a(k)
+          out(k) = if (x == ND) ND else x / (b(k) * b(k)); k += 1
+        }
+      case PM_CALDB =>
+        while (k < n) {
+          val x = a(k)
+          // StrictMath: Spark's Log10 evaluates via StrictMath.log10
+          out(k) = if (x == ND || x <= 0.0) ND else 10.0 * StrictMath.log10(x / (b(k) * b(k)))
+          k += 1
+        }
+      case PM_NOISESUB =>
+        while (k < n) {
+          val x = a(k)
+          out(k) = if (x == ND) ND else math.max(0.0, x - b(k)); k += 1
+        }
+      case PM_COMPLEXDIV =>
+        while (k < n) {
+          val x = a(k)
+          out(k) = if (x == ND) ND else x / b(k); k += 1
+        }
+      case PM_ATAN2 =>
+        while (k < n) {
+          val x = a(k); val y = b(k)
+          out(k) = if (x == ND || y == ND) ND else math.atan2(x + 0.0, y + 0.0); k += 1
+        }
+      case PM_CALDIV_SNAP =>
+        while (k < n) {
+          val x = a(k)
+          out(k) = if (x == ND) ND else math.floor(x / (b(k) * b(k)) * p).toLong.toDouble / p
+          k += 1
+        }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Dyadic intensity v = i^2 + q^2 on the d-snapped grid, re-snapped to dv
+   * (Raster.intensityTiles' zip_with, compiled; NaN or sentinel in either
+   * channel propagates the sentinel). */
+  def intensity(iD: ArrayData, qD: ArrayData, d: Double, dv: Double): ArrayData = {
+    val ia = iD.toDoubleArray(); val qa = qD.toDoubleArray()
+    val n = ia.length
+    val out = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val a = ia(k); val b = qa(k)
+      out(k) =
+        if (a == ND || b == ND || java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) ND
+        else {
+          val ai = math.floor(a * d).toLong.toDouble / d
+          val bi = math.floor(b * d).toLong.toDouble / d
+          math.floor((ai * ai + bi * bi) * dv).toLong.toDouble / dv
+        }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Per-element dyadic snap x -> floor(x*d)/d (no sentinel guard: the sentinel
+   * is itself dyadic so it round-trips unchanged, exactly like the SQL). */
+  def quantize(aD: ArrayData, d: Double): ArrayData = {
+    val a = aD.toDoubleArray()
+    val out = new Array[Double](a.length)
+    var k = 0
+    while (k < a.length) {
+      out(k) = math.floor(a(k) * d).toLong.toDouble / d; k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /**
    * Integer-exact per-tile rollup of a filtered `out` array in ONE compiled pass:
    * each valid (non-NaN, non-ND) pixel is quantized to floor(offset + v*q) BIGINT

@@ -175,14 +175,9 @@ object ChainGraph {
 
   /** Dyadic intensity from a frame's i/q (the shared pre-snap: products of
    * 2^-12-grid values land on the 2^-14-snapped DyadicV grid). */
-  private def intensityV(in: DataFrame): DataFrame = {
-    val nd = Raster.ND
-    val d = Raster.Dyadic; val dv = Raster.DyadicV
-    in.withColumn("v", expr(
-      s"""zip_with(i, q, (a, b) -> if(a = $nd or b = $nd or isnan(a) or isnan(b), $nd,
-         |  floor(((floor(a * $d) / $d) * (floor(a * $d) / $d)
-         |         + (floor(b * $d) / $d) * (floor(b * $d) / $d)) * $dv) / $dv))""".stripMargin))
-  }
+  private def intensityV(in: DataFrame): DataFrame =
+    in.withColumn("v", graft.exprs.KernelExprs.intensity(
+      col("i"), col("q"), Raster.Dyadic.toDouble, Raster.DyadicV.toDouble))
 
   /** ThermalNoiseRemoval (ThermalNoiseRemovalOp — noise-LUT subtraction with
    * the zero clamp): derive the dyadic intensity, broadcast-join the noise
@@ -195,8 +190,8 @@ object ChainGraph {
       .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col("noise_lut").as("lut"))))
         .as("vecs"))
     Calibration.withLutA(intensityV(srcs.head), noise)
-      .withColumn("v", expr(
-        s"zip_with(v, lut_a, (dn2, nz) -> if(dn2 = $nd, $nd, greatest(0D, dn2 - nz)))"))
+      .withColumn("v", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_NOISESUB))
       .drop("lut_a", "i", "q")
   }
 
@@ -216,8 +211,8 @@ object ChainGraph {
     // EXACT doubles — without this, cross-engine association order flips the
     // last bit and the multilook quantizer straddles (the DyadicV rationale)
     Calibration.withLutA(withV, Calibration.lutTable(spark, sfDir, "sigma_nought"))
-      .withColumn("v", expr(
-        s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $nd, $nd, floor(dn2 / (a * a) * 67108864) / 67108864))"))
+      .withColumn("v", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_CALDIV_SNAP, 67108864.0))
       .drop("lut_a", "i", "q")
   }
 
@@ -278,8 +273,8 @@ object ChainGraph {
         col("i1"), col("q1"), col("i2"), col("q2")))
       .select(keys.map(col) ++ Seq(col("cx.cre").as("cre"), col("cx.cim").as("cim"),
         col("cx.p1").as("p1"), col("cx.p2").as("p2")): _*)
-      .withColumn("v", expr(
-        s"zip_with(cim, cre, (b, a) -> if(b = $nd or a = $nd, $nd, atan2(b, a)))"))
+      .withColumn("v", graft.exprs.KernelExprs.pixelMap2(
+        col("cim"), col("cre"), graft.exprs.Kernels.PM_ATAN2))
   }
 
   /** Coherence (CoherenceOp.java:69-87, 722, 752-755): ONE 4-channel halo

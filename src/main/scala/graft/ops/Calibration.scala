@@ -45,7 +45,8 @@ object Calibration {
     val tiles = Raster.intensityTiles(spark, sfDir)
     val lut = lutTable(spark, sfDir, "sigma_nought")
     val out = withLutA(tiles, lut)
-      .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_CALDIV))
     Raster.rollup(out, scale = 1e1)
   }
 
@@ -53,22 +54,24 @@ object Calibration {
    * (Sentinel1Calibrator.java:479-505: sigma/beta/gamma/dn select the LUT column). */
   def beta0Query(spark: SparkSession, sfDir: String): DataFrame = {
     val out = withLutA(Raster.intensityTiles(spark, sfDir), lutTable(spark, sfDir, "beta_nought"))
-      .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_CALDIV))
     Raster.rollup(out, scale = 1e1)
   }
 
   /** gamma0 = dn^2 / A_gamma^2. */
   def gamma0Query(spark: SparkSession, sfDir: String): DataFrame = {
     val out = withLutA(Raster.intensityTiles(spark, sfDir), lutTable(spark, sfDir, "gamma"))
-      .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_CALDIV))
     Raster.rollup(out, scale = 1e1)
   }
 
   /** sigma0 in dB (outputImageScaleInDb, Sentinel1Calibrator.java:358-364). */
   def sigma0DbQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val out = withLutA(Raster.intensityTiles(spark, sfDir), lutTable(spark, sfDir, "sigma_nought"))
-      .withColumn("out", expr(
-        s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND or dn2 <= 0D, $ND, 10D * log10(dn2 / (a * a))))"))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_CALDB))
     Raster.rollup(out)
   }
 
@@ -76,10 +79,10 @@ object Calibration {
    * the phase-preserving branch; the gate rolls up the calibrated real part. */
   def complexCalQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val tiles = Fixtures.table(spark, sfDir, "tiles")
-      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("iq", graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic.toDouble))
     val out = withLutA(tiles, lutTable(spark, sfDir, "sigma_nought"))
-      .withColumn("out", expr(
-        s"zip_with(iq, lut_a, (x, a) -> if(x = $ND, $ND, x / a))"))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("iq"), col("lut_a"), graft.exprs.Kernels.PM_COMPLEXDIV))
     Raster.rollup(out)
   }
 
@@ -92,7 +95,8 @@ object Calibration {
       .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col("noise_lut").as("lut"))))
         .as("vecs"))
     val out = withLutA(tiles, lut)
-      .withColumn("out", expr(s"zip_with(v, lut_a, (dn2, nz) -> if(dn2 = $ND, $ND, greatest(0D, dn2 - nz)))"))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_NOISESUB))
     Raster.rollup(out, scale = 1.0)
   }
 

@@ -49,8 +49,8 @@ object InSAR {
   /** Per-tile interferogram phase rollup. */
   def interferogramQuery(spark: SparkSession, sfDir: String): DataFrame =
     Raster.rollup(crossTiles(spark, sfDir)
-      .withColumn("out", expr(
-        s"zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a)))")))
+      .withColumn("out", KernelExprs.pixelMap2(
+        col("cim"), col("cre"), graft.exprs.Kernels.PM_ATAN2)))
 
   /**
    * Interferogram with flat-earth phase subtraction (InterferogramOp.java:77-86):

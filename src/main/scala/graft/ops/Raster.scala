@@ -36,11 +36,11 @@ object Raster {
   /** Tiles with a derived intensity array v = i^2+q^2 (complex no-data propagates),
    * exactly the complex branch of SpeckleFilter.getNeighborValues (reference :96-117). */
   def intensityTiles(spark: SparkSession, sfDir: String, table: String = "tiles"): DataFrame =
+    // compiled kernel (was an interpreted zip_with lambda — a CodegenFallback
+    // HOF that also knocked the whole projection out of whole-stage codegen)
     Fixtures.table(spark, sfDir, table)
-      .withColumn("v", expr(
-        s"""zip_with(i, q, (a, b) -> if(a = $ND or b = $ND or isnan(a) or isnan(b), $ND,
-           |  floor(((floor(a * $Dyadic) / $Dyadic) * (floor(a * $Dyadic) / $Dyadic)
-           |         + (floor(b * $Dyadic) / $Dyadic) * (floor(b * $Dyadic) / $Dyadic)) * $DyadicV) / $DyadicV))""".stripMargin))
+      .withColumn("v", graft.exprs.KernelExprs.intensity(
+        col("i"), col("q"), Dyadic.toDouble, DyadicV.toDouble))
 
   /**
    * Halo exchange: for each tile, gather the 9 (self + 8 neighbor) intensity arrays of the

@@ -161,4 +161,51 @@ class RasterOpsSpec extends AnyFunSuite {
     // overlap rule: lines exist that map to a burst other than the earliest containing one
     assert(d.count() > 0)
   }
+
+  test("compiled per-pixel maps are bit-identical to the interpreted HOF lambdas they replaced") {
+    import graft.exprs.{KernelExprs, Kernels}
+    val nd = Raster.ND // "-9999.0D" literal for SQL
+    val r = new scala.util.Random(41)
+    def randArr(n: Int, lo: Double, hi: Double): Array[Double] = Array.fill(n) {
+      val u = r.nextDouble()
+      if (u < 0.06) ND
+      else if (u < 0.08) 0.0
+      else lo + r.nextDouble() * (hi - lo)
+    }
+    val n = 257
+    val rows = (1 to 8).map { _ =>
+      (randArr(n, -300.0, 300.0), randArr(n, -300.0, 300.0),
+        Array.fill(n)(400.0 + r.nextDouble() * 400.0))
+    }
+    val df = rows.toDF("a", "b", "lut")
+    def check(kernel: org.apache.spark.sql.Column, sql: String): Unit = {
+      val out = df.select(kernel.as("k"), expr(sql).as("s")).collect()
+      out.foreach { row =>
+        val k = row.getSeq[Double](0); val s = row.getSeq[Double](1)
+        assert(k.length == s.length)
+        k.zip(s).zipWithIndex.foreach { case ((x, y), i) =>
+          assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y),
+            s"mismatch at $i: $x vs $y")
+        }
+      }
+    }
+    check(KernelExprs.intensity(col("a"), col("b"), 4096.0, 16384.0),
+      s"""zip_with(a, b, (x, y) -> if(x = $nd or y = $nd or isnan(x) or isnan(y), $nd,
+         |  floor(((floor(x * 4096) / 4096) * (floor(x * 4096) / 4096)
+         |         + (floor(y * 4096) / 4096) * (floor(y * 4096) / 4096)) * 16384) / 16384))""".stripMargin)
+    check(KernelExprs.pixelMap2(col("a"), col("lut"), Kernels.PM_CALDIV),
+      s"zip_with(a, lut, (dn2, v) -> if(dn2 = $nd, $nd, dn2 / (v * v)))")
+    check(KernelExprs.pixelMap2(col("a"), col("lut"), Kernels.PM_CALDB),
+      s"zip_with(a, lut, (dn2, v) -> if(dn2 = $nd or dn2 <= 0D, $nd, 10D * log10(dn2 / (v * v))))")
+    check(KernelExprs.pixelMap2(col("a"), col("b"), Kernels.PM_NOISESUB),
+      s"zip_with(a, b, (dn2, nz) -> if(dn2 = $nd, $nd, greatest(0D, dn2 - nz)))")
+    check(KernelExprs.pixelMap2(col("a"), col("lut"), Kernels.PM_COMPLEXDIV),
+      s"zip_with(a, lut, (x, v) -> if(x = $nd, $nd, x / v))")
+    check(KernelExprs.pixelMap2(col("a"), col("b"), Kernels.PM_ATAN2),
+      s"zip_with(a, b, (y, x) -> if(y = $nd or x = $nd, $nd, atan2(y, x)))")
+    check(KernelExprs.pixelMap2(col("a"), col("lut"), Kernels.PM_CALDIV_SNAP, 67108864.0),
+      s"zip_with(a, lut, (dn2, v) -> if(dn2 = $nd, $nd, floor(dn2 / (v * v) * 67108864) / 67108864))")
+    check(KernelExprs.quantize(col("a"), 4096.0),
+      "transform(a, x -> floor(x * 4096) / 4096)")
+  }
 }
