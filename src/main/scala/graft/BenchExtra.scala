@@ -111,6 +111,20 @@ object BenchExtra {
           println(f"""{"$name":{"build":$tBuild%.3f,"plan":$tPlan%.3f,"exec1":$tE1%.3f,"exec2":$tE2%.3f,"exec3":$tE3%.3f,"rebuild_exec":$tRebuild%.3f}}""")
         }
 
+      // decompose q_terrain_correction: time the resolve stage alone vs the
+      // full resolve+gather+rollup query (both noop-sunk, 2nd-run numbers)
+      case "tcprobe" =>
+        def t(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val resolve = () => ops.TerrainCorrection.resolveCellsProbe(spark, sfDir)
+        val full = () => SparkEntry.queries("q_terrain_correction")(spark, sfDir)
+        val r1 = t(noop(resolve())); val r2 = t(noop(resolve()))
+        val f1 = t(noop(full())); val f2 = t(noop(full()))
+        println(f"""{"resolve":[$r1%.3f,$r2%.3f],"full":[$f1%.3f,$f2%.3f]}""")
+
       case other =>
         System.err.println(s"unknown mode $other")
         sys.exit(2)

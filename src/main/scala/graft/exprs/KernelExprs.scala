@@ -24,7 +24,19 @@ abstract class StaticKernelExpr extends Expression {
   protected def kernelEval(args: IndexedSeq[Any]): Any
 
   override def nullable: Boolean = children.exists(_.nullable)
-  override lazy val deterministic: Boolean = true
+
+  /** Expensive kernels opt out of optimizer duplication by reporting
+   * nondeterminism: Catalyst freely substitutes a Project's expressions into
+   * pushed-down filters and join conditions (and infers size()>0 filters below
+   * Generate), re-evaluating the kernel once per reference — measured as the
+   * zero-Doppler bisection running 3x inside a join condition in the
+   * terrain-correction plan, and blockMeans running twice in multilook's
+   * inferred pre-Generate filter. The kernels ARE pure (a retried task
+   * recomputes identical values), so the flag only pins single evaluation;
+   * it does not change results. */
+  protected def optimizerBarrier: Boolean = false
+  override lazy val deterministic: Boolean =
+    !optimizerBarrier && children.forall(_.deterministic)
 
   override def eval(input: InternalRow): Any = {
     val args = children.map(_.eval(input)).toIndexedSeq
@@ -158,6 +170,7 @@ case class DarkCountExpr(halo: Expression, w: Int, h: Int, m: Int, k: Double)
 /** Per-tile multilook block sums (array<struct<n:long, s:double>>, row-major blocks). */
 case class BlockMeansExpr(v: Expression, w: Int, h: Int, looks: Int)
     extends StaticKernelExpr {
+  override protected def optimizerBarrier: Boolean = true
   override def children: Seq[Expression] = Seq(v)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -300,6 +313,7 @@ case class PhaseLinkExpr(chs: Seq[Expression], w: Int, h: Int, m: Int)
 
 /** Zero-Doppler bisection on a Lagrange-interpolated orbit: (t_zd, slant). */
 case class ZeroDopplerExpr(chs: Seq[Expression]) extends StaticKernelExpr {
+  override protected def optimizerBarrier: Boolean = true
   override def children: Seq[Expression] = chs
   override def dataType: DataType = StructType(Seq(
     StructField("tzd", DoubleType, nullable = false),

@@ -46,13 +46,20 @@ object Spans {
    */
   def geolocatedMediaSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Fixtures.table(spark, sfDir, "docs")
+    val media = parseMediaRef(explodeSpans(docs)).where(col("kind") === "media")
+    geolocate(spark, sfDir, media)
+  }
+
+  /** Attach burst-footprint geolocation + cell id to a parsed media-span frame
+   * (broadcast join against the burst dimension table). */
+  private def geolocate(spark: SparkSession, sfDir: String, media: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val bursts = Fixtures.table(spark, sfDir, "bursts")
       .select("scene_id", "subswath", "burst_idx",
         "lon1", "lat1", "lon2", "lat2", "lon3", "lat3", "lon4", "lat4")
-    val media = parseMediaRef(explodeSpans(docs)).where(col("kind") === "media")
     val u = (col("tile_x") + 0.5) / Layout.TilesX
     val v = (col("tile_y") + 0.5) / Layout.TilesY
-    media.join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
+    media.join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"), joinType)
       .withColumn("lon", col("lon1") + u * (col("lon2") - col("lon1")) + v * (col("lon4") - col("lon1")))
       .withColumn("lat", col("lat1") + v * (col("lat4") - col("lat1")))
       // native codegen'd expression (graft.exprs.CellId); property-tested equal to
@@ -60,17 +67,22 @@ object Spans {
       .withColumn("cell", graft.exprs.CellId.cellId(col("lon"), col("lat")))
   }
 
-  /** Query: per-span parse + cell encode, preserving span sequence (the invariant). */
+  /** Query: per-span parse + cell encode, preserving span sequence (the invariant).
+   * ONE scan of docs (guide §2.3/§2.4): media and text legs previously each
+   * re-scanned and re-exploded the corpus and re-parsed media_ref; now every
+   * span flows through one explode + parse, the burst broadcast join runs
+   * left-outer (text rows carry null keys, so they match nothing and pass
+   * through), and the media-inner/text-union semantics are recovered by the
+   * `kind = text OR matched` filter — row-identical to the two-leg union. */
   def spanCellsQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val geo = geolocatedMediaSpans(spark, sfDir)
+    val spans = parseMediaRef(explodeSpans(Fixtures.table(spark, sfDir, "docs")))
+    val isMedia = col("kind") === "media"
+    geolocate(spark, sfDir, spans, joinType = "left_outer")
+      .where(col("kind") === "text" || (isMedia && col("lon1").isNotNull))
       .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"),
-        col("cell"), round(col("lon"), 6).as("lon_r"), round(col("lat"), 6).as("lat_r"))
-    val text = parseMediaRef(explodeSpans(Fixtures.table(spark, sfDir, "docs")))
-      .where(col("kind") === "text")
-      .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"),
-        lit(null).cast("long").as("cell"),
-        lit(null).cast("double").as("lon_r"), lit(null).cast("double").as("lat_r"))
-    geo.unionByName(text)
+        when(isMedia, col("cell")).as("cell"),
+        when(isMedia, round(col("lon"), 6)).as("lon_r"),
+        when(isMedia, round(col("lat"), 6)).as("lat_r"))
   }
 
   /**

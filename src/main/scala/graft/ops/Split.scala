@@ -60,7 +60,14 @@ object Split {
   def aoiDocTilesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val sel = topsarSplitQuery(spark, sfDir)
       .select("aoi_id", "scene_id", "subswath", "first_burst", "last_burst")
-    val spans = Spans.geolocatedMediaSpans(spark, sfDir)
+    // parsed media spans WITHOUT the burst geolocation join: this query consumes
+    // only the tiling key, so the former extra broadcast-hash probe of every
+    // span against the burst table bought nothing — the join against `sel`
+    // (itself derived from the burst table) already constrains (scene,
+    // subswath, burst), and the oracle's own derivation joins the raw media
+    // spans straight to sel
+    val spans = Spans.parseMediaRef(Spans.explodeSpans(Fixtures.table(spark, sfDir, "docs")))
+      .where(col("kind") === "media")
     val hit = spans.join(broadcast(sel),
         spans("scene_id") === sel("scene_id") &&
         spans("subswath") === sel("subswath") &&

@@ -603,6 +603,10 @@ object TerrainCorrection {
       .select("scene_id", "subswath", "burst_idx", "ci", "cj", "l0", "x0", "wl", "wx", "lf", "xf", "slant")
   }
 
+  /** BenchExtra probe hook: the resolve stage as the bench would see it. */
+  def resolveCellsProbe(spark: SparkSession, sfDir: String): DataFrame =
+    resolveCells(spark, sfDir, useDem = true)
+
   private def rdGeocode(spark: SparkSession, sfDir: String, useDem: Boolean,
       ciMax: Int = GridNx, normalize: Boolean = false): DataFrame =
     rdGeocodeFrom(spark, sfDir,
@@ -644,8 +648,13 @@ object TerrainCorrection {
     val d = Raster.Dyadic; val dv = Raster.DyadicV
     val (factor, quantum) =
       if (normalize) ("/ (snorm * snorm)", "1E9") else ("", "1E6")
-    tiles
-      .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+    // broadcast the TILE side: it is the small row set (one row per tile vs 4
+    // corner rows per resolved map cell), so the per-pass driver collect + hash
+    // relation build shrinks ~300x in rows and the resolve side streams through
+    // the join instead of being collected into a broadcast (guide §3.1:
+    // broadcast the side that fits — rows, not just bytes, set the build cost)
+    corners
+      .join(broadcast(tiles), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
       .withColumn("pa", expr("element_at(i, px + 1)"))
       .withColumn("pb", expr("element_at(q, px + 1)"))
       .withColumn("term_q", expr(
@@ -745,8 +754,8 @@ object TerrainCorrection {
       .where(col("pol") === "VV")
       .select(col("scene_id"), col("subswath"), col("burst_idx"),
         col("tile_x"), col("tile_y"), col("i"), col("q"))
-    tiles
-      .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+    corners
+      .join(broadcast(tiles), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
       .withColumn("iv", expr(s"floor(element_at(i, px + 1) * $d) / $d"))
       .withColumn("qv", expr(s"floor(element_at(q, px + 1) * $d) / $d"))
       .withColumn("bad", expr("element_at(i, px + 1) = -9999.0D or element_at(q, px + 1) = -9999.0D " +
@@ -796,8 +805,8 @@ object TerrainCorrection {
       .select(col("scene_id"), col("subswath"), col("burst_idx"),
         col("tile_x"), col("tile_y"), col("i"), col("q"))
     val d = Raster.Dyadic; val dv = Raster.DyadicV
-    tiles
-      .join(broadcast(corners), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
+    corners
+      .join(broadcast(tiles), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
       .withColumn("pa", expr("element_at(i, px + 1)"))
       .withColumn("pb", expr("element_at(q, px + 1)"))
       .withColumn("term_q", expr(

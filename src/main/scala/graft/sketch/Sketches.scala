@@ -189,9 +189,17 @@ object Sketches {
     }.reduce(_ unionByName _)
       .join(cms, Seq("r", "b"))
       .groupBy("w", "c_exact").agg(min("bucket_cnt").as("c_est"))
+    // top-K via orderBy + limit — plans as a distributed TakeOrderedAndProject
+    // (per-partition top-K, K rows to the driver) instead of the former
+    // unpartitioned row_number window, which moved the ENTIRE vocabulary frame
+    // to one partition (a 10^7-row serialization point at corpus scale; the
+    // WindowExec single-partition warning in every suite run). The (c_exact
+    // desc, w asc) key is total — w is the group key — so limit(topK) selects
+    // exactly the rows the rank filter kept; the rank is then re-derived by the
+    // same window over only the K survivors.
     est
+      .orderBy(desc("c_exact"), asc("w")).limit(topK)
       .withColumn("rk", row_number().over(Window.orderBy(desc("c_exact"), asc("w"))))
-      .where(col("rk") <= topK)
       .select(col("w"), col("rk"), col("c_exact"), col("c_est"),
         expr("c_est - c_exact").as("overestimate"))
   }
