@@ -125,6 +125,32 @@ object BenchExtra {
         val f1 = t(noop(full())); val f2 = t(noop(full()))
         println(f"""{"resolve":[$r1%.3f,$r2%.3f],"full":[$f1%.3f,$f2%.3f]}""")
 
+      // decompose q_aoi_doc_tiles: selection side, span side, join, full
+      case "aoiprobe" =>
+        import org.apache.spark.sql.functions.{col, broadcast}
+        def t(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def sel() = ops.Split.topsarSplitQuery(spark, sfDir)
+        def spans() = ops.Spans.parseMediaRef(ops.Spans.explodeSpans(
+          gen.Fixtures.table(spark, sfDir, "docs"))).where(col("kind") === "media")
+        def joined() = {
+          val s = sel().select("aoi_id", "scene_id", "subswath", "first_burst", "last_burst")
+          val sp = spans()
+          sp.join(broadcast(s), sp("scene_id") === s("scene_id") &&
+            sp("subswath") === s("subswath") &&
+            sp("burst_idx").between(col("first_burst"), col("last_burst")))
+        }
+        def full() = SparkEntry.queries("q_aoi_doc_tiles")(spark, sfDir)
+        Seq("sel" -> (() => noop(sel())), "spans" -> (() => noop(spans())),
+          "joined" -> (() => noop(joined())), "full" -> (() => noop(full()))).foreach {
+          case (n, f) =>
+            val a = t(f()); val b = t(f()); val c = t(f())
+            println(f"""{"$n":[$a%.3f,$b%.3f,$c%.3f]}""")
+        }
+
       case other =>
         System.err.println(s"unknown mode $other")
         sys.exit(2)

@@ -25,6 +25,13 @@ object Ann {
   def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** cosine over the "va"/"vb" ARRAY<FLOAT> columns as a compiled kernel —
+   * same index-order double fold as the former interpreted
+   * aggregate(zip_with(...)) SQL (kept below for the spec that pins their
+   * equality), one static call per scored pair. */
+  def cosCol: org.apache.spark.sql.Column =
+    graft.exprs.KernelExprs.cosine(col("va"), col("vb"))
+
   /** cosine(a, b) over two ARRAY<FLOAT> columns, computed in double. */
   val cosSql: String =
     """aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)
@@ -38,7 +45,7 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("va"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
@@ -52,7 +59,7 @@ object Ann {
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("label").as("label_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("label").as("label_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
       .where(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
         round(col("cos"), 6).as("cos_r"))
@@ -112,7 +119,7 @@ object Ann {
     cands
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), Seq("vec_b"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
       .where(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_r"))
   }
@@ -153,7 +160,7 @@ object Ann {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("vb"))
     val assign = e.select(col("vec_id"), col("embedding").as("va"))
       .join(broadcast(cent))
-      .withColumn("ccos", expr(cosSql))
+      .withColumn("ccos", cosCol)
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))))
       .where(col("crn") === 1)
@@ -161,7 +168,7 @@ object Ann {
     val probes = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"))
       .join(broadcast(cent))
-      .withColumn("ccos", expr(cosSql))
+      .withColumn("ccos", cosCol)
       .withColumn("prn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("ccos"), asc("centroid_id"))))
       .where(col("prn") <= IvfNProbe)
@@ -182,7 +189,7 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .join(qv, Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .where(col("rank") <= k)
@@ -211,7 +218,7 @@ object Ann {
     for (_ <- 1 to TrainIters) {
       val assign = e
         .join(broadcast(cent))
-        .withColumn("ccos", expr(cosSql))
+        .withColumn("ccos", cosCol)
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))))
         .where(col("crn") === 1)
@@ -236,7 +243,7 @@ object Ann {
       .select(col("centroid_id"), col("cv").as("vb"))
     val assign = e.select(col("vec_id"), col("embedding").as("va"))
       .join(broadcast(cent))
-      .withColumn("ccos", expr(cosSql))
+      .withColumn("ccos", cosCol)
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("centroid_id"))))
       .where(col("crn") === 1)
@@ -244,7 +251,7 @@ object Ann {
     val probes = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"))
       .join(broadcast(cent))
-      .withColumn("ccos", expr(cosSql))
+      .withColumn("ccos", cosCol)
       .withColumn("prn", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("ccos"), asc("centroid_id"))))
       .where(col("prn") <= IvfNProbe)
@@ -257,7 +264,7 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .join(qv, Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .where(col("rank") <= k)
@@ -313,7 +320,7 @@ object Ann {
     val a = e.select(col("vec_id").as("query_id"), col("embedding").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .where(col("rank") <= k)
@@ -478,7 +485,7 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("va"), col("label").as("true_label"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"), col("label").as("nb_label"))
     val top = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(cosSql))
+      .withColumn("cos", cosCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
       .where(col("rank") <= k)

@@ -63,8 +63,13 @@ object Dedup {
    * universal-hash family in Kernels.minhash16 (same constants inlined in the
    * DuckDB oracle) — 16x less hashing than the per-(k, shingle) md5 of round 2. */
   def minhashSignatures(d: DataFrame): DataFrame = {
-    val sig = withShingles(d)
-      .withColumn("bh", expr(s"transform(shingles, g -> ${h60("g")})"))
+    // shingle construction + per-shingle md5-h60 as ONE compiled pass over the
+    // words array (was two interpreted HOF transforms; array_distinct dropped —
+    // the minhash min-fold is duplicate-insensitive, so the signature is
+    // unchanged, pinned by the PipelineSpec golden + the driver gate)
+    val sig = d.withColumn("ws", split(lower(col("text")), " "))
+      .where(size(col("ws")) >= 3)
+      .withColumn("bh", graft.exprs.KernelExprs.shingleH60(col("ws")))
       .withColumn("sig", graft.exprs.KernelExprs.minhash16(col("bh")))
     val mhCols = (0 until NumHashes).map(k => expr(s"element_at(sig, ${k + 1})").as(s"mh_$k"))
     val bandCols = (0 until Bands).map(b => expr(

@@ -410,6 +410,38 @@ case class WishartExpr(chs: Seq[Expression], centers: Expression, w: Int, h: Int
 }
 
 /** Integer-exact rollup struct (n, s, mn, mx) of a filtered array (one compiled pass). */
+/** Compiled cosine over two FLOAT or DOUBLE embedding arrays (Kernels.cosine);
+ * the per-child element type is resolved from the child's dataType so the SQL
+ * CAST-to-double upcast is reproduced exactly. */
+case class CosineExpr(a: Expression, b: Expression) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"cosine over $t")
+  }
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.cosine(${args(0)}, ${args(1)}, ${isFloat(a)}, ${isFloat(b)})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.cosine(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      isFloat(a), isFloat(b))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1))
+}
+
+/** Compiled 3-word-shingle h60 hashes from a words array (Kernels.shingleH60). */
+case class ShingleH60Expr(ws: Expression) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(ws)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.shingleH60(${args.head})"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.shingleH60(args(0).asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(ws = c(0))
+}
+
 /** Compiled per-pixel binary map (Kernels.pixelMap2): the hot zip_with lambdas
  * (calibration apply, noise subtraction, interferogram phase) as one static
  * call per tile — bit-identical to the interpreted HOF they replace
@@ -1062,6 +1094,10 @@ object KernelExprs {
     toCol(IntensityExpr(toExpr(i), toExpr(q), d, dv))
 
   def quantize(a: Column, d: Double): Column = toCol(QuantizeExpr(toExpr(a), d))
+
+  def shingleH60(ws: Column): Column = toCol(ShingleH60Expr(toExpr(ws)))
+
+  def cosine(a: Column, b: Column): Column = toCol(CosineExpr(toExpr(a), toExpr(b)))
 
   def ionoSmooth(cre: Column, cim: Column, tilesX: Int, tilesY: Int,
       tileW: Int, tileH: Int, sigma: Int, thr: Double): Column =

@@ -738,6 +738,69 @@ object Kernels {
 
   // ------------------------------------------------------------------ rollup kernel
 
+  // ----------------------------------------------------------------- cosine
+
+  /** cosine(va, vb) accumulated in double in index order — the exact fold the
+   * interpreted aggregate(zip_with(...)) SQL performed, one compiled call per
+   * scored pair. aFloat/bFloat say whether each child is ARRAY<FLOAT> (raw
+   * embeddings) or ARRAY<DOUBLE> (cast embeddings / trained centroids) — the
+   * SQL upcast CAST(x AS DOUBLE) is reproduced per element. */
+  def cosine(aD: ArrayData, bD: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val a: Array[Double] = if (aFloat) {
+      val f = aD.toFloatArray(); val d = new Array[Double](f.length)
+      var i = 0; while (i < f.length) { d(i) = f(i).toDouble; i += 1 }; d
+    } else aD.toDoubleArray()
+    val b: Array[Double] = if (bFloat) {
+      val f = bD.toFloatArray(); val d = new Array[Double](f.length)
+      var i = 0; while (i < f.length) { d(i) = f(i).toDouble; i += 1 }; d
+    } else bD.toDoubleArray()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // -------------------------------------------------------------- shingle hashing
+
+  /** 3-word shingle h60 hashes straight from the words array: for each window,
+   * md5("w1 w2 w3"), first 15 hex chars parsed base-16 (= the SQL
+   * CAST(conv(substring(md5(g),1,15),16,10) AS BIGINT)) — one compiled loop
+   * replacing two interpreted HOFs (the concat_ws shingle transform and the
+   * per-shingle md5 transform). Duplicates are NOT removed: the only consumer
+   * is the minhash min-fold, which is duplicate-insensitive. */
+  def shingleH60(wsD: ArrayData): ArrayData = {
+    val n = wsD.numElements()
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) { words(i) = wsD.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](math.max(0, n - 2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < n - 2) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits of the digest
+      var h = 0L
+      var b = 0
+      while (b < 8) {
+        val v = dig(b) & 0xFF
+        if (b < 7) h = (h << 8) | v
+        else h = (h << 4) | (v >>> 4) // 15th hex char is the high nibble of byte 7
+        b += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ------------------------------------------------------------- per-pixel maps
 
   // Compiled twins of the per-pixel zip_with/transform lambdas on the hot tile

@@ -40,16 +40,33 @@ object Split {
       .distinct()
   }
 
-  /** Query: burst selection per (aoi, scene, subswath) with min..max contiguity. */
+  /** Query: burst selection per (aoi, scene, subswath) with min..max contiguity.
+   * The cover-cell duplicates are collapsed INSIDE the aggregation (distinct
+   * burst_idx per group) rather than by a standalone .distinct(): one exchange
+   * instead of two back-to-back (distinct's on the 4-col key, then the
+   * groupBy's on 3 of the same columns) — min/max are duplicate-insensitive
+   * and n_hit = distinct bursts per group, so the result is unchanged. */
   def topsarSplitQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val aoi = Fixtures.table(spark, sfDir, "aoi")
     val bursts = Fixtures.table(spark, sfDir, "bursts")
-    aoiBurstPairs(aoi, bursts)
+    val burstCells = bursts
+      .withColumn("blon_min", least(burstXs: _*))
+      .withColumn("blon_max", greatest(burstXs: _*))
+      .withColumn("blat_min", least(burstYs: _*))
+      .withColumn("blat_max", greatest(burstYs: _*))
+      .withColumn("cell", explode(CellIndex.coverCol(
+        col("blon_min"), col("blat_min"), col("blon_max"), col("blat_max"))))
+    val aoiCells = aoi
+      .withColumn("cell", explode(CellIndex.coverCol(
+        col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))))
+    val (rx, ry) = Geo.rectCorners(col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"))
+    burstCells.join(broadcast(aoiCells), Seq("cell"))
+      .where(Geo.quadIntersectsSAT(rx, ry, burstXs, burstYs))
       .groupBy("aoi_id", "scene_id", "subswath")
       .agg(
         min("burst_idx").as("first_burst"),
         max("burst_idx").as("last_burst"),
-        count(lit(1)).as("n_hit"))
+        countDistinct("burst_idx").as("n_hit"))
   }
 
   /**

@@ -208,4 +208,30 @@ class RasterOpsSpec extends AnyFunSuite {
     check(KernelExprs.quantize(col("a"), 4096.0),
       "transform(a, x -> floor(x * 4096) / 4096)")
   }
+
+  test("compiled cosine and shingle-h60 kernels equal their interpreted SQL twins") {
+    import graft.exprs.KernelExprs
+    val r = new scala.util.Random(43)
+    val vecs = (1 to 12).map { _ =>
+      (Array.fill(64)(r.nextFloat() * 2f - 1f), Array.fill(64)(r.nextFloat() * 2f - 1f))
+    }
+    val df = vecs.toDF("va", "vb")
+    val cosOut = df.select(KernelExprs.cosine(col("va"), col("vb")).as("k"),
+      expr(graft.ann.Ann.cosSql).as("s")).collect()
+    cosOut.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b c d e f g", "x y z", "repeat repeat repeat repeat repeat")
+    val tdf = texts.map(Tuple1(_)).toDF("text")
+      .withColumn("ws", split(lower(col("text")), " "))
+    val hOut = tdf.select(KernelExprs.shingleH60(col("ws")).as("k"),
+      expr("transform(transform(sequence(0, size(ws) - 3), i -> " +
+        "concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))), " +
+        "g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))").as("s")).collect()
+    hOut.foreach { row =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    }
+  }
 }
