@@ -57,6 +57,12 @@ object BenchExtra {
         names.foreach { name =>
           try {
             val df = SparkEntry.queries(name)(spark, sfDir)
+            // execute THIS QueryExecution once so AQE finalizes every stage:
+            // the pre-execution formatted plan omits codegen ids and AQE
+            // rewrites for stages behind a pending exchange (a noop write
+            // would execute a separate QueryExecution and leave this one
+            // unfinalized)
+            df.queryExecution.toRdd.count()
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
             Files.writeString(outDir.resolve(s"$name.txt"), plan)
