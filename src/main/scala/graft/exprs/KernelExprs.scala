@@ -458,6 +458,86 @@ case class PixelMap2Expr(a: Expression, b: Expression, mode: Int, p: Double)
     copy(a = c(0), b = c(1))
 }
 
+/** Compiled index-dependent per-pixel map (Kernels.pixelMapIdx): the lambda
+ * reads the pixel's global range sample gx = tile_x*tw + k%tw (antenna-pattern
+ * gain, incidence-angle calibrator classes, per-row noise floor). `p` is an
+ * expression child so a per-row scalar (noise floor) or a parsed mission
+ * constant can drive the same kernel. */
+case class PixelMapIdxExpr(v: Expression, tileX: Expression, p: Expression,
+    mode: Int, tw: Int, spb: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, tileX, p)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.pixelMapIdx(${args(0)}, ${args(1)}, ${args(2)}, $mode, $tw, $spb)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.pixelMapIdx(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[Int],
+      args(2).asInstanceOf[Double], mode, tw, spb)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), tileX = c(1), p = c(2))
+}
+
+/** Compiled wrapped phase-subtraction over an (a, b) channel pair
+ * (Kernels.phaseSubPair): ph = atan2(b, a) (d-quantized first in EAP mode),
+ * out = atan2(sin(ph - f), cos(ph - f)) with f the closed-form surface at the
+ * pixel's global coordinates (topo surface / EAP elevation profile). */
+case class PhaseSubPairExpr(a: Expression, b: Expression, tileX: Expression,
+    tileY: Expression, mode: Int, d: Double, tw: Int, th: Int, spb: Int,
+    p1: Double = 0.0, p2: Double = 0.0)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(a, b, tileX, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.phaseSubPair(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, $mode, ${d}D, $tw, $th, $spb, ${p1}D, ${p2}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.phaseSubPair(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[Int], args(3).asInstanceOf[Int], mode, d, tw, th, spb, p1, p2)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1), tileX = c(2), tileY = c(3))
+}
+
+/** Chain TopoPhaseRemoval map over an already-computed wrapped-phase array —
+ * unary so a deeply chained upstream `v` expression is referenced exactly once. */
+case class PhaseSubVExpr(v: Expression, tileX: Expression, tileY: Expression,
+    tw: Int, th: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, tileX, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.phaseSubV(${args(0)}, ${args(1)}, ${args(2)}, $tw, $th)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.phaseSubV(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[Int],
+      args(2).asInstanceOf[Int], tw, th)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), tileX = c(1), tileY = c(2))
+}
+
+/** S1-ETAD timing-correction map: gx + dR/DR (pure arithmetic — exact). */
+case class EtadMapExpr(v: Expression, lut: Expression, tileX: Expression,
+    dr: Double, tw: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, lut, tileX)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.etadMap(${args(0)}, ${args(1)}, ${args(2)}, ${dr}D, $tw)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.etadMap(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[Int], dr, tw)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), lut = c(1), tileX = c(2))
+}
+
+/** Chain Subset pixel-exact crop mask (pure comparisons — exact). */
+case class SubsetMaskExpr(v: Expression, tileX: Expression, tileY: Expression,
+    x0: Int, x1: Int, y0: Int, y1: Int, tw: Int, th: Int) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, tileX, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.subsetMask(${args(0)}, ${args(1)}, ${args(2)}, $x0, $x1, $y0, $y1, $tw, $th)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.subsetMask(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[Int],
+      args(2).asInstanceOf[Int], x0, x1, y0, y1, tw, th)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), tileX = c(1), tileY = c(2))
+}
+
 /** Compiled dyadic intensity v = i^2+q^2 (Raster.intensityTiles' zip_with). */
 case class IntensityExpr(i: Expression, q: Expression, d: Double, dv: Double)
     extends StaticKernelExpr {
@@ -1092,6 +1172,25 @@ object KernelExprs {
 
   def intensity(i: Column, q: Column, d: Double, dv: Double): Column =
     toCol(IntensityExpr(toExpr(i), toExpr(q), d, dv))
+
+  def pixelMapIdx(v: Column, tileX: Column, p: Column, mode: Int, tw: Int, spb: Int): Column =
+    toCol(PixelMapIdxExpr(toExpr(v), toExpr(tileX), toExpr(p), mode, tw, spb))
+
+  def etadMap(v: Column, lut: Column, tileX: Column, dr: Double, tw: Int): Column =
+    toCol(EtadMapExpr(toExpr(v), toExpr(lut), toExpr(tileX), dr, tw))
+
+  def phaseSubPair(a: Column, b: Column, tileX: Column, tileY: Column,
+      mode: Int, d: Double, tw: Int, th: Int, spb: Int,
+      p1: Double = 0.0, p2: Double = 0.0): Column =
+    toCol(PhaseSubPairExpr(toExpr(a), toExpr(b), toExpr(tileX), toExpr(tileY),
+      mode, d, tw, th, spb, p1, p2))
+
+  def phaseSubV(v: Column, tileX: Column, tileY: Column, tw: Int, th: Int): Column =
+    toCol(PhaseSubVExpr(toExpr(v), toExpr(tileX), toExpr(tileY), tw, th))
+
+  def subsetMask(v: Column, tileX: Column, tileY: Column,
+      x0: Int, x1: Int, y0: Int, y1: Int, tw: Int, th: Int): Column =
+    toCol(SubsetMaskExpr(toExpr(v), toExpr(tileX), toExpr(tileY), x0, x1, y0, y1, tw, th))
 
   def quantize(a: Column, d: Double): Column = toCol(QuantizeExpr(toExpr(a), d))
 

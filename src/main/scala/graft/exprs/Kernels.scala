@@ -817,6 +817,8 @@ object Kernels {
   val PM_COMPLEXDIV = 3 // (x, a)   -> x / a                           [complex cal]
   val PM_ATAN2 = 4 // (b, a)   -> atan2(b, a)                     [interferogram]
   val PM_CALDIV_SNAP = 5 // (dn2, a) -> floor(dn2/a^2 * p)/p            [chain calibration]
+  val PM_RS2OFF = 6 // (dn2, a) -> (dn2 + p) / a                   [RS2 gains-LUT+offset]
+  val PM_RVI = 7 // (vv, vh) -> 4*vh / (vv + vh), ND if sum<=0  [dual-pol RVI]
 
   def pixelMap2(aD: ArrayData, bD: ArrayData, mode: Int, p: Double): ArrayData = {
     val a = aD.toDoubleArray(); val b = bD.toDoubleArray()
@@ -857,6 +859,17 @@ object Kernels {
           out(k) = if (x == ND) ND else math.floor(x / (b(k) * b(k)) * p).toLong.toDouble / p
           k += 1
         }
+      case PM_RS2OFF =>
+        while (k < n) {
+          val x = a(k)
+          out(k) = if (x == ND) ND else (x + p) / b(k); k += 1
+        }
+      case PM_RVI =>
+        while (k < n) {
+          val x = a(k); val y = b(k)
+          out(k) = if (x == ND || y == ND || x + y <= 0.0) ND else 4.0 * y / (x + y)
+          k += 1
+        }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
@@ -891,6 +904,181 @@ object Kernels {
     var k = 0
     while (k < a.length) {
       out(k) = math.floor(a(k) * d).toLong.toDouble / d; k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ---- indexed per-pixel maps: the lambda depends on the pixel's GLOBAL range
+  // sample gx = tileX*tw + (k % tw) (antenna/incidence-angle formula classes).
+  // Trig goes through java.lang.Math — exactly what Spark's Cos/Sin/Atan2
+  // evaluate (UnaryMathExpression binds scala.math.* = java.lang.Math); the
+  // arithmetic ORDER of every mode mirrors its SQL lambda so results are
+  // bit-identical (RasterOpsSpec pins each mode).
+  val PXI_ANTPAT = 0 // x / g(gx)^2, g = 1 + 0.2 cos((theta-30)/5)      [antenna pattern]
+  val PXI_ASAR = 1 // x * sin(theta*DTOR) / p                         [ASAR/ERS class]
+  val PXI_TSX = 2 // p * |x - NEBN(u)| * sin(theta*DTOR)             [TerraSAR-X class]
+  val PXI_SCALE = 3 // x * p                                           [ICEYE/ALOS class]
+  val PXI_SUBMAX = 4 // max(0, x - p)                                   [RCM noise floor]
+  val PXI_COHBIAS = 5 // max(0, (x - p) / (1 - p))                 [coherence bias corr]
+
+  private val Dtor = 0.017453292519943295
+
+  /** theta(gx): the shared linear elevation-angle profile (Calibration.thetaOf). */
+  @inline private def thetaOf(gx: Int, spb: Int): Double = 20.0 + 20.0 * gx / spb
+
+  def pixelMapIdx(vD: ArrayData, tileX: Int, p: Double, mode: Int, tw: Int, spb: Int): ArrayData = {
+    val v = vD.toDoubleArray()
+    val n = v.length
+    val out = new Array[Double](n)
+    var k = 0
+    mode match {
+      case PXI_ANTPAT =>
+        while (k < n) {
+          val x = v(k)
+          out(k) = if (x == ND) ND else {
+            val g = 1.0 + 0.2 * Math.cos((thetaOf(tileX * tw + k % tw, spb) - 30.0) / 5.0)
+            x / (g * g)
+          }
+          k += 1
+        }
+      case PXI_ASAR =>
+        while (k < n) {
+          val x = v(k)
+          out(k) = if (x == ND) ND
+            else x * Math.sin(thetaOf(tileX * tw + k % tw, spb) * Dtor) / p
+          k += 1
+        }
+      case PXI_TSX =>
+        while (k < n) {
+          val x = v(k)
+          out(k) = if (x == ND) ND else {
+            val gx = tileX * tw + k % tw
+            val u = gx / spb.toDouble
+            p * Math.abs(x - (0.02 + 0.01 * u - 0.005 * u * u)) *
+              Math.sin(thetaOf(gx, spb) * Dtor)
+          }
+          k += 1
+        }
+      case PXI_SCALE =>
+        while (k < n) {
+          val x = v(k)
+          out(k) = if (x == ND) ND else x * p; k += 1
+        }
+      case PXI_SUBMAX =>
+        while (k < n) {
+          val x = v(k)
+          out(k) = if (x == ND) ND else math.max(0.0, x - p); k += 1
+        }
+      case PXI_COHBIAS =>
+        // (1.0 - p) reproduces the SQL's interpolated denominator literal
+        // exactly: CohBiasDen is defined as 1.0 - CohBiasC, the same op
+        val den = 1.0 - p
+        while (k < n) {
+          val x = v(k)
+          out(k) = if (x == ND) ND else math.max(0.0, (x - p) / den); k += 1
+        }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** S1-ETAD timing correction: corrected fractional range sample
+   * gx + dR/DR (pure arithmetic — exact; dr passed as the same double the SQL
+   * interpolated). */
+  def etadMap(vD: ArrayData, lutD: ArrayData, tileX: Int, dr: Double, tw: Int): ArrayData = {
+    val v = vD.toDoubleArray(); val lut = lutD.toDoubleArray()
+    val out = new Array[Double](v.length)
+    var k = 0
+    while (k < v.length) {
+      out(k) = if (v(k) == ND) ND else (tileX * tw + k % tw) + lut(k) / dr
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // ---- wrapped phase-subtraction maps: out = atan2(sin(ph - f), cos(ph - f))
+  // with ph from the (a, b) pair (zip_with(b, a, atan2) order) and f the
+  // closed-form surface at the pixel's global coordinates.
+  val PS_TOPO_PAIR = 0 // ph = atan2(b, a);   f = Ktopo * h(gx, gy)   [topo phase removal]
+  val PS_EAP = 1 // ph = atan2(qb, qa) on d-quantized inputs; f = eap(gx) [EAP phase]
+  val PS_FLAT = 2 // ph = atan2(b, a);   f = p1*gx + p2*gx^2        [flat-earth phase]
+
+  /** f_topo(gx, gy) = 0.05 * (100 + 50 sin(gx/40) + 40 cos(gy/25)) (InSAR.topoF). */
+  @inline private def topoF(gx: Int, gy: Int): Double =
+    0.05 * (100.0 + 50.0 * Math.sin(gx / 40.0) + 40.0 * Math.cos(gy / 25.0))
+
+  @inline private def wrapSub(ph: Double, f: Double): Double =
+    Math.atan2(Math.sin(ph - f) + 0.0, Math.cos(ph - f) + 0.0)
+
+  def phaseSubPair(aD: ArrayData, bD: ArrayData, tileX: Int, tileY: Int,
+      mode: Int, d: Double, tw: Int, th: Int, spb: Int,
+      p1: Double, p2: Double): ArrayData = {
+    val a = aD.toDoubleArray(); val b = bD.toDoubleArray()
+    val n = a.length
+    val out = new Array[Double](n)
+    var k = 0
+    mode match {
+      case PS_TOPO_PAIR =>
+        while (k < n) {
+          val av = a(k); val bv = b(k)
+          out(k) = if (bv == ND || av == ND) ND else {
+            val ph = Math.atan2(bv + 0.0, av + 0.0)
+            wrapSub(ph, topoF(tileX * tw + k % tw, tileY * th + k / tw))
+          }
+          k += 1
+        }
+      case PS_EAP =>
+        while (k < n) {
+          // inputs are d-quantized FIRST (the SQL's transform pair), so a raw
+          // value that snaps onto the sentinel lattice is treated as no-data
+          val av = math.floor(a(k) * d).toLong.toDouble / d
+          val bv = math.floor(b(k) * d).toLong.toDouble / d
+          out(k) = if (bv == ND || av == ND) ND else {
+            val ph = Math.atan2(bv + 0.0, av + 0.0)
+            val e = 0.4 * Math.sin((thetaOf(tileX * tw + k % tw, spb) - 28.0) / 3.0)
+            wrapSub(ph, e)
+          }
+          k += 1
+        }
+      case PS_FLAT =>
+        while (k < n) {
+          val av = a(k); val bv = b(k)
+          out(k) = if (bv == ND || av == ND) ND else {
+            val gx = tileX * tw + k % tw
+            val ph = Math.atan2(bv + 0.0, av + 0.0)
+            wrapSub(ph, p1 * gx + p2 * gx * gx)
+          }
+          k += 1
+        }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Chain TopoPhaseRemoval over an already-computed wrapped-phase array. */
+  def phaseSubV(vD: ArrayData, tileX: Int, tileY: Int, tw: Int, th: Int): ArrayData = {
+    val v = vD.toDoubleArray()
+    val out = new Array[Double](v.length)
+    var k = 0
+    while (k < v.length) {
+      val ph = v(k)
+      out(k) = if (ph == ND) ND
+        else wrapSub(ph, topoF(tileX * tw + k % tw, tileY * th + k / tw))
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Chain Subset pixel-exact crop mask: pixels outside the burst-local region
+   * [x0..x1]x[y0..y1] go to the no-data sentinel (pure comparisons — exact). */
+  def subsetMask(vD: ArrayData, tileX: Int, tileY: Int,
+      x0: Int, x1: Int, y0: Int, y1: Int, tw: Int, th: Int): ArrayData = {
+    val v = vD.toDoubleArray()
+    val out = new Array[Double](v.length)
+    var k = 0
+    while (k < v.length) {
+      val gx = tileX * tw + k % tw
+      val gy = tileY * th + k / tw
+      out(k) = if (gx >= x0 && gx <= x1 && gy >= y0 && gy <= y1) v(k) else ND
+      k += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

@@ -293,14 +293,11 @@ object ChainGraph {
    * surface shared by text with the standalone q_topo_phase_removal gate
    * (InSAR.topoF), consumes the upstream node's wrapped phase in `v`,
    * zero shuffles added. */
-  private def topoPhaseOp: OpCompiler = (_, _, _, srcs) => {
-    val nd = Raster.ND
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
-    val gy = s"(tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
-    val f = graft.ops.InSAR.topoF(gx, gy)
-    srcs.head.withColumn("v", expr(
-      s"transform(v, (ph, k) -> if(ph = $nd, $nd, atan2(sin(ph - $f), cos(ph - $f))))"))
-  }
+  private def topoPhaseOp: OpCompiler = (_, _, _, srcs) =>
+    // compiled twin of the wrapped topo-phase subtraction transform; unary, so
+    // the (possibly deeply chained) upstream `v` expression is referenced once
+    srcs.head.withColumn("v", graft.exprs.KernelExprs.phaseSubV(
+      col("v"), col("tile_x"), col("tile_y"), Layout.TileW, Layout.TileH))
 
   /** Subset (SubsetOp pixel-region crop): tiles overlapping the declared
    * burst-local pixel region pass through with their out-of-region pixels
@@ -322,10 +319,10 @@ object ChainGraph {
       col("tile_x") * tw <= x1 && (col("tile_x") + 1) * tw > x0 &&
       col("tile_y") * th <= y1 && (col("tile_y") + 1) * th > y0)
     val targets = if (in.columns.contains("v")) Seq("v") else Seq("i", "q")
+    // compiled crop mask (pure comparisons — exact); one kernel pass per array
     targets.foldLeft(kept) { (df, c) =>
-      df.withColumn(c, expr(
-        s"""transform($c, (x, k) -> if((tile_x * $tw + k % $tw) BETWEEN $x0 AND $x1
-           |  AND (tile_y * $th + k div $tw) BETWEEN $y0 AND $y1, x, $nd))""".stripMargin))
+      df.withColumn(c, graft.exprs.KernelExprs.subsetMask(
+        col(c), col("tile_x"), col("tile_y"), x0, x1, y0, y1, tw, th))
     }
   }
 

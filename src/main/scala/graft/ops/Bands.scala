@@ -29,17 +29,18 @@ object Bands {
   private val Q = "1.0E6"
   private val Off = "0.031415926535897934"
 
-  /** per-pixel quantized BIGINT sum of the valid intensities of one tile. */
-  private def tileSumQ(vCol: String): String =
-    s"""aggregate($vCol, struct(0L AS n, 0L AS s), (a, x) ->
-       |  if(isnan(x) or x = $ND, a,
-       |     struct(a.n + 1L AS n, a.s + CAST(floor($Off + x * $Q) AS BIGINT) AS s)))""".stripMargin
+  /** per-pixel quantized BIGINT (n, s) of the valid intensities of one tile —
+   * the compiled rollupQ kernel (its n/s fields are exactly the former
+   * interpreted aggregate() fold: same validity filter, same floor(Off + x*Q)
+   * quantizer; the extra mn/mx land in the same single pass and are unused). */
+  private def tileSumQ(vCol: String) =
+    graft.exprs.KernelExprs.rollupQ(col(vCol), 1.0e6)
 
   /** q_band_select: keep the VV band only; per-burst tile count + checksum. */
   def bandSelectQuery(spark: SparkSession, sfDir: String): DataFrame =
     Raster.intensityTiles(spark, sfDir)
       .where(col("pol") === "VV")
-      .withColumn("ts", expr(tileSumQ("v")))
+      .withColumn("ts", tileSumQ("v"))
       .groupBy("scene_id", "subswath", "pol", "burst_idx")
       .agg(count(lit(1)).as("n_tiles"),
         sum(col("ts.n")).as("n_valid"), sum(col("ts.s")).as("sum_q"))
@@ -50,7 +51,7 @@ object Bands {
     val a = Raster.intensityTiles(spark, sfDir).withColumn("band_idx", lit(0))
     val b = Raster.intensityTiles(spark, sfDir, "tiles_sec").withColumn("band_idx", lit(1))
     a.unionByName(b)
-      .withColumn("ts", expr(tileSumQ("v")))
+      .withColumn("ts", tileSumQ("v"))
       .groupBy("scene_id", "subswath", "pol", "burst_idx", "tile_y", "tile_x")
       .agg(countDistinct("band_idx").as("n_bands"),
         sum(col("ts.n")).as("n_valid"),
@@ -68,7 +69,7 @@ object Bands {
     Raster.intensityTiles(spark, sfDir)
       .withColumn("v2", expr(s"transform(v, x -> if(isnan(x) or x = $ND, ${NewNoData}D, x))"))
       .withColumn("no_data", lit(NewNoData))
-      .withColumn("ts", expr(tileSumQ("v")))
+      .withColumn("ts", tileSumQ("v"))
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"), col("no_data"),
         expr(s"CAST(size(filter(v2, x -> x = ${NewNoData}D)) AS BIGINT)").as("n_rewritten"),
@@ -83,7 +84,8 @@ object Bands {
     val cal = Calibration.withLutA(
       Raster.intensityTiles(spark, sfDir),
       Calibration.lutTable(spark, sfDir, "sigma_nought"))
-      .withColumn("cal", expr(s"zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))"))
+      .withColumn("cal", graft.exprs.KernelExprs.pixelMap2(
+        col("v"), col("lut_a"), graft.exprs.Kernels.PM_CALDIV))
     cal
       .withColumn("blocks", graft.exprs.KernelExprs.blockMeans(
         col("cal"), Layout.TileW, Layout.TileH, Multilook.Looks))

@@ -107,29 +107,27 @@ object Calibration {
   /** q_antenna_pattern: remove the two-way elevation antenna-pattern gain
    * (RemoveAntennaPatternOp.java — out = dn2 / g(theta)^2 with the gain pattern a
    * closed-form elevation profile both engines evaluate from pixel coordinates). */
-  def antennaPatternQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
-    val g = s"(1.0 + 0.2 * cos((${thetaOf(gx)} - 30.0) / CAST(5.0 AS DOUBLE)))"
+  def antennaPatternQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled twin of transform(v, (x, k) -> x / g(gx)^2) — RasterOpsSpec pins
+    // the mode bitwise against the interpreted lambda it replaced
     Raster.rollup(Raster.intensityTiles(spark, sfDir)
-      .withColumn("out", expr(
-        s"transform(v, (x, k) -> if(x = $ND, $ND, x / ($g * $g)))")))
-  }
+      .withColumn("out", graft.exprs.KernelExprs.pixelMapIdx(
+        col("v"), col("tile_x"), lit(0.0), graft.exprs.Kernels.PXI_ANTPAT,
+        Layout.TileW, Layout.SamplesPerBurst)))
 
   /** q_eap_phase: Sentinel-1 elevation-antenna-pattern phase correction
    * (EAPPhaseCorrection — wrapped phase minus the elevation phase profile). */
-  def eapPhaseQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
-    val e = s"(0.4 * sin((${thetaOf(gx)} - 28.0) / CAST(3.0 AS DOUBLE)))"
+  def eapPhaseQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled twin of the former quantize-quantize-atan2-wrap HOF quadruple:
+    // ONE pass fusing both input quantizations, the phase and the EAP-profile
+    // subtraction (RasterOpsSpec pins the mode bitwise)
     Raster.rollup(Fixtures.table(spark, sfDir, "tiles")
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
-        col("tile_x"), col("tile_y"),
-        expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as("iv"),
-        expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as("qv"))
-      .withColumn("out", expr(
-        s"""zip_with(zip_with(qv, iv, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
-           |         sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
-           |  if(ph = $ND, $ND, atan2(sin(ph - $e), cos(ph - $e))))""".stripMargin)))
-  }
+        col("tile_x"), col("tile_y"), col("i"), col("q"))
+      .withColumn("out", graft.exprs.KernelExprs.phaseSubPair(
+        col("i"), col("q"), col("tile_x"), col("tile_y"),
+        graft.exprs.Kernels.PS_EAP, Raster.Dyadic.toDouble,
+        Layout.TileW, Layout.TileH, Layout.SamplesPerBurst)))
 
   /** Iceye GRD constant calibration factor — the reference's own synthetic
    * golden case (TestCalibrationOp.java:126-140 sets calibration_factor to
@@ -210,19 +208,27 @@ object Calibration {
       "WHEN 4 THEN 'ASAR' WHEN 5 THEN 'TERRASAR-X' " +
       "ELSE 'SENTINEL-1' END"
   def dispatchQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    // same fused per-row CASE over the broadcast-LUT join, each branch now a
+    // compiled kernel instead of an interpreted HOF lambda (CaseWhen still
+    // evaluates only the selected branch per row; the mission constants are
+    // parsed from the SAME literal strings the SQL branches interpolated, and
+    // Double.parseDouble = Catalyst's literal parse, so the doubles and
+    // therefore the results are bit-identical — RasterOpsSpec pins each class)
+    import graft.exprs.{KernelExprs, Kernels}
+    val tw = Layout.TileW; val spb = Layout.SamplesPerBurst
+    def idx(mode: Int, k: String) =
+      KernelExprs.pixelMapIdx(col("v"), col("tile_x"), lit(k.toDouble), mode, tw, spb)
     val out = withLutA(Raster.intensityTiles(spark, sfDir),
         lutTable(spark, sfDir, "sigma_nought"))
       .withColumn("mission", expr(DispatchMission))
-      .withColumn("out", expr({
-        val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
-        s"""CASE mission
-           |  WHEN 'ICEYE' THEN transform(v, x -> if(x = $ND, $ND, x * $IceyeK))
-           |  WHEN 'ALOS'  THEN transform(v, x -> if(x = $ND, $ND, x * $AlosK))
-           |  WHEN 'RADARSAT-2' THEN zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, (dn2 + $Rs2Offset) / a))
-           |  WHEN 'ASAR' THEN transform(v, (x, k) -> if(x = $ND, $ND, ${asarSigma("x", gx)}))
-           |  WHEN 'TERRASAR-X' THEN transform(v, (x, k) -> if(x = $ND, $ND, ${tsxSigma("x", gx)}))
-           |  ELSE zip_with(v, lut_a, (dn2, a) -> if(dn2 = $ND, $ND, dn2 / (a * a)))
-           |END""".stripMargin}))
+      .withColumn("out",
+        when(col("mission") === "ICEYE", idx(Kernels.PXI_SCALE, IceyeK))
+          .when(col("mission") === "ALOS", idx(Kernels.PXI_SCALE, AlosK))
+          .when(col("mission") === "RADARSAT-2",
+            KernelExprs.pixelMap2(col("v"), col("lut_a"), Kernels.PM_RS2OFF, Rs2Offset.toDouble))
+          .when(col("mission") === "ASAR", idx(Kernels.PXI_ASAR, AsarK))
+          .when(col("mission") === "TERRASAR-X", idx(Kernels.PXI_TSX, TsxKs))
+          .otherwise(KernelExprs.pixelMap2(col("v"), col("lut_a"), Kernels.PM_CALDIV)))
     Raster.rollup(out, scale = 1e1)
       .withColumn("mission", expr(DispatchMission))
   }
@@ -233,6 +239,7 @@ object Calibration {
   def thermalNoiseRcmQuery(spark: SparkSession, sfDir: String): DataFrame =
     Raster.rollup(Raster.intensityTiles(spark, sfDir)
       .withColumn("nf", expr("2.0D + 0.25D * burst_idx"))
-      .withColumn("out", expr(
-        s"transform(v, x -> if(x = $ND, $ND, greatest(0D, x - nf)))")))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMapIdx(
+        col("v"), col("tile_x"), col("nf"), graft.exprs.Kernels.PXI_SUBMAX,
+        Layout.TileW, Layout.SamplesPerBurst)))
 }

@@ -172,12 +172,9 @@ object Geocode {
       .groupBy("scene_id", "subswath", "pol")
       .agg(array_sort(collect_list(struct(col("line"), col("pixels"), col("noise_lut").as("lut"))))
         .as("vecs"))
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
     Raster.rollup(Calibration.withLutA(tiles, lut)
-      .withColumn("out", expr(
-        s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k ->
-           |  if(element_at(v, k + 1) = ${Raster.ND}, ${Raster.ND},
-           |    $gx + element_at(lut_a, k + 1) / ${TerrainCorrection.DR}))""".stripMargin)))
+      .withColumn("out", graft.exprs.KernelExprs.etadMap(
+        col("v"), col("lut_a"), col("tile_x"), TerrainCorrection.DR, Layout.TileW)))
   }
 
   /** Slant-range sample -> ground range (closed-form inverse of the TC slant eq). */
@@ -220,9 +217,8 @@ object Geocode {
         col("tile_x"), col("tile_y"), col("v").as("vvh"))
     Raster.rollup(vv.join(vh, Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))
       .withColumn("pol", lit("DP"))
-      .withColumn("out", expr(
-        s"""zip_with(vvv, vvh, (a, b) ->
-           |  if(a = $ND or b = $ND or a + b <= 0D, $ND, 4D * b / (a + b)))""".stripMargin)))
+      .withColumn("out", graft.exprs.KernelExprs.pixelMap2(
+        col("vvv"), col("vvh"), graft.exprs.Kernels.PM_RVI)))
   }
 
   /** Dual-pol entropy from closed-form 2x2 covariance eigenvalues of the

@@ -59,15 +59,14 @@ object InSAR {
    * deterministic function of the burst geometry (2*pi/wavelength-scaled slant-range
    * ramp) — and the subtraction is exact per pixel: out = wrap(phase - phi_flat).
    */
-  def interferogramFlatEarthQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
-    val f = s"($FlatC1 * $gx + $FlatC3 * $gx * $gx)"
+  def interferogramFlatEarthQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled twin of the atan2 + flat-earth wrapped-subtraction HOF pair
+    // (RasterOpsSpec pins the mode bitwise against the interpreted lambda)
     Raster.rollup(crossTiles(spark, sfDir)
-      .withColumn("out", expr(
-        s"""zip_with(zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
-           |         sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
-           |  if(ph = $ND, $ND, atan2(sin(ph - $f), cos(ph - $f))))""".stripMargin)))
-  }
+      .withColumn("out", KernelExprs.phaseSubPair(
+        col("cre"), col("cim"), col("tile_x"), col("tile_y"),
+        graft.exprs.Kernels.PS_FLAT, 0.0, Layout.TileW, Layout.TileH,
+        Layout.SamplesPerBurst, FlatC1, FlatC3)))
 
   /** Coherence: one 4-column halo exchange, one native windowed pass. */
   def coherenceQuery(spark: SparkSession, sfDir: String): DataFrame = {
@@ -89,9 +88,9 @@ object InSAR {
       .withColumn("coh", KernelExprs.coherence(
         col("halo_cre"), col("halo_cim"), col("halo_p1"), col("halo_p2"),
         Raster.W, Raster.H, 1))
-      .withColumn("out", expr(
-        s"""transform(coh, c -> if(c = $ND, $ND,
-           |  greatest(0D, (c - $CohBiasC) / $CohBiasDen)))""".stripMargin))
+      .withColumn("out", KernelExprs.pixelMapIdx(
+        col("coh"), lit(0), lit(CohBiasC), graft.exprs.Kernels.PXI_COHBIAS,
+        Layout.TileW, Layout.SamplesPerBurst))
       .drop("halo_cre", "halo_cim", "halo_p1", "halo_p2", "coh"))
   }
 
@@ -109,16 +108,13 @@ object InSAR {
   def topoF(gx: String, gy: String): String = s"($Ktopo * ${hSql(gx, gy)})"
 
   /** TopoPhaseRemoval: out = wrap(ifg_phase - Ktopo * h(gx, gy)). */
-  def topoPhaseRemovalQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val gx = s"(tile_x * ${Layout.TileW} + k % ${Layout.TileW})"
-    val gy = s"(tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
-    val f = topoF(gx, gy)
+  def topoPhaseRemovalQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled twin of the atan2 + topo-surface wrapped-subtraction HOF pair
     Raster.rollup(crossTiles(spark, sfDir)
-      .withColumn("out", expr(
-        s"""zip_with(zip_with(cim, cre, (b, a) -> if(b = $ND or a = $ND, $ND, atan2(b, a))),
-           |         sequence(0, ${Layout.TileW * Layout.TileH - 1}), (ph, k) ->
-           |  if(ph = $ND, $ND, atan2(sin(ph - $f), cos(ph - $f))))""".stripMargin)))
-  }
+      .withColumn("out", KernelExprs.phaseSubPair(
+        col("cre"), col("cim"), col("tile_x"), col("tile_y"),
+        graft.exprs.Kernels.PS_TOPO_PAIR, 0.0, Layout.TileW, Layout.TileH,
+        Layout.SamplesPerBurst)))
 
   /**
    * PhaseToElevation — the FULL reference algorithm (PhaseToElevationOp.java:

@@ -209,6 +209,125 @@ class RasterOpsSpec extends AnyFunSuite {
       "transform(a, x -> floor(x * 4096) / 4096)")
   }
 
+  test("compiled indexed pixel maps and phase-subtraction kernels match their HOF twins (pure modes bit-exact; trig modes within the JIT few-ulp band and quantizer-exact)") {
+    import graft.exprs.{KernelExprs, Kernels}
+    import graft.ops.{Calibration, InSAR}
+    val nd = Raster.ND // "-9999.0D" literal for SQL
+    val r = new scala.util.Random(47)
+    def randArr(n: Int, lo: Double, hi: Double): Array[Double] = Array.fill(n) {
+      val u = r.nextDouble()
+      if (u < 0.06) ND
+      else if (u < 0.08) 0.0
+      else lo + r.nextDouble() * (hi - lo)
+    }
+    // full-tile arrays so the SQL twins' sequence(0, n-1) zips align
+    val n = Layout.TileW * Layout.TileH
+    val rows = (0 until 8).map { rr =>
+      (randArr(n, -300.0, 300.0), randArr(n, -300.0, 300.0),
+        Array.fill(n)(400.0 + r.nextDouble() * 400.0), rr % 4, rr % 2)
+    }
+    val df = rows.toDF("a", "b", "lut", "tile_x", "tile_y")
+    // ulpTol = 0: bit-exact (pure-arithmetic modes). ulpTol > 0: modes whose
+    // lambda calls java.lang.Math trig — HotSpot serves Math.sin/cos from the
+    // fdlibm method OR the C2 intrinsic stub depending on JIT phase; each is
+    // within 1 ulp of the true result but they can land on opposite sides, and
+    // the surrounding multiplies/divides round once more (a latitude the
+    // INTERPRETED HOF path had too — the same closure call site crosses the
+    // same JIT phases). The gate's integer quantizer (1e6 buckets over O(1)
+    // values) sits ~11 orders of magnitude above this few-ulp band; a second
+    // assertion pins that no element moves across a quantizer boundary.
+    def check(kernel: org.apache.spark.sql.Column, sql: String, ulpTol: Int = 0): Unit = {
+      val out = df.select(kernel.as("k"), expr(sql).as("s")).collect()
+      out.foreach { row =>
+        val k = row.getSeq[Double](0); val s = row.getSeq[Double](1)
+        assert(k.length == s.length)
+        k.zip(s).zipWithIndex.foreach { case ((x, y), i) =>
+          val exact = java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+          // the band is ABSOLUTE at the operand scale: a 1-ulp trig difference
+          // inside a large surface term (f_topo ~ 5) lands as ~ulp(f) absolute
+          // error in the wrapped angle, independent of the output's magnitude
+          val close = ulpTol > 0 && math.abs(x - y) <= ulpTol * math.ulp(16.0)
+          assert(exact || close,
+            s"mismatch at $i: $x vs $y [sql: ${sql.take(70)}]")
+          // gate-level exactness: the few-ulp trig band must never move a value
+          // across a 1e-6 quantizer boundary — the bar the DuckDB oracle enforces
+          def q(v: Double) = math.floor(0.031415926535897934 + v * 1.0e6).toLong
+          assert(q(x) == q(y), s"quantized mismatch at $i: $x vs $y")
+        }
+      }
+    }
+    val tw = Layout.TileW; val th = Layout.TileH; val spb = Layout.SamplesPerBurst
+    val gx = s"(tile_x * $tw + k % $tw)"
+    val gy = s"(tile_y * $th + k div $tw)"
+    val theta = s"(20.0 + 20.0 * ($gx) / $spb)"
+    // indexed pixel maps (Calibration.antennaPatternQuery / dispatch branches /
+    // thermalNoiseRcmQuery lambdas, verbatim)
+    val g = s"(1.0 + 0.2 * cos(($theta - 30.0) / CAST(5.0 AS DOUBLE)))"
+    check(KernelExprs.pixelMapIdx(col("a"), col("tile_x"), lit(0.0), Kernels.PXI_ANTPAT, tw, spb),
+      s"transform(a, (x, k) -> if(x = $nd, $nd, x / ($g * $g)))", ulpTol = 8)
+    check(KernelExprs.pixelMapIdx(col("a"), col("tile_x"),
+        lit(Calibration.AsarK.toDouble), Kernels.PXI_ASAR, tw, spb),
+      s"transform(a, (x, k) -> if(x = $nd, $nd, ${Calibration.asarSigma("x", gx)}))", ulpTol = 8)
+    check(KernelExprs.pixelMapIdx(col("a"), col("tile_x"),
+        lit(Calibration.TsxKs.toDouble), Kernels.PXI_TSX, tw, spb),
+      s"transform(a, (x, k) -> if(x = $nd, $nd, ${Calibration.tsxSigma("x", gx)}))", ulpTol = 8)
+    check(KernelExprs.pixelMapIdx(col("a"), col("tile_x"),
+        lit(Calibration.IceyeK.toDouble), Kernels.PXI_SCALE, tw, spb),
+      s"transform(a, x -> if(x = $nd, $nd, x * ${Calibration.IceyeK}))")
+    check(KernelExprs.pixelMapIdx(col("a"), col("tile_x"), lit(3.25), Kernels.PXI_SUBMAX, tw, spb),
+      s"transform(a, x -> if(x = $nd, $nd, greatest(0D, x - 3.25D)))")
+    check(KernelExprs.pixelMap2(col("a"), col("lut"), Kernels.PM_RS2OFF,
+        Calibration.Rs2Offset.toDouble),
+      s"zip_with(a, lut, (dn2, v) -> if(dn2 = $nd, $nd, (dn2 + ${Calibration.Rs2Offset}) / v))")
+    check(KernelExprs.pixelMap2(col("a"), col("b"), Kernels.PM_RVI),
+      s"zip_with(a, b, (x, y) -> if(x = $nd or y = $nd or x + y <= 0D, $nd, 4D * y / (x + y)))")
+    check(KernelExprs.pixelMapIdx(col("a"), lit(0), lit(InSAR.CohBiasC),
+        Kernels.PXI_COHBIAS, tw, spb),
+      s"transform(a, c -> if(c = $nd, $nd, greatest(0D, (c - ${InSAR.CohBiasC}) / ${InSAR.CohBiasDen})))")
+    check(KernelExprs.etadMap(col("a"), col("lut"), col("tile_x"),
+        graft.ops.TerrainCorrection.DR, tw),
+      s"""transform(sequence(0, ${n - 1}), k ->
+         |  if(element_at(a, k + 1) = $nd, $nd,
+         |    $gx + element_at(lut, k + 1) / ${graft.ops.TerrainCorrection.DR}))""".stripMargin)
+    // wrapped phase-subtraction maps (InSAR.topoPhaseRemovalQuery /
+    // interferogramFlatEarthQuery / Calibration.eapPhaseQuery / chain topoPhaseOp)
+    def wrapSql(src: String, f: String) =
+      s"""zip_with($src,
+         |         sequence(0, ${n - 1}), (ph, k) ->
+         |  if(ph = $nd, $nd, atan2(sin(ph - $f), cos(ph - $f))))""".stripMargin
+    val atanAb = s"zip_with(b, a, (b, a) -> if(b = $nd or a = $nd, $nd, atan2(b, a)))"
+    val ftopo = InSAR.topoF(gx, gy)
+    check(KernelExprs.phaseSubPair(col("a"), col("b"), col("tile_x"), col("tile_y"),
+        Kernels.PS_TOPO_PAIR, 0.0, tw, th, spb),
+      wrapSql(atanAb, ftopo), ulpTol = 8)
+    val fflat = s"(${InSAR.FlatC1} * $gx + ${InSAR.FlatC3} * $gx * $gx)"
+    check(KernelExprs.phaseSubPair(col("a"), col("b"), col("tile_x"), col("tile_y"),
+        Kernels.PS_FLAT, 0.0, tw, th, spb, InSAR.FlatC1, InSAR.FlatC3),
+      wrapSql(atanAb, fflat), ulpTol = 8)
+    val d = Raster.Dyadic
+    val eapE = s"(0.4 * sin(($theta - 28.0) / CAST(3.0 AS DOUBLE)))"
+    val atanQuant =
+      s"""zip_with(transform(b, x -> floor(x * $d) / $d), transform(a, x -> floor(x * $d) / $d),
+         |  (b, a) -> if(b = $nd or a = $nd, $nd, atan2(b, a)))""".stripMargin
+    check(KernelExprs.phaseSubPair(col("a"), col("b"), col("tile_x"), col("tile_y"),
+        Kernels.PS_EAP, d.toDouble, tw, th, spb),
+      wrapSql(atanQuant, eapE), ulpTol = 8)
+    check(KernelExprs.phaseSubV(col("a"), col("tile_x"), col("tile_y"), tw, th),
+      s"transform(a, (ph, k) -> if(ph = $nd, $nd, atan2(sin(ph - $ftopo), cos(ph - $ftopo))))", ulpTol = 8)
+    check(KernelExprs.subsetMask(col("a"), col("tile_x"), col("tile_y"), 17, 90, 5, 50, tw, th),
+      s"""transform(a, (x, k) -> if(($gx) BETWEEN 17 AND 90
+         |  AND ($gy) BETWEEN 5 AND 50, x, $nd))""".stripMargin)
+    // rollupQ's (n, s) = the former interpreted tile-sum fold (Bands.tileSumQ)
+    val sums = df.select(KernelExprs.rollupQ(col("a"), 1.0e6).as("k"),
+      expr(s"""aggregate(a, struct(0L AS n, 0L AS s), (acc, x) ->
+         |  if(isnan(x) or x = $nd, acc,
+         |     struct(acc.n + 1L AS n, acc.s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT) AS s)))""".stripMargin).as("s")).collect()
+    sums.foreach { row =>
+      val k = row.getStruct(0); val s = row.getStruct(1)
+      assert(k.getLong(0) == s.getLong(0) && k.getLong(1) == s.getLong(1))
+    }
+  }
+
   test("compiled cosine and shingle-h60 kernels equal their interpreted SQL twins") {
     import graft.exprs.KernelExprs
     val r = new scala.util.Random(43)
