@@ -563,6 +563,36 @@ case class QuantizeExpr(a: Expression, d: Double) extends StaticKernelExpr {
     copy(a = c(0))
 }
 
+/** Two-moment rollup (n, s, s2, mn, mx) — Data-Analysis per-tile partials. */
+case class Rollup2QExpr(arr: Expression, q: Double) extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(arr)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", LongType, nullable = false),
+    StructField("s2", LongType, nullable = false),
+    StructField("mn", LongType, nullable = true),
+    StructField("mx", LongType, nullable = true)))
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.rollup2Q(${args.head}, ${q}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.rollup2Q(args(0).asInstanceOf[ArrayData], q)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(arr = c(0))
+}
+
+/** Quantized-sum fold over one or two pixel arrays (Kernels.sumQ modes). */
+case class SumQExpr(a: Expression, b: Expression, mode: Int, k: Double, q: Double)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = LongType
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.sumQ(${args(0)}, ${args(1)}, $mode, ${k}D, ${q}D)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.sumQ(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData], mode, k, q)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1))
+}
+
 case class RollupQExpr(arr: Expression, q: Double) extends StaticKernelExpr {
   override def children: Seq[Expression] = Seq(arr)
   override def dataType: DataType = StructType(Seq(
@@ -1166,6 +1196,11 @@ object KernelExprs {
   def minhash16(hs: Column): Column = toCol(Minhash16Expr(toExpr(hs)))
 
   def rollupQ(arr: Column, q: Double): Column = toCol(RollupQExpr(toExpr(arr), q))
+
+  def rollup2Q(arr: Column, q: Double): Column = toCol(Rollup2QExpr(toExpr(arr), q))
+
+  def sumQ(a: Column, b: Column, mode: Int, k: Double = 0.0, q: Double = 1.0e6): Column =
+    toCol(SumQExpr(toExpr(a), toExpr(b), mode, k, q))
 
   def pixelMap2(a: Column, b: Column, mode: Int, p: Double = 0.0): Column =
     toCol(PixelMap2Expr(toExpr(a), toExpr(b), mode, p))

@@ -1109,6 +1109,64 @@ object Kernels {
     else InternalRow(n, s, mn, mx)
   }
 
+  /** Two-moment variant of rollupQ: (n, s, s2, mn, mx) with s2 the quantized
+   * sum of squares floor(off + x*x*q) — the Data-Analysis per-tile partials,
+   * one compiled pass instead of a filter HOF + two interpreted folds +
+   * array_min/array_max. Same validity guard and monotone-quantizer argument
+   * as rollupQ. */
+  def rollup2Q(arrD: ArrayData, q: Double): InternalRow = {
+    val a = arrD.toDoubleArray()
+    var n = 0L; var s = 0L; var s2 = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var i = 0
+    while (i < a.length) {
+      val v = a(i)
+      if (!isNd(v)) {
+        val qq = math.floor(0.031415926535897934 + v * q).toLong
+        n += 1; s += qq
+        s2 += math.floor(0.031415926535897934 + v * v * q).toLong
+        if (qq < mn) mn = qq
+        if (qq > mx) mx = qq
+      }
+      i += 1
+    }
+    if (n == 0) InternalRow(0L, 0L, 0L, null, null)
+    else InternalRow(n, s, s2, mn, mx)
+  }
+
+  // quantized-sum folds over one or two pixel arrays (the bespoke per-tile
+  // aggregate() lambdas of the stack/polarimetry queries, compiled; each mode
+  // mirrors its SQL fold's guard and arithmetic order exactly)
+  val SQ_PAIR_ADD = 0 // sum floor(off + (a+b)*q), a=ND contributes floor(off) = 0
+  val SQ_PAIR_SUB = 1 // sum floor(off + (a-b)*q), same guard
+  val SQ_SCALED = 2 // sum over a: x=ND -> 0 else floor(off + (k*x)*q)
+
+  def sumQ(aD: ArrayData, bD: ArrayData, mode: Int, k: Double, q: Double): Long = {
+    val a = aD.toDoubleArray()
+    var s = 0L
+    var i = 0
+    mode match {
+      case SQ_PAIR_ADD =>
+        val b = bD.toDoubleArray()
+        while (i < a.length) {
+          val x = if (a(i) == ND) 0.0 else a(i) + b(i)
+          s += math.floor(0.031415926535897934 + x * q).toLong; i += 1
+        }
+      case SQ_PAIR_SUB =>
+        val b = bD.toDoubleArray()
+        while (i < a.length) {
+          val x = if (a(i) == ND) 0.0 else a(i) - b(i)
+          s += math.floor(0.031415926535897934 + x * q).toLong; i += 1
+        }
+      case SQ_SCALED =>
+        while (i < a.length) {
+          val x = a(i)
+          if (x != ND) s += math.floor(0.031415926535897934 + k * x * q).toLong
+          i += 1
+        }
+    }
+    s
+  }
+
   // ------------------------------------------------------------------ minhash family
 
   /** Universal-hash family deriving all 16 minhash permutations from ONE md5-based

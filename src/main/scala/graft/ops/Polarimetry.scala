@@ -69,10 +69,16 @@ object Polarimetry {
       .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
         col("tile_y"), col("tile_x"),
         expr(s"CAST(size(filter(c11, x -> x != $ND)) AS BIGINT)").as("n_valid"),
-        expr(s"aggregate(zip_with(c11, c22, (a, b) -> if(a = $ND, 0D, a + b)), 0L, (s, x) -> s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))").as("g0_q"),
-        expr(s"aggregate(zip_with(c11, c22, (a, b) -> if(a = $ND, 0D, a - b)), 0L, (s, x) -> s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))").as("g1_q"),
-        expr(s"aggregate(c12r, 0L, (s, x) -> s + if(x = $ND, 0L, CAST(floor(0.031415926535897934 + 2D * x * 1.0E6) AS BIGINT)))").as("g2_q"),
-        expr(s"aggregate(c12i, 0L, (s, x) -> s + if(x = $ND, 0L, CAST(floor(0.031415926535897934 + -2D * x * 1.0E6) AS BIGINT)))").as("g3_q"))
+        // compiled quantized-sum folds (Kernels.sumQ) — same guards and
+        // arithmetic order as the interpreted zip+fold lambdas they replace
+        graft.exprs.KernelExprs.sumQ(col("c11"), col("c22"),
+          graft.exprs.Kernels.SQ_PAIR_ADD).as("g0_q"),
+        graft.exprs.KernelExprs.sumQ(col("c11"), col("c22"),
+          graft.exprs.Kernels.SQ_PAIR_SUB).as("g1_q"),
+        graft.exprs.KernelExprs.sumQ(col("c12r"), col("c12r"),
+          graft.exprs.Kernels.SQ_SCALED, k = 2.0).as("g2_q"),
+        graft.exprs.KernelExprs.sumQ(col("c12i"), col("c12i"),
+          graft.exprs.Kernels.SQ_SCALED, k = -2.0).as("g3_q"))
 
   /** Shared shape of the windowed C2 products: 4-channel halo exchange + ONE
    * compiled window pass (Kernels.c2Window) — replaces the interpreted winSum

@@ -42,9 +42,12 @@ object Stack {
 
   /** CreateStack: master-grid union with extent-rule flags per tile key. */
   def createStackQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // compiled rollupQ.s: identical quantizer; the SQL fold's ND branch adds
+    // 0L and the kernel's skip adds nothing — same sum (NaN likewise: the
+    // SQL's floor(NaN)->CAST is 0L, the kernel skips)
     stackTiles(spark, sfDir)
-      .withColumn("tile_sum_q", expr(
-        s"aggregate(v, 0L, (a, x) -> a + if(x = $ND, 0L, CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT)))"))
+      .withColumn("tile_sum_q",
+        graft.exprs.KernelExprs.rollupQ(col("v"), 1.0e6).getField("s"))
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_epochs"),
@@ -374,10 +377,16 @@ object Stack {
       .join(b, gridKeys :+ "scene_b")
       .withColumn("cx", graft.exprs.KernelExprs.complexCross(
         col("iv"), col("qv"), col("iv2"), col("qv2")))
+      // compiled rollupQ replaces the filter-size + two interpreted folds;
+      // NaN cannot appear in cre/cim (the dyadic snap floors NaN to 0.0
+      // before complexCross), so n = the former size(filter(x != ND)) and
+      // the fold's ND-adds-0L equals the kernel's skip
+      .withColumn("rc", graft.exprs.KernelExprs.rollupQ(col("cx.cre"), 1.0e6))
+      .withColumn("ri", graft.exprs.KernelExprs.rollupQ(col("cx.cim"), 1.0e6))
       .select(col("scene_a"), col("scene_b"), col("subswath"), col("pol"),
         col("burst_idx"), col("tile_y"), col("tile_x"),
-        expr(s"CAST(size(filter(cx.cre, x -> x != ${Raster.ND})) AS BIGINT)").as("n_valid"),
-        expr(s"aggregate(cx.cre, 0L, (s, x) -> s + if(x = ${Raster.ND}, 0L, CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT)))").as("cre_sum_q"),
-        expr(s"aggregate(cx.cim, 0L, (s, x) -> s + if(x = ${Raster.ND}, 0L, CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT)))").as("cim_sum_q"))
+        col("rc.n").as("n_valid"),
+        col("rc.s").as("cre_sum_q"),
+        col("ri.s").as("cim_sum_q"))
   }
 }

@@ -25,15 +25,21 @@ object Utility {
    * exact integer merge across tiles (map-side combine shape; the mean/stddev are
    * recoverable downstream from the exact moments). */
   def dataAnalysisQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // ONE compiled pass per tile (rollup2Q) replaces the filter HOF + two
+    // interpreted folds + array_min/array_max: n/s/s2 are the identical
+    // guards and quantizers, and per-tile min/max commute with the monotone
+    // quantizer (floor(off + min(valid)*q) = min over valid of floor(off+x*q),
+    // the established rollupQ argument); empty-valid tiles yield null mn/mx
+    // exactly like array_min of an empty array, ignored by min()/max()
     Raster.intensityTiles(spark, sfDir)
-      .withColumn("valid", expr(s"filter(v, x -> not(isnan(x) or x = $ND))"))
+      .withColumn("ts", graft.exprs.KernelExprs.rollup2Q(col("v"), 1.0e6))
       .groupBy("scene_id", "subswath", "pol")
       .agg(
-        sum(expr("CAST(size(valid) AS BIGINT)")).as("n_px"),
-        sum(expr("aggregate(valid, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))")).as("sum_q"),
-        sum(expr("aggregate(valid, 0L, (a, x) -> a + CAST(floor(0.031415926535897934 + x * x * 1.0E6) AS BIGINT))")).as("sumsq_q"),
-        min(expr("CAST(floor(0.031415926535897934 + array_min(valid) * 1.0E6) AS BIGINT)")).as("min_q"),
-        max(expr("CAST(floor(0.031415926535897934 + array_max(valid) * 1.0E6) AS BIGINT)")).as("max_q"))
+        sum(col("ts.n")).as("n_px"),
+        sum(col("ts.s")).as("sum_q"),
+        sum(col("ts.s2")).as("sumsq_q"),
+        min(col("ts.mn")).as("min_q"),
+        max(col("ts.mx")).as("max_q"))
 
   /** Undersample target raster size (the reference default ratio 0.5:
    * targetW = (int)(0.5 * srcW + 0.5), UndersamplingOp.java:329-330). */

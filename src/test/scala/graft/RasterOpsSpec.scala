@@ -317,6 +317,32 @@ class RasterOpsSpec extends AnyFunSuite {
     check(KernelExprs.subsetMask(col("a"), col("tile_x"), col("tile_y"), 17, 90, 5, 50, tw, th),
       s"""transform(a, (x, k) -> if(($gx) BETWEEN 17 AND 90
          |  AND ($gy) BETWEEN 5 AND 50, x, $nd))""".stripMargin)
+    // quantized-sum fold kernels (stokes g0..g3, exact)
+    val sq = df.select(
+      KernelExprs.sumQ(col("a"), col("b"), Kernels.SQ_PAIR_ADD).as("k0"),
+      expr(s"aggregate(zip_with(a, b, (x, y) -> if(x = $nd, 0D, x + y)), 0L, (s, x) -> s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))").as("s0"),
+      KernelExprs.sumQ(col("a"), col("b"), Kernels.SQ_PAIR_SUB).as("k1"),
+      expr(s"aggregate(zip_with(a, b, (x, y) -> if(x = $nd, 0D, x - y)), 0L, (s, x) -> s + CAST(floor(0.031415926535897934 + x * 1.0E6) AS BIGINT))").as("s1"),
+      KernelExprs.sumQ(col("a"), col("a"), Kernels.SQ_SCALED, k = -2.0).as("k2"),
+      expr(s"aggregate(a, 0L, (s, x) -> s + if(x = $nd, 0L, CAST(floor(0.031415926535897934 + -2D * x * 1.0E6) AS BIGINT)))").as("s2"),
+      KernelExprs.sumQ(col("a"), col("a"), Kernels.SQ_SCALED, k = 2.0).as("k3"),
+      expr(s"aggregate(a, 0L, (s, x) -> s + if(x = $nd, 0L, CAST(floor(0.031415926535897934 + 2D * x * 1.0E6) AS BIGINT)))").as("s3")).collect()
+    sq.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1) && row.getLong(2) == row.getLong(3) &&
+        row.getLong(4) == row.getLong(5) && row.getLong(6) == row.getLong(7))
+    }
+    // rollup2Q = the data-analysis per-tile partials (filter + two folds + min/max)
+    val r2 = df.select(KernelExprs.rollup2Q(col("a"), 1.0e6).as("k"),
+      expr(s"filter(a, x -> not(isnan(x) or x = $nd))").as("valid")).collect()
+    r2.foreach { row =>
+      val k = row.getStruct(0); val valid = row.getSeq[Double](1)
+      def q(v: Double) = math.floor(0.031415926535897934 + v * 1.0e6).toLong
+      def q2(v: Double) = math.floor(0.031415926535897934 + v * v * 1.0e6).toLong
+      assert(k.getLong(0) == valid.size)
+      assert(k.getLong(1) == valid.map(q).sum && k.getLong(2) == valid.map(q2).sum)
+      if (valid.nonEmpty) assert(k.getLong(3) == q(valid.min) && k.getLong(4) == q(valid.max))
+      else assert(k.isNullAt(3) && k.isNullAt(4))
+    }
     // rollupQ's (n, s) = the former interpreted tile-sum fold (Bands.tileSumQ)
     val sums = df.select(KernelExprs.rollupQ(col("a"), 1.0e6).as("k"),
       expr(s"""aggregate(a, struct(0L AS n, 0L AS s), (acc, x) ->
