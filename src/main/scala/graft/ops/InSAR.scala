@@ -276,8 +276,8 @@ object InSAR {
     val ta = s"(burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval)"
     val phi = s"(-pi() * doppler_rate * ($ta - reference_time) * ($ta - reference_time) - 2 * pi() * doppler_centroid * $ta)"
     val tiles = Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV")
-      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
-      .withColumn("qq", expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("iq", graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic))
+      .withColumn("qq", graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic))
     Raster.rollup(tiles
       .join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
       .join(broadcast(scenes), Seq("scene_id"))
@@ -296,8 +296,8 @@ object InSAR {
       Fixtures.table(spark, sfDir, "tiles_stack").where(col("epoch") === e)
         .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
           col("tile_x"), col("tile_y"),
-          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(ip),
-          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(qp))
+          graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic).as(ip),
+          graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic).as(qp))
     val keys = Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y")
     val j = epoch(0, "i0", "q0").join(epoch(1, "i1", "q1"), keys)
       .join(epoch(2, "i2", "q2"), keys)
@@ -345,8 +345,8 @@ object InSAR {
     val ta = s"(burst_first_line_time + (tile_y * ${Layout.TileH} + k div ${Layout.TileW}) * azimuth_time_interval)"
     val phi = s"(-pi() * doppler_rate * ($ta - reference_time) * ($ta - reference_time) - 2 * pi() * doppler_centroid * $ta)"
     val tiles = Fixtures.table(spark, sfDir, "tiles").where(col("pol") === "VV")
-      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
-      .withColumn("qq", expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("iq", graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic))
+      .withColumn("qq", graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic))
     Raster.rollup(tiles
       .join(broadcast(bursts), Seq("scene_id", "subswath", "burst_idx"))
       .join(broadcast(scenes), Seq("scene_id"))

@@ -31,8 +31,8 @@ object Polarimetry {
       Fixtures.table(spark, sfDir, "tiles").where(col("pol") === pol)
         .select(col("scene_id"), col("subswath"), col("burst_idx"),
           col("tile_x"), col("tile_y"),
-          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(ip),
-          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(qp))
+          graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic).as(ip),
+          graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic).as(qp))
     bands("VV", "ia", "qa")
       .join(bands("VH", "ib", "qb"),
         Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))

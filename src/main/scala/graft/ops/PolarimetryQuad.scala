@@ -31,9 +31,9 @@ object PolarimetryQuad {
         .where(col("pol") === pol && col("burst_idx") <= maxBurst)
         .select(col("scene_id"), col("subswath"), col("burst_idx"),
           col("tile_x"), col("tile_y"),
-          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})")
+          graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic)
             .as(s"i_${pol.toLowerCase}"),
-          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})")
+          graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic)
             .as(s"q_${pol.toLowerCase}"))
     Seq("HV", "VH", "VV").foldLeft(band("HH")) { (df, p) =>
       df.join(band(p), Seq("scene_id", "subswath", "burst_idx", "tile_x", "tile_y"))

@@ -58,8 +58,8 @@ object Stack {
   /** per-tile-key epoch series (sorted struct array of (epoch, i, q, v)). */
   private def collected(spark: SparkSession, sfDir: String): DataFrame =
     stackTiles(spark, sfDir)
-      .withColumn("iq", expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
-      .withColumn("qq", expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})"))
+      .withColumn("iq", graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic))
+      .withColumn("qq", graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic))
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("epoch"), col("iq"), col("qq"), col("v")))).as("es"))
 
@@ -330,8 +330,8 @@ object Stack {
         .where(col("epoch") === e && col("burst_idx") >= Epochs)
         .select(col("scene_id"), col("subswath"), col("pol"), col("burst_idx"),
           col("tile_x"), col("tile_y"),
-          expr(s"transform(i, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(s"i_e$e"),
-          expr(s"transform(q, x -> floor(x * ${Raster.Dyadic}) / ${Raster.Dyadic})").as(s"q_e$e"))
+          graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic).as(s"i_e$e"),
+          graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic).as(s"q_e$e"))
     val chCols = (0 until Epochs).flatMap(e => Seq(s"i_e$e", s"q_e$e"))
     val joined = (1 until Epochs).foldLeft(epochBand(0)) { (df, e) =>
       df.join(epochBand(e), Seq("scene_id", "subswath", "pol", "burst_idx", "tile_x", "tile_y"))

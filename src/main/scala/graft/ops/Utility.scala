@@ -77,8 +77,8 @@ object Utility {
         s"element_at(element_at(ts, $ti).qq, $px) * element_at(element_at(ts, $ti).qq, $px)) * $w"
     }).mkString("(", " + ", ")")
     Fixtures.table(spark, sfDir, "tiles")
-      .withColumn("iq", expr(s"transform(i, x -> floor(x * $d) / $d)"))
-      .withColumn("qq", expr(s"transform(q, x -> floor(x * $d) / $d)"))
+      .withColumn("iq", graft.exprs.KernelExprs.quantize(col("i"), Raster.Dyadic))
+      .withColumn("qq", graft.exprs.KernelExprs.quantize(col("q"), Raster.Dyadic))
       .groupBy("scene_id", "subswath", "pol", "burst_idx")
       .agg(sort_array(collect_list(struct(col("tile_y"), col("tile_x"), col("iq"), col("qq")))).as("ts"))
       .withColumn("out", expr(
