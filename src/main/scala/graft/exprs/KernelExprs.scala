@@ -524,6 +524,22 @@ case class EtadMapExpr(v: Expression, lut: Expression, tileX: Expression,
     copy(v = c(0), lut = c(1), tileX = c(2))
 }
 
+/** GRD azimuth thermal-noise lerp-subtract map (pure arithmetic — exact). */
+case class NoiseAzMapExpr(v: Expression, lutA: Expression, azlut: Expression,
+    burstIdx: Expression, tileY: Expression, lp: Int, tw: Int, th: Int)
+    extends StaticKernelExpr {
+  override def children: Seq[Expression] = Seq(v, lutA, azlut, burstIdx, tileY)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override protected def javaCall(args: Seq[String]): String =
+    s"graft.exprs.Kernels.noiseAzMap(${args(0)}, ${args(1)}, ${args(2)}, ${args(3)}, ${args(4)}, $lp, $tw, $th)"
+  override protected def kernelEval(args: IndexedSeq[Any]): Any =
+    Kernels.noiseAzMap(args(0).asInstanceOf[ArrayData], args(1).asInstanceOf[ArrayData],
+      args(2).asInstanceOf[ArrayData], args(3).asInstanceOf[Int], args(4).asInstanceOf[Int],
+      lp, tw, th)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(v = c(0), lutA = c(1), azlut = c(2), burstIdx = c(3), tileY = c(4))
+}
+
 /** Chain Subset pixel-exact crop mask (pure comparisons — exact). */
 case class SubsetMaskExpr(v: Expression, tileX: Expression, tileY: Expression,
     x0: Int, x1: Int, y0: Int, y1: Int, tw: Int, th: Int) extends StaticKernelExpr {
@@ -1222,6 +1238,11 @@ object KernelExprs {
 
   def phaseSubV(v: Column, tileX: Column, tileY: Column, tw: Int, th: Int): Column =
     toCol(PhaseSubVExpr(toExpr(v), toExpr(tileX), toExpr(tileY), tw, th))
+
+  def noiseAzMap(v: Column, lutA: Column, azlut: Column, burstIdx: Column,
+      tileY: Column, lp: Int, tw: Int, th: Int): Column =
+    toCol(NoiseAzMapExpr(toExpr(v), toExpr(lutA), toExpr(azlut), toExpr(burstIdx),
+      toExpr(tileY), lp, tw, th))
 
   def subsetMask(v: Column, tileX: Column, tileY: Column,
       x0: Int, x1: Int, y0: Int, y1: Int, tw: Int, th: Int): Column =

@@ -995,6 +995,30 @@ object Kernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** GRD azimuth thermal-noise subtraction (Grd.thermalNoiseAzQuery's HOF, verbatim):
+   * per pixel k, gline = (burstIdx-1)*lp + tileY*th + k div tw, b = gline div lp,
+   * az = azlut(b) + ((gline - b*lp)/lp) * (azlut(b+1) - azlut(b)),
+   * out = greatest(0, v - lutA(k)*az) with the ND passthrough. Pure +,-,*,/ — exact. */
+  def noiseAzMap(vD: ArrayData, lutAD: ArrayData, azD: ArrayData,
+      burstIdx: Int, tileY: Int, lp: Int, tw: Int, th: Int): ArrayData = {
+    val v = vD.toDoubleArray(); val lutA = lutAD.toDoubleArray(); val az = azD.toDoubleArray()
+    val out = new Array[Double](v.length)
+    val base = (burstIdx - 1) * lp + tileY * th
+    var k = 0
+    while (k < v.length) {
+      val x = v(k)
+      if (x == ND) out(k) = ND
+      else {
+        val gline = base + k / tw
+        val b = gline / lp
+        val azv = az(b) + ((gline - b * lp) / lp.toDouble) * (az(b + 1) - az(b))
+        out(k) = math.max(0.0, x - lutA(k) * azv)
+      }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ---- wrapped phase-subtraction maps: out = atan2(sin(ph - f), cos(ph - f))
   // with ph from the (a, b) pair (zip_with(b, a, atan2) order) and f the
   // closed-form surface at the pixel's global coordinates.

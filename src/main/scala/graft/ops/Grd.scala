@@ -73,13 +73,11 @@ object Grd {
     val lp = Layout.LinesPerBurst
     val withRg = Calibration.withLutA(tiles, rgLut)
       .join(broadcast(azLut), Seq("scene_id", "subswath", "pol"))
-    val gline = s"((burst_idx - 1) * $lp + tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
-    val b = s"CAST($gline div $lp AS INT)"
-    val az = s"(element_at(azlut, $b + 1) + (($gline - $b * $lp) / $lp.0D) * (element_at(azlut, $b + 2) - element_at(azlut, $b + 1)))"
-    Raster.rollup(withRg.withColumn("out", expr(
-      s"""transform(sequence(0, ${Layout.TileW * Layout.TileH - 1}), k ->
-         |  if(element_at(v, k + 1) = ${Raster.ND}, ${Raster.ND},
-         |    greatest(0D, element_at(v, k + 1) - element_at(lut_a, k + 1) * $az)))""".stripMargin)))
+    // compiled lerp-subtract map (Kernels.noiseAzMap) — replaces the interpreted
+    // transform(sequence(...)) HOF; pure +,-,*,/ so bit-identical (RasterOpsSpec)
+    Raster.rollup(withRg.withColumn("out", KernelExprs.noiseAzMap(
+      col("v"), col("lut_a"), col("azlut"), col("burst_idx"), col("tile_y"),
+      lp, Layout.TileW, Layout.TileH)))
   }
 
   /** GRD-Post (GRDPostProcessOp.java:37-116): the SLC->GRD finalization step —

@@ -379,4 +379,40 @@ class RasterOpsSpec extends AnyFunSuite {
       assert(row.getSeq[Long](0) == row.getSeq[Long](1))
     }
   }
+
+  test("compiled GRD azimuth-noise lerp map matches its HOF twin bit-exactly") {
+    import graft.exprs.KernelExprs
+    val r = new scala.util.Random(53)
+    val n = Layout.TileW * Layout.TileH
+    val lp = Layout.LinesPerBurst
+    def randArr(k: Int): Array[Double] = Array.fill(k) {
+      val u = r.nextDouble()
+      if (u < 0.06) ND else if (u < 0.08) 0.0 else r.nextDouble() * 900.0
+    }
+    val rows = (0 until 12).map { rr =>
+      (randArr(n), Array.fill(n)(400.0 + r.nextDouble() * 400.0),
+        Array.fill(4)(r.nextDouble() * 2.0), rr % 3 + 1, rr % 2)
+    }
+    val df = rows.toDF("v", "lut_a", "azlut", "burst_idx", "tile_y")
+    // the HOF twin is Grd.thermalNoiseAzQuery's pre-optimization expression, verbatim
+    val gline = s"((burst_idx - 1) * $lp + tile_y * ${Layout.TileH} + k div ${Layout.TileW})"
+    val b = s"CAST($gline div $lp AS INT)"
+    val az = s"(element_at(azlut, $b + 1) + (($gline - $b * $lp) / $lp.0D) * (element_at(azlut, $b + 2) - element_at(azlut, $b + 1)))"
+    val sql =
+      s"""transform(sequence(0, ${n - 1}), k ->
+         |  if(element_at(v, k + 1) = ${Raster.ND}, ${Raster.ND},
+         |    greatest(0D, element_at(v, k + 1) - element_at(lut_a, k + 1) * $az)))""".stripMargin
+    val out = df.select(
+      KernelExprs.noiseAzMap(col("v"), col("lut_a"), col("azlut"),
+        col("burst_idx"), col("tile_y"), lp, Layout.TileW, Layout.TileH).as("k"),
+      expr(sql).as("s")).collect()
+    out.foreach { row =>
+      val kArr = row.getSeq[Double](0); val sArr = row.getSeq[Double](1)
+      assert(kArr.length == sArr.length)
+      kArr.zip(sArr).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y),
+          s"mismatch at $i: $x vs $y")
+      }
+    }
+  }
 }
